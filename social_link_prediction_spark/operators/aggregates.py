@@ -1,0 +1,201 @@
+"""Aggregation operators (SURVEY.md §2.4, A1–A19).
+
+All are single-pass hash aggregations with map-side partial
+aggregation (Spark default) — at 100 TB the shuffle carries only
+(group-key, partial-state) pairs, not raw rows. Nothing here uses a
+Python UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- A1/A2: group-concat unique (transformer.py:74-77,192-197)
+def group_concat_unique(
+    df: DataFrame, key: str, value_cols: Sequence[str], sep: str = ", "
+) -> DataFrame:
+    """``groupby(key)[col].apply(', '.join(unique))`` — Spark-native as
+    ``collect_set`` (dedup) + ``sort_array`` (deterministic order; the
+    reference's order is encounter order, which has no distributed
+    analog) + ``concat_ws``. Keep the array too — downstream explode is
+    cheaper from the array than re-splitting the string.
+    """
+    aggs = []
+    for c in value_cols:
+        arr = F.array_sort(F.collect_set(F.col(c)))
+        aggs.append(arr.alias(f"{c}_arr"))
+        aggs.append(F.concat_ws(sep, arr).alias(c))
+    return df.groupBy(key).agg(*aggs)
+
+
+# --- A3/A18: out-degree per key (NB cells 83,87)
+def degree(df: DataFrame, key: str, out: str = "degree") -> DataFrame:
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias(out))
+
+
+def degree_stats(df: DataFrame, key: str) -> DataFrame:
+    """mean/max/min degree — two-level aggregation."""
+    return degree(df, key).agg(
+        F.avg("degree").alias("mean_degree"),
+        F.max("degree").alias("max_degree"),
+        F.min("degree").alias("min_degree"),
+    )
+
+
+# --- A4: value_counts (NB cells 78,95,97,100)
+def value_counts(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
+    out = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+    return out.orderBy(F.col("count").desc(), F.col(col).asc()) if desc else out
+
+
+# --- A5: distinct counts per column (NB cells 66,68)
+def distinct_counts(df: DataFrame, cols: Sequence[str], approx: bool = False) -> DataFrame:
+    """``nunique`` per column. ``approx=True`` switches to HLL sketches
+    (``approx_count_distinct``) — at 100 TB exact distinct on a wide
+    table forces a massive shuffle; the sketch is one pass, no shuffle
+    of raw values.
+    """
+    fn = F.approx_count_distinct if approx else F.countDistinct
+    return df.agg(*[fn(F.col(c)).alias(f"{c}_distinct") for c in cols])
+
+
+# --- A6: duplicate audit (NB cells 71-72)
+def duplicate_groups(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
+    keys = list(keys) if keys else df.columns
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# --- A7: null accounting (transformer.py:203-206)
+def null_counts(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    cols = list(cols) if cols else df.columns
+    return df.agg(
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls") for c in cols]
+    )
+
+
+# --- A8: multi-value explode + count (NB cells 103,105)
+def explode_count(
+    df: DataFrame, col: str, pattern: str = ",\\s*", k: int | None = 10
+) -> DataFrame:
+    """Split a comma-joined multi-value column, explode, count values.
+    The split/explode is codegen'd; the count is a partial-agg shuffle
+    keyed by item — cardinality(item) keys, not cardinality(rows).
+    """
+    items = df.select(
+        F.explode(F.split(F.col(col), pattern)).alias("item")
+    ).filter(F.col("item") != "")
+    out = items.groupBy("item").agg(F.count(F.lit(1)).alias("count")).orderBy(
+        F.col("count").desc(), F.col("item").asc()
+    )
+    return out.limit(k) if k else out
+
+
+# --- A9: pairwise co-occurrence (NB cells 109,112)
+def cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    pattern: str = ",\\s*",
+    k: int | None = 20,
+) -> DataFrame:
+    """Market-basket pair counts: explode items per row, self-join on
+    the row id with ``a < b`` (each unordered pair once), count pairs.
+    The reference materializes C(n,2) per row in Python; here the pair
+    expansion happens inside a hash join keyed by row id — distributed
+    and spill-safe. Skew note: a row with a huge item list explodes
+    quadratically; cap list size upstream if the corpus has such rows.
+    """
+    items = (
+        df.select(F.col(id_col).alias("__rid"), F.explode(F.split(F.col(col), pattern)).alias("item"))
+        .filter(F.col("item") != "")
+        .dropDuplicates(["__rid", "item"])
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(b, on="__rid").filter(F.col("a.item") < F.col("b.item"))
+    out = (
+        pairs.groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+    )
+    return out.limit(k) if k else out
+
+
+# --- A10: histogram binning (NB cells 92,153)
+def histogram(df: DataFrame, col: str, bin_width: float, origin: float = 0.0) -> DataFrame:
+    """Fixed-width binning as an aggregation (one shuffle keyed by bin)."""
+    bin_col = (F.floor((F.col(col) - F.lit(origin)) / F.lit(bin_width)) * F.lit(bin_width) + F.lit(origin)).alias("bin")
+    return df.select(bin_col).groupBy("bin").agg(F.count(F.lit(1)).alias("count")).orderBy("bin")
+
+
+# --- A11: degree distribution + CCDF (NB cell 87)
+def degree_distribution(df: DataFrame, key: str) -> DataFrame:
+    """P(k) and CCDF(k) = P(K >= k). Two aggregations + one window; the
+    window runs over the tiny (distinct-degree-count) frame, so the
+    unpartitioned orderBy window is safe at any data scale.
+    """
+    deg = degree(df, key)
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    w = Window.partitionBy().orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        dist.withColumn("pdf", F.col("n") / F.sum("n").over(total))
+        .withColumn("ccdf", F.lit(1.0) - F.coalesce(F.sum("pdf").over(w), F.lit(0.0)))
+        .select("degree", "n", "pdf", "ccdf")
+        .orderBy("degree")
+    )
+
+
+# --- A12: power-law exponent MLE (NB cell 89; Clauset et al. 2009)
+def powerlaw_gamma(df: DataFrame, key: str, k_min: int = 100) -> DataFrame:
+    """gamma = 1 + n / sum(log(k_i / (k_min - 0.5))) over k_i >= k_min.
+    Pure aggregate expression — no collect, no UDF.
+    """
+    deg = degree(df, key)
+    return (
+        deg.filter(F.col("degree") >= k_min)
+        .agg(
+            (
+                F.lit(1.0)
+                + F.count(F.lit(1))
+                / F.sum(F.log(F.col("degree") / F.lit(k_min - 0.5)))
+            ).alias("gamma"),
+            F.count(F.lit(1)).alias("n_tail"),
+        )
+    )
+
+
+# --- A13/A14: imputation statistics (transformer.py:345-346; data_processor.py:122-131)
+def impute_mean(df: DataFrame, col: str) -> DataFrame:
+    """coalesce(col, mean(col)) without collect: aggregate to a 1-row
+    frame and cross-join it (Catalyst broadcasts single-row frames)."""
+    stats = df.agg(F.avg(F.col(col)).alias("__mean"))
+    return df.crossJoin(F.broadcast(stats)).withColumn(
+        col, F.coalesce(F.col(col), F.col("__mean"))
+    ).drop("__mean")
+
+
+def year_norm_stats(df: DataFrame, col: str) -> DataFrame:
+    return df.agg(
+        F.min(col).alias("y_min"),
+        F.max(col).alias("y_max"),
+        F.percentile_approx(col, 0.5).alias("y_median"),
+    )
+
+
+# --- A17/G8: in-degree / total (undirected) degree
+def in_degree(edges: DataFrame, dst: str = "dst") -> DataFrame:
+    return edges.groupBy(F.col(dst).alias("id")).agg(F.count(F.lit(1)).alias("in_degree"))
+
+
+def total_degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected degree: union endpoint columns, count. One shuffle."""
+    ends = edges.select(F.col(src).alias("id")).unionAll(edges.select(F.col(dst).alias("id")))
+    return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

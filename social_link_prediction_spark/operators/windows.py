@@ -1,0 +1,98 @@
+"""Window / ranking / top-k operators (SURVEY.md §2.5, W1–W7)."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- W1: contiguous per-group index (transformer.py:173)
+def per_group_index(
+    df: DataFrame, group: str, order: Sequence[str], out: str = "pyg_id"
+) -> DataFrame:
+    """``groupby(type).cumcount()`` — dense 0..n-1 per group. Needs an
+    explicit order (pandas uses row order, which Spark doesn't have);
+    the reference's downstream only requires density + determinism.
+    """
+    w = Window.partitionBy(group).orderBy(*[F.col(c).asc() for c in order])
+    return df.withColumn(out, F.row_number().over(w) - F.lit(1))
+
+
+# --- W2: global top-k (NB cells 95,97,100)
+def top_k(df: DataFrame, order_col: str, k: int = 10, tiebreak: Sequence[str] = ()) -> DataFrame:
+    """``orderBy(desc).limit(k)`` — Spark plans TakeOrderedAndProject:
+    each task keeps a k-heap, the driver merges k*numPartitions rows.
+    No full sort at any scale.
+    """
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    return df.orderBy(*order).limit(k)
+
+
+# --- W3: per-group top-k (predicter.py:229-291 shape)
+def top_k_per_group(
+    df: DataFrame,
+    group: str | Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    groups = [group] if isinstance(group, str) else list(group)
+    order = [F.col(order_col).desc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*groups).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )
+
+
+# --- W5: cumulative sum (NB cell 87) — see aggregates.degree_distribution
+def cumulative_sum(
+    df: DataFrame, order: str, value: str, out: str = "cumsum", exclusive: bool = False
+) -> DataFrame:
+    upper = -1 if exclusive else Window.currentRow
+    w = Window.partitionBy().orderBy(order).rowsBetween(Window.unboundedPreceding, upper)
+    return df.withColumn(out, F.coalesce(F.sum(value).over(w), F.lit(0.0)))
+
+
+# --- W6: sortedness verification (train_model.py:497-561)
+def is_sorted(df: DataFrame, cols: Sequence[str]) -> bool:
+    """Property check: rows (in current order within a struct sort key)
+    are lexicographically non-decreasing. Implemented as a lag-window
+    comparison — returns True iff no inversions exist.
+    """
+    key = F.struct(*[F.col(c) for c in cols])
+    w = Window.partitionBy().orderBy(F.monotonically_increasing_id())
+    inversions = (
+        df.withColumn("__key", key)
+        .withColumn("__prev", F.lag("__key").over(w))
+        .filter(F.col("__prev").isNotNull() & (F.col("__key") < F.col("__prev")))
+        .limit(1)
+        .count()
+    )
+    return inversions == 0
+
+
+# --- lag/lead sessionization (events table; streaming-adjacent batch op)
+def sessionize(
+    df: DataFrame,
+    user: str,
+    ts: str,
+    gap_seconds: int = 1800,
+    out: str = "session_id",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_seconds``. One
+    shuffle (partitionBy user), then two windows over it.
+    """
+    w = Window.partitionBy(user).orderBy(ts)
+    # microsecond precision: second-level casts would mis-bucket gaps
+    # that straddle the threshold by a fraction of a second
+    us = F.unix_micros(F.col(ts))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn("__new", is_new).withColumn(
+        out, F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ).drop("__new")

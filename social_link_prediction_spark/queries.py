@@ -1,0 +1,502 @@
+"""Query catalog: every SURVEY.md §2 operator as a (spark, sf_dir) -> DataFrame
+callable plus a matching DuckDB oracle SQL string.
+
+Naming discipline: every computed column is aliased identically in the
+Spark code and the oracle SQL — the driver sorts columns by name and
+hash-compares values. Floating aggregates are rounded to 6 decimals on
+BOTH sides so double-summation order differences can't flip the hash.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.operators import aggregates as agg
+from social_link_prediction_spark.operators import dedup as dd
+from social_link_prediction_spark.operators import joins as jn
+from social_link_prediction_spark.operators import windows as win
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The events table is written with TIMESTAMP(NANOS), which the
+        # vectorized parquet reader rejects by default. Read nanos as
+        # long and truncate to microseconds (exactly what DuckDB's
+        # TIMESTAMP does), using integer division to avoid double
+        # rounding on epoch-nano magnitudes.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a catalog entry (and its oracle, when SQL-expressible)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Flagship: TPC-H Q1-style pricing summary (scan+filter+agg+sort; the
+# canonical "is the relational core wired" query). SURVEY §7.2 analog.
+# =====================================================================
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 6)                                   AS sum_qty,
+           round(sum(l_extendedprice), 6)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 6)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# =====================================================================
+# A3/A4/J6/W2 — degree + value_counts + top-k name resolution
+# =====================================================================
+@query(
+    "top10_customers_by_orders",
+    """
+    SELECT o.o_custkey AS custkey, c.c_name AS name, count(*) AS order_count
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_name
+    ORDER BY order_count DESC, custkey ASC
+    LIMIT 10
+    """,
+)
+def top10_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+    # dimension join AFTER aggregation (ship counts, not raw orders) and broadcast
+    joined = counts.join(
+        F.broadcast(cust.select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))),
+        "custkey",
+    )
+    return win.top_k(joined.select("custkey", "name", "order_count"), "order_count", 10, tiebreak=["custkey"])
+
+
+@query(
+    "degree_stats_orders",
+    """
+    SELECT round(avg(cnt), 6) AS mean_degree, max(cnt) AS max_degree, min(cnt) AS min_degree
+    FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey)
+    """,
+)
+def degree_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    deg = agg.degree(orders, "o_custkey")
+    return deg.agg(
+        F.round(F.avg("degree"), 6).alias("mean_degree"),
+        F.max("degree").alias("max_degree"),
+        F.min("degree").alias("min_degree"),
+    )
+
+
+@query(
+    "value_counts_priority",
+    """
+    SELECT o_orderpriority, count(*) AS count
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY count DESC, o_orderpriority ASC
+    """,
+)
+def value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.value_counts(_t(spark, sf_dir, "orders"), "o_orderpriority")
+
+
+# =====================================================================
+# A5/A6/A7 — profile / audit aggregations
+# =====================================================================
+@query(
+    "distinct_counts_lineitem",
+    """
+    SELECT count(DISTINCT l_orderkey) AS l_orderkey_distinct,
+           count(DISTINCT l_partkey)  AS l_partkey_distinct,
+           count(DISTINCT l_suppkey)  AS l_suppkey_distinct,
+           count(DISTINCT l_returnflag) AS l_returnflag_distinct
+    FROM lineitem
+    """,
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.distinct_counts(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"],
+    )
+
+
+@query(
+    "duplicate_audit_lineitem",
+    """
+    SELECT l_partkey, l_suppkey, count(*) AS dup_count
+    FROM lineitem GROUP BY l_partkey, l_suppkey HAVING count(*) > 1
+    ORDER BY dup_count DESC, l_partkey, l_suppkey
+    """,
+)
+def duplicate_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.duplicate_groups(_t(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"])
+    return out.orderBy(F.col("dup_count").desc(), "l_partkey", "l_suppkey")
+
+
+@query(
+    "null_accounting_orders",
+    """
+    SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)    AS o_custkey_nulls,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
+           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)  AS o_orderdate_nulls
+    FROM orders
+    """,
+)
+def null_accounting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.null_counts(_t(spark, sf_dir, "orders"), ["o_custkey", "o_totalprice", "o_orderdate"])
+
+
+# =====================================================================
+# A8/A9 — explode + count, pairwise co-occurrence (documents table)
+# =====================================================================
+@query(
+    "top_tokens",
+    """
+    SELECT item, count(*) AS count FROM (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ) WHERE item <> ''
+    GROUP BY item ORDER BY count DESC, item ASC LIMIT 20
+    """,
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return agg.explode_count(docs, "text", pattern=" ", k=20)
+
+
+@query(
+    "token_cooccurrence",
+    """
+    WITH items AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS item
+        FROM documents
+    ), items2 AS (SELECT * FROM items WHERE item <> '')
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS count
+    FROM items2 a JOIN items2 b ON a.doc_id = b.doc_id AND a.item < b.item
+    GROUP BY a.item, b.item
+    ORDER BY count DESC, item_a ASC, item_b ASC LIMIT 20
+    """,
+)
+def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return agg.cooccurrence(docs, "doc_id", "text", pattern=" ", k=20)
+
+
+# =====================================================================
+# A10/A11/A12 — histogram, CCDF, power-law MLE
+# =====================================================================
+@query(
+    "histogram_totalprice",
+    """
+    SELECT floor(o_totalprice / 50000) * 50000 AS bin, count(*) AS count
+    FROM orders GROUP BY bin ORDER BY bin
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return agg.histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 50000.0)
+
+
+@query(
+    "degree_ccdf",
+    """
+    WITH deg AS (SELECT count(*) AS degree FROM orders GROUP BY o_custkey),
+    dist AS (SELECT degree, count(*) AS n FROM deg GROUP BY degree)
+    SELECT degree, n,
+           round(n / (SELECT sum(n) FROM dist), 6) AS pdf,
+           round(1.0 - coalesce(sum(n / (SELECT sum(n) FROM dist))
+                 OVER (ORDER BY degree ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 6) AS ccdf
+    FROM dist ORDER BY degree
+    """,
+)
+def degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.degree_distribution(_t(spark, sf_dir, "orders"), "o_custkey")
+    return out.withColumn("pdf", F.round("pdf", 6)).withColumn("ccdf", F.round("ccdf", 6))
+
+
+@query(
+    "powerlaw_gamma",
+    """
+    SELECT round(1.0 + count(*) / sum(ln(degree / 4.5)), 6) AS gamma,
+           count(*) AS n_tail
+    FROM (SELECT count(*) AS degree FROM orders GROUP BY o_custkey)
+    WHERE degree >= 5
+    """,
+)
+def powerlaw_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.powerlaw_gamma(_t(spark, sf_dir, "orders"), "o_custkey", k_min=5)
+    return out.withColumn("gamma", F.round("gamma", 6))
+
+
+# =====================================================================
+# D3/D5 — key distinct, canonical (reverse-edge) dedup
+# =====================================================================
+@query(
+    "key_distinct_pairs",
+    """
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    """,
+)
+def key_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+
+
+@query(
+    "canonical_edge_groups",
+    """
+    SELECT least(l_partkey, l_suppkey)    AS n1,
+           greatest(l_partkey, l_suppkey) AS n2,
+           l_returnflag                    AS rel,
+           count(*)                        AS count
+    FROM lineitem
+    GROUP BY n1, n2, rel
+    ORDER BY n1, n2, rel
+    """,
+)
+def canonical_edge_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5's canonical key, exposed as the deterministic aggregate view
+    (the row-preserving keep-first variant is order-sensitive and is
+    tested in pytest with an explicit priority ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least("l_partkey", "l_suppkey").alias("n1"),
+            F.greatest("l_partkey", "l_suppkey").alias("n2"),
+            F.col("l_returnflag").alias("rel"),
+        )
+        .groupBy("n1", "n2", "rel")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("n1", "n2", "rel")
+    )
+
+
+# =====================================================================
+# J1-J3/J8/J9 — enrichment join, semi join, anti join
+# =====================================================================
+@query(
+    "customer_enriched",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def customer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation"), "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), F.col("r_name").alias("region")
+    )
+    out = jn.enrich(cust, nation, "c_nationkey")
+    out = jn.enrich(out, region, "n_regionkey")
+    return out.select("c_custkey", "c_name", "c_acctbal", "nation", "region")
+
+
+@query(
+    "semi_join_urgent_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return jn.exists_in(li, urgent, ["l_orderkey"]).select("l_orderkey", "l_linenumber", "l_partkey")
+
+
+@query(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return jn.not_exists_in(cust, orders, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# =====================================================================
+# W1/W3/W5 — per-group index, grouped top-k, cumulative sum
+# =====================================================================
+@query(
+    "per_group_index_customers",
+    """
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1 AS grp_idx
+    FROM customer
+    """,
+)
+def per_group_index_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.per_group_index(
+        _t(spark, sf_dir, "customer"), "c_mktsegment", ["c_custkey"], out="grp_idx"
+    )
+    return out.select("c_custkey", "c_mktsegment", "grp_idx")
+
+
+@query(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.top_k_per_group(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice", 3, tiebreak=["o_orderkey"]
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "cumulative_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY day
+    )
+    SELECT day, revenue,
+           round(sum(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue
+    FROM daily ORDER BY day
+    """,
+)
+def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    # to_date → DateType, matching DuckDB's date_trunc('day') DATE output
+    # round daily revenue to cents (exact: inputs are 2dp) BEFORE the
+    # cumulative window; accumulated double error then stays << 0.005
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    out = win.cumulative_sum(daily, "day", "revenue", out="cum_revenue")
+    return out.select(
+        "day", "revenue", F.round("cum_revenue", 2).alias("cum_revenue")
+    ).orderBy("day")
+
+
+# =====================================================================
+# Events: sessionization + tumbling-window aggregation (batch form of
+# the streaming operators; streaming/ runs the same logic on readStream)
+# =====================================================================
+@query(
+    "sessionize_events",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = win.sessionize(_t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800)
+    return out.select("event_id", "user_id", "session_id")
+
+
+@query(
+    "tumbling_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events ORDER BY event_id
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6-analog: JSON parsing as a native expression (get_json_object
+    stays JVM-side; no Python in the scan path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).orderBy("event_id")
