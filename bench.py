@@ -1,0 +1,81 @@
+"""Bench harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced through the noop sink (full computation, no
+driver collect bottleneck). First query absorbs JVM/session warmup;
+a warmup pass runs the flagship once beforehand so timings reflect
+steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from social_link_prediction_spark import queries as catalog
+from social_link_prediction_spark.session import get_spark
+
+# Headline set: one per operator family — scan+agg, join+topk, explode
+# self-join, window, canonical dedup, distribution analytics, text,
+# similarity. Keep <= ~12 so the round bench stays fast.
+HEADLINE = [
+    "pricing_summary",
+    "top10_customers_by_orders",
+    "canonical_edge_groups",
+    "degree_ccdf",
+    "token_cooccurrence",
+    "top3_orders_per_customer",
+    "cumulative_daily_revenue",
+    "sessionize_events",
+    "tumbling_hourly_events",
+]
+
+
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: spin the JVM, parquet footers, codegen
+    run_query(catalog.QUERIES["pricing_summary"], spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            continue
+        timings[name] = round(run_query(fn, spark, sf_dir), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
