@@ -1,0 +1,236 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Hash family: salted md5 (hex) — deterministic, available identically
+in Spark and DuckDB, so every stage is oracle-checkable. The MinHash
+min is taken lexicographically over hex strings (a uniform order on
+the hash space). At 100 TB scale the flow is:
+
+    shingle (explode, map-side)  ->  K salted mins (one hash-agg by doc)
+    ->  band keys (projection)   ->  bucket join (shuffle by band key)
+    ->  candidate pairs          ->  exact Jaccard on candidates only
+
+so the quadratic pair space is never materialized — only same-bucket
+pairs are, and a bucket-size cap guards against degenerate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines.text import tokens
+
+
+# --- exact dedup -----------------------------------------------------
+def exact_duplicate_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Hash-groupBy exact dedup: groups of byte-identical documents.
+    Shuffles md5 digests, never document bodies."""
+    return (
+        df.select(F.md5(F.col(col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each content group."""
+    w_keep = (
+        df.select(F.md5(F.col(col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_keep.select(id_col), on=id_col, how="left_semi")
+
+
+# --- shingling -------------------------------------------------------
+def shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles as an array column (higher-order functions,
+    no UDF): slice the token array at every start offset."""
+    toks = tokens(col, sep)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded + deduped — input to MinHash/Jaccard."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text", k: int = 8, n: int = 3
+) -> DataFrame:
+    """K-permutation MinHash via salted md5: signature_i = min over
+    shingles of md5(i || '|' || shingle). One explode + one hash
+    aggregation keyed by doc — shuffle volume is K hex strings per doc.
+    """
+    sh = shingle_table(df, id_col, col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature (k/rows_per_band bands), bucket-join docs
+    sharing any band value, emit distinct candidate pairs (a < b).
+    ``max_bucket`` drops degenerate buckets (e.g. the empty-document
+    bucket) that would otherwise explode quadratically — the skew
+    guard that matters at scale.
+    """
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("\x1f", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for other in bands[1:]:
+        banded = banded.unionAll(other)
+
+    big = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("band", "bucket")
+    )
+    banded = banded.join(F.broadcast(big), on=["band", "bucket"], how="left_anti")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+# --- n-gram Jaccard --------------------------------------------------
+def jaccard_for_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, relationally:
+    |A ∩ B| from a join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
+    Cost is proportional to candidate pairs, not all pairs.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle")), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    k: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup flow: MinHash -> LSH candidates -> exact Jaccard
+    filter at ``threshold``."""
+    sig = minhash_signatures(df, id_col, col, k, n)
+    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band)
+    sh = shingle_table(df, id_col, col, n)
+    return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits signed int64
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """60-bit SimHash over tokens: per token take md5's top 60 bits;
+    per bit position sum ±1 across tokens; sign -> signature bit.
+    Pure expression pipeline: explode -> conv -> bit tests -> one
+    aggregation by doc (60 small sums) -> bit reassembly.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(col)).alias("tok")
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else (sig + bit)
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (JVM builtin)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# --- embedding-cosine near-dup ---------------------------------------
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine. ``block_col`` bounds
+    the self-join (same-block pairs only) — at scale use an LSH/IVF
+    assignment as the block (see pipelines.similarity); brute force
+    all-pairs is only for tests.
+    """
+    from social_link_prediction_spark.pipelines.similarity import cosine_similarity
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    e = emb.select(*cols)
+    a, b = e.alias("a"), e.alias("b")
+    on = [F.col("a.blk") == F.col("b.blk")] if block_col else []
+    pairs = a.join(b, on=on) if on else a.crossJoin(b)
+    pairs = pairs.filter(F.col("a.id") < F.col("b.id"))
+    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

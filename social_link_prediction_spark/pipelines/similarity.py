@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a single projection + TakeOrdered
+(no shuffle of the corpus). Scale path: sign-random-projection LSH
+bucketing so only same-bucket candidates are scored, or an IVF-style
+coarse quantizer (assign to nearest centroid, probe nearest cells).
+
+Dot products use ``F.aggregate``/``F.zip_with`` (JVM higher-order
+functions) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x / n)
+
+
+def _query_array(query_vec: list[float]) -> Column:
+    return F.array([F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector. The query is
+    a constant folded into codegen (no join); TakeOrderedAndProject
+    keeps a k-heap per partition — nothing global is sorted.
+    """
+    q = _query_array(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine_similarity(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(v · plane_i)."""
+    acc = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        p = F.array([F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, p) > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        acc = acc + bit
+    return acc
+
+
+def srp_bucketed_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's SRP bucket.
+    At 100 TB, write the corpus partitioned by bucket so the probe is
+    a partition-pruned scan of ~1/2^n_planes of the data; recall is
+    tuned by multi-probing neighboring buckets (flip one bit).
+    """
+    dim = len(query_vec)
+    planes = random_hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query_vec, plane)) > 0:
+            qbits += 2**i
+    # multi-probe: exact bucket + all one-bit flips
+    probe = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.withColumn("__bucket", srp_bucket(v, planes))
+    cand = bucketed.filter(F.col("__bucket").isin(probe))
+    q = _query_array(query_vec)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine_similarity(v, q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid (broadcast centroid list, argmin over a small array).
+    Write-out partitioned by ``ivf_cell`` gives partition-pruned probes.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    best_cell = F.lit(-1)
+    best_score = F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        score = cosine_similarity(v, F.array([F.lit(float(x)) for x in c]))
+        better = score > best_score
+        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+        best_score = F.when(better, score).otherwise(best_score)
+    return emb.withColumn("ivf_cell", best_cell)

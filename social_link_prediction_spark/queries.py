@@ -500,3 +500,265 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
     ).orderBy("event_id")
+
+
+# =====================================================================
+# Text analysis (pipelines.text) — documents table
+# =====================================================================
+from social_link_prediction_spark.pipelines import dedup as pdd  # noqa: E402
+from social_link_prediction_spark.pipelines import similarity as sim  # noqa: E402
+from social_link_prediction_spark.pipelines import text as ptx  # noqa: E402
+
+_DUCK_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@query(
+    "text_quality_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id, len(toks) AS n_tokens,
+           round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+           round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS mean_token_len,
+           round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) / len(toks), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','a'], x))) / len(toks), 6) AS stopword_ratio
+    FROM t
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ptx.text_stats(docs).select(
+        "doc_id", "n_tokens", "distinct_ratio", "mean_token_len", "punct_ratio", "stopword_ratio"
+    )
+
+
+def _duck_langid_sql() -> str:
+    hits = []
+    for lang, words in sorted(ptx.LANG_STOPWORDS.items()):
+        arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits.append(f"len(list_filter(toks, x -> list_contains({arr}, x))) AS {lang}_hits")
+    langs = sorted(ptx.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"{lg}_hits" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' " + " ".join(
+        f"WHEN {lg}_hits = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    h AS (SELECT doc_id, {', '.join(hits)} FROM t)
+    SELECT doc_id, {case} AS lang_pred FROM h
+    """
+
+
+@query("language_id_docs", None)
+def language_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ptx.language_id(docs).select("doc_id", "lang_pred")
+
+
+ORACLES["language_id_docs"] = _duck_langid_sql()
+
+
+@query(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", ptx.token_count_regex("text").alias("n_tokens_bpe"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5(array_to_string({_DUCK_TOKS}, ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ptx.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# =====================================================================
+# Deduplication (pipelines.dedup)
+# =====================================================================
+@query(
+    "exact_dup_groups",
+    """
+    SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM documents GROUP BY content_hash HAVING count(*) > 1
+    """,
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdd.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_SHINGLE1 = f"""
+    toks AS (SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS shingle FROM documents)
+"""
+_MINHASH_K = 8
+_DUCK_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS mh{i}" for i in range(_MINHASH_K)
+    )
+    + " FROM toks GROUP BY doc_id)"
+)
+_DUCK_BANDS = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws(chr(31), mh{2*b}, mh{2*b+1})) AS bucket FROM sig"
+        for b in range(_MINHASH_K // 2)
+    )
+    + ")"
+)
+
+
+@query(
+    "minhash_signatures_docs",
+    f"""
+    WITH {_DUCK_SHINGLE1}, {_DUCK_SIG}
+    SELECT * FROM sig
+    """,
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pdd.minhash_signatures(docs, k=_MINHASH_K, n=1)
+
+
+@query(
+    "minhash_lsh_neardup",
+    f"""
+    WITH {_DUCK_SHINGLE1}, {_DUCK_SIG}, {_DUCK_BANDS},
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS i_cnt
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.id_a
+              JOIN toks tb ON tb.doc_id = c.id_b AND tb.shingle = ta.shingle
+              GROUP BY c.id_a, c.id_b)
+    SELECT c.id_a, c.id_b,
+           round(i.i_cnt / (sa.sz + sb.sz - i.i_cnt), 6) AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE round(i.i_cnt / (sa.sz + sb.sz - i.i_cnt), 6) >= 0.7
+    """,
+)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = pdd.minhash_dedup_pairs(
+        docs, k=_MINHASH_K, rows_per_band=2, n=1, threshold=0.7
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def _duck_simhash_sql() -> str:
+    bits = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(pdd.SIMHASH_BITS)
+    )
+    asm = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(pdd.SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT doc_id, {bits} FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({asm} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@query("simhash_docs", None)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pdd.simhash(_t(spark, sf_dir, "documents"))
+
+
+ORACLES["simhash_docs"] = _duck_simhash_sql()
+
+
+# =====================================================================
+# Similarity search (pipelines.similarity) — embeddings table
+# =====================================================================
+@query(
+    "embedding_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS cosine
+    FROM e, q WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs the vec_id=0 query vector. The query
+    row is collected once (1 row) and folded into codegen as a literal
+    — the corpus side is a single scan + TakeOrdered, no join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = sim.brute_force_topk(emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10)
+    return out.select("vec_id", "cosine")
+
+
+@query(
+    "embedding_topk_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a ASC, id_b ASC LIMIT 20
+    """,
+)
+def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked all-pairs cosine (block = label), global top-20. The
+    label block bounds the self-join; at scale the block is an LSH/IVF
+    cell instead (see pipelines.similarity.srp_bucket / ivf_assign)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, on="label").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    scored = pairs.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(sim.cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(20)
+
+
+def _duck_srp_sql() -> str:
+    planes = sim.random_hyperplanes(64, 8, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT CAST({' + '.join(terms)} AS BIGINT) AS bucket, count(*) AS count
+    FROM e GROUP BY bucket ORDER BY bucket
+    """
+
+
+@query("srp_bucket_counts", None)
+def srp_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket histogram — the bucketing step
+    of the ANN scale path, checkable as a deterministic aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = sim.random_hyperplanes(64, 8, seed=42)
+    v = F.col("embedding").cast("array<double>")
+    out = (
+        emb.withColumn("bucket", sim.srp_bucket(v, planes))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bucket")
+    )
+    return out
+
+
+ORACLES["srp_bucket_counts"] = _duck_srp_sql()
