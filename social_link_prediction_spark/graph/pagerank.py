@@ -1,0 +1,141 @@
+"""Iterative DataFrame PageRank (G7) and connected components.
+
+Reference: core/ai/data_processor.py:35-107 runs igraph pagerank per
+relation subgraph. Here: a join-agg loop — contributions flow along
+edges (one shuffle keyed by dst per iteration), with localCheckpoint
+every iteration to truncate lineage (otherwise the plan tree grows
+linearly and Catalyst re-analysis dominates).
+
+Scale notes (100 TB): pre-partition edges by src once (the join key of
+every iteration) so only the small rank frame reshuffles; dangling
+mass is redistributed analytically instead of via a collect-heavy fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list. Returns
+    (id, pagerank). Vertices = union of endpoints. Dangling nodes'
+    mass is spread uniformly each iteration (classic formulation), so
+    ranks sum to 1 every round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+        .cache()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    # edges ⋈ outdeg is loop-invariant: materialize once, reuse every iteration
+    e_od = e.join(outdeg, "src").localCheckpoint()
+
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e_od.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("flow"))
+        )
+        # dangling mass = 1 - total flowing mass (nodes without out-edges)
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .na.fill({"flow": 0.0})
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.col("flow") + F.col("dm") / n)
+                ).alias("pr"),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+    return ranks.select("id", F.col("pr").alias("pagerank"))
+
+
+def pagerank_per_relation(
+    edges: DataFrame,
+    rel: str = "rel",
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """G7 multi-view PageRank: one rank column context per relation
+    label, returned long-form as (rel, id, pagerank) — pivot to the
+    reference's [N x num_rels] matrix shape with groupBy(id).pivot(rel).
+    Relations iterate driver-side (44 in the reference) but each loop
+    body is a full-cluster job.
+    """
+    rels = [r[0] for r in edges.select(rel).distinct().collect()]
+    out = None
+    for r in sorted(rels):
+        sub = edges.filter(F.col(rel) == r)
+        pr = pagerank(sub, damping, iterations).withColumn("rel", F.lit(r))
+        out = pr if out is None else out.unionByName(pr)
+    return out.select("rel", "id", "pagerank")
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 50
+) -> DataFrame:
+    """Undirected connected components by min-label propagation
+    (large-star-ish): each round every node adopts the min component
+    id among itself and its neighbors; stop when nothing changes.
+    Rounds ≈ graph diameter; each round is one shuffle.
+    Returns (id, component) where component = min node id reachable.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels.withColumnRenamed("id", "a"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

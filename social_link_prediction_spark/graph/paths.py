@@ -1,0 +1,225 @@
+"""Shortest paths: Pregel-style multi-source weighted SSSP with parent
+pointers, path reconstruction, path decoration, and the
+degrees-of-separation job (G3–G6, G9).
+
+Reference semantics: core/algorithms/bfs.py:91-147 (igraph Dijkstra,
+undirected traversal, weighted), application/analysis_service.py
+(process-pool fan-out of one-to-many queries, path decoration,
+human-count degrees). Here ONE Bellman-Ford-style frontier loop serves
+every variant: the frontier carries (source, node, dist, path) and all
+sources relax simultaneously — the reference's 100k-pair experiment is
+a single Spark job, executors replacing the process pool.
+
+Scale notes:
+- frontier pruning: a (source,node) improvement joins against the best
+  known distance, so settled nodes drop out of the frontier.
+- max_hops caps rounds (six-degrees domain: paths ≤ ~8 hops, NB cell
+  136/140); each round localCheckpoints to truncate lineage.
+- path reconstruction carries the vertex array in the frontier —
+  bounded by max_hops, so row width stays small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.graph.build import undirected
+
+
+def multi_source_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight: str | None = None,
+    max_hops: int = 8,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source weighted SSSP. ``sources`` is a DataFrame with a
+    ``source`` column; returns (source, id, dist, path array<id>).
+    Unit weights when ``weight`` is None (hop-count BFS). Infinite
+    weights (blacklisted edges, bfs.py:26) never relax: x + inf > any
+    known distance.
+    """
+    e = edges if directed else undirected(edges)
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = e.select("src", "dst", w.alias("w")).filter(~F.col("w").isNull()).localCheckpoint()
+
+    best = sources.select(
+        F.col("source"),
+        F.col("source").alias("id"),
+        F.lit(0.0).alias("dist"),
+        F.array(F.col("source")).alias("path"),
+    ).localCheckpoint()
+    frontier = best
+
+    for _ in range(max_hops):
+        # relax: frontier × out-edges → candidate improvements
+        cand = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))  # no cycles
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+            )
+        )
+        if cand.isEmpty():
+            break
+        # best candidate per (source, id) this round
+        w = Window.partitionBy("source", "id").orderBy(F.col("dist").asc(), F.col("path").asc())
+        cand_best = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        # keep only strict improvements over the settled table. The
+        # right side is FULLY renamed before joining: `cand` descends
+        # from `best` (frontier == best on round 0), so a same-name
+        # join would carry identical attribute ids on both sides and
+        # break analysis ("key not found" in AttributeMap).
+        bestk = best.select(
+            F.col("source").alias("b_source"),
+            F.col("id").alias("b_id"),
+            F.col("dist").alias("b_dist"),
+        )
+        improved = (
+            cand_best.join(
+                bestk,
+                (F.col("source") == F.col("b_source")) & (F.col("id") == F.col("b_id")),
+                "left",
+            )
+            .filter(F.col("b_dist").isNull() | (F.col("dist") < F.col("b_dist")))
+            .select("source", "id", "dist", "path")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        # merge improvements into the settled table: union + keep the
+        # min-dist row per key (improvements are strictly better, so
+        # they win; avoids a self-referential anti-join that trips AQE)
+        wm = Window.partitionBy("source", "id").orderBy(F.col("dist").asc())
+        best = (
+            best.unionByName(improved)
+            .withColumn("__rk", F.row_number().over(wm))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .localCheckpoint()
+        )
+        frontier = improved
+    return best
+
+
+def pair_shortest_paths(
+    edges: DataFrame,
+    pairs: DataFrame,
+    weight: str | None = None,
+    max_hops: int = 8,
+) -> DataFrame:
+    """G4/G5: shortest path for (src, dst) pairs. Pairs are grouped by
+    source automatically (the frontier is keyed by source — the
+    reference's group-pairs-by-source batching, bfs.py:124-147, is the
+    natural shape here). Returns (src, dst, dist, path); unreachable
+    pairs keep dist null.
+    """
+    sources = pairs.select(F.col("src").alias("source")).dropDuplicates()
+    sp = multi_source_shortest_paths(edges, sources, weight, max_hops)
+    return (
+        pairs.join(
+            sp.select(
+                F.col("source").alias("src"), F.col("id").alias("dst"), "dist", "path"
+            ),
+            ["src", "dst"],
+            "left",
+        )
+    )
+
+
+def degrees_of_separation(
+    edges: DataFrame,
+    pairs: DataFrame,
+    vertices: DataFrame,
+    weight: str | None = None,
+    max_hops: int = 8,
+) -> DataFrame:
+    """G5/G9: degree = max(0, human_nodes_on_path − 1) (reference
+    analysis_service.py:72-77). Unreachable pairs -> degree null.
+    The experiment over 100k random pairs is this one job.
+    """
+    sp = pair_shortest_paths(edges, pairs, weight, max_hops)
+    is_human = vertices.select(
+        "id", (F.col("type") == "human").cast("int").alias("h")
+    )
+    exploded = (
+        sp.filter(F.col("dist").isNotNull())
+        .select("src", "dst", F.explode("path").alias("id"))
+        .join(is_human, "id", "left")
+        .groupBy("src", "dst")
+        .agg(F.sum("h").alias("humans"))
+        .select("src", "dst", F.greatest(F.col("humans") - 1, F.lit(0)).alias("degree"))
+    )
+    return sp.select("src", "dst", "dist").join(exploded, ["src", "dst"], "left")
+
+
+def decorate_path(
+    sp: DataFrame,
+    edges: DataFrame,
+    vertices: DataFrame,
+) -> DataFrame:
+    """G6: explode a path into consecutive (pos, node, next_node) rows
+    and resolve the connecting edge in either orientation plus names
+    (reference analysis_service.py:100-187). Missing edges keep
+    rel='unknown' via left join.
+    """
+    steps = sp.select(
+        "src",
+        "dst",
+        F.posexplode(F.expr("slice(path, 1, size(path) - 1)")).alias("pos", "node"),
+        F.col("path"),
+    ).withColumn("next_node", F.expr("path[pos + 1]")).drop("path")
+
+    fwd = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("next_node"),
+        F.col("rel"), F.lit("forward").alias("direction"),
+    )
+    rev = edges.select(
+        F.col("dst").alias("node"), F.col("src").alias("next_node"),
+        F.col("rel"), F.lit("backward").alias("direction"),
+    )
+    eds = fwd.unionByName(rev).dropDuplicates(["node", "next_node"])
+
+    names = vertices.select("id", F.col("name").alias("node_name"))
+    return (
+        steps.join(eds, ["node", "next_node"], "left")
+        .na.fill({"rel": "unknown", "direction": "unknown"})
+        .join(names.withColumnRenamed("id", "node"), "node", "left")
+        .select("src", "dst", "pos", "node", "node_name", "next_node", "rel", "direction")
+        .orderBy("src", "dst", "pos")
+    )
+
+
+def ego_network(
+    edges: DataFrame, seed_ids: list, k: int = 2, directed: bool = False
+) -> DataFrame:
+    """G10: k-hop neighborhood — iterative frontier expansion, one join
+    per hop. Returns (id, hop) with the minimum hop distance ≤ k."""
+    spark = edges.sparkSession
+    e = (edges if directed else undirected(edges)).select("src", "dst")
+    seen = spark.createDataFrame([(s,) for s in seed_ids], ["id"]).withColumn(
+        "hop", F.lit(0)
+    )
+    frontier = seen
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            .select(F.col("dst").alias("id"))
+            .dropDuplicates()
+            .join(seen.select("id"), "id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return seen

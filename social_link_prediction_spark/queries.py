@@ -762,3 +762,142 @@ def srp_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["srp_bucket_counts"] = _duck_srp_sql()
+
+
+# =====================================================================
+# Graph layer (graph/) — part↔supplier graph derived from lineitem.
+# Node ids are namespaced ('p:123' vs 's:7') since part and supplier
+# keys share the integer space.
+# =====================================================================
+from social_link_prediction_spark.graph import pagerank as gpr  # noqa: E402
+from social_link_prediction_spark.graph import paths as gpaths  # noqa: E402
+
+_DUCK_PS_EDGES = """
+    e AS (
+        SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst FROM lineitem
+    )
+"""
+
+
+def _partsupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates()
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def _duck_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    ctes = [
+        _DUCK_PS_EDGES.strip(),
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.dst AS id, "
+            f"{1 - damping} / (SELECT n FROM nn) + {damping} * sum(p.pr / od.od) AS pr "
+            f"FROM e JOIN pr{i-1} p ON p.id = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, 6) AS pagerank FROM pr{iterations} ORDER BY id"
+    )
+
+
+@query("pagerank_partsupp", None)
+def pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: 5-iteration PageRank on the symmetric part-supplier graph.
+    Oracle: the same recurrence unrolled as chained SQL CTEs."""
+    edges = _partsupp_edges(spark, sf_dir)
+    out = gpr.pagerank(edges, damping=0.85, iterations=5)
+    return out.select("id", F.round("pagerank", 6).alias("pagerank")).orderBy("id")
+
+
+ORACLES["pagerank_partsupp"] = _duck_pagerank_sql()
+
+
+@query(
+    "connected_components_cnr",
+    """
+    WITH RECURSIVE e AS (
+        SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst FROM customer
+        UNION
+        SELECT 'n:' || c_nationkey AS src, 'c:' || c_custkey AS dst FROM customer
+        UNION
+        SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst FROM nation
+        UNION
+        SELECT 'r:' || n_regionkey AS src, 'n:' || n_nationkey AS dst FROM nation
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    reach(a, b) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    )
+    SELECT a AS id, min(b) AS component FROM reach GROUP BY a
+    """,
+)
+def connected_components_cnr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer-nation-region graph (5
+    components, one per region). Oracle: recursive-CTE transitive
+    closure + min reachable id."""
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+    )
+    e2 = nat.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+    )
+    return gpr.connected_components(e1.unionAll(e2))
+
+
+@query(
+    "bfs_distances_s1",
+    f"""
+    WITH RECURSIVE {_DUCK_PS_EDGES.strip()},
+    bfs(id, d) AS (
+        SELECT 's:1', 0
+        UNION
+        SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.id WHERE b.d < 4
+    )
+    SELECT id, min(d) AS dist FROM bfs GROUP BY id
+    """,
+)
+def bfs_distances_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3/G4 hop-count case: unit-weight multi-source SSSP from s:1,
+    4 hops. The weighted case (hub/age penalties) has no SQL oracle
+    and is covered by pytest fixtures."""
+    edges = _partsupp_edges(spark, sf_dir)
+    sources = spark.createDataFrame([("s:1",)], ["source"])
+    sp = gpaths.multi_source_shortest_paths(edges, sources, weight=None, max_hops=4, directed=True)
+    return sp.select("id", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "ego_2hop_s1",
+    f"""
+    WITH RECURSIVE {_DUCK_PS_EDGES.strip()},
+    bfs(id, d) AS (
+        SELECT 's:1', 0
+        UNION
+        SELECT e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.id WHERE b.d < 2
+    )
+    SELECT id, min(d) AS hop FROM bfs GROUP BY id
+    """,
+)
+def ego_2hop_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10: 2-hop ego network of s:1."""
+    edges = _partsupp_edges(spark, sf_dir)
+    out = gpaths.ego_network(edges, ["s:1"], k=2, directed=True)
+    return out.select("id", F.col("hop").cast("int").alias("hop"))
