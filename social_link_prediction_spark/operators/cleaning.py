@@ -37,7 +37,8 @@ _SNAKE_2 = re.compile(r"([a-z0-9])([A-Z])")
 def to_snake_case(name: str) -> str:
     name = _SNAKE_1.sub(r"\1_\2", name)
     name = _SNAKE_2.sub(r"\1_\2", name)
-    return name.replace(" ", "_").replace("-", "_").lower()
+    name = name.replace(" ", "_").replace("-", "_").lower()
+    return re.sub("_+", "_", name)
 
 
 def snake_case_columns(df: DataFrame) -> DataFrame:
@@ -95,9 +96,11 @@ def filter_non_empty(df: DataFrame, col: str) -> DataFrame:
 
 # --- P8: lenient numeric coercion (transformer.py:171)
 def coerce_int(col: Column | str) -> Column:
-    """``pd.to_numeric(errors='coerce')`` semantics: invalid -> null."""
+    """``pd.to_numeric(errors='coerce')`` semantics: invalid -> null.
+    try_cast, not cast — ANSI mode (Spark 4 default) makes plain cast
+    THROW on malformed input."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("int")
+    return c.try_cast("int")
 
 
 # --- P9: empty-string -> null (transformer.py:201)
@@ -111,16 +114,28 @@ def empty_to_null(col: Column | str) -> Column:
 # carries (Vietnamese + Latin-1 ranges) implemented with translate(), which
 # stays JVM-side. search.fuzzy adds a pandas-UDF `unidecode` fallback for
 # full parity when the package is available.
-_DIACRITIC_SRC = (
-    "àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợùúủũụưừứửữựỳýỷỹỵđ"
-    "ÀÁẢÃẠĂẰẮẲẴẶÂẦẤẨẪẬÈÉẺẼẸÊỀẾỂỄỆÌÍỈĨỊÒÓỎÕỌÔỒỐỔỖỘƠỜỚỞỠỢÙÚỦŨỤƯỪỨỬỮỰỲÝỶỸỴĐ"
-    "äëïöüÄËÏÖÜñÑçÇߘšŠžŽ"
-)
-_DIACRITIC_DST = (
-    "aaaaaaaaaaaaaaaaaaeeeeeeeeeeeiiiiioooooooooooooooooouuuuuuuuuuuyyyyyd"
-    "AAAAAAAAAAAAAAAAAAEEEEEEEEEEEIIIIIOOOOOOOOOOOOOOOOOOUUUUUUUUUUUYYYYYD"
-    "aeiouAEIOUnNcCsssSzZ"
-)
+def _build_fold_table() -> tuple[str, str]:
+    """Generate the 1:1 diacritic-fold table from NFD decomposition over
+    Latin-1 Supplement / Latin Extended-A / Latin Extended Additional
+    (covers Vietnamese fully), plus đ/Đ which don't NFD-decompose."""
+    import unicodedata
+
+    src, dst = [], []
+    for block in (range(0x00C0, 0x0250), range(0x1E00, 0x1F00)):
+        for cp in block:
+            ch = chr(cp)
+            base = "".join(
+                c for c in unicodedata.normalize("NFD", ch) if not unicodedata.combining(c)
+            )
+            if len(base) == 1 and base != ch and base.isascii() and base.isalpha():
+                src.append(ch)
+                dst.append(base)
+    src.extend("đĐ")
+    dst.extend("dD")
+    return "".join(src), "".join(dst)
+
+
+_DIACRITIC_SRC, _DIACRITIC_DST = _build_fold_table()
 
 
 def normalize_name(col: Column | str) -> Column:

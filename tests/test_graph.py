@@ -1,0 +1,97 @@
+"""Graph layer: weights, SSSP, paths, degrees-of-separation, PageRank,
+components, ego — FIXTURES.md invariants 1, 8, 9."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.graph import build as gb
+from social_link_prediction_spark.graph import pagerank as gpr
+from social_link_prediction_spark.graph import paths as gp
+
+
+def test_edge_weights_blacklist_and_hub(social_graph):
+    v, e = social_graph
+    w = gb.edge_weights(v, e).collect()
+    by_rel = {(r.src, r.dst): r.weight for r in w}
+    assert math.isinf(by_rel[("Q1", "Q5")])  # influenced_by blacklisted
+    # U1 has in-degree 2 -> hub penalty log(3)
+    assert abs(by_rel[("Q1", "U1")] - (1.0 + math.log(3))) < 1e-9
+
+
+def test_sssp_avoids_blacklisted_shortcut(social_graph):
+    v, e = social_graph
+    we = gb.edge_weights(v, e)
+    sources = v.sparkSession.createDataFrame([("Q1",)], ["source"])
+    sp = gp.multi_source_shortest_paths(we, sources, weight="weight", max_hops=6)
+    q5 = sp.filter(F.col("id") == "Q5").first()
+    # invariant 8: blacklisted influenced_by never on a weighted path
+    assert "Q5" == q5.path[-1] and q5.path[0] == "Q1"
+    assert len(q5.path) > 2  # not the direct (blacklisted) edge
+
+
+def test_path_edges_exist(social_graph):
+    v, e = social_graph
+    sources = v.sparkSession.createDataFrame([("Q1",)], ["source"])
+    sp = gp.multi_source_shortest_paths(e, sources, max_hops=6)
+    edge_set = {(r.src, r.dst) for r in e.collect()}
+    for row in sp.collect():
+        for a, b in zip(row.path, row.path[1:]):
+            assert (a, b) in edge_set or (b, a) in edge_set
+
+
+def test_pair_paths_and_unreachable(social_graph):
+    v, e = social_graph
+    pairs = v.sparkSession.createDataFrame(
+        [("Q1", "Q4"), ("Q1", "Q8"), ("Q1", "Q1")], ["src", "dst"]
+    )
+    out = {(r.src, r.dst): r for r in gp.pair_shortest_paths(e, pairs, max_hops=6).collect()}
+    # unweighted traversal may use the influenced_by shortcut Q1->Q5->Q4
+    # (the blacklist only applies to WEIGHTED paths)
+    assert out[("Q1", "Q4")].dist == 2.0
+    assert out[("Q1", "Q4")].path == ["Q1", "Q5", "Q4"]
+    assert out[("Q1", "Q8")].dist is None  # cross-component: unreachable
+    assert out[("Q1", "Q1")].dist == 0.0
+
+
+def test_degrees_of_separation_human_count(social_graph):
+    v, e = social_graph
+    pairs = v.sparkSession.createDataFrame([("Q1", "Q4"), ("Q1", "Q8")], ["src", "dst"])
+    out = {(r.src, r.dst): r for r in gp.degrees_of_separation(e, pairs, v, max_hops=6).collect()}
+    # unweighted shortest path Q1-Q5-Q4: 3 humans -> degree 2 (invariant 9)
+    assert out[("Q1", "Q4")].degree == 2
+    assert out[("Q1", "Q8")].degree is None
+
+
+def test_decorate_path(social_graph):
+    v, e = social_graph
+    pairs = v.sparkSession.createDataFrame([("Q1", "Q3")], ["src", "dst"])
+    sp = gp.pair_shortest_paths(e, pairs, max_hops=6).filter(F.col("dist").isNotNull())
+    dec = gp.decorate_path(sp, e, v).collect()
+    assert [d.rel for d in dec] == ["spouse", "sibling"]
+    assert dec[0].node_name == "Alice"
+
+
+def test_pagerank_sums_to_one(social_graph):
+    _, e = social_graph
+    pr = gpr.pagerank(e, iterations=10)
+    total = pr.agg(F.sum("pagerank")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_connected_components_two(social_graph):
+    _, e = social_graph
+    cc = gpr.connected_components(e)
+    n_comp = cc.select("component").distinct().count()
+    assert n_comp == 2
+    comp = {r.id: r.component for r in cc.collect()}
+    assert comp["Q8"] == comp["Q9"] != comp["Q1"]
+
+
+def test_ego_hops(social_graph):
+    _, e = social_graph
+    ego = {r.id: r.hop for r in gp.ego_network(e, ["Q1"], k=2).collect()}
+    assert ego["Q1"] == 0
+    assert ego["Q2"] == 1 and ego["U1"] == 1
+    assert ego["Q3"] == 2
+    assert "Q8" not in ego

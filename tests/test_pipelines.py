@@ -1,0 +1,97 @@
+"""LLM-pipeline operators: text stats, dedup family, similarity."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines import dedup as pdd
+from social_link_prediction_spark.pipelines import similarity as sim
+from social_link_prediction_spark.pipelines import text as ptx
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "the cat the cat !")], ["doc_id", "text"])
+    row = ptx.text_stats(df).first()
+    assert row.n_tokens == 5
+    assert abs(row.distinct_ratio - 3 / 5) < 1e-9
+    assert abs(row.punct_ratio - 1 / 5) < 1e-9
+    assert abs(row.stopword_ratio - 2 / 5) < 1e-9  # 'the' twice
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "el perro y la casa de que"), (3, "xyz qqq")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.lang_pred for r in ptx.language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "unknown"}
+
+
+def test_exact_dedup(documents_df):
+    groups = pdd.exact_duplicate_groups(documents_df).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2  # 1 and 101
+    kept = pdd.drop_exact_duplicates(documents_df)
+    assert kept.count() == documents_df.count() - 1
+    assert kept.filter(F.col("doc_id") == 101).count() == 0  # min id kept
+
+
+def test_minhash_finds_planted_neardups(documents_df):
+    pairs = pdd.minhash_dedup_pairs(documents_df, k=8, rows_per_band=2, n=1, threshold=0.8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 100) in found  # shuffled copy: token-set jaccard 1.0
+    assert (1, 101) in found  # exact copy
+    j = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert j[(1, 101)] == 1.0
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"]
+    )
+    sh = pdd.shingle_table(df, n=1)
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    row = pdd.jaccard_for_pairs(pairs, sh).first()
+    assert abs(row.jaccard - 3 / 5) < 1e-9
+
+
+def test_simhash_similar_docs_close(documents_df):
+    sig = {r.doc_id: r.simhash for r in pdd.simhash(documents_df).collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    # one-token edit (2 vs 102) must be closer than unrelated docs
+    assert ham(sig[2], sig[102]) < ham(sig[2], sig[5])
+    assert ham(sig[1], sig[101]) == 0  # identical docs
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["text"]).select(
+        pdd.shingles("text", n=3).alias("sh")
+    )
+    assert df.first().sh == ["a b c", "b c d"]
+
+
+def test_cosine_and_topk(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.brute_force_topk(df.filter("vec_id != 0"), [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert abs(out[0].cosine - 0.9 / math.hypot(0.9, 0.1)) < 1e-6
+
+
+def test_srp_bucketed_topk_recall(spark):
+    import random
+
+    random.seed(1)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[5][1]
+    exact = [r.vec_id for r in sim.brute_force_topk(df, q, k=5).collect()]
+    approx = [r.vec_id for r in sim.srp_bucketed_topk(df, q, k=5, n_planes=4).collect()]
+    # multi-probe SRP should recover most of the exact top-5
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_ivf_assign(spark):
+    df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"])
+    out = {r.vec_id: r.ivf_cell for r in sim.ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert out == {0: 0, 1: 1}

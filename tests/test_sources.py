@@ -1,0 +1,97 @@
+"""Sources: paginated fetch semantics (S1-S3) + JSON flatten scan (S6/S7)."""
+
+import json
+
+from social_link_prediction_spark.sources import json_flatten as jf
+from social_link_prediction_spark.sources import paginated as pg
+
+
+class FakeFetcher:
+    """Serves a fixed result set through LIMIT/OFFSET; optionally fails
+    the first N calls to exercise retry/degrade."""
+
+    def __init__(self, rows, fail_first=0):
+        self.rows = rows
+        self.fail_first = fail_first
+        self.calls = 0
+
+    def __call__(self, query):
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            raise RuntimeError("boom")
+        limit = int(query.split("LIMIT")[1].split()[0])
+        offset = int(query.split("OFFSET")[1].split()[0])
+        return self.rows[offset : offset + limit]
+
+
+def test_pagination_collects_all():
+    rows = [{"x": {"value": str(i)}} for i in range(25)]
+    f = FakeFetcher(rows)
+    got = [r for page in pg.run_paginated_query("Q", f, page_size=10) for r in page]
+    assert len(got) == 25
+    assert f.calls == 3  # 10+10+5 (short page ends)
+
+
+def test_retry_shrinks_page():
+    rows = [{"x": {"value": str(i)}} for i in range(5)]
+    f = FakeFetcher(rows, fail_first=2)
+    pages = list(pg.run_paginated_query("Q", f, page_size=6000,
+                                        retry=pg.RetryPolicy(page_shrink=2000)))
+    assert sum(len(p) for p in pages) == 5
+    assert f.calls == 3  # 2 failures + 1 success at shrunken size
+
+
+def test_intervals():
+    assert pg.create_intervals(1800, 1815, 5) == [(1800, 1805), (1805, 1810), (1810, 1815)]
+    q = "SELECT ##YEAR_FILTER_HOOK##"
+    f = FakeFetcher([])
+    list(pg.run_interval_query(q, f, 1800, 1805, 5))
+    # fetcher got a query with the filter injected
+    assert f.calls == 1
+
+
+def test_fetch_all_relationships(tmp_path):
+    rows = [{"person": {"value": f"Q{i}"}} for i in range(3)]
+    counts = pg.fetch_all_relationships(
+        "BASE ##FIND_HOOK## ##YEAR_FILTER_HOOK##",
+        {"spouse": "?x wdt:P26 ?y"},
+        FakeFetcher(rows),
+        str(tmp_path),
+        start=1800, end=1805, step=5,
+    )
+    assert counts == {"spouse": 3}
+    payload = json.loads((tmp_path / "raw_data_spouse.json").read_text())
+    assert len(payload["results"]["bindings"]) == 3
+
+
+def test_json_flatten_scan(spark, tmp_path):
+    payload = {
+        "head": {"vars": ["person", "personLabel"]},
+        "results": {"bindings": [
+            {"person": {"type": "uri", "value": "http://www.wikidata.org/entity/Q1"},
+             "personLabel": {"type": "literal", "value": "Alice", "xml:lang": "en"}},
+            {"person": {"type": "uri", "value": "http://www.wikidata.org/entity/Q2"}},
+        ]},
+    }
+    p = tmp_path / "raw_data_spouse.json"
+    p.write_text(json.dumps(payload))
+    df = jf.read_sparql_json(spark, str(p))
+    assert df.count() == 2
+    cols = set(df.columns)
+    assert "person.value" in cols and "personLabel.xml:lang" in cols
+    vals = sorted(r["person.value"] for r in df.collect())
+    assert vals[0].endswith("Q1")
+
+
+def test_batched_values_lookup():
+    seen = []
+
+    def fetcher(q):
+        seen.append(q)
+        return [{"id": {"value": "Q1"}}]
+
+    out = pg.batched_values_lookup(
+        [f"Q{i}" for i in range(7)], "VALUES ?id { ##VALUES## }", fetcher, batch_size=3
+    )
+    assert len(seen) == 3  # ceil(7/3)
+    assert "wd:Q0" in seen[0]
