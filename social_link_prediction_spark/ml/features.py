@@ -1,0 +1,84 @@
+"""Feature engineering (M1/M2/P12/P13).
+
+The reference builds [SBERT(384) | year_norm | is_missing |
+pagerank(44) | total_degree] per node (data_processor.py:140-146).
+Here: a deterministic hashed token embedding replaces SBERT for
+offline tests (M1 fallback — the real embedder is a pandas UDF slot),
+and assembly is pure column work ending in one array column /
+MLlib vector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines.text import tokens
+
+
+def year_features(df: DataFrame, col: str = "birth_year") -> DataFrame:
+    """P12: min-max normalized year + median fill + is_missing flag.
+    Stats come from one tiny aggregate broadcast back — no collect."""
+    stats = df.agg(
+        F.min(col).cast("double").alias("__ymin"),
+        F.max(col).cast("double").alias("__ymax"),
+        F.expr(f"percentile_approx({col}, 0.5)").cast("double").alias("__ymed"),
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    filled = F.coalesce(F.col(col).cast("double"), F.col("__ymed"))
+    rng = F.col("__ymax") - F.col("__ymin")
+    return (
+        out.withColumn("year_is_missing", F.col(col).isNull().cast("int"))
+        .withColumn(
+            "year_norm",
+            F.when(rng > 0, (filled - F.col("__ymin")) / rng).otherwise(F.lit(0.0)),
+        )
+        .drop("__ymin", "__ymax", "__ymed")
+    )
+
+
+def hashed_text_embedding(
+    df: DataFrame, text_col: str, dim: int = 32, out: str = "embedding", id_col: str = "id"
+) -> DataFrame:
+    """M1 fallback: HashingTF-style deterministic embedding, entirely
+    JVM-side — explode tokens, murmur-hash to a bucket, count, scatter
+    into a dense array, L2-normalize. A production SBERT encoder slots
+    in as a mapInPandas stage with the same (id, array<float>) output.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    counts = tok.groupBy(
+        id_col, F.pmod(F.hash("t"), F.lit(dim)).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    vec = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(dense, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(dense, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0)))
+    return vec.select(F.col(id_col), unit.alias(out))
+
+
+def assemble_features(
+    df: DataFrame,
+    array_cols: list[str],
+    scalar_cols: list[str],
+    out: str = "features",
+) -> DataFrame:
+    """M2: concat array columns + scalars into one array<double>.
+    ``array_cols`` entries may be null (e.g. nodes with no text) — they
+    contribute nothing, matching the reference's zero rows."""
+    parts: list[Column] = []
+    for c in array_cols:
+        parts.append(F.coalesce(F.col(c).cast("array<double>"), F.array()))
+    parts.append(F.array(*[F.coalesce(F.col(c).cast("double"), F.lit(0.0)) for c in scalar_cols]))
+    return df.withColumn(out, F.concat(*parts))
+
+
+def to_mllib_vector(df: DataFrame, array_col: str, out: str = "features_vec") -> DataFrame:
+    """array<double> -> MLlib dense vector (for Pipeline estimators)."""
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out, array_to_vector(F.col(array_col)))

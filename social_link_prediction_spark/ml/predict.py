@@ -1,0 +1,241 @@
+"""Link prediction: pair features, MLlib training, and the serving
+queries (M7-M16).
+
+Serving queries preserve the reference's exact arithmetic:
+- hub penalty score/(log(deg+1)+1) (predicter.py:258-264)
+- biological relations require human-human (predicter.py:156-165)
+- spouse constraints: age gap > 20 halves the score, taboo relations
+  anti-joined out (ai_service.py:87-147)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.operators.aggregates import total_degree
+from social_link_prediction_spark.pipelines.similarity import cosine_similarity
+
+BIOLOGICAL_RELS = ("father", "mother", "sibling", "child", "spouse")
+HUMAN_SRC_ONLY = ("educated_at", "work_at", "award_received")
+TABOO_FOR_SPOUSE = ("sibling", "father", "mother")
+
+
+# --- pair features ----------------------------------------------------
+def pair_features(
+    pairs: DataFrame,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Engineered link-prediction features per (src, dst) pair:
+    common-neighbor count, Adamic-Adar, neighbor-Jaccard, preferential
+    attachment, and embedding cosine when an embedding table is given.
+    All set math is semi-join/agg — the neighbor lists are never
+    materialized per pair.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+
+    # common neighbors: pairs ⋈ neighbors(src) ⋈ neighbors(dst)
+    nb = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    cn = (
+        pairs.join(nb.select(F.col("node").alias("src"), "nbr"), "src")
+        .join(nb.select(F.col("node").alias("dst"), F.col("nbr").alias("nbr")), ["dst", "nbr"])
+        .join(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.lit(1.0) / F.log(F.col("nbr_deg") + F.lit(1.0))).alias("adamic_adar"),
+        )
+    )
+    out = (
+        pairs.join(cn, ["src", "dst"], "left")
+        .na.fill({"common_neighbors": 0, "adamic_adar": 0.0})
+        .join(deg.select(F.col("id").alias("src"), F.col("deg").alias("src_deg")), "src", "left")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dst_deg")), "dst", "left")
+        .na.fill({"src_deg": 0, "dst_deg": 0})
+        .withColumn("pref_attachment", F.col("src_deg") * F.col("dst_deg"))
+        .withColumn(
+            "neighbor_jaccard",
+            F.col("common_neighbors")
+            / F.greatest(
+                F.col("src_deg") + F.col("dst_deg") - F.col("common_neighbors"), F.lit(1)
+            ),
+        )
+    )
+    if vertices is not None:
+        vt = vertices.select("id", F.col("type").alias("vt"))
+        out = (
+            out.join(vt.select(F.col("id").alias("src"), F.col("vt").alias("src_type")), "src", "left")
+            .join(vt.select(F.col("id").alias("dst"), F.col("vt").alias("dst_type")), "dst", "left")
+            .withColumn("same_type", (F.col("src_type") == F.col("dst_type")).cast("int"))
+        )
+    if embeddings is not None:
+        emb = embeddings.select("id", F.col("embedding").cast("array<double>").alias("e"))
+        out = (
+            out.join(emb.select(F.col("id").alias("src"), F.col("e").alias("src_emb")), "src", "left")
+            .join(emb.select(F.col("id").alias("dst"), F.col("e").alias("dst_emb")), "dst", "left")
+            .withColumn(
+                "emb_cosine",
+                F.when(
+                    F.col("src_emb").isNotNull() & F.col("dst_emb").isNotNull(),
+                    cosine_similarity(F.col("src_emb"), F.col("dst_emb")),
+                ).otherwise(F.lit(0.0)),
+            )
+            .drop("src_emb", "dst_emb")
+        )
+    return out
+
+
+PAIR_FEATURE_COLS = [
+    "common_neighbors", "adamic_adar", "neighbor_jaccard",
+    "pref_attachment", "src_deg", "dst_deg",
+]
+
+
+# --- training / evaluation (M7-M10 replacement) -----------------------
+def train_link_model(
+    labeled_pairs: DataFrame,
+    edges: DataFrame,
+    feature_cols: list[str] | None = None,
+    model: str = "logreg",
+    seed: int = 42,
+):
+    """Fit an MLlib classifier on engineered pair features. Returns
+    (fitted PipelineModel, feature DataFrame used)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import GBTClassifier, LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = pair_features(labeled_pairs, edges)
+    cols = feature_cols or PAIR_FEATURE_COLS
+    assembler = VectorAssembler(inputCols=cols, outputCol="features_vec")
+    if model == "gbt":
+        clf = GBTClassifier(featuresCol="features_vec", labelCol="label", seed=seed, maxIter=20)
+    else:
+        clf = LogisticRegression(featuresCol="features_vec", labelCol="label")
+    pipe = Pipeline(stages=[assembler, clf])
+    return pipe.fit(feats), feats
+
+
+def evaluate_link_model(model, labeled_pairs: DataFrame, edges: DataFrame) -> dict[str, float]:
+    """M10: areaUnderROC / areaUnderPR via BinaryClassificationEvaluator."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    feats = pair_features(labeled_pairs, edges)
+    scored = model.transform(feats)
+    out = {}
+    for metric in ("areaUnderROC", "areaUnderPR"):
+        ev = BinaryClassificationEvaluator(
+            rawPredictionCol="rawPrediction", labelCol="label", metricName=metric
+        )
+        out[metric] = ev.evaluate(scored)
+    return out
+
+
+# --- serving queries (M13-M15) ----------------------------------------
+def allowed_relation(rel: Column, src_type: Column, dst_type: Column) -> Column:
+    """Semantic filters (predicter.py:156-165): biological relations
+    require human-human; HUMAN_SRC_ONLY relations require a human src."""
+    bio = rel.isin(*BIOLOGICAL_RELS)
+    hso = rel.isin(*HUMAN_SRC_ONLY)
+    return (
+        (~bio | ((src_type == "human") & (dst_type == "human")))
+        & (~hso | (src_type == "human"))
+    )
+
+
+def scan_relationship(
+    pair_scores: DataFrame,
+    vertices: DataFrame,
+) -> DataFrame:
+    """M13: given per-(src,dst,rel) scores, apply semantic filters and
+    return all admissible relations plus the argmax per pair
+    (max_by pattern)."""
+    vt = vertices.select("id", F.col("type").alias("vt"))
+    s = (
+        pair_scores.join(vt.select(F.col("id").alias("src"), F.col("vt").alias("src_type")), "src")
+        .join(vt.select(F.col("id").alias("dst"), F.col("vt").alias("dst_type")), "dst")
+        .filter(allowed_relation(F.col("rel"), F.col("src_type"), F.col("dst_type")))
+    )
+    best = s.groupBy("src", "dst").agg(
+        F.max_by("rel", "score").alias("best_rel"), F.max("score").alias("best_score")
+    )
+    return s.join(best, ["src", "dst"]).select(
+        "src", "dst", "rel", "score", "best_rel", "best_score"
+    )
+
+
+def hub_penalty(score: Column, degree: Column) -> Column:
+    """predicter.py:258-264: score / (log(deg+1)+1)."""
+    return score / (F.log(degree + F.lit(1.0)) + F.lit(1.0))
+
+
+def recommend_topk(
+    src_id: str,
+    candidate_scores: DataFrame,
+    edges: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """M14: rank candidates for one source — hub-penalized score,
+    self excluded, existing neighbors excluded, global top-k."""
+    deg = total_degree(edges)
+    neighbors = (
+        edges.filter(F.col("src") == src_id).select(F.col("dst").alias("dst"))
+        .unionAll(edges.filter(F.col("dst") == src_id).select(F.col("src").alias("dst")))
+        .dropDuplicates()
+    )
+    return (
+        candidate_scores.filter(F.col("dst") != src_id)
+        .join(neighbors, "dst", "left_anti")
+        .join(deg.withColumnRenamed("id", "dst"), "dst", "left")
+        .na.fill({"degree": 0})
+        .withColumn("final_score", hub_penalty(F.col("score"), F.col("degree")))
+        .orderBy(F.col("final_score").desc(), F.col("dst").asc())
+        .limit(k)
+    )
+
+
+def constrained_spouse_candidates(
+    src_id: str,
+    candidate_scores: DataFrame,
+    edges: DataFrame,
+    vertices: DataFrame,
+    k: int = 10,
+    age_gap_limit: int = 20,
+) -> DataFrame:
+    """M15: spouse prediction with constraints — age gap > limit
+    halves the score; candidates already linked by a taboo relation
+    (sibling/parent) are anti-joined out."""
+    years = vertices.select("id", F.col("birth_year").cast("double").alias("by"))
+    src_year = years.filter(F.col("id") == src_id).select(F.col("by").alias("src_by"))
+    taboo = (
+        edges.filter(
+            F.col("rel").isin(*TABOO_FOR_SPOUSE)
+            & ((F.col("src") == src_id) | (F.col("dst") == src_id))
+        )
+        .select(
+            F.when(F.col("src") == src_id, F.col("dst")).otherwise(F.col("src")).alias("dst")
+        )
+        .dropDuplicates()
+    )
+    scored = (
+        candidate_scores.filter(F.col("dst") != src_id)
+        .join(taboo, "dst", "left_anti")
+        .join(years.withColumnRenamed("id", "dst"), "dst", "left")
+        .crossJoin(F.broadcast(src_year))
+        .withColumn(
+            "final_score",
+            F.when(
+                F.abs(F.col("by") - F.col("src_by")) > age_gap_limit, F.col("score") / 2
+            ).otherwise(F.col("score")),
+        )
+    )
+    return scored.orderBy(F.col("final_score").desc(), F.col("dst").asc()).limit(k)

@@ -901,3 +901,202 @@ def ego_2hop_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _partsupp_edges(spark, sf_dir)
     out = gpaths.ego_network(edges, ["s:1"], k=2, directed=True)
     return out.select("id", F.col("hop").cast("int").alias("hop"))
+
+
+# =====================================================================
+# A1 group-concat, grouping sets, set ops — free Spark SQL surface the
+# reference lacks (SURVEY §2.4/2.6 notes) but the engine exposes.
+# =====================================================================
+@query(
+    "group_concat_segments",
+    """
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ', ' ORDER BY c_mktsegment) AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def group_concat_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(", ", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "rollup_order_revenue",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+)
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n",
+        )
+    )
+
+
+@query(
+    "cube_lineitem_counts",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "intersect_except_custkeys",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+    i AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_orders),
+    x AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_orders)
+    SELECT 'intersect' AS op, c_custkey FROM i
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM x
+    """,
+)
+def intersect_except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
+    i = building.intersect(with_orders).select(F.lit("intersect").alias("op"), "c_custkey")
+    x = building.exceptAll(with_orders).dropDuplicates().select(
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return i.unionAll(x)
+
+
+# =====================================================================
+# ML serving queries (ml/predict.py) — pair features + hub-penalized
+# recommendation on the part-supplier graph, oracle-mirrored.
+# =====================================================================
+from social_link_prediction_spark.ml import predict as mlp  # noqa: E402
+
+_DUCK_UND = """
+    und AS (SELECT DISTINCT src, dst FROM e),
+    deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)
+"""
+
+
+@query(
+    "pair_features_suppliers",
+    f"""
+    WITH {_DUCK_PS_EDGES.strip()}, {_DUCK_UND.strip()},
+    sups AS (SELECT DISTINCT 's:' || l_suppkey AS id FROM lineitem),
+    pairs AS (SELECT a.id AS src, b.id AS dst FROM sups a JOIN sups b ON a.id < b.id),
+    cn AS (
+        SELECT p.src, p.dst, count(*) AS common_neighbors,
+               round(sum(1.0 / ln(d.deg + 1.0)), 6) AS adamic_adar
+        FROM pairs p
+        JOIN und na ON na.src = p.src
+        JOIN und nb ON nb.src = p.dst AND nb.dst = na.dst
+        JOIN deg d ON d.id = na.dst
+        GROUP BY p.src, p.dst
+    )
+    SELECT p.src, p.dst,
+           coalesce(cn.common_neighbors, 0) AS common_neighbors,
+           coalesce(cn.adamic_adar, 0.0) AS adamic_adar,
+           round(coalesce(cn.common_neighbors, 0)
+                 / greatest(ds.deg + dd.deg - coalesce(cn.common_neighbors, 0), 1), 6)
+               AS neighbor_jaccard,
+           ds.deg * dd.deg AS pref_attachment,
+           ds.deg AS src_deg, dd.deg AS dst_deg
+    FROM pairs p
+    LEFT JOIN cn ON cn.src = p.src AND cn.dst = p.dst
+    JOIN deg ds ON ds.id = p.src
+    JOIN deg dd ON dd.id = p.dst
+    """,
+)
+def pair_features_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7-replacement feature stage: common neighbors / Adamic-Adar /
+    neighbor-Jaccard / preferential attachment for all supplier pairs
+    over the part-supplier graph."""
+    edges = _partsupp_edges(spark, sf_dir).withColumn("rel", F.lit("supplies"))
+    sups = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("id"))
+        .dropDuplicates()
+    )
+    a, b = sups.alias("a"), sups.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    )
+    out = mlp.pair_features(pairs, edges)
+    return out.select(
+        "src", "dst", "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("neighbor_jaccard", 6).alias("neighbor_jaccard"),
+        "pref_attachment", "src_deg", "dst_deg",
+    )
+
+
+@query(
+    "recommend_suppliers_for_s1",
+    f"""
+    WITH {_DUCK_PS_EDGES.strip()}, {_DUCK_UND.strip()},
+    sups AS (SELECT DISTINCT 's:' || l_suppkey AS id FROM lineitem),
+    pairs AS (SELECT 's:1' AS src, id AS dst FROM sups WHERE id <> 's:1'),
+    cn AS (
+        SELECT p.src, p.dst, sum(1.0 / ln(d.deg + 1.0)) AS score
+        FROM pairs p
+        JOIN und na ON na.src = p.src
+        JOIN und nb ON nb.src = p.dst AND nb.dst = na.dst
+        JOIN deg d ON d.id = na.dst
+        GROUP BY p.src, p.dst
+    ),
+    tdeg AS (SELECT id, sum(deg) AS degree FROM (
+        SELECT src AS id, count(*) AS deg FROM e GROUP BY src
+        UNION ALL SELECT dst AS id, count(*) AS deg FROM e GROUP BY dst
+    ) GROUP BY id)
+    SELECT c.dst, round(c.score / (ln(t.degree + 1.0) + 1.0), 6) AS final_score
+    FROM cn c JOIN tdeg t ON t.id = c.dst
+    ORDER BY final_score DESC, dst ASC LIMIT 5
+    """,
+)
+def recommend_suppliers_for_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: hub-penalized top-k recommendation — score candidates by
+    Adamic-Adar to s:1, penalize by log(degree+1)+1, take top 5.
+    (Bipartite graph: no supplier is a direct neighbor of s:1, so the
+    neighbor exclusion is vacuous here; it's covered in pytest.)"""
+    edges = _partsupp_edges(spark, sf_dir).withColumn("rel", F.lit("supplies"))
+    sups = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("id"))
+        .dropDuplicates()
+    )
+    pairs = sups.filter(F.col("id") != "s:1").select(
+        F.lit("s:1").alias("src"), F.col("id").alias("dst")
+    )
+    feats = mlp.pair_features(pairs, edges)
+    cand = feats.select("src", "dst", F.col("adamic_adar").alias("score")).filter(
+        F.col("score") > 0
+    )
+    out = mlp.recommend_topk("s:1", cand, edges, k=5)
+    return out.select("dst", F.round("final_score", 6).alias("final_score"))

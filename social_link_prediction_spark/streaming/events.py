@@ -1,0 +1,82 @@
+"""Streaming event processing.
+
+Design: transformations are written once against a DataFrame and work
+for both batch (spark.read) and streaming (spark.readStream) inputs —
+the Structured Streaming contract. Watermarks bound state for late
+data; windowed aggregations use event time, never arrival time.
+
+At scale: the file source here stands in for Kafka; swap
+``spark.readStream.format("kafka")`` and the pipeline below is
+unchanged (the reference's incremental paginated extraction, S1-S3,
+maps to exactly this shape — each page/interval is a micro-batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str, fmt: str = "json") -> DataFrame:
+    """File-based event stream (one file per micro-batch in tests;
+    a Kafka topic in production)."""
+    return spark.readStream.format(fmt).schema(EVENT_SCHEMA).load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window counts per event type. The watermark
+    bounds aggregation state: events later than ``watermark`` are
+    dropped, everything else is handled correctly — the late-data
+    semantics the reference never had."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def high_value_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
+    """Stateless streaming filter+projection (works identically in batch)."""
+    return events.filter(F.col("value") > threshold).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Test/debug sink: materialize a streaming aggregation into an
+    in-memory table. Returns the StreamingQuery (caller awaits +
+    stops)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,137 @@
+"""ML layer: features, splits, negative sampling, model fit, serving
+queries — FIXTURES.md invariant 11."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.ml import features as mf
+from social_link_prediction_spark.ml import linksplit as ls
+from social_link_prediction_spark.ml import predict as mp
+
+
+def test_year_features(spark):
+    df = spark.createDataFrame([(1, 1900), (2, 2000), (3, None)], ["id", "birth_year"])
+    out = {r.id: r for r in mf.year_features(df).collect()}
+    assert out[1].year_norm == 0.0 and out[2].year_norm == 1.0
+    assert out[3].year_is_missing == 1
+    assert 0.0 <= out[3].year_norm <= 1.0  # median-filled
+
+
+def test_hashed_embedding_deterministic_unit(spark):
+    df = spark.createDataFrame([(1, "a b a"), (2, "a b a")], ["id", "text"])
+    rows = mf.hashed_text_embedding(df, "text", dim=8).collect()
+    e1, e2 = (r.embedding for r in rows)
+    assert e1 == e2  # deterministic
+    assert abs(sum(x * x for x in e1) - 1.0) < 1e-9  # unit norm
+
+
+def test_assemble_features(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0], 0.5)], ["id", "emb", "yn"])
+    out = mf.assemble_features(df, ["emb"], ["yn"]).first()
+    assert out.features == [1.0, 2.0, 0.5]
+
+
+def test_link_split_no_reverse_leakage(spark):
+    rows = []
+    for i in range(500):
+        rows.append((f"A{i}", f"B{i}", "spouse"))
+        rows.append((f"B{i}", f"A{i}", "spouse"))  # reverse twin
+    edges = spark.createDataFrame(rows, ["src", "dst", "rel"])
+    train, val, test = ls.link_split(edges, val_frac=0.2, test_frac=0.2)
+    # canonical pairs must never straddle splits
+    def canon(df):
+        return {
+            (min(r.src, r.dst), max(r.src, r.dst)) for r in df.collect()
+        }
+    assert canon(train) & canon(test) == set()
+    assert canon(train) & canon(val) == set()
+    assert train.count() + val.count() + test.count() == 1000
+
+
+def test_negative_sampling(spark):
+    edges = spark.createDataFrame(
+        [(f"Q{i}", f"Q{i+1}", "spouse") for i in range(20)], ["src", "dst", "rel"]
+    )
+    nodes = spark.createDataFrame([(f"Q{i}",) for i in range(30)], ["id"])
+    out = ls.negative_sample(edges, nodes, ratio=1.0)
+    pos = out.filter("label = 1")
+    neg = out.filter("label = 0")
+    assert pos.count() == 20
+    assert neg.count() > 0
+    # no negative is a true positive
+    assert neg.join(edges, ["src", "dst", "rel"], "left_semi").count() == 0
+
+
+def test_pair_features_common_neighbors(spark):
+    # triangle-ish: A-C, B-C (common neighbor C), A-B absent
+    edges = spark.createDataFrame(
+        [("A", "C", "r"), ("B", "C", "r"), ("C", "D", "r")], ["src", "dst", "rel"]
+    )
+    pairs = spark.createDataFrame([("A", "B")], ["src", "dst"])
+    row = mp.pair_features(pairs, edges).first()
+    assert row.common_neighbors == 1
+    # C has undirected degree 3 -> AA = 1/log(4)
+    assert abs(row.adamic_adar - 1 / math.log(4)) < 1e-9
+    assert row.pref_attachment == 1 * 1
+
+
+def test_train_and_evaluate(spark):
+    # clustered graph: links inside clusters are positives
+    edges = []
+    for c in range(8):
+        ids = [f"C{c}N{i}" for i in range(6)]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                edges.append((ids[i], ids[j], "r"))
+    edf = spark.createDataFrame(edges, ["src", "dst", "rel"])
+    nodes = edf.select(F.col("src").alias("id")).union(edf.select("dst")).distinct()
+    labeled = ls.negative_sample(edf, nodes, ratio=1.0)
+    model, _ = mp.train_link_model(labeled, edf)
+    metrics = mp.evaluate_link_model(model, labeled, edf)
+    assert metrics["areaUnderROC"] > 0.8  # separable by construction
+
+
+def test_scan_relationship_filters(spark):
+    scores = spark.createDataFrame(
+        [("H1", "H2", "spouse", 0.9), ("H1", "U1", "spouse", 0.8), ("H1", "U1", "educated_at", 0.7)],
+        ["src", "dst", "rel", "score"],
+    )
+    vertices = spark.createDataFrame(
+        [("H1", "human"), ("H2", "human"), ("U1", "educational_institution")],
+        ["id", "type"],
+    )
+    out = mp.scan_relationship(scores, vertices).collect()
+    rels = {(r.src, r.dst, r.rel) for r in out}
+    assert ("H1", "U1", "spouse") not in rels  # biological needs human-human
+    assert ("H1", "U1", "educated_at") in rels
+    best = {r for r in out if r.src == "H1" and r.dst == "H2"}
+    assert all(r.best_rel == "spouse" for r in best)
+
+
+def test_recommend_excludes_self_and_neighbors(spark):
+    edges = spark.createDataFrame([("A", "B", "r")], ["src", "dst", "rel"])
+    cand = spark.createDataFrame(
+        [("A", "A", 1.0), ("A", "B", 0.9), ("A", "C", 0.5)], ["src", "dst", "score"]
+    )
+    out = mp.recommend_topk("A", cand, edges, k=5).collect()
+    ids = [r.dst for r in out]
+    assert "A" not in ids  # invariant 11: self excluded
+    assert "B" not in ids  # existing neighbor excluded
+    assert ids == ["C"]
+
+
+def test_spouse_constraints(spark):
+    edges = spark.createDataFrame([("A", "T", "sibling")], ["src", "dst", "rel"])
+    vertices = spark.createDataFrame(
+        [("A", 1990), ("T", 1992), ("X", 1991), ("Y", 1950)], ["id", "birth_year"]
+    )
+    cand = spark.createDataFrame(
+        [("A", "T", 0.99), ("A", "X", 0.6), ("A", "Y", 0.9)], ["src", "dst", "score"]
+    )
+    out = mp.constrained_spouse_candidates("A", cand, edges, vertices, k=5).collect()
+    ids = [r.dst for r in out]
+    assert "T" not in ids  # taboo sibling anti-joined
+    y = [r for r in out if r.dst == "Y"][0]
+    assert abs(y.final_score - 0.45) < 1e-9  # age gap halves 0.9
+    assert ids[0] == "X"  # 0.6 beats halved 0.45

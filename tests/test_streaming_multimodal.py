@@ -1,0 +1,106 @@
+"""Structured Streaming pipeline + multimodal column plumbing."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines import multimodal as mm
+from social_link_prediction_spark.streaming import events as se
+
+
+def _write_event_files(tmp_path, n_files=2, per_file=5):
+    for f in range(n_files):
+        lines = []
+        for i in range(per_file):
+            eid = f * per_file + i
+            lines.append(json.dumps({
+                "event_id": eid,
+                "ts": f"2024-01-01T0{f}:0{i}:00.000Z",
+                "user_id": eid % 3,
+                "event_type": "click" if eid % 2 else "view",
+                "value": float(10 * eid),
+                "props": "{}",
+            }))
+        (tmp_path / f"batch{f}.json").write_text("\n".join(lines))
+
+
+def test_stream_windowed_counts(spark, tmp_path):
+    _write_event_files(tmp_path)
+    stream = se.read_event_stream(spark, str(tmp_path))
+    assert stream.isStreaming
+    agg = se.windowed_event_counts(stream, window="1 hour")
+    q = se.run_to_memory_sink(agg, "win_counts")
+    q.awaitTermination(60)
+    out = spark.sql("select * from win_counts").collect()
+    assert len(out) == 4  # 2 hours x 2 event types
+    total = sum(r.n_events for r in out)
+    assert total == 10
+
+
+def test_stream_batch_parity(spark, tmp_path):
+    """The same transformation body must produce identical results on
+    batch and streaming inputs (Structured Streaming's core contract)."""
+    _write_event_files(tmp_path)
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    batch_out = {
+        (r.window_start, r.event_type): r.n_events
+        for r in se.windowed_event_counts(batch).collect()
+    }
+    stream = se.read_event_stream(spark, str(tmp_path))
+    q = se.run_to_memory_sink(se.windowed_event_counts(stream), "parity")
+    q.awaitTermination(60)
+    stream_out = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("select * from parity").collect()
+    }
+    assert batch_out == stream_out
+
+
+def test_high_value_alerts_batch(spark, tmp_path):
+    _write_event_files(tmp_path)
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    out = se.high_value_alerts(batch, threshold=50.0)
+    assert out.count() == 4  # values 60,70,80,90
+
+
+def _media_df(spark):
+    rows = [
+        (1, "image", "image/png", 800, 600, None, b"img-bytes-1"),
+        (2, "image", "image/png", 100, 50, None, b"img-bytes-2"),
+        (3, "video", "video/mp4", 1920, 1080, 3500, b"vid-bytes"),
+        (4, "image", "image/png", 800, 600, None, b"img-bytes-1"),  # dup content
+    ]
+    return spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+
+
+def test_content_hash_dedup(spark):
+    df = mm.content_hash(_media_df(spark))
+    groups = df.groupBy("content_hash").count().filter("count > 1").collect()
+    assert len(groups) == 1 and groups[0]["count"] == 2
+
+
+def test_extract_features_stub(spark):
+    out = mm.extract_features(_media_df(spark), fake=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert "content" not in out.columns
+    assert len(rows[1].features) == mm.FEATURE_DIM
+    assert rows[1].features == rows[4].features  # same bytes -> same features
+    assert rows[1].features != rows[2].features
+
+
+def test_extract_features_real_raises(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(_media_df(spark), fake=False)
+
+
+def test_resize_plan(spark):
+    out = {r.media_id: r for r in mm.resize_plan(_media_df(spark), max_side=400).collect()}
+    assert out[1].out_width == 400 and out[1].out_height == 300
+    assert out[2].scale == 1.0  # already small
+
+
+def test_frame_sample_plan(spark):
+    out = mm.frame_sample_plan(_media_df(spark), every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
