@@ -35,6 +35,11 @@ HEADLINE = [
     "cumulative_daily_revenue",
     "sessionize_events",
     "tumbling_hourly_events",
+    "minhash_lsh_neardup",
+    "simhash_docs",
+    "embedding_topk_pairs",
+    "pagerank_partsupp",
+    "pair_features_suppliers",
 ]
 
 

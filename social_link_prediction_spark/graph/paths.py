@@ -223,3 +223,54 @@ def ego_network(
         seen = seen.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return seen
+
+
+def six_degrees_experiment(
+    edges: DataFrame,
+    vertices: DataFrame,
+    n_pairs: int = 10_000,
+    seed: int = 42,
+    max_hops: int = 8,
+    weight: str | None = None,
+) -> DataFrame:
+    """G9: the six-degrees statistics job — sample random vertex pairs,
+    compute degrees-of-separation, aggregate mean/median/unreachable
+    plus the Watts-Strogatz theory anchor L ≈ ln N / ln⟨k⟩ (reference
+    NB cells 143-153). ONE Spark job replaces the reference's
+    process-pool experiment (analysis_service.py:223-262); a 100k-pair
+    run at cluster scale is the same code.
+
+    Returns a single-row DataFrame of the experiment summary.
+    """
+    ids = vertices.select("id")
+    a = (
+        ids.orderBy(F.rand(seed))
+        .limit(n_pairs)
+        .select(F.col("id").alias("src"))  # rename breaks shared lineage ambiguity
+        .withColumn("k", F.monotonically_increasing_id())
+    )
+    b = (
+        ids.orderBy(F.rand(seed + 1))
+        .limit(n_pairs)
+        .select(F.col("id").alias("dst"))
+        .withColumn("k", F.monotonically_increasing_id())
+    )
+    pairs = a.join(b, "k").select("src", "dst").filter(F.col("src") != F.col("dst"))
+    deg = degrees_of_separation(edges, pairs, vertices, weight=weight, max_hops=max_hops)
+
+    n_nodes = vertices.count()
+    mean_k = (
+        undirected(edges).groupBy("src").count().agg(F.avg("count")).first()[0]
+    )
+    import math as _math
+
+    l_theory = (
+        _math.log(n_nodes) / _math.log(mean_k) if mean_k and mean_k > 1 else float("nan")
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("dist").isNull().cast("long")).alias("unreachable"),
+        F.avg("degree").alias("mean_degree_sep"),
+        F.expr("percentile_approx(degree, 0.5)").alias("median_degree_sep"),
+        F.max("degree").alias("max_degree_sep"),
+    ).withColumn("l_theory", F.lit(l_theory))

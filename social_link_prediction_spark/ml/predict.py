@@ -239,3 +239,58 @@ def constrained_spouse_candidates(
         )
     )
     return scored.orderBy(F.col("final_score").desc(), F.col("dst").asc()).limit(k)
+
+
+# --- hyperparameter search (M11) and embedding store (M12) ------------
+def tune_link_model(
+    labeled_pairs: DataFrame,
+    edges: DataFrame,
+    feature_cols: list[str] | None = None,
+    n_folds: int = 3,
+    seed: int = 42,
+):
+    """M11: CrossValidator grid search over the logistic-regression
+    regularization path (the reference imports Optuna but ships a fixed
+    config, train_model.py:587-593; MLlib's CV is the idiomatic
+    equivalent). Returns the best fitted model."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feats = pair_features(labeled_pairs, edges)
+    cols = feature_cols or PAIR_FEATURE_COLS
+    assembler = VectorAssembler(inputCols=cols, outputCol="features_vec")
+    lr = LogisticRegression(featuresCol="features_vec", labelCol="label")
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.01, 0.1])
+        .addGrid(lr.elasticNetParam, [0.0, 0.5])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=Pipeline(stages=[assembler, lr]),
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol="label"),
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=2,
+    )
+    return cv.fit(feats)
+
+
+def write_embeddings(emb: DataFrame, path: str) -> None:
+    """M12: the embedding store is a parquet table (type, id,
+    embedding array<float>) partitioned by node type — replaces the
+    reference's torch.save dict (predicter.py:76-113); readers prune
+    to the node types they score."""
+    cols = emb.columns
+    w = emb.write.mode("overwrite")
+    if "type" in cols:
+        w = w.partitionBy("type")
+    w.parquet(path)
+
+
+def read_embeddings(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)

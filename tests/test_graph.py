@@ -95,3 +95,11 @@ def test_ego_hops(social_graph):
     assert ego["Q2"] == 1 and ego["U1"] == 1
     assert ego["Q3"] == 2
     assert "Q8" not in ego
+
+
+def test_six_degrees_experiment(social_graph):
+    v, e = social_graph
+    out = gp.six_degrees_experiment(e, v, n_pairs=20, seed=1, max_hops=6).first()
+    assert out.n_pairs > 0
+    assert out.unreachable >= 0
+    assert out.l_theory == out.l_theory  # not NaN for this graph

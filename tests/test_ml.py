@@ -135,3 +135,17 @@ def test_spouse_constraints(spark):
     y = [r for r in out if r.dst == "Y"][0]
     assert abs(y.final_score - 0.45) < 1e-9  # age gap halves 0.9
     assert ids[0] == "X"  # 0.6 beats halved 0.45
+
+
+def test_embedding_store_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("human", "Q1", [0.1, 0.2]), ("event", "W1", [0.3, 0.4])],
+        ["type", "id", "embedding"],
+    )
+    path = str(tmp_path / "emb")
+    mp.write_embeddings(df, path)
+    back = mp.read_embeddings(spark, path)
+    assert back.count() == 2
+    assert set(back.columns) == {"type", "id", "embedding"}
+    # partition pruning by type works
+    assert back.filter("type = 'human'").count() == 1
