@@ -43,20 +43,40 @@ def pair_features(
     )
     deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
-    # common neighbors: pairs ⋈ neighbors(src) ⋈ neighbors(dst)
-    nb = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+    # Common neighbors by wedge enumeration: restrict the adjacency to
+    # nodes that actually appear in `pairs` (semi-join), then self-join
+    # on the shared neighbor. Cost is Σ_n C(deg_n, 2) over wedge
+    # centers — independent of |pairs| — instead of |pairs| × deg
+    # probing, which is quadratic when pairs ≈ all-pairs.
+    nodes_in_pairs = (
+        pairs.select(F.col("src").alias("node"))
+        .unionAll(pairs.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    nb = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).join(
+        nodes_in_pairs, "node", "left_semi"
+    )
+    wedges = nb.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")),
+    )
     cn = (
-        pairs.join(nb.select(F.col("node").alias("src"), "nbr"), "src")
-        .join(nb.select(F.col("node").alias("dst"), F.col("nbr").alias("nbr")), ["dst", "nbr"])
+        wedges.select(
+            F.col("a.node").alias("lo"), F.col("b.node").alias("hi"),
+            F.col("a.nbr").alias("nbr"),
+        )
         .join(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr")
-        .groupBy("src", "dst")
+        .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
             F.sum(F.lit(1.0) / F.log(F.col("nbr_deg") + F.lit(1.0))).alias("adamic_adar"),
         )
     )
     out = (
-        pairs.join(cn, ["src", "dst"], "left")
+        pairs.withColumn("lo", F.least("src", "dst"))
+        .withColumn("hi", F.greatest("src", "dst"))
+        .join(cn, ["lo", "hi"], "left")
+        .drop("lo", "hi")
         .na.fill({"common_neighbors": 0, "adamic_adar": 0.0})
         .join(deg.select(F.col("id").alias("src"), F.col("deg").alias("src_deg")), "src", "left")
         .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dst_deg")), "dst", "left")

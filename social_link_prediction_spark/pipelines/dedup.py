@@ -71,7 +71,11 @@ def minhash_signatures(
     shingles of md5(i || '|' || shingle). One explode + one hash
     aggregation keyed by doc — shuffle volume is K hex strings per doc.
     """
-    sh = shingle_table(df, id_col, col, n)
+    # No dropDuplicates: min() is idempotent over repeated shingles, so
+    # aggregating the raw exploded shingles skips a full shuffle of the
+    # shingle table — partial (map-side) aggregation reduces each
+    # partition to K mins per doc before anything moves.
+    sh = df.select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
@@ -93,19 +97,27 @@ def lsh_candidate_pairs(
     guard that matters at scale.
     """
     n_bands = k // rows_per_band
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            signatures.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("\x1f", *cols)).alias("bucket"),
-            )
+    # One pass over signatures: build every band key as an array of
+    # structs and explode — NOT a per-band unionAll, which would make
+    # Catalyst re-run the whole signature pipeline once per band (and
+    # again for each side of the self-join below).
+    buckets = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for other in bands[1:]:
-        banded = banded.unionAll(other)
+        for b in range(n_bands)
+    ])
+    banded = (
+        signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
+        .select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()  # referenced 3× (both join sides + skew filter)
+    )
 
     big = (
         banded.groupBy("band", "bucket")
@@ -133,10 +145,15 @@ def jaccard_for_pairs(
     |A ∩ B| from a join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
     Cost is proportional to candidate pairs, not all pairs.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # Shuffle 64-bit shingle hashes, not shingle strings — set sizes and
+    # intersections are preserved (collisions are negligible at per-doc
+    # set sizes) and the join compares longs instead of variable-width
+    # strings.
+    shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
-        pairs.join(sh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle")), ["id_b", "shingle"])
+        pairs.join(shh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
+        .join(shh.select(F.col(id_col).alias("id_b"), F.col("shingle").alias("shingle")), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -165,8 +182,11 @@ def minhash_dedup_pairs(
     """Full near-dup flow: MinHash -> LSH candidates -> exact Jaccard
     filter at ``threshold``."""
     sig = minhash_signatures(df, id_col, col, k, n)
-    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band)
-    sh = shingle_table(df, id_col, col, n)
+    # Materialize the two frames the Jaccard stage references more than
+    # once — at scale these are the intermediate tables a production
+    # pipeline would land between stages.
+    cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
+    sh = shingle_table(df, id_col, col, n).persist()
     return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
 
 
