@@ -8,8 +8,17 @@ LinkNeighborLoader negative sampling at ratio 1.0-3.0
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _hash60(*cols: Column) -> Column:
+    """Deterministic 60-bit uniform hash from md5 — chosen over
+    xxhash64 because DuckDB computes the identical value, keeping the
+    split and the sampler oracle-checkable end-to-end."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 15), 16, 10
+    ).cast("bigint")
 
 
 def link_split(
@@ -26,13 +35,13 @@ def link_split(
     land in the same bucket. Deterministic via hash(key, seed), not
     randSplit — re-runs and retries produce identical splits.
     """
-    key = F.xxhash64(
+    key = _hash60(
         F.least(F.col(src), F.col(dst)),
         F.greatest(F.col(src), F.col(dst)),
         F.col(rel),
-        F.lit(seed),
+        F.lit(str(seed)),
     )
-    tagged = edges.withColumn("__frac", F.abs(key % F.lit(1_000_000)) / 1_000_000.0)
+    tagged = edges.withColumn("__frac", (key % F.lit(1_000_000)) / 1_000_000.0)
     test = tagged.filter(F.col("__frac") < test_frac).drop("__frac")
     val = tagged.filter(
         (F.col("__frac") >= test_frac) & (F.col("__frac") < test_frac + val_frac)
@@ -63,7 +72,8 @@ def negative_sample(
         "__try", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     )
     attempts = attempts.withColumn(
-        "__pick", F.pmod(F.xxhash64(F.col(src), F.col(rel), F.col("__try"), F.lit(seed)), F.lit(n_nodes))
+        "__pick",
+        _hash60(F.col(src), F.col(rel), F.col("__try"), F.lit(str(seed))) % F.lit(n_nodes),
     )
     indexed = nodes.select(node_id).withColumn(
         "__idx", F.row_number().over(Window.orderBy(node_id)) - 1

@@ -222,6 +222,52 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs with band blocking: split the 60-bit
+    signature into ``n_bands`` 15-bit bands; by pigeonhole, any pair
+    within ``max_hamming`` < n_bands*... shares at least one identical
+    band when max_hamming < n_bands, and in practice banding prunes the
+    pair space by ~2^15 per band. Candidates join on (band, band_value),
+    then the exact Hamming filter runs on candidates only — the same
+    candidate-then-verify shape as MinHash-LSH, so the quadratic pair
+    space is never materialized.
+    """
+    bits_per_band = SIMHASH_BITS // n_bands
+    sig = simhash(df, id_col, col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .alias("bval"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = (
+        sig.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb"))
+        .select(F.col(id_col), F.col("simhash"), F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["band", "bval"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # --- embedding-cosine near-dup ---------------------------------------
 def embedding_neardup_pairs(
     emb: DataFrame,

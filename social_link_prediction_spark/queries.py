@@ -1100,3 +1100,341 @@ def recommend_suppliers_for_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = mlp.recommend_topk("s:1", cand, edges, k=5)
     return out.select("dst", F.round("final_score", 6).alias("final_score"))
+
+
+# =====================================================================
+# Search layer (search/fuzzy) — F1/F2 over part names. The levenshtein
+# scorer is forced so the oracle can replicate the arithmetic exactly
+# (WRatio parity with rapidfuzz is covered by pytest when available).
+# =====================================================================
+from social_link_prediction_spark.ml import linksplit as mls  # noqa: E402
+from social_link_prediction_spark.pipelines import multimodal as mm  # noqa: E402
+from social_link_prediction_spark.search import fuzzy as fz  # noqa: E402
+
+_FUZZY_Q = "smal ring"  # typo of the real part name 'small ring'
+
+
+@query(
+    "fuzzy_search_parts",
+    f"""
+    WITH idx AS (
+        SELECT p_partkey AS id, p_name AS name, lower(trim(p_name)) AS norm_name
+        FROM part WHERE p_name IS NOT NULL
+    ),
+    cand AS (
+        SELECT * FROM idx
+        WHERE norm_name LIKE 's%'
+           OR abs(length(norm_name) - {len(_FUZZY_Q)}) <= {max(2, len(_FUZZY_Q) // 2)}
+    ),
+    scored AS (
+        SELECT id, name, norm_name,
+               100.0 * (1.0 - levenshtein(norm_name, '{_FUZZY_Q}')
+                              / greatest(length(norm_name), {len(_FUZZY_Q)}))
+               - (CASE WHEN length(norm_name) / {len(_FUZZY_Q)} < 0.5 THEN 30 ELSE 0 END)
+               + (CASE WHEN norm_name LIKE '{_FUZZY_Q}%' THEN 20 ELSE 0 END)
+               + (CASE WHEN norm_name LIKE '%{_FUZZY_Q}%'
+                        AND NOT norm_name LIKE '{_FUZZY_Q}%' THEN 10 ELSE 0 END) AS score
+        FROM cand
+    )
+    SELECT id, name, round(score, 2) AS score
+    FROM scored WHERE score >= 60
+    ORDER BY score DESC, norm_name ASC, id ASC LIMIT 10
+    """,
+)
+def fuzzy_search_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: normalized index over part names, fuzzy lookup of a typo
+    with the reference's bonus/penalty arithmetic (prefix +20, substr
+    +10, short -30, cutoff 60, top 10)."""
+    part = _t(spark, sf_dir, "part")
+    idx = fz.build_search_index(
+        part.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    )
+    out = fz.fuzzy_lookup(idx, _FUZZY_Q, limit=10, scorer="levenshtein")
+    return out.select("id", "name", F.round("score", 2).alias("score"))
+
+
+# =====================================================================
+# Weighted SSSP (G2/G3): hub-penalty weights w = ln(deg(dst)+1), the
+# reference's log-degree penalty (bfs.py:59-63), 3 hops. Oracle: the
+# recursion unrolled as a recursive CTE enumerating all <=3-edge paths.
+# =====================================================================
+@query(
+    "weighted_sssp_s1",
+    f"""
+    WITH RECURSIVE {_DUCK_PS_EDGES.strip()},
+    deg AS (SELECT dst AS id, count(*) AS deg FROM e GROUP BY dst),
+    ew AS (SELECT e.src, e.dst, ln(d.deg + 1.0) AS w
+           FROM e JOIN deg d ON d.id = e.dst),
+    walk(id, dist, hops) AS (
+        SELECT 's:1', CAST(0.0 AS DOUBLE), 0
+        UNION ALL
+        SELECT ew.dst, wk.dist + ew.w, wk.hops + 1
+        FROM walk wk JOIN ew ON ew.src = wk.id WHERE wk.hops < 3
+    )
+    SELECT id, round(min(dist), 6) AS dist FROM walk GROUP BY id
+    """,
+)
+def weighted_sssp_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 weighted case: hub-penalized shortest distances from s:1."""
+    edges = _partsupp_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    ew = edges.join(deg.withColumnRenamed("id", "dst"), "dst").withColumn(
+        "weight", F.log(F.col("deg") + F.lit(1.0))
+    )
+    sources = spark.createDataFrame([("s:1",)], ["source"])
+    sp = gpaths.multi_source_shortest_paths(
+        ew, sources, weight="weight", max_hops=3, directed=True
+    )
+    return sp.select("id", F.round("dist", 6).alias("dist"))
+
+
+# =====================================================================
+# M4/M5: leakage-safe link split + deterministic negative sampling.
+# md5-keyed so DuckDB reproduces the exact same bucketing.
+# =====================================================================
+_DUCK_H60 = (
+    "CAST(concat('0x', substr(md5(concat_ws(chr(31), {args})), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "link_split_counts",
+    f"""
+    WITH e AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst
+               FROM lineitem),
+    t AS (SELECT src, dst,
+          {_DUCK_H60.format(args="least(src, dst), greatest(src, dst), 'supplies', '42'")}
+          % 1000000 / 1000000.0 AS frac
+          FROM e)
+    SELECT CASE WHEN frac < 0.1 THEN 'test'
+                WHEN frac < 0.2 THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def link_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: canonical-pair hash split 80/10/10 over the part-supplier
+    edge set; returns per-split edge counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates().withColumn("rel", F.lit("supplies"))
+    train, val, test = mls.link_split(edges, val_frac=0.1, test_frac=0.1, seed=42)
+    parts = [
+        train.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("train")),
+        val.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("val")),
+        test.agg(F.count(F.lit(1)).alias("n")).withColumn("split", F.lit("test")),
+    ]
+    out = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return out.select("split", "n").orderBy("split")
+
+
+@query(
+    "negative_sample_supplies",
+    f"""
+    WITH pos AS (SELECT DISTINCT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst,
+                        'supplies' AS rel FROM lineitem),
+    nodes AS (SELECT DISTINCT 's:' || l_suppkey AS id FROM lineitem),
+    idx AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS i FROM nodes),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    att AS (SELECT src, rel,
+            {_DUCK_H60.format(args="src, rel, '0', '42'")} % (SELECT n FROM nn) AS pick
+            FROM (SELECT DISTINCT src, rel FROM pos)),
+    negs AS (
+        SELECT a.src, idx.id AS dst, a.rel FROM att a JOIN idx ON idx.i = a.pick
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.src = a.src AND p.dst = idx.id AND p.rel = a.rel)
+    )
+    SELECT src, dst, rel, 1 AS label FROM pos
+    UNION ALL
+    SELECT DISTINCT src, dst, rel, 0 AS label FROM negs
+    """,
+)
+def negative_sample_supplies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: corrupt-dst negative sampling at ratio 1 with true-edge
+    anti-join; returns the labeled training pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    pos = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    ).dropDuplicates().withColumn("rel", F.lit("supplies"))
+    sups = li.select(F.concat(F.lit("s:"), F.col("l_suppkey")).alias("id")).dropDuplicates()
+    return mls.negative_sample(pos, sups, ratio=1.0, seed=42)
+
+
+# =====================================================================
+# SimHash near-dup pairs: band blocking + exact Hamming on candidates.
+# =====================================================================
+@query(
+    "simhash_neardup",
+    f"""
+    WITH sig AS ({{simhash_sql}}),
+    bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+    banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 15)) & 32767 AS bval
+        FROM sig, bands
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+                               AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 4x15-bit band candidates, Hamming <= 6."""
+    docs = _t(spark, sf_dir, "documents")
+    out = pdd.simhash_neardup_pairs(docs, max_hamming=6, n_bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLES["simhash_neardup"] = ORACLES["simhash_neardup"].replace(
+    "{simhash_sql}", _duck_simhash_sql()
+)
+
+
+# =====================================================================
+# Multimodal (pipelines/multimodal): binary media columns synthesized
+# from documents (content = UTF-8 bytes of text); feature extraction
+# runs through the real mapInPandas stage, oracled via sha256 parity.
+# =====================================================================
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.coalesce(F.col("text"), F.lit("")).cast("binary").alias("content"),
+        (F.col("n_chars") * 40).alias("duration_ms"),
+    )
+
+
+_DUCK_MEDIA = """
+    m AS (SELECT doc_id AS media_id,
+                 ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+                 sha256(coalesce(text, '')) AS dig,
+                 n_chars * 40 AS duration_ms
+          FROM documents)
+"""
+
+
+def _duck_feat(i: int) -> str:
+    # float32 quantization replicated: the Python stub emits float32,
+    # so the oracle casts through REAL before rounding
+    return (
+        f"round(CAST(CAST(CAST(concat('0x', substr(dig, {2 * i + 1}, 2)) AS INT)"
+        f" / 255.0 AS REAL) AS DOUBLE), 6) AS f{i}"
+    )
+
+
+@query(
+    "media_features",
+    f"""
+    WITH {_DUCK_MEDIA.strip()}
+    SELECT media_id, kind, {_duck_feat(0)}, {_duck_feat(5)}, {_duck_feat(15)}
+    FROM m
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the Arrow mapInPandas
+    stage (deterministic stand-in decoder); oracle recomputes the
+    digest-derived features in SQL."""
+    media = _media(spark, sf_dir).select("media_id", "kind", "content")
+    out = mm.extract_features(media, fake=True)
+    return out.select(
+        "media_id", "kind",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 6).cast("double"), 6).alias("f5"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"),
+    )
+
+
+@query(
+    "media_frame_plan",
+    f"""
+    WITH {_DUCK_MEDIA.strip()}
+    SELECT media_id, unnest(generate_series(0, duration_ms - 1, 1000)) AS frame_ts_ms
+    FROM m WHERE kind = 'video' AND duration_ms > 0
+    """,
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled timestamp,
+    exploded JVM-side (bytes are never duplicated per frame)."""
+    media = _media(spark, sf_dir).filter(F.col("duration_ms") > 0)
+    out = mm.frame_sample_plan(media, every_ms=1000)
+    return out.select("media_id", "frame_ts_ms")
+
+
+# =====================================================================
+# IVF coarse quantization over the embeddings table.
+# =====================================================================
+_IVF_DIM, _IVF_K = 64, 4
+_IVF_CENTROIDS = [
+    [1.0 if j % _IVF_K == i else 0.0 for j in range(_IVF_DIM)] for i in range(_IVF_K)
+]
+
+
+def _duck_ivf_sql() -> str:
+    cents = [
+        "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _IVF_CENTROIDS
+    ]
+    scores = ", ".join(
+        f"list_cosine_similarity(v, {c}) AS s{i}" for i, c in enumerate(cents)
+    )
+    # sequential strict-> argmax, first-best-wins (matches ivf_assign)
+    case = (
+        "CASE WHEN s3 > greatest(s0, s1, s2) THEN 3 "
+        "WHEN s2 > greatest(s0, s1) THEN 2 "
+        "WHEN s1 > s0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, {scores} FROM e)
+    SELECT {case} AS ivf_cell, count(*) AS n_vectors
+    FROM s GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("ivf_cell_counts", None)
+def ivf_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment histogram: nearest-centroid cell per vector
+    (broadcast centroids, argmin in codegen), cell histogram. At scale
+    the corpus is written partitionBy(ivf_cell) so probes prune."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_assign(emb, _IVF_CENTROIDS)
+    return (
+        out.groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("ivf_cell")
+    )
+
+
+ORACLES["ivf_cell_counts"] = _duck_ivf_sql()
+
+
+# =====================================================================
+# G9 six-degrees experiment: random pair sampling is inherently non-
+# SQL-reproducible -> rows-only check (the driver records the weaker
+# gate; invariants are pytest-covered).
+# =====================================================================
+@query("six_degrees_summary", None)
+def six_degrees_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: sampled degrees-of-separation summary over the part-supplier
+    graph (suppliers as 'human' for the humans-on-path count)."""
+    edges = _partsupp_edges(spark, sf_dir)
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .withColumn(
+            "type",
+            F.when(F.col("id").startswith("s:"), F.lit("human")).otherwise(F.lit("part")),
+        )
+    )
+    return gpaths.six_degrees_experiment(
+        edges, vertices, n_pairs=50, seed=7, max_hops=4
+    )

@@ -69,9 +69,11 @@ def _normalize_py(s: str) -> str:
     return s.translate(table).lower().strip()
 
 
-def _base_score(query_norm: str) -> Column:
-    """Similarity 0-100 for each index key vs the query literal."""
-    if _HAS_RAPIDFUZZ:
+def _base_score(query_norm: str, scorer: str = "auto") -> Column:
+    """Similarity 0-100 for each index key vs the query literal.
+    ``scorer``: 'auto' (WRatio when rapidfuzz present), 'wratio', or
+    'levenshtein' (pure-JVM, deterministic, oracle-checkable)."""
+    if scorer != "levenshtein" and _HAS_RAPIDFUZZ:
 
         @pandas_udf("double")
         def wratio(names: pd.Series) -> pd.Series:
@@ -106,6 +108,7 @@ def fuzzy_lookup(
     limit: int = 10,
     cutoff: float = SCORE_CUTOFF,
     prefilter: bool = True,
+    scorer: str = "auto",
 ) -> DataFrame:
     """F2: exact hit short-circuits to 100; otherwise score candidates,
     re-score, keep >= cutoff, top ``limit``. ``prefilter`` bounds the
@@ -122,7 +125,7 @@ def fuzzy_lookup(
             F.col("norm_name").startswith(qn[0])
             | (F.abs(F.length("norm_name") - len(qn)) <= F.lit(max(2, len(qn) // 2)))
         )
-    scored = cand.withColumn("score", rescore(_base_score(qn), qn))
+    scored = cand.withColumn("score", rescore(_base_score(qn, scorer), qn))
     return (
         scored.filter(F.col("score") >= cutoff)
         .orderBy(F.col("score").desc(), F.col("norm_name").asc(), F.col("id").asc())

@@ -149,3 +149,22 @@ def test_embedding_store_roundtrip(spark, tmp_path):
     assert set(back.columns) == {"type", "id", "embedding"}
     # partition pruning by type works
     assert back.filter("type = 'human'").count() == 1
+
+
+def test_link_split_reverse_pair_same_bucket(spark):
+    # A->B and B->A must land in the same split (canonical-pair key)
+    from social_link_prediction_spark.ml import linksplit as mls
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{j}", "r") for i in range(30) for j in range(i + 1, 30)]
+        + [(f"n{j}", f"n{i}", "r") for i in range(30) for j in range(i + 1, 30)],
+        ["src", "dst", "rel"],
+    )
+    train, val, test = mls.link_split(edges, val_frac=0.2, test_frac=0.2, seed=1)
+    for split in (train, val, test):
+        fwd = split.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        # every canonical pair appears exactly twice within its split
+        counts = fwd.groupBy("a", "b").count().select("count").distinct().collect()
+        assert [r["count"] for r in counts] == [2]

@@ -95,3 +95,29 @@ def test_ivf_assign(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["vec_id", "embedding"])
     out = {r.vec_id: r.ivf_cell for r in sim.ivf_assign(df, [[1.0, 0.0], [0.0, 1.0]]).collect()}
     assert out == {0: 0, 1: 1}
+
+
+def test_simhash_neardup_recovers_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " ok"),  # near-identical token set -> tiny hamming
+        (3, "completely different content about spark shuffles and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from social_link_prediction_spark.pipelines.dedup import simhash_neardup_pairs
+
+    out = simhash_neardup_pairs(df, max_hamming=10).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(p != (1, 3) and p != (2, 3) for p in pairs)
+
+
+def test_media_frame_plan_counts(spark):
+    rows = [(1, "video", b"x", 3500), (2, "image", b"y", 0)]
+    df = spark.createDataFrame(rows, ["media_id", "kind", "content", "duration_ms"])
+    from social_link_prediction_spark.pipelines.multimodal import frame_sample_plan
+
+    out = frame_sample_plan(df, every_ms=1000)
+    ts = [r.frame_ts_ms for r in out.collect()]
+    assert ts == [0, 1000, 2000, 3000]  # image row filtered out

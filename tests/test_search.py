@@ -51,3 +51,14 @@ def test_pyg_translation(spark):
     assert (fwd.type, fwd.pyg_id) == ("human", 2)
     back = fuzzy.pyg_to_id(nodes, "human", 2).first()
     assert back.id == "Q3"
+
+
+def test_fuzzy_levenshtein_scorer_forced(spark):
+    idx_src = spark.createDataFrame(
+        [(1, "small ring"), (2, "smoke grenade"), (3, "ring")], ["id", "name"]
+    )
+    from social_link_prediction_spark.search import fuzzy as fz
+
+    idx = fz.build_search_index(idx_src)
+    out = fz.fuzzy_lookup(idx, "smal ring", scorer="levenshtein").collect()
+    assert out and out[0].id == 1  # 1 edit away, prefix-adjacent
