@@ -36,10 +36,14 @@ HEADLINE = [
     "sessionize_events",
     "tumbling_hourly_events",
     "minhash_lsh_neardup",
-    "simhash_docs",
+    "simhash_neardup",
     "embedding_topk_pairs",
     "pagerank_partsupp",
     "pair_features_suppliers",
+    "weighted_sssp_s1",
+    "fuzzy_search_parts",
+    "negative_sample_supplies",
+    "media_features",
 ]
 
 

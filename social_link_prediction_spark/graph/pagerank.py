@@ -29,7 +29,10 @@ def pagerank(
     mass is spread uniformly each iteration (classic formulation), so
     ranks sum to 1 every round.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list ONCE up front: nodes, out-degrees, and
+    # the weighted edge table all derive from it, and without this the
+    # upstream plan (scans, dedups, joins) re-executes for each.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -49,10 +52,11 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))
         )
-        # dangling mass = 1 - total flowing mass (nodes without out-edges)
-        dangling = (
-            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm"))
+        # Rank mass is conserved at 1.0 each round, so the dangling mass
+        # (nodes without out-edges) is 1 − Σ flow — one aggregation over
+        # the already-shuffled contribs frame, no anti-join scan of ranks.
+        dangling = contribs.agg(
+            (F.lit(1.0) - F.coalesce(F.sum("flow"), F.lit(0.0))).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "id", "left")

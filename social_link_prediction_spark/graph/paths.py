@@ -35,10 +35,19 @@ def multi_source_shortest_paths(
     directed: bool = False,
 ) -> DataFrame:
     """Multi-source weighted SSSP. ``sources`` is a DataFrame with a
-    ``source`` column; returns (source, id, dist, path array<id>).
-    Unit weights when ``weight`` is None (hop-count BFS). Infinite
-    weights (blacklisted edges, bfs.py:26) never relax: x + inf > any
-    known distance.
+    ``source`` column; returns (source, id, dist, parent) — parent
+    POINTERS, not materialized paths: carrying path arrays through the
+    frontier makes each round's shuffle O(frontier × path_len) and was
+    the dominant cost at scale. Paths are reconstructed on demand for
+    requested targets only (``reconstruct_paths``). Unit weights when
+    ``weight`` is None (hop-count BFS). Weights must be positive
+    (guarantees the parent chain is acyclic: dist strictly decreases
+    along it); infinite weights (blacklisted edges, bfs.py:26) never
+    relax anything: x + inf > any known distance.
+
+    Per-round merges are min(struct(dist, parent)) hash aggregations —
+    partially aggregatable map-side, no row_number sort — with a
+    deterministic (dist, parent) tie-break.
     """
     e = edges if directed else undirected(edges)
     w = F.col(weight) if weight else F.lit(1.0)
@@ -48,30 +57,24 @@ def multi_source_shortest_paths(
         F.col("source"),
         F.col("source").alias("id"),
         F.lit(0.0).alias("dist"),
-        F.array(F.col("source")).alias("path"),
+        F.lit(None).cast("string").alias("parent"),
     ).localCheckpoint()
     frontier = best
 
     for _ in range(max_hops):
-        # relax: frontier × out-edges → candidate improvements
+        # relax: frontier × out-edges → min candidate per (source, node)
         cand = (
             frontier.join(e.withColumnRenamed("src", "id"), "id")
-            .filter(~F.array_contains(F.col("path"), F.col("dst")))  # no cycles
             .select(
                 "source",
-                F.col("dst").alias("id"),
-                (F.col("dist") + F.col("w")).alias("dist"),
-                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                F.col("dst").alias("nid"),
+                F.struct(
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                    F.col("id").alias("parent"),
+                ).alias("c"),
             )
-        )
-        if cand.isEmpty():
-            break
-        # best candidate per (source, id) this round
-        w = Window.partitionBy("source", "id").orderBy(F.col("dist").asc(), F.col("path").asc())
-        cand_best = (
-            cand.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
+            .groupBy("source", "nid")
+            .agg(F.min("c").alias("c"))
         )
         # keep only strict improvements over the settled table. The
         # right side is FULLY renamed before joining: `cand` descends
@@ -84,30 +87,82 @@ def multi_source_shortest_paths(
             F.col("dist").alias("b_dist"),
         )
         improved = (
-            cand_best.join(
+            cand.join(
                 bestk,
-                (F.col("source") == F.col("b_source")) & (F.col("id") == F.col("b_id")),
+                (F.col("source") == F.col("b_source")) & (F.col("nid") == F.col("b_id")),
                 "left",
             )
-            .filter(F.col("b_dist").isNull() | (F.col("dist") < F.col("b_dist")))
-            .select("source", "id", "dist", "path")
+            .filter(F.col("b_dist").isNull() | (F.col("c.dist") < F.col("b_dist")))
+            .select(
+                "source",
+                F.col("nid").alias("id"),
+                F.col("c.dist").alias("dist"),
+                F.col("c.parent").alias("parent"),
+            )
             .localCheckpoint()
         )
         if improved.isEmpty():
             break
-        # merge improvements into the settled table: union + keep the
-        # min-dist row per key (improvements are strictly better, so
-        # they win; avoids a self-referential anti-join that trips AQE)
-        wm = Window.partitionBy("source", "id").orderBy(F.col("dist").asc())
+        # merge improvements into the settled table (improvements are
+        # strictly better, so min(struct) keeps them)
         best = (
             best.unionByName(improved)
-            .withColumn("__rk", F.row_number().over(wm))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
+            .select("source", "id", F.struct("dist", "parent").alias("c"))
+            .groupBy("source", "id")
+            .agg(F.min("c").alias("c"))
+            .select(
+                "source", "id",
+                F.col("c.dist").alias("dist"), F.col("c.parent").alias("parent"),
+            )
             .localCheckpoint()
         )
         frontier = improved
     return best
+
+
+def reconstruct_paths(
+    best: DataFrame, targets: DataFrame, max_hops: int = 8
+) -> DataFrame:
+    """Backtrack parent pointers into explicit paths for the requested
+    ``targets`` (source, id) ONLY — cost scales with |targets| ×
+    path length, never with the full reached set. Returns
+    (source, id, dist, path array<id>)."""
+    cur = (
+        targets.join(best, ["source", "id"])
+        .select(
+            "source",
+            F.col("id").alias("target"),
+            "dist",
+            F.array("id").alias("path"),
+            "parent",
+        )
+        .localCheckpoint()
+    )
+    b = best.select(
+        F.col("source").alias("b_source"),
+        F.col("id").alias("b_id"),
+        F.col("parent").alias("b_parent"),
+    )
+    for _ in range(max_hops + 1):
+        pending = cur.filter(F.col("parent").isNotNull())
+        if pending.isEmpty():
+            break
+        stepped = (
+            pending.join(
+                b,
+                (F.col("source") == F.col("b_source"))
+                & (F.col("parent") == F.col("b_id")),
+            )
+            .select(
+                "source", "target", "dist",
+                F.concat(F.array("parent"), F.col("path")).alias("path"),
+                F.col("b_parent").alias("parent"),
+            )
+        )
+        cur = (
+            cur.filter(F.col("parent").isNull()).unionByName(stepped).localCheckpoint()
+        )
+    return cur.select("source", F.col("target").alias("id"), "dist", "path")
 
 
 def pair_shortest_paths(
@@ -121,18 +176,108 @@ def pair_shortest_paths(
     reference's group-pairs-by-source batching, bfs.py:124-147, is the
     natural shape here). Returns (src, dst, dist, path); unreachable
     pairs keep dist null.
+
+    Unit-weight pairs run BIDIRECTIONAL BFS (meet-in-the-middle): two
+    half-depth expansions from the src and dst sets joined on the meet
+    node. On small-world graphs a full-depth frontier reaches ~V per
+    source, so halving the depth shrinks per-round state by orders of
+    magnitude — this is what makes the 100k-pair six-degrees experiment
+    one tractable job. Weighted pairs use the unidirectional relaxation
+    (bidirectional Dijkstra's stopping rule isn't worth the complexity
+    here).
     """
+    if weight is None:
+        return _pair_paths_bidirectional(edges, pairs, max_hops)
     sources = pairs.select(F.col("src").alias("source")).dropDuplicates()
-    sp = multi_source_shortest_paths(edges, sources, weight, max_hops)
+    best = multi_source_shortest_paths(edges, sources, weight, max_hops)
+    targets = pairs.select(
+        F.col("src").alias("source"), F.col("dst").alias("id")
+    ).dropDuplicates()
+    rec = reconstruct_paths(best, targets, max_hops)
     return (
         pairs.join(
-            sp.select(
+            rec.select(
                 F.col("source").alias("src"), F.col("id").alias("dst"), "dist", "path"
             ),
             ["src", "dst"],
             "left",
         )
     )
+
+
+def _pair_paths_bidirectional(
+    edges: DataFrame, pairs: DataFrame, max_hops: int
+) -> DataFrame:
+    """Meet-in-the-middle BFS for unit weights: expand ⌈h/2⌉ hops from
+    the src set and ⌊h/2⌋ from the dst set over the undirected graph,
+    join on the meet node, take min(df+db) per pair, then reconstruct
+    the two half-paths and stitch them. Exact for dist ≤ max_hops (the
+    split node of any shortest path is reached at its true distance
+    from both ends)."""
+    f_hops = (max_hops + 1) // 2
+    b_hops = max_hops // 2
+    und = undirected(edges).localCheckpoint()
+    srcs = pairs.select(F.col("src").alias("source")).dropDuplicates()
+    dsts = pairs.select(F.col("dst").alias("source")).dropDuplicates()
+    bf = multi_source_shortest_paths(und, srcs, None, f_hops, directed=True)
+    bb = multi_source_shortest_paths(und, dsts, None, b_hops, directed=True)
+
+    meet = (
+        pairs.join(
+            bf.select(
+                F.col("source").alias("src"), F.col("id").alias("m"),
+                F.col("dist").alias("df"),
+            ),
+            "src",
+        )
+        .join(
+            bb.select(
+                F.col("source").alias("dst"), F.col("id").alias("m"),
+                F.col("dist").alias("db"),
+            ),
+            ["dst", "m"],
+        )
+        .select(
+            "src", "dst",
+            F.struct(
+                (F.col("df") + F.col("db")).alias("dist"), F.col("m").alias("m")
+            ).alias("c"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("c").alias("c"))
+        .select(
+            "src", "dst", F.col("c.dist").alias("dist"), F.col("c.m").alias("m")
+        )
+        .localCheckpoint()
+    )
+    fpaths = reconstruct_paths(
+        bf,
+        meet.select(F.col("src").alias("source"), F.col("m").alias("id")).dropDuplicates(),
+        f_hops,
+    ).select(
+        F.col("source").alias("src"), F.col("id").alias("m"), F.col("path").alias("fpath")
+    )
+    bpaths = reconstruct_paths(
+        bb,
+        meet.select(F.col("dst").alias("source"), F.col("m").alias("id")).dropDuplicates(),
+        b_hops,
+    ).select(
+        F.col("source").alias("dst"), F.col("id").alias("m"), F.col("path").alias("bpath")
+    )
+    stitched = (
+        meet.join(fpaths, ["src", "m"])
+        .join(bpaths, ["dst", "m"])
+        # fpath = src..m ; bpath = dst..m reversed minus the meet → m..dst
+        .withColumn(
+            "path",
+            F.concat(
+                F.col("fpath"),
+                F.expr("slice(reverse(bpath), 2, greatest(size(bpath) - 1, 0))"),
+            ),
+        )
+        .select("src", "dst", "dist", "path")
+    )
+    return pairs.join(stitched, ["src", "dst"], "left")
 
 
 def degrees_of_separation(

@@ -23,8 +23,9 @@ def test_sssp_avoids_blacklisted_shortcut(social_graph):
     v, e = social_graph
     we = gb.edge_weights(v, e)
     sources = v.sparkSession.createDataFrame([("Q1",)], ["source"])
-    sp = gp.multi_source_shortest_paths(we, sources, weight="weight", max_hops=6)
-    q5 = sp.filter(F.col("id") == "Q5").first()
+    best = gp.multi_source_shortest_paths(we, sources, weight="weight", max_hops=6)
+    targets = v.sparkSession.createDataFrame([("Q1", "Q5")], ["source", "id"])
+    q5 = gp.reconstruct_paths(best, targets, max_hops=6).first()
     # invariant 8: blacklisted influenced_by never on a weighted path
     assert "Q5" == q5.path[-1] and q5.path[0] == "Q1"
     assert len(q5.path) > 2  # not the direct (blacklisted) edge
@@ -33,7 +34,9 @@ def test_sssp_avoids_blacklisted_shortcut(social_graph):
 def test_path_edges_exist(social_graph):
     v, e = social_graph
     sources = v.sparkSession.createDataFrame([("Q1",)], ["source"])
-    sp = gp.multi_source_shortest_paths(e, sources, max_hops=6)
+    best = gp.multi_source_shortest_paths(e, sources, max_hops=6)
+    targets = best.select("source", "id")
+    sp = gp.reconstruct_paths(best, targets, max_hops=6)
     edge_set = {(r.src, r.dst) for r in e.collect()}
     for row in sp.collect():
         for a, b in zip(row.path, row.path[1:]):
