@@ -1438,3 +1438,283 @@ def six_degrees_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gpaths.six_degrees_experiment(
         edges, vertices, n_pairs=50, seed=7, max_hops=4
     )
+
+
+# =====================================================================
+# ETL cleaning pipeline (SURVEY §2.2/§2.6 composite, EP1 semantics):
+# URI-ish raw bindings synthesized from orders -> scrub -> URI->Q-ID ->
+# validity/label filters -> key dedup -> reverse-edge canonicalization.
+# Exercises P3, P4, P5, P6, P7, D3, D5 in one oracle-checked flow.
+# =====================================================================
+from social_link_prediction_spark.operators import cleaning as cl  # noqa: E402
+from social_link_prediction_spark.pipelines import transformer as tr  # noqa: E402
+
+
+@query(
+    "etl_clean_edges",
+    r"""
+    WITH base AS (
+        SELECT 'http://ex.org/entity/Q' || o_custkey AS person,
+               'Customer ' || o_custkey AS person_label,
+               CASE WHEN o_orderkey % 101 = 0 THEN 'http://ex.org/entity/BADID'
+                    ELSE 'http://ex.org/entity/Q' || (o_orderkey + 1000000) END AS object,
+               CASE WHEN o_custkey % 97 = 0 THEN 'Q' || o_custkey
+                    ELSE 'Order' || chr(9) || o_orderkey END AS object_label,
+               'placed' AS relationship_label,
+               o_orderkey AS k
+        FROM orders
+    ),
+    with_rev AS (
+        SELECT person, person_label, object, object_label, relationship_label FROM base
+        UNION ALL
+        SELECT object, object_label, person, person_label, relationship_label
+        FROM base WHERE k % 3 = 0
+    ),
+    scrubbed AS (
+        SELECT trim(regexp_replace(person, '[\r\n\t]+', ' ', 'g')) AS person,
+               trim(regexp_replace(person_label, '[\r\n\t]+', ' ', 'g')) AS person_label,
+               trim(regexp_replace(object, '[\r\n\t]+', ' ', 'g')) AS object,
+               trim(regexp_replace(object_label, '[\r\n\t]+', ' ', 'g')) AS object_label,
+               relationship_label
+        FROM with_rev
+    ),
+    qids AS (
+        SELECT string_split(person, '/')[-1] AS person, person_label,
+               string_split(object, '/')[-1] AS object, object_label,
+               relationship_label
+        FROM scrubbed
+    ),
+    filtered AS (
+        SELECT * FROM qids
+        WHERE person IS NOT NULL AND person <> ''
+          AND regexp_matches(person, '^Q\d+$') AND regexp_matches(object, '^Q\d+$')
+          AND NOT (coalesce(regexp_matches(person_label, '^Q\d+$'), FALSE)
+                   OR coalesce(regexp_matches(object_label, '^Q\d+$'), FALSE))
+    ),
+    keyded AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY person, relationship_label, object
+                ORDER BY person, object) AS rn
+            FROM filtered) WHERE rn = 1
+    ),
+    canon AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY least(person, object), greatest(person, object),
+                             relationship_label
+                ORDER BY person, object) AS rn2
+            FROM keyded) WHERE rn2 = 1
+    )
+    SELECT person, person_label, relationship_label, object, object_label
+    FROM canon
+    """,
+)
+def etl_clean_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 edge pipeline end-to-end on synthesized URI bindings: ~1 in
+    101 objects is an invalid id (P5 drop), ~1 in 97 labels is
+    unresolved (P6 drop), labels carry control chars (P4 scrub), every
+    3rd edge also appears reversed (D5 collapse)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.concat(F.lit("http://ex.org/entity/Q"), F.col("o_custkey")).alias("person"),
+        F.concat(F.lit("Customer "), F.col("o_custkey")).alias("person_label"),
+        F.when(
+            F.col("o_orderkey") % 101 == 0, F.lit("http://ex.org/entity/BADID")
+        ).otherwise(
+            F.concat(F.lit("http://ex.org/entity/Q"), F.col("o_orderkey") + F.lit(1000000))
+        ).alias("object"),
+        F.when(
+            F.col("o_custkey") % 97 == 0, F.concat(F.lit("Q"), F.col("o_custkey"))
+        ).otherwise(
+            F.concat(F.lit("Order"), F.lit("\t"), F.col("o_orderkey"))
+        ).alias("object_label"),
+        F.lit("placed").alias("relationship_label"),
+        F.col("o_orderkey").alias("__k"),
+    )
+    rev = base.filter(F.col("__k") % 3 == 0).select(
+        F.col("object").alias("person"),
+        F.col("object_label").alias("person_label"),
+        F.col("person").alias("object"),
+        F.col("person_label").alias("object_label"),
+        "relationship_label",
+        "__k",
+    )
+    raw = base.unionByName(rev).drop("__k")
+    df = cl.scrub_all_strings(raw)
+    df = df.withColumn("person", cl.uri_to_qid("person")).withColumn(
+        "object", cl.uri_to_qid("object")
+    )
+    df = tr.filter_edges(df)
+    df = tr.build_edges(df)
+    return df.select(
+        "person", "person_label", "relationship_label", "object", "object_label"
+    )
+
+
+# =====================================================================
+# A13 mean imputation + A14 percentile stats.
+# =====================================================================
+@query(
+    "impute_acctbal_by_segment",
+    """
+    WITH c AS (SELECT c_mktsegment,
+                      CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+               FROM customer),
+    m AS (SELECT avg(bal) AS mean_bal FROM c)
+    SELECT c_mktsegment, round(avg(coalesce(bal, m.mean_bal)), 4) AS avg_imputed,
+           count(*) AS n
+    FROM c, m GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def impute_acctbal_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: negative balances nulled then mean-imputed (the reference's
+    birth_year fill, transformer.py:345-346); per-segment averages."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    imputed = agg.impute_mean(c, "bal")
+    return (
+        imputed.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("bal"), 4).alias("avg_imputed"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# =====================================================================
+# G7 multi-view PageRank: per-relation subgraphs, one rank per label.
+# =====================================================================
+def _duck_pagerank_rel_sql(edge_cte: str, iterations: int = 3, damping: float = 0.85) -> str:
+    ctes = [
+        edge_cte.strip(),
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.dst AS id, "
+            f"{1 - damping} / (SELECT n FROM nn) + {damping} * sum(p.pr / od.od) AS pr "
+            f"FROM e JOIN pr{i-1} p ON p.id = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, 6) AS pagerank FROM pr{iterations}"
+    )
+
+
+_DUCK_CN_EDGES = """
+    e AS (
+        SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst FROM customer
+        UNION
+        SELECT 'n:' || c_nationkey AS src, 'c:' || c_custkey AS dst FROM customer
+    )
+"""
+
+
+@query("pagerank_multiview", None)
+def pagerank_multiview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: one PageRank per relation label over its subgraph, long-form
+    (rel, id, pagerank) — the reference's 44-column rank matrix
+    (data_processor.py:35-107) pivots from this."""
+    ps = _partsupp_edges(spark, sf_dir).withColumn("rel", F.lit("supplies"))
+    cust = _t(spark, sf_dir, "customer")
+    cn_f = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+    )
+    cn = cn_f.unionAll(
+        cn_f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("rel", F.lit("located_in"))
+    edges = ps.unionByName(cn)
+    out = gpr.pagerank_per_relation(edges, damping=0.85, iterations=3)
+    return out.select("rel", "id", F.round("pagerank", 6).alias("pagerank"))
+
+
+ORACLES["pagerank_multiview"] = (
+    "SELECT 'located_in' AS rel, * FROM ("
+    + _duck_pagerank_rel_sql(_DUCK_CN_EDGES)
+    + ") UNION ALL SELECT 'supplies' AS rel, * FROM ("
+    + _duck_pagerank_rel_sql(_DUCK_PS_EDGES)
+    + ")"
+)
+
+
+# =====================================================================
+# M13 scan_relationship: semantic filters + per-pair argmax relation.
+# =====================================================================
+@query(
+    "scan_relationship_cs",
+    f"""
+    WITH pairs AS (
+        SELECT 'c:' || c_custkey AS src, 's:' || s_suppkey AS dst
+        FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        WHERE c_custkey % 50 = 0 AND s_suppkey % 10 = 0
+    ),
+    scored AS (
+        SELECT p.src, p.dst, r.rel,
+               ({_DUCK_H60.format(args="p.src, p.dst, r.rel")} % 1000) / 1000.0 AS score
+        FROM pairs p, (SELECT unnest(['spouse', 'educated_at', 'colleague']) AS rel) r
+    ),
+    typed AS (
+        SELECT s.*, 'human' AS src_type, 'company' AS dst_type FROM scored s
+    ),
+    adm AS (
+        SELECT * FROM typed
+        WHERE (rel NOT IN ('father','mother','sibling','child','spouse')
+               OR (src_type = 'human' AND dst_type = 'human'))
+          AND (rel NOT IN ('educated_at','work_at','award_received')
+               OR src_type = 'human')
+    ),
+    best AS (
+        SELECT src, dst, max_by(rel, score) AS best_rel, max(score) AS best_score
+        FROM adm GROUP BY src, dst
+    )
+    SELECT a.src, a.dst, a.rel, a.score, b.best_rel, b.best_score
+    FROM adm a JOIN best b ON a.src = b.src AND a.dst = b.dst
+    """,
+)
+def scan_relationship_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: candidate relations scored per pair (deterministic hash
+    scores), semantic filters (biological needs human-human: 'spouse'
+    dropped for company dst; 'educated_at' needs human src: kept),
+    argmax relation per pair via max_by."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    pairs = (
+        cust.join(supp, cust["c_nationkey"] == supp["s_nationkey"])
+        .filter((F.col("c_custkey") % 50 == 0) & (F.col("s_suppkey") % 10 == 0))
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("s_suppkey")).alias("dst"),
+        )
+    )
+    rels = F.array(F.lit("spouse"), F.lit("educated_at"), F.lit("colleague"))
+    scored = pairs.select(
+        "src", "dst", F.explode(rels).alias("rel")
+    ).withColumn(
+        "score",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("\x1f", "src", "dst", "rel")), 1, 15),
+                16, 10,
+            ).cast("bigint")
+            % 1000
+        )
+        / 1000.0,
+    )
+    vertices = (
+        pairs.select(F.col("src").alias("id")).dropDuplicates()
+        .withColumn("type", F.lit("human"))
+        .unionByName(
+            pairs.select(F.col("dst").alias("id")).dropDuplicates()
+            .withColumn("type", F.lit("company"))
+        )
+    )
+    return mlp.scan_relationship(scored, vertices)
