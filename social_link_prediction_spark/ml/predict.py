@@ -36,12 +36,18 @@ def pair_features(
     All set math is semi-join/agg — the neighbor lists are never
     materialized per pair.
     """
+    # und feeds deg and the wedge adjacency; deg is referenced three
+    # times (wedge weights + src/dst degree joins). Persist both or the
+    # upstream edge plan re-executes per reference.
     und = (
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates()
+        .persist()
     )
-    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = (
+        und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    )
 
     # Common neighbors by wedge enumeration: restrict the adjacency to
     # nodes that actually appear in `pairs` (semi-join), then self-join

@@ -59,7 +59,7 @@ def get_spark(
         # Timestamps in parquet written/read as microseconds, UTC.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -69,6 +69,67 @@ def high_value_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
     )
 
 
+SESSION_STATE_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE, last_ts TIMESTAMP"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, n_events LONG, total_value DOUBLE, session_closed BOOLEAN"
+)
+
+
+def stateful_user_sessions(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running session accumulator (event count + value sum). A session
+    closes when the processing-time timeout fires after ``gap_seconds``
+    of silence — the custom-state analog of the batch ``sessionize``
+    operator (operators/windows.py), for semantics a windowed agg can't
+    express (open-ended sessions emitted on close).
+
+    State per key is a single small tuple; the watermark bounds how
+    long late events can mutate it. Output: one row per update, with
+    ``session_closed`` marking timeout emissions.
+    """
+    import pandas as pd  # arrow-batched; only runs inside the operator
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"user_id": user_id, "n_events": n, "total_value": total,
+                  "session_closed": True}]
+            )
+            return
+        n, total = 0, 0.0
+        if state.exists:
+            n, total, _ = state.get
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            mx = pdf["ts"].max()
+            last_ts = mx if last_ts is None else max(last_ts, mx)
+        state.update((n, total, last_ts.to_pydatetime() if last_ts is not None else None))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total,
+              "session_closed": False}]
+        )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA.replace("user_id LONG, ", ""),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
     """Test/debug sink: materialize a streaming aggregation into an
     in-memory table. Returns the StreamingQuery (caller awaits +

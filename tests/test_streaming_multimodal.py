@@ -104,3 +104,21 @@ def test_resize_plan(spark):
 def test_frame_sample_plan(spark):
     out = mm.frame_sample_plan(_media_df(spark), every_ms=1000).collect()
     assert [r.frame_ts_ms for r in out] == [0, 1000, 2000, 3000]
+
+
+def test_stateful_user_sessions_stream(spark, tmp_path):
+    """applyInPandasWithState: per-user running session accumulator."""
+    _write_event_files(tmp_path, n_files=2, per_file=5)
+    stream = se.read_event_stream(spark, str(tmp_path))
+    sess = se.stateful_user_sessions(stream, gap_seconds=3600)
+    q = se.run_to_memory_sink(sess, "sessions", mode="append")
+    q.awaitTermination(120)
+    out = spark.sql("select * from sessions").collect()
+    assert out, "stateful operator emitted nothing"
+    # last update per user carries the cumulative totals: 10 events,
+    # users 0/1/2 -> event counts 4/3/3, value = 10 * sum(event_ids)
+    latest = {}
+    for r in out:
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert sum(n for n, _ in latest.values()) == 10
+    assert sum(v for _, v in latest.values()) == 10.0 * sum(range(10))
