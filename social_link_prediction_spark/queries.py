@@ -1045,8 +1045,12 @@ def pair_features_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     a, b = sups.alias("a"), sups.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
-        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    # the non-equi (a < b) pair generation is a nested-loop join; persist
+    # so downstream references reuse it instead of re-running the NLJ
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .persist()
     )
     out = mlp.pair_features(pairs, edges)
     return out.select(

@@ -1,0 +1,89 @@
+"""Physical-plan audit: summarizes every headline query's plan —
+join strategies, shuffle (Exchange) count, parquet pushdown/pruning —
+and flags scale red-flags (cartesian products, non-broadcast NLJ,
+un-pushed scans). Writes PLANS.md.
+
+Usage: python3 tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from social_link_prediction_spark import queries as catalog  # noqa: E402
+from social_link_prediction_spark.session import get_spark  # noqa: E402
+
+JOIN_OPS = (
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+)
+
+
+def audit(plan: str) -> dict:
+    out = {op: len(re.findall(rf"\b{op}\b", plan)) for op in JOIN_OPS}
+    out["Exchange"] = len(re.findall(r"\bExchange\b", plan))
+    out["scans"] = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
+    out["schemas"] = [
+        len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    flags = []
+    if out["CartesianProduct"]:
+        flags.append("CARTESIAN")
+    # BroadcastNestedLoopJoin is fine only for tiny literal sides
+    if out["BroadcastNestedLoopJoin"] > 1:
+        flags.append("NLJ>1")
+    out["flags"] = flags
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    lines = [
+        "# PLANS — physical-plan audit of the headline queries",
+        "",
+        f"Scale dir: `{sf_dir}`. Columns: join operators chosen by",
+        "Catalyst/AQE, shuffle count, parquet scans (pushed filters /",
+        "projected column count). Flags: CARTESIAN = unbounded cross",
+        "product; NLJ>1 = repeated nested-loop joins.",
+        "",
+        "| query | joins | exchanges | scans (pushed / cols) | flags |",
+        "|---|---|---|---|---|",
+    ]
+    for name in HEADLINE:
+        fn = catalog.QUERIES.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        a = audit(plan)
+        joins = ", ".join(
+            f"{op}×{n}" if n > 1 else op
+            for op in JOIN_OPS
+            if (n := a[op]) > 0
+        ) or "—"
+        scans = "; ".join(
+            f"{p if p != '[]' else 'none'}/{c}cols"
+            for p, c in zip(a["scans"], a["schemas"])
+        )[:120] or "—"
+        flags = ", ".join(a["flags"]) or "ok"
+        lines.append(f"| {name} | {joins} | {a['Exchange']} | {scans} | {flags} |")
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
