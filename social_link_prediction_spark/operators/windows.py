@@ -75,6 +75,29 @@ def is_sorted(df: DataFrame, cols: Sequence[str]) -> bool:
     return inversions == 0
 
 
+def sortedness_audit(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """W6 distributed form: within each partition key, is ``value_col``
+    non-decreasing when ordered by ``order_col``? One lag window, one
+    aggregation; returns a 1-row (n_rows, n_violations, is_sorted)
+    audit frame (the reference's is_edge_index_sorted property check,
+    train_model.py:497-561, as a scalable query)."""
+    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    viol = F.when(
+        F.col(value_col) >= F.lag(value_col).over(w), F.lit(0)
+    ).otherwise(F.lit(1))
+    seq = df.select(F.coalesce(viol, F.lit(0)).alias("viol"))
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("viol").alias("n_violations"),
+        (F.sum("viol") == 0).alias("is_sorted"),
+    )
+
+
 # --- lag/lead sessionization (events table; streaming-adjacent batch op)
 def sessionize(
     df: DataFrame,

@@ -1722,3 +1722,62 @@ def scan_relationship_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mlp.scan_relationship(scored, vertices)
+
+
+# =====================================================================
+# W6 sortedness audit + A14 percentile stats (SURVEY §2.5/§2.4).
+# =====================================================================
+@query(
+    "order_date_sortedness",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderdate >= lag(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderkey)
+                    THEN 0 ELSE 1 END AS viol
+        FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           sum(coalesce(viol, 0)) AS n_violations,
+           CAST(sum(coalesce(viol, 0)) = 0 AS INT) AS is_sorted
+    FROM seq
+    """,
+)
+def order_date_sortedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: lag-based sortedness verification (the reference's
+    is_edge_index_sorted check, train_model.py:497-561) — are each
+    customer's orders date-ordered by key?"""
+    o = _t(spark, sf_dir, "orders")
+    out = win.sortedness_audit(o, ["o_custkey"], order_col="o_orderkey", value_col="o_orderdate")
+    return out.select(
+        "n_rows", "n_violations", F.col("is_sorted").cast("int").alias("is_sorted")
+    )
+
+
+@query(
+    "price_percentiles_by_brand",
+    """
+    SELECT p_brand,
+           round(min(p_retailprice), 2) AS p_min,
+           round(quantile_cont(p_retailprice, 0.5), 2) AS p_median,
+           round(max(p_retailprice), 2) AS p_max,
+           count(*) AS n
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: min/median/max normalization statistics per group (the
+    reference's year stats, data_processor.py:122-131). Exact
+    percentile here for oracle parity; percentile_approx is the
+    100 TB path (documented in aggregates.year_norm_stats)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.min("p_retailprice"), 2).alias("p_min"),
+            F.round(F.expr("percentile(p_retailprice, 0.5)"), 2).alias("p_median"),
+            F.round(F.max("p_retailprice"), 2).alias("p_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("p_brand")
+    )
