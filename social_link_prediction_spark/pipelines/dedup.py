@@ -139,7 +139,7 @@ def lsh_candidate_pairs(
 
 # --- n-gram Jaccard --------------------------------------------------
 def jaccard_for_pairs(
-    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", pre_hashed: bool = False
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs, relationally:
     |A ∩ B| from a join on shingle, |A ∪ B| = |A| + |B| − |A ∩ B|.
@@ -148,8 +148,12 @@ def jaccard_for_pairs(
     # Shuffle 64-bit shingle hashes, not shingle strings — set sizes and
     # intersections are preserved (collisions are negligible at per-doc
     # set sizes) and the join compares longs instead of variable-width
-    # strings.
-    shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+    # strings. ``pre_hashed=True`` skips the hashing when the caller
+    # already deduped on hashes.
+    if pre_hashed:
+        shh = sh
+    else:
+        shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
     sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pairs.join(shh.select(F.col(id_col).alias("id_a"), "shingle"), "id_a")
@@ -184,10 +188,18 @@ def minhash_dedup_pairs(
     sig = minhash_signatures(df, id_col, col, k, n)
     # Materialize the two frames the Jaccard stage references more than
     # once — at scale these are the intermediate tables a production
-    # pipeline would land between stages.
+    # pipeline would land between stages. The shingle set dedups on the
+    # 64-bit hash directly so the distinct shuffles longs, not strings.
     cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
-    sh = shingle_table(df, id_col, col, n).persist()
-    return jaccard_for_pairs(cand, sh, id_col).filter(F.col("jaccard") >= threshold)
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .dropDuplicates()
+        .persist()
+    )
+    return jaccard_for_pairs(cand, sh, id_col, pre_hashed=True).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # --- SimHash ---------------------------------------------------------

@@ -1781,3 +1781,69 @@ def price_percentiles_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# =====================================================================
+# ANN family completion: blocked near-dup pairs + SRP-bucketed top-k
+# (the probe path, not just the bucket histogram).
+# =====================================================================
+@query(
+    "embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (at corpus scale
+    the block is an LSH/IVF cell): same candidate-then-verify shape as
+    the text dedup family. Threshold 0.35 is calibrated to the synthetic
+    embeddings (random vectors: intra-label max cosine ≈ 0.47)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pdd.embedding_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", block_col="label", threshold=0.35
+    )
+    return out.select("id_a", "id_b", "cosine")
+
+
+def _duck_srp_topk_sql() -> str:
+    planes = sim.random_hyperplanes(64, 8, seed=42)
+    import duckdb  # noqa: F401 — only to assert availability at def time
+
+    terms = []
+    for i, p in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+    probes AS (SELECT qbucket AS p FROM qb
+               UNION ALL SELECT xor(qbucket, CAST(power(2, i.i) AS BIGINT)) FROM qb,
+                      (SELECT unnest(generate_series(0, 7)) AS i) i)
+    SELECT vec_id, round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS cosine
+    FROM b WHERE bucket IN (SELECT p FROM probes) AND vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+
+@query("srp_topk", None)
+def srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe path: score only the query's SRP bucket plus one-bit
+    multi-probes (at scale the corpus is written partitioned by bucket,
+    so this is a partition-pruned scan of ~9/256 of the data)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = sim.srp_bucketed_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec],
+        k=10, n_planes=8, seed=42,
+    )
+    return out.select("vec_id", "cosine")
+
+
+ORACLES["srp_topk"] = _duck_srp_topk_sql()
