@@ -782,13 +782,17 @@ _DUCK_PS_EDGES = """
 
 
 def _partsupp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared symmetric part-supplier edge view. persist() registers the
+    plan with Spark's CacheManager, so EVERY query that rebuilds this
+    exact plan (8 graph/ML queries) reuses one materialization per
+    session — the warehouse "materialized view" pattern."""
     li = _t(spark, sf_dir, "lineitem")
     fwd = li.select(
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
         F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
     ).dropDuplicates()
     rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionAll(rev)
+    return fwd.unionAll(rev).persist()
 
 
 def _duck_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
@@ -1847,3 +1851,42 @@ def srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["srp_topk"] = _duck_srp_topk_sql()
+
+
+@query(
+    "media_resize_plan",
+    f"""
+    WITH {_DUCK_MEDIA.strip()},
+    dims AS (
+        SELECT media_id, kind,
+               (media_id % 1900 + 100)::INT AS width,
+               (media_id % 1000 + 100)::INT AS height
+        FROM m WHERE kind = 'image'
+    )
+    SELECT media_id, width, height,
+           round(CASE WHEN greatest(width, height) > 512
+                      THEN 512 / greatest(width, height)::DOUBLE
+                      ELSE 1.0 END, 6) AS scale,
+           CAST(floor(width * (CASE WHEN greatest(width, height) > 512
+                      THEN 512 / greatest(width, height)::DOUBLE
+                      ELSE 1.0 END)) AS INT) AS out_width,
+           CAST(floor(height * (CASE WHEN greatest(width, height) > 512
+                      THEN 512 / greatest(width, height)::DOUBLE
+                      ELSE 1.0 END)) AS INT) AS out_height
+    FROM dims
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning: pure metadata arithmetic JVM-side — scale
+    factor and output dims computed without touching bytes (the byte
+    transform is an extract_features-style mapInPandas stage)."""
+    media = _media(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "kind",
+        (F.col("media_id") % 1900 + 100).cast("int").alias("width"),
+        (F.col("media_id") % 1000 + 100).cast("int").alias("height"),
+    )
+    out = mm.resize_plan(media, max_side=512)
+    return out.select(
+        "media_id", "width", "height",
+        F.round("scale", 6).alias("scale"), "out_width", "out_height",
+    )
