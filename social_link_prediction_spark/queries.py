@@ -721,13 +721,25 @@ def embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     label block bounds the self-join; at scale the block is an LSH/IVF
     cell instead (see pipelines.similarity.srp_bucket / ivf_assign)."""
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"), "label")
-    a, b = e.alias("a"), e.alias("b")
+    # Norms are computed ONCE per row before the self-join (bit-identical
+    # to per-pair l2_norm — same fold over the same array), so each pair
+    # costs one dot instead of dot + two norms. The a-side is spread over
+    # the shuffle partitions so block scoring parallelizes instead of
+    # landing on the single scan task.
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+    ).withColumn("n", sim.l2_norm(F.col("v")))
+    a = e.repartition("label", "vec_id").alias("a")
+    b = F.broadcast(e).alias("b")
     pairs = a.join(b, on="label").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     scored = pairs.select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(sim.cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        F.round(
+            sim.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+        ).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(20)
 
