@@ -62,16 +62,25 @@ def pair_features(
     nb = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).join(
         nodes_in_pairs, "node", "left_semi"
     )
-    wedges = nb.alias("a").join(
-        nb.alias("b"),
+    # Attach the wedge-center degree to the adjacency BEFORE the
+    # self-join: the adjacency is |E'| rows while the wedge set is
+    # Σ C(deg, 2) — on dense blocks orders of magnitude larger — so
+    # joining deg first keeps the big intermediate join-free and the
+    # Adamic-Adar weight rides along into the aggregation. Both sides
+    # of the self-join use the SAME nbd plan on purpose: identical
+    # subplans let Spark reuse one shuffle exchange for both sides.
+    nbd = nb.join(
+        deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr"
+    )
+    wedges = nbd.alias("a").join(
+        nbd.alias("b"),
         (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")),
     )
     cn = (
         wedges.select(
             F.col("a.node").alias("lo"), F.col("b.node").alias("hi"),
-            F.col("a.nbr").alias("nbr"),
+            F.col("a.nbr_deg").alias("nbr_deg"),
         )
-        .join(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), "nbr")
         .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),

@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from social_link_prediction_spark.pipelines.text import tokens
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a thin scan across all cores before CPU-heavy
+    explode/hash stages. A small parquet file arrives as one input
+    split, which would serialize all shingling/hashing on a single
+    task; the round-robin shuffle of the (small) raw docs costs far
+    less than the hash work it parallelizes. At 100 TB the scan
+    already has thousands of splits and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact dedup -----------------------------------------------------
 def exact_duplicate_groups(df: DataFrame, col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Hash-groupBy exact dedup: groups of byte-identical documents.
@@ -47,12 +61,15 @@ def drop_exact_duplicates(df: DataFrame, col: str = "text", id_col: str = "doc_i
 # --- shingling -------------------------------------------------------
 def shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingles as an array column (higher-order functions,
-    no UDF): slice the token array at every start offset."""
+    no UDF): slice the token array at every start offset. Documents
+    shorter than ``n`` tokens yield an empty array (guarded explicitly:
+    ``sequence(1, 0)`` would otherwise DESCEND and emit bogus offsets).
+    """
     toks = tokens(col, sep)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", col: str = "text", n: int = 3) -> DataFrame:
@@ -75,7 +92,7 @@ def minhash_signatures(
     # aggregating the raw exploded shingles skips a full shuffle of the
     # shingle table — partial (map-side) aggregation reduces each
     # partition to K mins per doc before anything moves.
-    sh = df.select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
+    sh = spread(df).select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
@@ -192,7 +209,7 @@ def minhash_dedup_pairs(
     # 64-bit hash directly so the distinct shuffles longs, not strings.
     cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
+        spread(df).select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .dropDuplicates()
         .persist()
@@ -212,7 +229,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFra
     Pure expression pipeline: explode -> conv -> bit tests -> one
     aggregation by doc (60 small sums) -> bit reassembly.
     """
-    tok = df.select(
+    tok = spread(df).select(
         F.col(id_col), F.explode(tokens(col)).alias("tok")
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint"))
     aggs = [

@@ -596,8 +596,20 @@ def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdd.exact_duplicate_groups(_t(spark, sf_dir, "documents"))
 
 
+_MINHASH_N = 3  # word n-gram shingle width for the MinHash family
+# Trigram shingles (DuckDB list comprehension mirrors pipelines.dedup.
+# shingles): far more discriminative than unigrams — on the synthetic
+# corpus unigram LSH put ~half of all 12.5M doc pairs in shared
+# buckets (vocabulary is small, word SETS collide), trigrams cut the
+# candidate set by orders of magnitude, which is the whole point of
+# candidate-then-verify at 100 TB.
 _DUCK_SHINGLE1 = f"""
-    toks AS (SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS shingle FROM documents)
+    toks AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(tk[i:i+{_MINHASH_N - 1}], ' ')
+                       for i in range(1, greatest(len(tk) - {_MINHASH_N - 1}, 0) + 1)]) AS shingle
+        FROM (SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents)
+    )
 """
 _MINHASH_K = 8
 _DUCK_SIG = (
@@ -626,7 +638,7 @@ _DUCK_BANDS = (
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return pdd.minhash_signatures(docs, k=_MINHASH_K, n=1)
+    return pdd.minhash_signatures(docs, k=_MINHASH_K, n=_MINHASH_N)
 
 
 @query(
@@ -654,7 +666,7 @@ def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = pdd.minhash_dedup_pairs(
-        docs, k=_MINHASH_K, rows_per_band=2, n=1, threshold=0.7
+        docs, k=_MINHASH_K, rows_per_band=2, n=_MINHASH_N, threshold=0.7
     )
     return out.select("id_a", "id_b", "jaccard")
 
