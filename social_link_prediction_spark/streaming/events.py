@@ -69,6 +69,45 @@ def high_value_alerts(events: DataFrame, threshold: float = 100.0) -> DataFrame:
     )
 
 
+def dedup_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once source → effectively-once events: drop redelivered
+    duplicates by key. Streaming uses ``dropDuplicatesWithinWatermark``
+    so the dedup state is bounded — a key is remembered only until the
+    watermark passes its event time, not forever (plain streaming
+    ``dropDuplicates`` state grows without bound on an infinite stream).
+    Batch input takes the ordinary ``dropDuplicates`` path, so the same
+    call is the replay/backfill job.
+
+    The reference's analog is the page-overlap dedup between paginated
+    SPARQL fetches (transformer.py dedup of re-fetched rows, SURVEY
+    §2.6 D2/D3) — here it is incremental instead of a full-table pass.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: decorate the event stream with a slowly
+    changing dimension table (user profile, node attributes). The static
+    side is re-read per micro-batch and broadcast — no streaming state
+    at all, which is why this beats stream-stream joins whenever the
+    dimension fits the broadcast budget. Same J1-J4 enrichment semantics
+    as ``operators/joins.enrich`` (SURVEY §2.3), lifted to streams.
+    """
+    return events.join(F.broadcast(dim), on, how)
+
+
 SESSION_STATE_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE, last_ts TIMESTAMP"
 SESSION_OUTPUT_SCHEMA = (
     "user_id LONG, n_events LONG, total_value DOUBLE, session_closed BOOLEAN"

@@ -122,3 +122,61 @@ def test_stateful_user_sessions_stream(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert sum(n for n, _ in latest.values()) == 10
     assert sum(v for _, v in latest.values()) == 10.0 * sum(range(10))
+
+
+def _write_dup_event_files(tmp_path):
+    """Two micro-batch files where batch1 redelivers two events of batch0."""
+    rows = [
+        (0, "2024-01-01T00:00:00.000Z"), (1, "2024-01-01T00:05:00.000Z"),
+        (2, "2024-01-01T00:10:00.000Z"),
+    ]
+    redelivered = [
+        (1, "2024-01-01T00:05:00.000Z"), (2, "2024-01-01T00:10:00.000Z"),
+        (3, "2024-01-01T00:15:00.000Z"),
+    ]
+    for fname, batch in (("b0.json", rows), ("b1.json", redelivered)):
+        lines = [
+            json.dumps({
+                "event_id": eid, "ts": ts, "user_id": eid % 2,
+                "event_type": "click", "value": float(eid), "props": "{}",
+            })
+            for eid, ts in batch
+        ]
+        (tmp_path / fname).write_text("\n".join(lines))
+
+
+def test_dedup_event_stream(spark, tmp_path):
+    """Redelivered event_ids are dropped; state bounded by watermark."""
+    _write_dup_event_files(tmp_path)
+    stream = se.read_event_stream(spark, str(tmp_path))
+    deduped = se.dedup_event_stream(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append").option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select event_id from dedup_stream").collect()
+    assert sorted(r.event_id for r in out) == [0, 1, 2, 3]
+
+
+def test_dedup_event_stream_batch_parity(spark, tmp_path):
+    _write_dup_event_files(tmp_path)
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    out = se.dedup_event_stream(batch)
+    assert sorted(r.event_id for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_enrich_with_dimension_stream(spark, tmp_path):
+    _write_event_files(tmp_path, n_files=1, per_file=5)
+    dim = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")], ["user_id", "segment"]
+    )
+    stream = se.read_event_stream(spark, str(tmp_path))
+    q = se.run_to_memory_sink(
+        se.enrich_with_dimension(stream, dim), "enriched", mode="append"
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from enriched").collect()
+    assert len(out) == 5
+    assert all(r.segment in {"alpha", "beta", "gamma"} for r in out)
