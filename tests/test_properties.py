@@ -90,3 +90,45 @@ def test_normalize_name_idempotent(spark, names):
         normalize_name(normalize_name("name")).alias("b"),
     )
     assert out.filter(~F.col("a").eqNullSafe(F.col("b"))).count() == 0
+
+
+def test_ccdf_shape_properties(spark):
+    """SURVEY §5: CCDF starts at 1 for the minimum degree, is strictly
+    positive, non-increasing, and the pdf column sums to 1."""
+    import random
+
+    from social_link_prediction_spark.operators.aggregates import degree_distribution
+
+    random.seed(7)
+    rows = [(f"u{random.randint(0, 40)}", i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["person", "x"])
+    out = degree_distribution(df, "person").collect()
+    assert abs(sum(r.pdf for r in out) - 1.0) < 1e-9
+    assert abs(out[0].ccdf - 1.0) < 1e-9
+    ccdfs = [r.ccdf for r in out]
+    assert all(a >= b - 1e-12 for a, b in zip(ccdfs, ccdfs[1:]))
+    assert all(c > 0 for c in ccdfs)
+
+
+def test_powerlaw_gamma_recovers_known_exponent(spark):
+    """SURVEY §5: the Clauset MLE aggregate recovers the exponent of a
+    synthetic discrete power-law tail (inverse-CDF sample, gamma=2.5)
+    to within sampling error."""
+    import random
+
+    from social_link_prediction_spark.operators.aggregates import powerlaw_gamma
+
+    random.seed(11)
+    gamma_true, k_min, n = 2.5, 10, 4000
+    # continuous Pareto inverse CDF, floored: standard discrete
+    # power-law generator (Clauset et al. 2009, App. D)
+    ks = [
+        int((k_min - 0.5) * (1.0 - random.random()) ** (-1.0 / (gamma_true - 1.0)) + 0.5)
+        for _ in range(n)
+    ]
+    # one synthetic "edge" row per unit of degree: node i has degree ks[i]
+    rows = [(f"n{i}", j) for i, k in enumerate(ks) for j in range(k)]
+    df = spark.createDataFrame(rows, ["person", "x"])
+    got = powerlaw_gamma(df, "person", k_min=k_min).collect()[0]
+    assert got.n_tail == n
+    assert abs(got.gamma - gamma_true) < 0.1
