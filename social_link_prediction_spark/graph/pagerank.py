@@ -44,6 +44,19 @@ def pagerank(
     # edges ⋈ outdeg is loop-invariant: materialize once, reuse every iteration
     e_od = e.join(outdeg, "src").localCheckpoint()
 
+    # Dangling nodes (no out-edges) exist iff some vertex never appears
+    # as a src. On symmetric graphs (the common case here: undirected
+    # part-supplier / co-occurrence views) there are none, and the whole
+    # dangling-mass machinery — one extra aggregation job + scalar
+    # broadcast per iteration — can be skipped. One cheap anti-join
+    # probe up front buys `iterations` fewer jobs.
+    has_dangling = (
+        nodes.join(outdeg.select(F.col("src").alias("id")), "id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
         # Checkpoint CONTRIBS, not ranks: each round reads contribs
@@ -64,24 +77,27 @@ def pagerank(
             .agg(F.sum("c").alias("flow"))
             .localCheckpoint()
         )
-        # Rank mass is conserved at 1.0 each round, so the dangling mass
-        # (nodes without out-edges) is 1 − Σ flow — one aggregation over
-        # the materialized contribs frame, no anti-join scan of ranks.
-        dangling = contribs.agg(
-            (F.lit(1.0) - F.coalesce(F.sum("flow"), F.lit(0.0))).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .na.fill({"flow": 0.0})
-            .crossJoin(F.broadcast(dangling))
-            .select(
+        base = nodes.join(contribs, "id", "left").na.fill({"flow": 0.0})
+        if has_dangling:
+            # Rank mass is conserved at 1.0 each round, so the dangling
+            # mass (nodes without out-edges) is 1 − Σ flow — one
+            # aggregation over the materialized contribs frame, no
+            # anti-join scan of ranks.
+            dangling = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("flow"), F.lit(0.0))).alias("dm")
+            )
+            ranks = base.crossJoin(F.broadcast(dangling)).select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * (F.col("flow") + F.col("dm") / n)
                 ).alias("pr"),
             )
-        )
+        else:
+            ranks = base.select(
+                "id",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("flow")).alias("pr"),
+            )
     return ranks.select("id", F.col("pr").alias("pagerank"))
 
 
