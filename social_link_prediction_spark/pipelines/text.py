@@ -85,3 +85,101 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> D
     (a fingerprint is a k=1 MinHash)."""
     norm = F.concat_ws(" ", tokens(col))
     return df.withColumn(out, F.md5(norm))
+
+
+# --- Winnowing fingerprints (rolling hash; Schleimer et al. 2003 "MOSS")
+WINNOW_BASE = 257
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    col: str = "text",
+    k: int = 7,
+    window: int = 4,
+    id_col: str = "doc_id",
+    base: int = WINNOW_BASE,
+) -> DataFrame:
+    """Winnowing document fingerprints: the distinct minima of every
+    ``window`` consecutive k-gram polynomial rolling hashes over the
+    normalized (lowercased, non-alphanumerics stripped) document.
+    Guarantees any shared substring of length ≥ k + window − 1 yields
+    a shared fingerprint — the substring-robust dedup signal
+    md5-style whole-doc hashing (``fingerprint``) can't give.
+    Returns exploded (id, fp) rows: at 100 TB that layout feeds a
+    shuffle-join near-dup detector directly and never materializes
+    per-doc arrays downstream.
+
+    Exact 64-bit Horner arithmetic, all JVM-side higher-order
+    functions (no UDF); max hash ~122·base^(k-1), so k ≤ 8 stays
+    clear of BIGINT overflow under ANSI mode.
+
+    Implementation notes (both load-bearing for performance and
+    correctness):
+    - Each stage's array is materialized through a ``select`` boundary
+      before the next stage's lambdas index into it. Inlining the
+      normalized string into the per-gram lambdas instead re-evaluates
+      the regexp per character and is catastrophically slow (HOF
+      lambdas are interpreted, not codegen'd, and get no common
+      subexpression elimination).
+    - ``split(s, '(?!^)')`` keeps a trailing empty element (Java split
+      with limit=-1), which would inject a spurious 0 char-code — the
+      ``filter`` strips it.
+    - ``sequence(1, n)`` DESCENDS for n < 1, so short documents
+      short-circuit to an empty array explicitly.
+    """
+    s = F.regexp_replace(F.lower(F.col(col)), "[^a-z0-9]", "")
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.filter(F.split(s, "(?!^)"), lambda c: c != F.lit("")), F.ascii
+        ).alias("codes"),
+    )
+    codes = F.col("codes")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(codes) - F.lit(k - 1)),
+        lambda i: F.aggregate(
+            F.slice(codes, i, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc * base + x,
+        ),
+    )
+    grams = chars.select(
+        "id",
+        F.when(F.size(codes) >= k, gram_hashes)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("gh"),
+    )
+    gh = F.col("gh")
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size(gh) - F.lit(window - 1)),
+        lambda i: F.array_min(F.slice(gh, i, window)),
+    )
+    fps = grams.select(
+        "id",
+        F.when(F.size(gh) >= window, minima)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fps"),
+    )
+    return fps.select("id", F.explode(F.array_distinct("fps")).alias("fp"))
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    col: str = "text",
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints (id_a <
+    id_b, ≥ min_shared common fingerprints). The fingerprint equi-join
+    is the blocking step: only docs sharing a fingerprint ever meet,
+    so cost tracks fingerprint collisions, not |docs|²."""
+    fps = winnow_fingerprints(df, col, k=k, window=window, id_col=id_col)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

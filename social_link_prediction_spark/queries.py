@@ -582,6 +582,69 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ptx.fingerprint(docs).select("doc_id", "fingerprint")
 
 
+# Winnowing (Schleimer et al. 2003): the oracle unrolls the k=7
+# polynomial rolling hash with exact BIGINT powers of 257 — `257 ** 6`
+# in SQL is DOUBLE and loses integer precision past 2^53, so the
+# powers are spelled as literals computed in Python.
+_WINNOW_K, _WINNOW_W = 7, 4
+_WINNOW_HASH = " + ".join(
+    f"ascii(substr(s, i::INT + {j}, 1)){'::BIGINT' if j == 0 else ''}"
+    f" * {257 ** (_WINNOW_K - 1 - j)}"
+    for j in range(_WINNOW_K - 1)
+) + f" + ascii(substr(s, i::INT + {_WINNOW_K - 1}, 1))"
+_DUCK_WINNOW_FPS = f"""
+    norm AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents
+    ),
+    g0 AS (
+        SELECT doc_id, s,
+               unnest(range(1, greatest(length(s) - {_WINNOW_K - 1}, 0)::BIGINT + 1)) AS i
+        FROM norm
+    ),
+    grams AS (SELECT doc_id, i, ({_WINNOW_HASH}) AS h FROM g0),
+    mins AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+               i, count(*) OVER (PARTITION BY doc_id) AS n
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id AS id, fp FROM mins WHERE i <= n - {_WINNOW_W - 1})
+"""
+
+
+@query(
+    "winnow_fingerprints_docs",
+    f"WITH {_DUCK_WINNOW_FPS} SELECT id, fp FROM fps",
+)
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ptx.winnow_fingerprints(docs, "text", k=_WINNOW_K, window=_WINNOW_W)
+
+
+# min_shared=12: the synthetic corpus has a tiny vocabulary, so cross-
+# word 7-grams collide often; a low threshold would flag most of the
+# 125k possible pairs as near-dups and the check would be vacuous.
+_WINNOW_MIN_SHARED = 12
+
+
+@query(
+    "winnow_neardup",
+    f"""
+    WITH {_DUCK_WINNOW_FPS}
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ptx.winnow_neardup_pairs(
+        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
+    )
+
+
 # =====================================================================
 # Deduplication (pipelines.dedup)
 # =====================================================================

@@ -121,3 +121,54 @@ def test_media_frame_plan_counts(spark):
     out = frame_sample_plan(df, every_ms=1000)
     ts = [r.frame_ts_ms for r in out.collect()]
     assert ts == [0, 1000, 2000, 3000]  # image row filtered out
+
+
+def _winnow_reference(text, k=7, window=4, base=257):
+    """Pure-Python winnowing oracle (Schleimer et al. 2003)."""
+    import re
+
+    s = re.sub("[^a-z0-9]", "", text.lower())
+    hashes = []
+    for i in range(len(s) - k + 1):
+        h = 0
+        for ch in s[i : i + k]:
+            h = h * base + ord(ch)
+        hashes.append(h)
+    return {min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)}
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "ab"),  # shorter than k -> no fingerprints
+        (4, "exactly7"),  # one gram only -> fewer than `window` grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = ptx.winnow_fingerprints(df, "text", k=7, window=4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.id, set()).add(r.fp)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _winnow_reference(text), doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Winnowing guarantee: a shared substring of length >= k + window - 1
+    # (= 10 normalized chars here) always yields a shared fingerprint.
+    shared = "identicalpassagehere"
+    rows = [
+        (1, "left context " + shared + " right tail"),
+        (2, "totally other prefix " + shared + " and suffix"),
+        (3, "no overlap with anything interesting"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = ptx.winnow_neardup_pairs(df, "text", k=7, window=4, min_shared=1)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in found
+
+
+def test_winnow_neardup_planted_copy(documents_df):
+    # doc 101 is an exact copy of doc 1: every fingerprint is shared.
+    pairs = ptx.winnow_neardup_pairs(documents_df, min_shared=3).collect()
+    assert (1, 101) in {(r.id_a, r.id_b) for r in pairs}
