@@ -23,11 +23,20 @@ def pagerank(
     iterations: int = 10,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list. Returns
     (id, pagerank). Vertices = union of endpoints. Dangling nodes'
     mass is spread uniformly each iteration (classic formulation), so
     ranks sum to 1 every round.
+
+    When the vertex set is small (≤ broadcast_max_rows — the count is
+    already computed for the 1/n seed), the per-iteration rank and
+    contribution frames are broadcast-hinted: the big edge table then
+    never re-sorts/re-shuffles inside the loop, and each round costs
+    one contribution shuffle instead of three. Past the threshold the
+    loop stays fully shuffle-based — ranks are |V| rows and must not
+    be broadcast on a billion-node graph.
     """
     # Materialize the edge list ONCE up front: nodes, out-degrees, and
     # the weighted edge table all derive from it, and without this the
@@ -56,6 +65,22 @@ def pagerank(
         .count()
         > 0
     )
+    # Symmetric twin probe: if every vertex has an in-edge (true for
+    # all symmetric/undirected views), the contribution frame already
+    # covers the whole vertex set and the per-iteration completeness
+    # join (nodes ⟕ contribs) can be skipped — on big directed graphs
+    # that join is a full |V| shuffle per round.
+    has_sourceless = (
+        nodes.join(e.select(F.col("dst").alias("id")).dropDuplicates(), "id", "left_anti")
+        .limit(1)
+        .count()
+        > 0
+    )
+
+    small = n <= broadcast_max_rows
+
+    def _v(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -71,13 +96,16 @@ def pagerank(
         # measure equal (~9.3s — per-round overhead dominates); at
         # cluster scale halving the edge-join work per round is the win.
         contribs = (
-            e_od.join(ranks.withColumnRenamed("id", "src"), "src")
+            e_od.join(_v(ranks.withColumnRenamed("id", "src")), "src")
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))
             .localCheckpoint()
         )
-        base = nodes.join(contribs, "id", "left").na.fill({"flow": 0.0})
+        if has_sourceless:
+            base = nodes.join(_v(contribs), "id", "left").na.fill({"flow": 0.0})
+        else:
+            base = contribs
         if has_dangling:
             # Rank mass is conserved at 1.0 each round, so the dangling
             # mass (nodes without out-edges) is 1 − Σ flow — one
