@@ -33,6 +33,7 @@ def multi_source_shortest_paths(
     weight: str | None = None,
     max_hops: int = 8,
     directed: bool = False,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source weighted SSSP. ``sources`` is a DataFrame with a
     ``source`` column; returns (source, id, dist, parent) — parent
@@ -48,6 +49,13 @@ def multi_source_shortest_paths(
     Per-round merges are min(struct(dist, parent)) hash aggregations —
     partially aggregatable map-side, no row_number sort — with a
     deterministic (dist, parent) tie-break.
+
+    Frontier and settled-table sizes are tracked driver-side (the
+    round's emptiness probe is a count over already-checkpointed data,
+    so the sizes are free) and small frames get broadcast hints: the
+    big edge table then never re-sorts inside the loop. Past
+    ``broadcast_max_rows`` the loop stays fully shuffle-based — on a
+    billion-node graph the frontier can approach |V|.
     """
     e = edges if directed else undirected(edges)
     w = F.col(weight) if weight else F.lit(1.0)
@@ -60,11 +68,16 @@ def multi_source_shortest_paths(
         F.lit(None).cast("string").alias("parent"),
     ).localCheckpoint()
     frontier = best
+    frontier_n = sources.count()
+    best_n = frontier_n
+
+    def _small(df: DataFrame, n_rows: int) -> DataFrame:
+        return F.broadcast(df) if n_rows <= broadcast_max_rows else df
 
     for _ in range(max_hops):
         # relax: frontier × out-edges → min candidate per (source, node)
         cand = (
-            frontier.join(e.withColumnRenamed("src", "id"), "id")
+            _small(frontier, frontier_n).join(e.withColumnRenamed("src", "id"), "id")
             .select(
                 "source",
                 F.col("dst").alias("nid"),
@@ -88,7 +101,7 @@ def multi_source_shortest_paths(
         )
         improved = (
             cand.join(
-                bestk,
+                _small(bestk, best_n),
                 (F.col("source") == F.col("b_source")) & (F.col("nid") == F.col("b_id")),
                 "left",
             )
@@ -101,8 +114,11 @@ def multi_source_shortest_paths(
             )
             .localCheckpoint()
         )
-        if improved.isEmpty():
+        frontier_n = improved.count()
+        if frontier_n == 0:
             break
+        # upper bound: every improvement may be a first visit
+        best_n += frontier_n
         # merge improvements into the settled table (improvements are
         # strictly better, so min(struct) keeps them)
         best = (
