@@ -202,15 +202,25 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup flow: MinHash -> LSH candidates -> exact Jaccard
     filter at ``threshold``."""
-    sig = minhash_signatures(df, id_col, col, k, n)
-    # Materialize the two frames the Jaccard stage references more than
-    # once — at scale these are the intermediate tables a production
-    # pipeline would land between stages. The shingle set dedups on the
-    # 64-bit hash directly so the distinct shuffles longs, not strings.
+    # ONE scan+explode feeds both the signature aggregation and the
+    # exact-Jaccard shingle set (they were two separate document scans
+    # before — at 100 TB the scan is the dominant cost of this stage).
+    # The shingle set dedups on the 64-bit hash so the distinct
+    # shuffles longs, not strings; min() is idempotent so signatures
+    # aggregate the raw (undeduped) explosion directly.
+    sh_raw = (
+        spread(df)
+        .select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
+        .persist()
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sig = sh_raw.groupBy(id_col).agg(*aggs)
     cand = lsh_candidate_pairs(sig, id_col, k, rows_per_band).persist()
     sh = (
-        spread(df).select(F.col(id_col), F.explode(shingles(col, n)).alias("shingle"))
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        sh_raw.select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .dropDuplicates()
         .persist()
     )
