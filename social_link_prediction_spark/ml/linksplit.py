@@ -12,6 +12,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# node-count pivot between the one-task window index (cheapest when the
+# table fits one sort) and the range-partitioned scalable index
+_SCALABLE_INDEX_MIN = 1_000_000
+
+
 def _hash60(*cols: Column) -> Column:
     """Deterministic 60-bit uniform hash from md5 — chosen over
     xxhash64 because DuckDB computes the identical value, keeping the
@@ -65,12 +70,14 @@ def negative_sample(
     secretly positive. One shuffle for the sample join (both sides
     keyed by a random index), one anti-join.
 
-    The dense node index (rank by id) is built with range partitioning
-    + per-partition row_number + driver-side offsets — a plain global
-    ``Window.orderBy`` funnels every node through ONE task, which is a
-    non-starter on a billion-node table. The result is identical
-    (ranges are disjoint and ordered), so the oracle stays a simple
-    ``row_number() OVER (ORDER BY id)``.
+    The dense node index (rank by id) has two physically different
+    builds with identical output: below ``_SCALABLE_INDEX_MIN`` nodes,
+    a plain global ``Window.orderBy`` (one task sorting a small table —
+    cheapest, no extra jobs); above it, range partitioning +
+    per-partition row_number + driver-side offsets, because the global
+    window funnels every node through ONE task — a non-starter on a
+    billion-node table. Ranges are disjoint and ordered, so both equal
+    ``row_number() OVER (ORDER BY id)`` and the oracle is unchanged.
     """
     n_nodes = nodes.count()
     k = max(int(ratio), 1)
@@ -82,31 +89,36 @@ def negative_sample(
         "__pick",
         _hash60(F.col(src), F.col(rel), F.col("__try"), F.lit(str(seed))) % F.lit(n_nodes),
     )
-    n_parts = max(32, n_nodes // 2_000_000)
-    ranged = (
-        nodes.select(node_id)
-        .repartitionByRange(n_parts, F.col(node_id))
-        .withColumn("__p", F.spark_partition_id())
-    )
-    rn = F.row_number().over(Window.partitionBy("__p").orderBy(node_id))
-    within = ranged.withColumn("__rn", rn)
-    # partition offsets: P tiny rows to the driver, re-joined as a literal map
-    part_counts = sorted(
-        (r["__p"], r["cnt"])
-        for r in ranged.groupBy("__p").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for p, cnt in part_counts:
-        offsets[p] = acc
-        acc += cnt
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
-    indexed = within.select(
-        node_id, (offset_map[F.col("__p")] + F.col("__rn") - 1).alias("__idx")
-    )
-    if n_nodes <= 2_000_000:
-        indexed = F.broadcast(indexed)
+    if n_nodes < _SCALABLE_INDEX_MIN:
+        indexed = F.broadcast(
+            nodes.select(node_id).withColumn(
+                "__idx", F.row_number().over(Window.orderBy(node_id)) - 1
+            )
+        )
+    else:
+        n_parts = max(32, n_nodes // 2_000_000)
+        ranged = (
+            nodes.select(node_id)
+            .repartitionByRange(n_parts, F.col(node_id))
+            .withColumn("__p", F.spark_partition_id())
+        )
+        rn = F.row_number().over(Window.partitionBy("__p").orderBy(node_id))
+        within = ranged.withColumn("__rn", rn)
+        # partition offsets: P tiny rows to the driver, re-joined as a literal map
+        part_counts = sorted(
+            (r["__p"], r["cnt"])
+            for r in ranged.groupBy("__p").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        )
+        offsets, acc = {}, 0
+        for p, cnt in part_counts:
+            offsets[p] = acc
+            acc += cnt
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        indexed = within.select(
+            node_id, (offset_map[F.col("__p")] + F.col("__rn") - 1).alias("__idx")
+        )
     negs = (
         attempts.join(indexed, attempts["__pick"] == indexed["__idx"])
         .select(F.col(src), F.col(node_id).alias(dst), F.col(rel))

@@ -339,3 +339,36 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --- dedup clustering ------------------------------------------------
+def neardup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse near-duplicate PAIRS (id_a, id_b — from any detector:
+    MinHash-LSH, SimHash, winnowing, embedding cosine) into duplicate
+    CLUSTERS: (id, cluster, is_canonical), one row per document,
+    cluster = min document id reachable through the pair graph,
+    singletons cluster with themselves. The keep-one-per-cluster
+    decision a training-data pipeline actually executes is
+    ``is_canonical`` — filter on it to dedup the corpus.
+
+    Components by min-label propagation (graph.pagerank.
+    connected_components): rounds ≈ duplicate-chain diameter, one
+    shuffle per round — no per-cluster collect, so a 100 TB corpus
+    with millions of tiny clusters stays fully distributed.
+    """
+    from social_link_prediction_spark.graph.pagerank import connected_components
+
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(cc, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster"),
+        )
+        .withColumn("is_canonical", (F.col("id") == F.col("cluster")).cast("int"))
+    )

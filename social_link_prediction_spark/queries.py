@@ -645,6 +645,40 @@ def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "winnow_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_DUCK_WINNOW_FPS},
+    pr AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+    alldocs AS (SELECT doc_id AS id FROM documents),
+    reach(a, b) AS (
+        SELECT id, id FROM alldocs
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+    SELECT id, cluster,
+           CASE WHEN id = cluster THEN 1 ELSE 0 END AS is_canonical
+    FROM cl
+    """,
+)
+def winnow_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: winnowing near-dup pairs collapsed
+    into components, every document labeled with its cluster and a
+    keep/drop flag — the operation a corpus dedup actually ships."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ptx.winnow_neardup_pairs(
+        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
+    )
+    return pdd.neardup_clusters(docs, pairs)
+
+
 # =====================================================================
 # Deduplication (pipelines.dedup)
 # =====================================================================

@@ -168,3 +168,17 @@ def test_link_split_reverse_pair_same_bucket(spark):
         # every canonical pair appears exactly twice within its split
         counts = fwd.groupBy("a", "b").count().select("count").distinct().collect()
         assert [r["count"] for r in counts] == [2]
+
+
+def test_negative_sampling_scalable_index_matches_window_path(spark, monkeypatch):
+    # The range-partitioned index build (large-table path) must produce
+    # byte-identical samples to the single-window path it replaces.
+    edges = spark.createDataFrame(
+        [(f"Q{i}", f"Q{i+1}", "spouse") for i in range(20)], ["src", "dst", "rel"]
+    )
+    nodes = spark.createDataFrame([(f"Q{i}",) for i in range(30)], ["id"])
+    small = ls.negative_sample(edges, nodes, ratio=2.0, seed=7)
+    monkeypatch.setattr(ls, "_SCALABLE_INDEX_MIN", 1)
+    big = ls.negative_sample(edges, nodes, ratio=2.0, seed=7)
+    key = lambda df: sorted((r.src, r.dst, r.rel, r.label) for r in df.collect())
+    assert key(small) == key(big)

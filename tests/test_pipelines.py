@@ -172,3 +172,11 @@ def test_winnow_neardup_planted_copy(documents_df):
     # doc 101 is an exact copy of doc 1: every fingerprint is shared.
     pairs = ptx.winnow_neardup_pairs(documents_df, min_shared=3).collect()
     assert (1, 101) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_neardup_clusters(spark):
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
+    # pair graph: 0-1, 1-2 chain; 4-5; 3 isolated
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    out = {r.id: (r.cluster, r.is_canonical) for r in pdd.neardup_clusters(docs, pairs).collect()}
+    assert out == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1), 4: (4, 1), 5: (4, 0)}
