@@ -25,8 +25,17 @@ JOIN_OPS = (
 
 
 def audit(plan: str) -> dict:
-    out = {op: len(re.findall(rf"\b{op}\b", plan)) for op in JOIN_OPS}
-    out["Exchange"] = len(re.findall(r"\bExchange\b", plan))
+    # Count UNIQUE numbered operator nodes from the formatted-explain
+    # detail section: "(12) Exchange". Raw token grepping over the whole
+    # string double-counts every node (tree + detail) and re-counts the
+    # cached subtree that InMemoryRelation reprints per reference —
+    # work that executes once, not once per reference.
+    nodes = dict(re.findall(r"^\((\d+)\) (\w+)", plan, re.M))
+    counts: dict[str, int] = {}
+    for op in nodes.values():
+        counts[op] = counts.get(op, 0) + 1
+    out = {op: counts.get(op, 0) for op in JOIN_OPS}
+    out["Exchange"] = counts.get("Exchange", 0)
     out["scans"] = re.findall(r"PushedFilters: (\[[^\]]*\])", plan)
     out["schemas"] = [
         len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
