@@ -487,6 +487,64 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_event_rates",
+    """
+    WITH w AS (
+        SELECT TIMESTAMP '1970-01-01'
+                   + (floor(epoch(ts) / 900) * 900 - i * 900)::BIGINT * INTERVAL 1 SECOND
+                   AS window_start,
+               event_type, value
+        FROM events, unnest([0, 1, 2, 3]) AS t(i)
+    )
+    SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+           count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM w GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_event_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension, batch-parity face of the streaming sliding
+    window: every event lands in 4 overlapping 1h/15m windows. Oracle
+    materializes the 4 epoch-aligned window starts per event (Spark
+    windows align to the epoch by default)."""
+    from social_link_prediction_spark.streaming.events import sliding_event_rates
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_event_rates(ev).orderBy("window_start", "event_type")
+
+
+@query(
+    "stream_correlate_events",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, ts AS click_ts, user_id
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, ts AS purchase_ts, user_id, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts, purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id
+        AND p.purchase_ts >= c.click_ts
+        AND p.purchase_ts <= c.click_ts + INTERVAL 3600 SECONDS
+    """,
+)
+def stream_correlate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join, batch-parity face: click->purchase
+    attribution within an hour. The time-range predicate that bounds
+    streaming state is the same expression the oracle checks."""
+    from social_link_prediction_spark.streaming.events import correlate_streams
+
+    ev = _t(spark, sf_dir, "events")
+    return correlate_streams(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        join_window_seconds=3600,
+    )
+
+
+@query(
     "json_props_extract",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -180,3 +180,72 @@ def run_to_memory_sink(stream_df: DataFrame, name: str, mode: str = "complete"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_event_rates(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (4 here), giving a smoothed per-type rate the
+    tumbling variant can't. State size scales with windows-per-event ×
+    active keys and is bounded by the watermark. Batch/stream parity by
+    construction — ``F.window`` is the same expression in both."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def correlate_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    join_window_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each purchase with the same
+    user's click that preceded it by at most ``join_window_seconds``
+    (attribution). Both sides are watermarked and the join condition
+    carries an explicit event-time range — that range is what lets
+    Spark expire buffered rows, so state stays bounded; an equi-only
+    stream-stream join would buffer both streams forever."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        [
+            c["user_id"] == p["user_id"],
+            p["purchase_ts"] >= c["click_ts"],
+            p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {join_window_seconds} SECONDS"),
+        ],
+    ).select(
+        c["user_id"].alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

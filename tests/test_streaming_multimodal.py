@@ -180,3 +180,50 @@ def test_enrich_with_dimension_stream(spark, tmp_path):
     out = spark.sql("select * from enriched").collect()
     assert len(out) == 5
     assert all(r.segment in {"alpha", "beta", "gamma"} for r in out)
+
+
+def test_sliding_event_rates_stream(spark, tmp_path):
+    _write_event_files(tmp_path)
+    stream = se.read_event_stream(spark, str(tmp_path))
+    q = se.run_to_memory_sink(se.sliding_event_rates(stream), "sliding_rates")
+    q.awaitTermination(60)
+    q.stop()
+    out = spark.sql("select * from sliding_rates").collect()
+    # every event lands in window/slide = 4 overlapping windows
+    assert sum(r.n_events for r in out) == 40
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    batch_out = se.sliding_event_rates(batch).collect()
+    key = lambda rows: sorted(
+        (r.window_start, r.event_type, r.n_events, r.avg_value) for r in rows
+    )
+    assert key(out) == key(batch_out)
+
+
+def test_correlate_streams_stream(spark, tmp_path):
+    import json as _json
+
+    clicks, purchases = [], []
+    for i in range(4):
+        clicks.append(_json.dumps({
+            "event_id": i, "ts": f"2024-01-01T00:0{i}:00.000Z", "user_id": i % 2,
+            "event_type": "click", "value": 1.0, "props": "{}",
+        }))
+        purchases.append(_json.dumps({
+            "event_id": 100 + i, "ts": f"2024-01-01T00:1{i}:00.000Z", "user_id": i % 2,
+            "event_type": "purchase", "value": 5.0, "props": "{}",
+        }))
+    (tmp_path / "clicks").mkdir()
+    (tmp_path / "purchases").mkdir()
+    (tmp_path / "clicks" / "c.json").write_text("\n".join(clicks))
+    (tmp_path / "purchases" / "p.json").write_text("\n".join(purchases))
+
+    cs = se.read_event_stream(spark, str(tmp_path / "clicks"))
+    ps = se.read_event_stream(spark, str(tmp_path / "purchases"))
+    joined = se.correlate_streams(cs, ps, join_window_seconds=3600)
+    q = se.run_to_memory_sink(joined, "attribution", mode="append")
+    q.awaitTermination(60)
+    q.stop()
+    out = spark.sql("select * from attribution").collect()
+    # user 0: clicks {0,2} x purchases {100,102}; user 1: {1,3} x {101,103}
+    assert len(out) == 8
+    assert all(r.purchase_ts >= r.click_ts for r in out)
