@@ -55,3 +55,119 @@ def symmetric_exists(
         F.greatest(F.col(edge_src), F.col(edge_dst)).alias("__b"),
     ).dropDuplicates()
     return p.join(e, on=["__a", "__b"], how="left_semi").drop("__a", "__b")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    tolerance_seconds: int | None = None,
+    right_order: str | None = None,
+    matched_ts: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the single
+    latest right row with ``right_ts <= left_ts`` on the same key
+    (optionally within ``tolerance_seconds``). Rows with no match keep
+    nulls (left-join semantics).
+
+    Not in the reference (SURVEY §2.3 notes it has only equi-joins) —
+    added as the temporal primitive a training-data/event pipeline
+    needs (attribution, last-known-state lookup).
+
+    Implemented as union + last-non-null carry-forward window: ONE
+    shuffle on the key and a single sort, with state bounded by the
+    window frame. This is the scale path — a range join explodes into
+    per-pair probes, and a per-key merge in ``applyInPandas`` drags
+    every row through Python. The right row's timestamp and payload
+    travel in one struct so the carried values can never mix rows.
+
+    Ties: a right row at exactly ``left_ts`` is visible (<=); among
+    right rows sharing a timestamp the one with the greatest
+    ``right_order`` wins (pass an id column for determinism).
+    """
+    keys = list(on)
+    rstruct = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(p) for p in payload]
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("__tie"),
+        rstruct.alias("__r"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).alias("__tie"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__side", "__tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("__r", ignorenulls=True).over(w)
+    out = u.withColumn("__c", carried).filter(F.col("__side") == 1)
+    valid = F.col("__c").isNotNull()
+    if tolerance_seconds is not None:
+        valid = valid & (
+            F.unix_micros(F.col("__c.__rts"))
+            >= F.unix_micros(F.col("__ts")) - tolerance_seconds * 1_000_000
+        )
+    cols = [F.col(c) for c in left.columns]
+    if matched_ts:
+        cols.append(F.when(valid, F.col("__c.__rts")).alias(matched_ts))
+    cols.extend(F.when(valid, F.col(f"__c.{p}")).alias(p) for p in payload)
+    return out.select(*cols)
+
+
+def bucketed_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 3600,
+    extra_on: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key: decompose the time
+    axis into fixed buckets, explode each interval to the buckets it
+    covers, equi-join points on the bucket id, then apply the exact
+    containment predicate.
+
+    Turns what Catalyst would otherwise plan as a broadcast
+    nested-loop / cartesian join into a plain shuffled hash join —
+    the standard big-data interval-join trick (used by every
+    spatial/temporal engine; cf. Spark's own range-join hints in
+    Databricks runtime, absent in OSS). Fan-out is
+    ``interval_width / bucket_seconds`` rows per interval, so pick a
+    bucket near the median interval width.
+
+    Each matched (point, interval) pair is produced exactly once — a
+    point lives in exactly one bucket and an interval's bucket list
+    never repeats — so no dedup pass is needed.
+    """
+    b = F.lit(bucket_seconds * 1_000_000)
+    pb = points.withColumn("__bucket", (F.unix_micros(F.col(point_ts)) / b).cast("long"))
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(start_ts)) / b).cast("long"),
+                (F.unix_micros(F.col(end_ts)) / b).cast("long"),
+            )
+        ),
+    )
+    on = ["__bucket", *(list(extra_on) if extra_on else [])]
+    joined = pb.join(ib, on=on, how=how)
+    return joined.filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    ).drop("__bucket")

@@ -2069,3 +2069,218 @@ def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "width", "height",
         F.round("scale", 6).alias("scale"), "out_width", "out_height",
     )
+
+
+# =====================================================================
+# Temporal joins & hierarchical rollups (engine extensions — the
+# reference has only equi-joins, SURVEY §2.3; these are the event-
+# pipeline primitives the 100 TB mandate calls for).
+# =====================================================================
+@query(
+    "asof_click_attribution",
+    """
+    SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT ts AS click_ts, event_id AS click_id
+        FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOUR
+        ORDER BY c.ts DESC, c.event_id DESC
+        LIMIT 1
+    ) c ON TRUE
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: attribute each purchase to the same user's
+    latest click within 24h. One shuffle on user_id (union +
+    carry-forward window) — no range explosion, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    return jn.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        payload=["click_id"],
+        tolerance_seconds=86400,
+        right_order="click_id",
+        matched_ts="click_ts",
+    )
+
+
+@query(
+    "session_concurrency",
+    """
+    WITH s0 AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, ts,
+               CASE WHEN pts IS NULL OR ts > pts + INTERVAL 4 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM s0
+    ),
+    s2 AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM s1
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end
+        FROM s2 GROUP BY user_id, sid
+    )
+    SELECT s.user_id, s.session_start, s.session_end,
+           count(e.ts) AS n_other_events
+    FROM sess s LEFT JOIN events e
+      ON e.ts >= s.session_start AND e.ts <= s.session_end
+         AND e.user_id <> s.user_id
+    GROUP BY s.user_id, s.session_start, s.session_end
+    """,
+)
+def session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join WITHOUT an equi key: how many other-user events
+    fall inside each user session? Bucket decomposition turns the
+    would-be nested-loop join into a shuffled equi-join on bucket id
+    (the OSS stand-in for a range-join hint)."""
+    ev = _t(spark, sf_dir, "events")
+    sessions = (
+        win.sessionize(ev, "user_id", "ts", gap_seconds=14400)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.max("ts").alias("session_end"))
+        .drop("session_id")
+    )
+    points = ev.select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    hits = jn.bucketed_interval_join(
+        points, sessions, "e_ts", "session_start", "session_end", bucket_seconds=3600
+    ).filter(F.col("e_user") != F.col("user_id"))
+    counts = hits.groupBy("user_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_other_events")
+    )
+    return (
+        sessions.join(counts, ["user_id", "session_start", "session_end"], "left")
+        .na.fill({"n_other_events": 0})
+    )
+
+
+@query(
+    "range_join_shipments",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: items shipped within 90 days of their order.
+    The equi key keeps the plan a hash/sort-merge join; the range
+    predicate rides along as a post-join filter — never a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(
+        orders,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "multires_event_rollup",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_start,
+               count(*) AS n_events, sum(value) AS sv
+        FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', bucket_start) AS bucket_start,
+               sum(n_events) AS n_events, sum(sv) AS sv
+        FROM hourly GROUP BY 1
+    ),
+    monthly AS (
+        SELECT date_trunc('month', bucket_start) AS bucket_start,
+               sum(n_events) AS n_events, sum(sv) AS sv
+        FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS resolution, bucket_start, n_events,
+           round(sv, 6) AS total_value FROM hourly
+    UNION ALL
+    SELECT 'day', bucket_start, n_events, round(sv, 6) FROM daily
+    UNION ALL
+    SELECT 'month', bucket_start, n_events, round(sv, 6) FROM monthly
+    """,
+)
+def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour → day → month, each
+    coarser level re-aggregated FROM THE FINER LEVEL, not from raw —
+    at 100 TB the raw table is scanned exactly once and each rollup
+    reads the (orders-of-magnitude smaller) level below it."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "bucket_start").alias("bucket_start"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+
+    def _lvl(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            "bucket_start",
+            "n_events",
+            F.round("sv", 6).alias("total_value"),
+        )
+
+    return _lvl(hourly, "hour").unionAll(_lvl(daily, "day")).unionAll(_lvl(monthly, "month"))
+
+
+@query("hll_daily_users", None)
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge rollup: per-hour HLL sketches of user_id, unioned
+    to per-day distinct-user estimates (`hll_union_agg`). The exact
+    rollup can't re-aggregate distinct counts from a finer level;
+    sketches can — this is the mergeable-state pattern every
+    large-scale rollup pipeline relies on. Estimate-valued, so checked
+    rows-only by the driver; the pytest asserts the estimate against
+    the exact count and sketch-union associativity."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour_start").alias("day_start"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
+        .orderBy("day_start")
+    )

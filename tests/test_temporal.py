@@ -1,0 +1,111 @@
+"""As-of join, bucketed interval join, and sketch-rollup operators
+(engine extensions beyond the reference's equi-join surface)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.operators import joins as jn
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second)
+
+
+def test_asof_join_basic_tie_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10)),   # matches click at 12:10 (equal ts visible)
+            (2, "u1", _ts(30)),   # matches latest click 12:25
+            (3, "u2", _ts(5)),    # no click at all -> nulls
+            (4, "u3", _ts(40)),   # only click is outside tolerance -> nulls
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts(10), 100),
+            ("u1", _ts(25), 101),
+            ("u1", _ts(25), 102),  # tie on ts: greater id (102) must win
+            ("u1", _ts(35), 103),  # after left ts=30: invisible to event 2
+            ("u3", _ts(0), 104),   # 40 min before event 4
+        ],
+        "user_id string, click_ts timestamp, click_id long",
+    )
+    out = jn.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        payload=["click_id"], tolerance_seconds=30 * 60,
+        right_order="click_id", matched_ts="click_ts",
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["click_id"] == 100 and rows[1]["click_ts"] == _ts(10)
+    assert rows[2]["click_id"] == 102 and rows[2]["click_ts"] == _ts(25)
+    assert rows[3]["click_id"] is None and rows[3]["click_ts"] is None
+    assert rows[4]["click_id"] is None  # 40 min > 30 min tolerance
+
+
+def test_asof_join_without_tolerance_keeps_oldest_match(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _ts(59))], "event_id long, user_id string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(0), 7)], "user_id string, click_ts timestamp, click_id long"
+    )
+    out = jn.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        payload=["click_id"],
+    )
+    assert out.collect()[0]["click_id"] == 7
+
+
+def test_bucketed_interval_join_exactly_once(spark):
+    # interval spans 3 buckets at 60s; the point must match once, not 3x
+    points = spark.createDataFrame(
+        [(1, _ts(1, 30)), (2, _ts(0, 0)), (3, _ts(2, 59)), (4, _ts(3, 1))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [("a", _ts(0, 0), _ts(2, 59))], "iid string, s timestamp, e timestamp"
+    )
+    out = jn.bucketed_interval_join(
+        points, intervals, "ts", "s", "e", bucket_seconds=60
+    )
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == [1, 2, 3]  # boundaries inclusive, outside point dropped, no dups
+
+
+def test_bucketed_interval_join_matches_nested_loop(spark):
+    # property: bucket decomposition == naive theta join, any bucket width
+    points = spark.createDataFrame(
+        [(i, _ts(i % 60, (i * 7) % 60)) for i in range(40)], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(j, _ts(j * 3), _ts(j * 3 + 10)) for j in range(12)],
+        "iid long, s timestamp, e timestamp",
+    )
+    fast = jn.bucketed_interval_join(points, intervals, "ts", "s", "e", bucket_seconds=137)
+    slow = points.join(
+        intervals, (F.col("ts") >= F.col("s")) & (F.col("ts") <= F.col("e"))
+    )
+    a = sorted((r["pid"], r["iid"]) for r in fast.collect())
+    b = sorted((r["pid"], r["iid"]) for r in slow.collect())
+    assert a == b and len(a) > 0
+
+
+def test_hll_rollup_merge_is_lossless_and_accurate(spark):
+    ev = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("hour"), (F.col("id") % 411).alias("user_id")
+    )
+    hourly = ev.groupBy("hour").agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = hourly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).collect()[0]["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("est")
+    ).collect()[0]["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct  # union of sketches == sketch of union
+    assert abs(merged - exact) / exact < 0.05
