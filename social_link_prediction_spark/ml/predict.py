@@ -30,6 +30,10 @@ def pair_features(
     vertices: DataFrame | None = None,
     embeddings: DataFrame | None = None,
     broadcast_max_rows: int = 2_000_000,
+    distinct_edges: bool = False,
+    edges_symmetric: bool = False,
+    max_neighbor_degree: int | None = None,
+    encode_ids: bool = False,
 ) -> DataFrame:
     """Engineered link-prediction features per (src, dst) pair:
     common-neighbor count, Adamic-Adar, neighbor-Jaccard, preferential
@@ -50,12 +54,22 @@ def pair_features(
     # und feeds deg and the wedge adjacency; deg is referenced three
     # times (wedge weights + src/dst degree joins). Persist both or the
     # upstream edge plan re-executes per reference.
-    und = (
-        edges.select("src", "dst")
-        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .dropDuplicates()
-        .persist()
-    )
+    # edges_symmetric: the input already holds both orientations of
+    # every undirected edge exactly once (e.g. the shared symmetric
+    # part-supplier view) — symmetrizing again would DOUBLE each edge
+    # and pay a |2E| dedup shuffle to collapse it; use it as-is.
+    # distinct_edges: the directed list is duplicate-free with no edge
+    # present in both orientations (bipartite extracts) — the
+    # symmetrizing union then cannot collide and the dedup is skipped.
+    if edges_symmetric:
+        und = edges.select("src", "dst").persist()
+    else:
+        und = edges.select("src", "dst").unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        if not distinct_edges:
+            und = und.dropDuplicates()
+        und = und.persist()
     deg = (
         und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
     )
@@ -65,40 +79,93 @@ def pair_features(
 
     n_deg = deg.count()
 
+    # encode_ids: dictionary-encode node ids to longs for everything
+    # between here and the final pair join — the wedge set (Σ C(deg,2)
+    # rows, the biggest intermediate by far) is shuffled and
+    # hash-aggregated on its keys, and long keys aggregate ~2.5x
+    # faster than string ids in steady state. The dict adds two
+    # broadcast joins, two cache materializations, and extra codegen
+    # to the cold path — measured A/B (one-shot, fresh session, sf0.1)
+    # the string path wins (~10s vs ~14s median), so encoding is
+    # opt-in: turn it on for repeated-call / cached-graph workloads
+    # where the steady-state agg speedup amortizes the setup.
+    # monotonically_increasing_id is shuffle-free and per-row unique
+    # (NOT a global sort — that would serialize one task at a billion
+    # nodes); the dict is persisted so every encode join sees one
+    # consistent assignment.
+    if encode_ids:
+        ndict = deg.select(
+            "id", "deg", F.monotonically_increasing_id().alias("nid")
+        ).persist()
+
+        def _enc(alias_id: str, alias_nid: str, with_deg: str | None = None) -> DataFrame:
+            cols = [F.col("id").alias(alias_id), F.col("nid").alias(alias_nid)]
+            if with_deg:
+                cols.append(F.col("deg").alias(with_deg))
+            return _dim(ndict.select(*cols), n_deg)
+
+        # Encode the pair frame once; it feeds the adjacency
+        # restriction and the final feature join, so persist it. LEFT
+        # joins: a pair endpoint absent from the graph has no dict
+        # entry and must survive to the zero-filled output, not be
+        # dropped (its null nid can never match a wedge key — cn keys
+        # are strictly lo < hi).
+        pe = (
+            pairs.join(_enc("src", "src_nid"), "src", "left")
+            .join(_enc("dst", "dst_nid"), "dst", "left")
+            .persist()
+        )
+        src_key, dst_key = "src_nid", "dst_nid"
+        adj = (
+            und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .join(_enc("a", "node"), "a")
+            .join(_enc("b", "nbr", with_deg="nbr_deg"), "b")
+            .select("node", "nbr", "nbr_deg")
+        )
+    else:
+        pe = pairs
+        src_key, dst_key = "src", "dst"
+        # Attach the wedge-center degree to the adjacency BEFORE wedge
+        # generation: the adjacency is |E'| rows while the wedge set is
+        # Σ C(deg, 2) — on dense blocks orders of magnitude larger.
+        adj = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).join(
+            _dim(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), n_deg),
+            "nbr",
+        )
+
     # Common neighbors by wedge enumeration: restrict the adjacency to
-    # nodes that actually appear in `pairs` (semi-join), then self-join
-    # on the shared neighbor. Cost is Σ_n C(deg_n, 2) over wedge
-    # centers — independent of |pairs| — instead of |pairs| × deg
+    # nodes that actually appear in `pairs` (semi-join), then expand
+    # wedges around each shared neighbor. Cost is Σ_n C(deg_n, 2) over
+    # wedge centers — independent of |pairs| — instead of |pairs| × deg
     # probing, which is quadratic when pairs ≈ all-pairs.
     nodes_in_pairs = (
-        pairs.select(F.col("src").alias("node"))
-        .unionAll(pairs.select(F.col("dst").alias("node")))
+        pe.select(F.col(src_key).alias("node"))
+        .unionAll(pe.select(F.col(dst_key).alias("node")))
         .dropDuplicates()
     )
-    nb = und.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).join(
-        nodes_in_pairs, "node", "left_semi"
+    nbd = adj.join(nodes_in_pairs, "node", "left_semi")
+    # Wedges via grouped combination (array HOF), not a self-join on
+    # the wedge center: one shuffle keyed by nbr builds the sorted
+    # member list, then the C(n,2) pairs explode map-side inside
+    # whole-stage codegen. Versus the nbd⋈nbd sort-merge join this
+    # drops an exchange + two sorts of the adjacency and the nbd
+    # persist (the HOF path reads it once). Group state is bounded by
+    # the wedge-center degree; for hub centers (degree ~10^6 the
+    # C(n,2) blowup is the enemy regardless of formulation) pass
+    # max_neighbor_degree to drop ultra-hub centers — their per-wedge
+    # Adamic-Adar weight 1/log(deg) is negligible anyway.
+    if max_neighbor_degree is not None:
+        nbd = nbd.filter(F.col("nbr_deg") <= max_neighbor_degree)
+    members = nbd.groupBy("nbr", "nbr_deg").agg(
+        F.sort_array(F.collect_list("node")).alias("ns")
     )
-    # Attach the wedge-center degree to the adjacency BEFORE the
-    # self-join: the adjacency is |E'| rows while the wedge set is
-    # Σ C(deg, 2) — on dense blocks orders of magnitude larger — so
-    # joining deg first keeps the big intermediate join-free and the
-    # Adamic-Adar weight rides along into the aggregation. nbd feeds
-    # both sides of the self-join: persist it so the adjacency⋈degree
-    # work runs once (plan-identity exchange reuse is too fragile to
-    # rely on once one side carries a broadcast hint).
-    nbd = nb.join(
-        _dim(deg.select(F.col("id").alias("nbr"), F.col("deg").alias("nbr_deg")), n_deg),
-        "nbr",
-    ).persist()
-    wedges = nbd.alias("a").join(
-        nbd.alias("b"),
-        (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")),
+    combos = F.expr(
+        "flatten(transform(ns, (x, i) ->"
+        " transform(slice(ns, i + 2, size(ns) - i - 1), y -> struct(x AS lo, y AS hi))))"
     )
     cn = (
-        wedges.select(
-            F.col("a.node").alias("lo"), F.col("b.node").alias("hi"),
-            F.col("a.nbr_deg").alias("nbr_deg"),
-        )
+        members.select("nbr_deg", F.explode(combos).alias("p"))
+        .select("p.lo", "p.hi", "nbr_deg")
         .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
@@ -106,10 +173,10 @@ def pair_features(
         )
     )
     out = (
-        pairs.withColumn("lo", F.least("src", "dst"))
-        .withColumn("hi", F.greatest("src", "dst"))
+        pe.withColumn("lo", F.least(src_key, dst_key))
+        .withColumn("hi", F.greatest(src_key, dst_key))
         .join(cn, ["lo", "hi"], "left")
-        .drop("lo", "hi")
+        .drop("lo", "hi", "src_nid", "dst_nid")
         .na.fill({"common_neighbors": 0, "adamic_adar": 0.0})
         .join(
             _dim(deg.select(F.col("id").alias("src"), F.col("deg").alias("src_deg")), n_deg),

@@ -1235,7 +1235,7 @@ def pair_features_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
         .persist()
     )
-    out = mlp.pair_features(pairs, edges)
+    out = mlp.pair_features(pairs, edges, edges_symmetric=True)
     return out.select(
         "src", "dst", "common_neighbors",
         F.round("adamic_adar", 6).alias("adamic_adar"),
@@ -1281,7 +1281,7 @@ def recommend_suppliers_for_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sups.filter(F.col("id") != "s:1").select(
         F.lit("s:1").alias("src"), F.col("id").alias("dst")
     )
-    feats = mlp.pair_features(pairs, edges)
+    feats = mlp.pair_features(pairs, edges, edges_symmetric=True)
     cand = feats.select("src", "dst", F.col("adamic_adar").alias("score")).filter(
         F.col("score") > 0
     )
