@@ -12,6 +12,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from social_link_prediction_spark.operators.windows import epoch_us
+
 
 def enrich(
     fact: DataFrame, dim: DataFrame, on: str | Sequence[str], broadcast_dim: bool = True
@@ -118,8 +120,8 @@ def asof_join(
     valid = F.col("__c").isNotNull()
     if tolerance_seconds is not None:
         valid = valid & (
-            F.unix_micros(F.col("__c.__rts"))
-            >= F.unix_micros(F.col("__ts")) - tolerance_seconds * 1_000_000
+            epoch_us(F.col("__c.__rts"))
+            >= epoch_us(F.col("__ts")) - tolerance_seconds * 1_000_000
         )
     cols = [F.col(c) for c in left.columns]
     if matched_ts:
@@ -156,13 +158,13 @@ def bucketed_interval_join(
     never repeats — so no dedup pass is needed.
     """
     b = F.lit(bucket_seconds * 1_000_000)
-    pb = points.withColumn("__bucket", (F.unix_micros(F.col(point_ts)) / b).cast("long"))
+    pb = points.withColumn("__bucket", (epoch_us(F.col(point_ts)) / b).cast("long"))
     ib = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_ts)) / b).cast("long"),
-                (F.unix_micros(F.col(end_ts)) / b).cast("long"),
+                (epoch_us(F.col(start_ts)) / b).cast("long"),
+                (epoch_us(F.col(end_ts)) / b).cast("long"),
             )
         ),
     )

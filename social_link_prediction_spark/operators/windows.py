@@ -8,6 +8,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def epoch_us(col: Column) -> Column:
+    """NTZ-safe microsecond epoch. The parquet fixtures store
+    TIMESTAMP_NTZ and ``unix_micros`` only accepts TIMESTAMP; the
+    session TZ is pinned to UTC (session.py) so the cast is exact,
+    and in gap/difference arithmetic any fixed offset cancels anyway.
+    """
+    return F.unix_micros(col.cast("timestamp"))
+
+
 # --- W1: contiguous per-group index (transformer.py:173)
 def per_group_index(
     df: DataFrame, group: str, order: Sequence[str], out: str = "pyg_id"
@@ -113,7 +122,7 @@ def sessionize(
     w = Window.partitionBy(user).orderBy(ts)
     # microsecond precision: second-level casts would mis-bucket gaps
     # that straddle the threshold by a fraction of a second
-    us = F.unix_micros(F.col(ts))
+    us = epoch_us(F.col(ts))
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), F.lit(1)).otherwise(F.lit(0))
     return df.withColumn("__new", is_new).withColumn(

@@ -188,9 +188,9 @@ def duplicate_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "null_accounting_orders",
     """
-    SELECT sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)    AS o_custkey_nulls,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS o_totalprice_nulls,
-           sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)  AS o_orderdate_nulls
+    SELECT count(*) FILTER (WHERE o_custkey IS NULL)    AS o_custkey_nulls,
+           count(*) FILTER (WHERE o_totalprice IS NULL) AS o_totalprice_nulls,
+           count(*) FILTER (WHERE o_orderdate IS NULL)  AS o_orderdate_nulls
     FROM orders
     """,
 )
