@@ -61,11 +61,15 @@ def multi_source_shortest_paths(
     w = F.col(weight) if weight else F.lit(1.0)
     e = e.select("src", "dst", w.alias("w")).filter(~F.col("w").isNull()).localCheckpoint()
 
+    # parent must carry the node-id type (int graphs stay int end-to-end;
+    # a hardcoded string cast would silently coerce the whole parent
+    # chain — and the per-round min(struct) tie-break — to strings)
+    id_type = dict(sources.dtypes)["source"]
     best = sources.select(
         F.col("source"),
         F.col("source").alias("id"),
         F.lit(0.0).alias("dist"),
-        F.lit(None).cast("string").alias("parent"),
+        F.lit(None).cast(id_type).alias("parent"),
     ).localCheckpoint()
     frontier = best
     frontier_n = sources.count()
