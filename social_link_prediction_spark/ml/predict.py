@@ -144,28 +144,25 @@ def pair_features(
         .dropDuplicates()
     )
     nbd = adj.join(nodes_in_pairs, "node", "left_semi")
-    # Wedges via grouped combination (array HOF), not a self-join on
-    # the wedge center: one shuffle keyed by nbr builds the sorted
-    # member list, then the C(n,2) pairs explode map-side inside
-    # whole-stage codegen. Versus the nbd⋈nbd sort-merge join this
-    # drops an exchange + two sorts of the adjacency and the nbd
-    # persist (the HOF path reads it once). Group state is bounded by
-    # the wedge-center degree; for hub centers (degree ~10^6 the
-    # C(n,2) blowup is the enemy regardless of formulation) pass
-    # max_neighbor_degree to drop ultra-hub centers — their per-wedge
-    # Adamic-Adar weight 1/log(deg) is negligible anyway.
+    # Wedges via self-join on the wedge center. Measured against the
+    # grouped-combination alternative (collect_list the sorted member
+    # list per center, explode the C(n,2) struct pairs via array HOFs):
+    # the self-join is ~3x faster at sf0.1 — nested transform/flatten
+    # struct explosion defeats whole-stage codegen, while the join
+    # streams codegen'd rows end-to-end. It also carries no per-group
+    # state: a hub center's C(deg,2) pairs stream through the join
+    # instead of building a deg-sized array in agg memory. For ultra
+    # hubs (deg ~10^6) the quadratic blowup is the enemy under either
+    # formulation — pass max_neighbor_degree to drop those centers;
+    # their per-wedge Adamic-Adar weight 1/log(deg) is negligible.
     if max_neighbor_degree is not None:
         nbd = nbd.filter(F.col("nbr_deg") <= max_neighbor_degree)
-    members = nbd.groupBy("nbr", "nbr_deg").agg(
-        F.sort_array(F.collect_list("node")).alias("ns")
-    )
-    combos = F.expr(
-        "flatten(transform(ns, (x, i) ->"
-        " transform(slice(ns, i + 2, size(ns) - i - 1), y -> struct(x AS lo, y AS hi))))"
-    )
+    nbd = nbd.persist()  # both self-join sides read it
+    wa = nbd.select(F.col("nbr").alias("c"), F.col("node").alias("lo"), "nbr_deg")
+    wb = nbd.select(F.col("nbr").alias("c"), F.col("node").alias("hi"))
     cn = (
-        members.select("nbr_deg", F.explode(combos).alias("p"))
-        .select("p.lo", "p.hi", "nbr_deg")
+        wa.join(wb, "c")
+        .filter(F.col("lo") < F.col("hi"))
         .groupBy("lo", "hi")
         .agg(
             F.count(F.lit(1)).alias("common_neighbors"),
