@@ -173,3 +173,136 @@ def bucketed_interval_join(
     return joined.filter(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     ).drop("__bucket")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-breaking equi-join: replicate each RIGHT row across
+    ``n_salts`` salt values and scatter LEFT rows uniformly over them,
+    so a hot key's rows land on ``n_salts`` reducers instead of one.
+
+    AQE's skew-join split handles most sort-merge skew at runtime;
+    this is for the cases it can't — shuffled hash joins, skew the
+    stats miss, or a deliberately pinned partitioning. Cost: the right
+    side is shuffled ``n_salts``× larger, so use it when right ≪ left
+    (the dimension-with-hot-keys shape) but too big to broadcast.
+
+    The left salt must be uniform but NOT correlated with the join
+    key (salting by hash(key) would re-concentrate the hot key) —
+    ``monotonically_increasing_id`` gives a per-row value that is
+    deterministic within a job run and spreads evenly.
+    """
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lsalt.join(rsalt, [on, "__salt"], how).drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skewed aggregation for algebraic functions
+    (sum/count/min/max): partial-aggregate on (key, salt) — hot keys
+    spread over ``n_salts`` reducers — then combine partials per key.
+    Spark's map-side partial agg already does this per input
+    partition; explicit salting helps when the FIRST shuffle itself
+    would hot-spot (e.g. high-cardinality payload prevents map-side
+    combine, or the hot key dominates single input partitions).
+
+    ``aggs``: {column: fn} with fn in sum|count|min|max. count
+    combines via sum of partial counts.
+    """
+    keys = list(keys)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    partial_exprs = []
+    final_exprs = []
+    for c, fn in aggs.items():
+        p = f"__p_{fn}_{c}"
+        if fn == "count":
+            partial_exprs.append(F.count(c).alias(p))
+            final_exprs.append(F.sum(p).alias(f"count_{c}"))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(c).alias(p))
+            final_exprs.append(F.sum(p).alias(f"sum_{c}"))
+        elif fn == "min":
+            partial_exprs.append(F.min(c).alias(p))
+            final_exprs.append(F.min(p).alias(f"min_{c}"))
+        elif fn == "max":
+            partial_exprs.append(F.max(c).alias(p))
+            final_exprs.append(F.max(p).alias(f"max_{c}"))
+        else:  # pragma: no cover - guarded by tests
+            raise ValueError(f"non-algebraic aggregate: {fn}")
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def _bloom_positions(col: Column, num_bits: int, n_hashes: int) -> list[Column]:
+    """k independent bit positions for a value: xxhash64 with k seeds
+    modulo the filter width (standard Bloom construction)."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(num_bits))
+        for seed in range(1, n_hashes + 1)
+    ]
+
+
+def bloom_semi_filter(
+    fact: DataFrame,
+    keys: DataFrame,
+    on: str,
+    num_bits: int = 1 << 22,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter pre-filter: build a bitmap over ``keys[on]`` (one
+    distributed bit_or aggregation), broadcast it as a single
+    array<long> row, and drop fact rows that definitely have no match
+    BEFORE the real join's shuffle. The classic 100 TB move when a
+    selective dimension exists but the fact side would otherwise
+    shuffle in full; false positives only — the real join (or a
+    left-semi after) stays exact.
+
+    Built from public primitives (xxhash64 k-seed hashing, bit_or
+    aggregation, broadcast of a ``num_bits/8``-byte bitmap — driver
+    memory is bounded by the filter size you choose, exactly like
+    Spark's own runtime bloom join filters). Spark 4's internal
+    ``bloom_filter_agg`` is not resolvable from the public function
+    registry, hence the explicit construction.
+    """
+    n_words = num_bits // 64
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(on), num_bits, n_hashes))).alias("p")
+    )
+    # F.shiftleft takes a literal int shift; SQL shiftleft takes expressions
+    sparse = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 as int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("mask"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in sparse:
+        bitmap[r["w"]] = r["mask"]
+    bmp = fact.sparkSession.createDataFrame([(bitmap,)], "__bf array<long>")
+    cond = None
+    for seed in range(1, n_hashes + 1):
+        hit = F.expr(
+            f"(element_at(__bf, cast(pmod(xxhash64({on}, {seed}), {num_bits}) / 64 as int) + 1)"
+            f" & shiftleft(1L, cast(pmod(xxhash64({on}, {seed}), {num_bits}) % 64 as int))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    return fact.join(F.broadcast(bmp)).filter(cond).drop("__bf")

@@ -1,0 +1,119 @@
+"""Bucketed warehouse layout + skew/bloom join helpers.
+
+Evidence that the engine's 100 TB strategies actually change the
+physical plan (bucketing removes Exchanges) and preserve semantics
+(salted/bloom variants equal their plain counterparts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark import warehouse as wh
+from social_link_prediction_spark.operators import joins as jn
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    orders = spark.range(0, 5000).select(
+        F.col("id").alias("o_orderkey"),
+        (F.pmod(F.col("id"), F.lit(97))).alias("o_custkey"),
+        (F.col("id") % 1000 * 1.5).alias("o_totalprice"),
+    )
+    lineitem = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("l_orderkey"),
+        (F.col("id") % 321).alias("l_partkey"),
+        (F.col("id") % 7 + 1.0).alias("l_quantity"),
+    )
+    return orders, lineitem
+
+
+def test_bucketed_join_has_no_exchange(spark, tables):
+    orders, lineitem = tables
+    wh.write_bucketed(orders, "t_orders_b", "o_orderkey", 8)
+    wh.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        "o_orderkey",
+        8,
+    )
+    a = wh.read_table(spark, "t_orders_b")
+    b = wh.read_table(spark, "t_lineitem_b")
+    # forbid broadcast so the co-location claim is actually exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        assert wh.n_exchanges(joined) == 0
+        # same join over the raw (unbucketed) frames shuffles both sides
+        raw = tables[0].join(
+            tables[1].withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        assert wh.n_exchanges(raw) >= 2
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_groupby_has_no_exchange(spark, tables):
+    orders, _ = tables
+    wh.write_bucketed(orders, "t_orders_g", "o_custkey", 8)
+    t = wh.read_table(spark, "t_orders_g")
+    agg = t.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    assert wh.n_exchanges(agg) == 0
+    plain = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_matches_plain(spark, tables):
+    orders, lineitem = tables
+    dim = orders.select("o_orderkey", "o_custkey").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    plain = lineitem.join(dim, "l_orderkey").groupBy("o_custkey").count()
+    salted = (
+        jn.salted_join(lineitem, dim, "l_orderkey", n_salts=8)
+        .groupBy("o_custkey")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_aggregate_matches_plain(spark, tables):
+    _, lineitem = tables
+    plain = lineitem.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.count("l_quantity").alias("count_l_quantity"),
+        F.max("l_quantity").alias("max_l_quantity"),
+    )
+    salted = jn.salted_aggregate(
+        lineitem,
+        ["l_partkey"],
+        {"l_quantity": "sum"},
+        n_salts=8,
+    ).join(
+        jn.salted_aggregate(lineitem, ["l_partkey"], {"l_quantity": "count"}, 8),
+        "l_partkey",
+    ).join(
+        jn.salted_aggregate(lineitem, ["l_partkey"], {"l_quantity": "max"}, 8),
+        "l_partkey",
+    )
+    p = {r["l_partkey"]: (r["sum_l_quantity"], r["count_l_quantity"], r["max_l_quantity"])
+         for r in plain.collect()}
+    s = {r["l_partkey"]: (r["sum_l_quantity"], r["count_l_quantity"], r["max_l_quantity"])
+         for r in salted.collect()}
+    assert p == s
+
+
+def test_bloom_semi_filter_superset_and_exact_after_join(spark, tables):
+    orders, lineitem = tables
+    keys = orders.filter(F.col("o_custkey") == 13).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    filtered = jn.bloom_semi_filter(lineitem, keys, "l_orderkey", num_bits=1 << 16)
+    exact = lineitem.join(keys, "l_orderkey", "left_semi")
+    # bloom keeps all true matches (no false negatives)
+    assert filtered.join(exact, ["l_orderkey", "l_partkey", "l_quantity"], "left_semi").count() == exact.count()
+    # and the follow-up exact semi-join removes any false positives
+    assert (
+        filtered.join(keys, "l_orderkey", "left_semi").count() == exact.count()
+    )
