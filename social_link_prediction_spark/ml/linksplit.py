@@ -81,8 +81,13 @@ def negative_sample(
     """
     n_nodes = nodes.count()
     k = max(int(ratio), 1)
-    # each positive spawns k corruption attempts with deterministic randomness
-    attempts = positives.select(src, rel).withColumn(
+    # each DISTINCT (src, rel) spawns k corruption attempts with
+    # deterministic randomness. Dedup BEFORE the explode: the pick is a
+    # pure function of (src, rel, try, seed), so duplicated positives
+    # would generate byte-identical attempts only to be dropped by the
+    # final dropDuplicates — deduping first shrinks every downstream
+    # join/anti-join from |positives| to |distinct srcs| rows.
+    attempts = positives.select(src, rel).dropDuplicates().withColumn(
         "__try", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     )
     attempts = attempts.withColumn(

@@ -372,3 +372,56 @@ def neardup_clusters(
         )
         .withColumn("is_canonical", (F.col("id") == F.col("cluster")).cast("int"))
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via an inverted index: join docs
+    on shared shingles (cost ∝ Σ df(shingle)², never |docs|²), count
+    intersections, derive |A∪B| = |A|+|B|−|A∩B|. The LSH-free exact
+    complement to :func:`minhash_dedup_pairs` — right when recall must
+    be 1.0 (audits, eval sets) and the shingle df distribution is sane.
+
+    ``max_doc_freq`` drops stop-shingles (shingles present in more
+    than that many documents) BEFORE the join — the df² blowup on a
+    ubiquitous shingle is this operator's skew failure mode at scale.
+    Sizes are computed after the cap, so Jaccard is over the capped
+    shingle sets on both engine and oracle sides.
+    """
+    sh = shingle_table(df, id_col, col, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    # join/aggregate on 64-bit shingle hashes, not strings (sizes and
+    # intersections preserved; collisions negligible at per-doc scale)
+    shh = sh.select(F.col(id_col), F.xxhash64("shingle").alias("h")).persist()
+    sizes = shh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.select(F.col(id_col).alias("id_a"), "h")
+    b = shh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )

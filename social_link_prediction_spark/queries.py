@@ -826,6 +826,35 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "jaccard")
 
 
+_NGJ_MAXDF = 50  # stop-shingle cap: drop shingles present in >50 docs
+
+
+@query(
+    "ngram_jaccard_docs",
+    f"""
+    WITH {_DUCK_SHINGLE1},
+    keep AS (SELECT shingle FROM toks GROUP BY shingle HAVING count(*) <= {_NGJ_MAXDF}),
+    t2 AS (SELECT toks.doc_id, toks.shingle FROM toks JOIN keep USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM t2 GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM t2 a JOIN t2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM i JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inverted-index n-gram Jaccard (LSH-free complement of
+    minhash_lsh_neardup): all doc pairs with trigram-shingle Jaccard
+    >= 0.5, stop-shingles (df > 50) dropped before the join."""
+    docs = _t(spark, sf_dir, "documents")
+    return pdd.ngram_jaccard_pairs(
+        docs, n=_MINHASH_N, threshold=0.5, max_doc_freq=_NGJ_MAXDF
+    )
+
+
 def _duck_simhash_sql() -> str:
     bits = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
