@@ -95,3 +95,48 @@ def test_batched_values_lookup():
     )
     assert len(seen) == 3  # ceil(7/3)
     assert "wd:Q0" in seen[0]
+
+
+def test_python_datasource_paginated(spark, tmp_path):
+    """S1-S3 via the Spark 4 Python DataSource: each (rel, interval)
+    cell is its own input partition; pagination runs inside tasks."""
+    from social_link_prediction_spark.sources.datasource import (
+        HAVE_DATASOURCE,
+        PaginatedSparqlDataSource,
+    )
+
+    if not HAVE_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark<4: no Python DataSource API")
+
+    fixtures = tmp_path / "cells"
+    fixtures.mkdir()
+    rows_a = [{"person": {"value": f"Q{i}"}} for i in range(7)]
+    rows_b = [{"person": {"value": f"Q{i}"}} for i in range(3)]
+    (fixtures / "spouse_1800_1805.json").write_text(json.dumps(rows_a))
+    (fixtures / "spouse_1805_1810.json").write_text(json.dumps(rows_b))
+    (fixtures / "sibling_1800_1805.json").write_text(json.dumps(rows_b))
+    # sibling_1805_1810 intentionally missing -> empty cell
+
+    spark.dataSource.register(PaginatedSparqlDataSource)
+    df = (
+        spark.read.format("sparql_paginated")
+        .option("fixtures", str(fixtures))
+        .option("relations", "spouse,sibling")
+        .option("start", 1800)
+        .option("end", 1810)
+        .option("step", 5)
+        .option("page_size", 4)  # forces multi-page reads within a cell
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4  # 2 rels x 2 intervals
+    counts = {r["rel"]: r["count"] for r in df.groupBy("rel").count().collect()}
+    assert counts == {"spouse": 10, "sibling": 3}
+    # bindings are parseable JSON carrying the SPARQL envelope shape
+    from pyspark.sql import functions as F
+
+    parsed = df.select(
+        F.get_json_object("binding", "$.person.value").alias("qid")
+    )
+    assert parsed.filter(F.col("qid").rlike("^Q\\d+$")).count() == 13
