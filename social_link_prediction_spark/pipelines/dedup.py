@@ -130,19 +130,23 @@ def lsh_candidate_pairs(
         )
         for b in range(n_bands)
     ])
-    banded = (
-        signatures.select(F.col(id_col), F.explode(buckets).alias("bb"))
-        .select(F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist()  # referenced 3× (both join sides + skew filter)
+    banded = signatures.select(F.col(id_col), F.explode(buckets).alias("bb")).select(
+        F.col(id_col), F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # skew guard as a window count over the bucket key: one shuffle
+    # computes sizes AND drops every member of a degenerate bucket —
+    # measured faster than the groupBy + broadcast-anti-join pair it
+    # replaces (one fewer aggregation job), and the window shuffle
+    # pre-partitions banded on the self-join key below.
+    from pyspark.sql import Window
 
-    big = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("band", "bucket")
+    w = Window.partitionBy("band", "bucket")
+    banded = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+        .persist()  # both self-join sides read it
     )
-    banded = banded.join(F.broadcast(big), on=["band", "bucket"], how="left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")
