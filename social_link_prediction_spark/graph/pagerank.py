@@ -38,10 +38,15 @@ def pagerank(
     loop stays fully shuffle-based — ranks are |V| rows and must not
     be broadcast on a billion-node graph.
     """
-    # Materialize the edge list ONCE up front: nodes, out-degrees, and
+    # Cache (lazily) the edge list up front: nodes, out-degrees, and
     # the weighted edge table all derive from it, and without this the
     # upstream plan (scans, dedups, joins) re-executes for each.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    # persist() over localCheckpoint(): same reuse once materialized,
+    # but no dedicated up-front materialization job — the first reader
+    # (the nodes count below) pays it as part of its own job. Lineage
+    # here is one select over the input, so checkpoint's truncation
+    # buys nothing.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -50,8 +55,8 @@ def pagerank(
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # edges ⋈ outdeg is loop-invariant: materialize once, reuse every iteration
-    e_od = e.join(outdeg, "src").localCheckpoint()
+    # edges ⋈ outdeg is loop-invariant: cache once, reuse every iteration
+    e_od = e.join(outdeg, "src").persist()
 
     # Dangling nodes (no out-edges) exist iff some vertex never appears
     # as a src; sourceless nodes (no in-edges) iff some vertex never
