@@ -69,3 +69,19 @@ def get_spark(
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the warehouse parquet tables (TESTDATA.md layout)."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every warehouse parquet table as a temp view so the
+    whole catalog is queryable through plain ``spark.sql`` — the SQL
+    twin of the DataFrame API (same Catalyst plans either way)."""
+    from social_link_prediction_spark.queries import _t
+
+    for name in tables:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)

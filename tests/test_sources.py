@@ -140,3 +140,29 @@ def test_python_datasource_paginated(spark, tmp_path):
         F.get_json_object("binding", "$.person.value").alias("qid")
     )
     assert parsed.filter(F.col("qid").rlike("^Q\\d+$")).count() == 13
+
+
+def test_register_views_sql_twin(spark):
+    """spark.sql over registered views == DataFrame API result."""
+    from social_link_prediction_spark.session import register_views
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).collect()
+    import os
+
+    df = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    from pyspark.sql import functions as F
+
+    want = (
+        df.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # events view carries the nanos->micros timestamp normalization
+    assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
