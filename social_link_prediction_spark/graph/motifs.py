@@ -1,0 +1,64 @@
+"""Motif counting: triangles (global and per-vertex).
+
+Not in the reference (its co-occurrence analysis, NB cells 109-112,
+stops at wedges); added because triangle census is the standard next
+step for social-graph structure (clustering coefficient, community
+seeds) and a canonical at-scale join pattern.
+
+Algorithm (compact-forward, the MapReduce-classic formulation):
+orient every undirected edge low→high, wedge-join on the middle
+vertex (a<b<c), then close each wedge with a semi-join back to the
+edge set. Each triangle has exactly one a<b<c labeling, so it is
+counted exactly once — no /3 or /6 fixups, no double counting, and
+the orientation halves the adjacency before the quadratic step.
+At 100 TB add a degree-descending relabel first (hubs become high
+ids) to bound wedge fan-out by the arboricity instead of max degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct low→high orientation of an undirected edge list
+    (self-loops dropped — they can't be in a triangle)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """All triangles as (a, b, c) rows with a < b < c, each exactly
+    once. Two shuffles: the wedge join on the middle vertex and the
+    closing join on (a, c)."""
+    e = _oriented(edges, src, dst)
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    closing = e.select(F.col("a"), F.col("b").alias("c"))
+    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """1-row global triangle count."""
+    return triangles(edges, src, dst).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def vertex_triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(id, n_triangles) per vertex — the numerator of the local
+    clustering coefficient. Each (a,b,c) triangle credits all three
+    corners: one explode + one count aggregation."""
+    t = triangles(edges, src, dst)
+    corners = t.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+    )
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1142,6 +1142,59 @@ def ego_2hop_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Motifs: triangle census (graph/motifs.py). The part-supplier graph
+# is bipartite (no triangles), so the test graph folds lineitem keys
+# into one 2000-node id space — deterministic and triangle-rich.
+# =====================================================================
+_DUCK_TRI_EDGES = """
+    te AS (
+        SELECT DISTINCT least(l_orderkey % 2000, l_partkey % 2000) AS a,
+                        greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+        FROM lineitem
+        WHERE l_orderkey % 2000 <> l_partkey % 2000
+    )
+"""
+
+
+def _tri_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % 2000).alias("src"),
+        (F.col("l_partkey") % 2000).alias("dst"),
+    )
+
+
+@query(
+    "triangle_census",
+    f"""
+    WITH {_DUCK_TRI_EDGES.strip()},
+    tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM te ab
+        JOIN te bc ON bc.a = ab.b
+        WHERE EXISTS (SELECT 1 FROM te cl WHERE cl.a = ab.a AND cl.b = bc.b)
+    ),
+    per_vertex AS (
+        SELECT id, count(*) AS n_triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY id
+    )
+    SELECT id, n_triangles FROM per_vertex
+    ORDER BY n_triangles DESC, id ASC LIMIT 20
+    """,
+)
+def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (top 20) on the folded lineitem
+    graph — compact-forward a<b<c enumeration, each triangle once."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    out = gm.vertex_triangle_counts(_tri_edges(spark, sf_dir))
+    return out.orderBy(F.col("n_triangles").desc(), F.col("id").asc()).limit(20)
+
+
+# =====================================================================
 # A1 group-concat, grouping sets, set ops — free Spark SQL surface the
 # reference lacks (SURVEY §2.4/2.6 notes) but the engine exposes.
 # =====================================================================

@@ -106,3 +106,31 @@ def test_six_degrees_experiment(social_graph):
     assert out.n_pairs > 0
     assert out.unreachable >= 0
     assert out.l_theory == out.l_theory  # not NaN for this graph
+
+
+def test_triangles_exact_once(spark):
+    """K4 has exactly 4 triangles; each reported once with a<b<c."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i < j]
+        + [(3, 0)],  # duplicate in reverse orientation — must not double count
+        ["src", "dst"],
+    )
+    tri = gm.triangles(edges).collect()
+    assert len(tri) == 4
+    assert all(r["a"] < r["b"] < r["c"] for r in tri)
+    total = gm.triangle_count(edges).collect()[0]["n_triangles"]
+    assert total == 4
+    per_v = {r["id"]: r["n_triangles"] for r in gm.vertex_triangle_counts(edges).collect()}
+    # every K4 vertex sits in C(3,2) = 3 triangles
+    assert per_v == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_bipartite_is_zero(spark):
+    from social_link_prediction_spark.graph import motifs as gm
+
+    edges = spark.createDataFrame(
+        [(i, 100 + (i % 3)) for i in range(10)], ["src", "dst"]
+    )
+    assert gm.triangle_count(edges).collect()[0]["n_triangles"] == 0
