@@ -1062,6 +1062,47 @@ def pagerank_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["pagerank_partsupp"] = _duck_pagerank_sql()
 
 
+def _duck_ppr_sql(iterations: int = 4, damping: float = 0.85) -> str:
+    """Personalized PageRank from s:1 (int node id 1), unrolled.
+    Seed term only on the source; the symmetric graph has no dangling
+    or sourceless vertices, so each round is flow + seed restart."""
+    ctes = [
+        "e AS (SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst FROM lineitem"
+        " UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem)",
+        "od AS (SELECT src, count(*) AS od FROM e GROUP BY src)",
+        "pr0 AS (SELECT DISTINCT src AS id,"
+        " CASE WHEN src = 1 THEN 1.0 ELSE 0.0 END AS pr FROM e)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT e.dst AS id, "
+            f"(CASE WHEN e.dst = 1 THEN {1 - damping} ELSE 0 END)"
+            f" + {damping} * sum(p.pr / od.od) AS pr "
+            f"FROM e JOIN pr{i-1} p ON p.id = e.src JOIN od ON od.src = e.src "
+            f"GROUP BY e.dst)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT CASE WHEN id < 0 THEN 'p:' || (-id - 1) ELSE 's:' || id END AS id,"
+        f" round(pr, 8) AS ppr FROM pr{iterations} WHERE round(pr, 8) > 0"
+    )
+
+
+@query("ppr_s1", None)
+def ppr_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from s:1 on the part-supplier graph,
+    4 iterations — proximity-to-seed centrality for recommendations."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    out = gpr.personalized_pagerank(edges, [1], damping=0.85, iterations=4)
+    return (
+        out.select(_fmt_node(F.col("id")).alias("id"), F.round("pagerank", 8).alias("ppr"))
+        .filter(F.col("ppr") > 0)
+    )
+
+
+ORACLES["ppr_s1"] = _duck_ppr_sql()
+
+
 @query(
     "connected_components_cnr",
     """
