@@ -26,6 +26,12 @@ from social_link_prediction_spark.operators import windows as win
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# 60-bit md5 hash as DuckDB SQL — the oracle twin of ml.linksplit._hash60
+# (used by the link split, the negative sampler, and the stratified sampler).
+_DUCK_H60 = (
+    "CAST(concat('0x', substr(md5(concat_ws(chr(31), {args})), 1, 15)) AS BIGINT)"
+)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -1282,6 +1288,181 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("n_triangles").desc(), F.col("id").asc()).limit(20)
 
 
+_DUCK_TRI_CTES = f"""
+    {_DUCK_TRI_EDGES.strip()},
+    tri AS (
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM te ab
+        JOIN te bc ON bc.a = ab.b
+        WHERE EXISTS (SELECT 1 FROM te cl WHERE cl.a = ab.a AND cl.b = bc.b)
+    ),
+    tcount AS (
+        SELECT id, count(*) AS n_triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY id
+    ),
+    und2 AS (SELECT a, b FROM te UNION ALL SELECT b, a FROM te),
+    deg AS (SELECT a AS id, count(*) AS deg FROM und2 GROUP BY a)
+"""
+
+
+@query(
+    "clustering_coefficient",
+    f"""
+    WITH {_DUCK_TRI_CTES.strip()}
+    SELECT d.id, d.deg, coalesce(t.n_triangles, 0) AS n_triangles,
+           round(2.0 * coalesce(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 6) AS lcc
+    FROM deg d LEFT JOIN tcount t ON t.id = d.id
+    WHERE d.deg >= 2
+    ORDER BY lcc DESC, d.id ASC LIMIT 20
+    """,
+)
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient 2T(v)/(deg(v)(deg(v)-1)) — the
+    metric the triangle census exists for; top 20."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    e = _tri_edges(spark, sf_dir)
+    und = gm._oriented(e, "src", "dst")
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    t = gm.vertex_triangle_counts(e)
+    return (
+        deg.join(t, "id", "left")
+        .na.fill({"n_triangles": 0})
+        .filter(F.col("deg") >= 2)
+        .select(
+            "id",
+            "deg",
+            "n_triangles",
+            F.round(
+                2.0 * F.col("n_triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+            ).alias("lcc"),
+        )
+        .orderBy(F.col("lcc").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "degree_assortativity",
+    f"""
+    WITH {_DUCK_TRI_CTES.strip()}
+    SELECT round(corr(da.deg, db.deg), 6) AS assortativity
+    FROM und2 e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity: Pearson correlation of endpoint degrees
+    over both orientations of every undirected edge (Newman 2002) —
+    social graphs are assortative, technological ones disassortative;
+    one corr aggregate after two broadcast degree joins."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    e = _tri_edges(spark, sf_dir)
+    und = gm._oriented(e, "src", "dst")
+    und2 = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und2.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    return (
+        und2.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, round(tf * ln((SELECT n FROM nn) / df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term)
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode -> tf counts -> df
+    counts (broadcast — vocabulary ≪ corpus) -> score -> per-doc
+    window top-k. The training-data 'what is this document about'
+    primitive, all JVM expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_SAMPLE_RATES = {"en": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1, "zh": 0.1}
+
+
+@query(
+    "stratified_sample_counts",
+    f"""
+    WITH s AS (
+        SELECT lang FROM documents
+        WHERE {_DUCK_H60.format(args="doc_id::VARCHAR, '42'")} % 10000
+              < CASE lang {' '.join(f"WHEN '{k}' THEN {int(v * 10000)}" for k, v in _SAMPLE_RATES.items())}
+                ELSE 0 END
+    )
+    SELECT lang, count(*) AS n_sampled FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-data staple): keep
+    a document iff hash(doc_id, seed) mod 10k falls under its
+    stratum's rate — reproducible across engines and runs, no RNG
+    state, filter runs scan-side. Returns per-stratum kept counts."""
+    from social_link_prediction_spark.ml import linksplit as mls
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = None
+    for k, v in _SAMPLE_RATES.items():
+        cond = F.when(F.col("lang") == k, F.lit(int(v * 10000)))
+        rate = cond if rate is None else rate.when(F.col("lang") == k, F.lit(int(v * 10000)))
+    rate = rate.otherwise(F.lit(0))
+    keep = mls._hash60(F.col("doc_id").cast("string"), F.lit("42")) % 10000 < rate
+    return (
+        docs.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
 # =====================================================================
 # A1 group-concat, grouping sets, set ops — free Spark SQL surface the
 # reference lacks (SURVEY §2.4/2.6 notes) but the engine exposes.
@@ -1580,11 +1761,6 @@ def weighted_sssp_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M4/M5: leakage-safe link split + deterministic negative sampling.
 # md5-keyed so DuckDB reproduces the exact same bucketing.
 # =====================================================================
-_DUCK_H60 = (
-    "CAST(concat('0x', substr(md5(concat_ws(chr(31), {args})), 1, 15)) AS BIGINT)"
-)
-
-
 @query(
     "link_split_counts",
     f"""
