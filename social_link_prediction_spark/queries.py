@@ -1530,6 +1530,61 @@ def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with an explicit value list — naming the pivot
+    values keeps the plan a single pass (no distinct-scan to discover
+    columns) and fixes the output schema, both required at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "unpivot_nation_stats",
+    """
+    WITH s AS (
+        SELECT n_regionkey,
+               count(*)::DOUBLE AS n_nations,
+               count(DISTINCT n_name)::DOUBLE AS n_names
+        FROM nation GROUP BY n_regionkey
+    )
+    SELECT n_regionkey, 'n_nations' AS metric, n_nations AS value FROM s
+    UNION ALL
+    SELECT n_regionkey, 'n_names', n_names FROM s
+    ORDER BY n_regionkey, metric
+    """,
+)
+def unpivot_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """melt/unpivot: wide per-region stats to long (region, metric,
+    value) — Spark's native unpivot keeps this a zero-shuffle
+    projection over the aggregated frame."""
+    nation = _t(spark, sf_dir, "nation")
+    s = nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_nations"),
+        F.countDistinct("n_name").cast("double").alias("n_names"),
+    )
+    return s.unpivot(
+        ["n_regionkey"], ["n_nations", "n_names"], "metric", "value"
+    ).orderBy("n_regionkey", "metric")
+
+
+@query(
     "intersect_except_custkeys",
     """
     WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
