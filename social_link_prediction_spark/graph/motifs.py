@@ -62,3 +62,21 @@ def vertex_triangle_counts(
         F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
     )
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman (2002) degree assortativity: Pearson correlation of
+    endpoint degrees over BOTH orientations of every undirected edge
+    (symmetrizing makes the correlation orientation-free). One corr
+    aggregate after two degree joins — broadcast when the degree table
+    is small, shuffled joins otherwise (Catalyst/AQE decides)."""
+    e = _oriented(edges, src, dst)
+    und2 = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und2.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    return und2.join(da, "a").join(db, "b").agg(
+        F.corr("da", "db").alias("assortativity")
+    )

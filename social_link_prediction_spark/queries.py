@@ -1359,23 +1359,12 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity: Pearson correlation of endpoint degrees
-    over both orientations of every undirected edge (Newman 2002) —
-    social graphs are assortative, technological ones disassortative;
-    one corr aggregate after two broadcast degree joins."""
+    """Degree assortativity (Newman 2002) — social graphs are
+    assortative, technological ones disassortative."""
     from social_link_prediction_spark.graph import motifs as gm
 
-    e = _tri_edges(spark, sf_dir)
-    und = gm._oriented(e, "src", "dst")
-    und2 = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = und2.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
-    return (
-        und2.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
-        .agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
-    )
+    out = gm.degree_assortativity(_tri_edges(spark, sf_dir))
+    return out.select(F.round("assortativity", 6).alias("assortativity"))
 
 
 @query(

@@ -134,3 +134,12 @@ def test_triangles_bipartite_is_zero(spark):
         [(i, 100 + (i % 3)) for i in range(10)], ["src", "dst"]
     )
     assert gm.triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_degree_assortativity_bounds_and_sign(spark):
+    """Star graph is maximally disassortative (r = -1)."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
+    r = gm.degree_assortativity(star).collect()[0]["assortativity"]
+    assert abs(r - (-1.0)) < 1e-9
