@@ -249,3 +249,30 @@ def correlate_streams(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native gap-session aggregation (F.session_window): one session
+    row per (user, burst of activity), start = first event, end = last
+    event + gap. Streaming mode is stateful with watermark-driven
+    state eviction — sessions close when the watermark passes their
+    end, which is how unbounded per-user state stays bounded at scale.
+    Identical expression body batch and streaming (parity tested)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

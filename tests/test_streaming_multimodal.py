@@ -227,3 +227,25 @@ def test_correlate_streams_stream(spark, tmp_path):
     # user 0: clicks {0,2} x purchases {100,102}; user 1: {1,3} x {101,103}
     assert len(out) == 8
     assert all(r.purchase_ts >= r.click_ts for r in out)
+
+
+def test_session_window_stream_batch_parity(spark, tmp_path):
+    """Native session windows: same sessions from batch and streaming
+    runs of the identical expression body."""
+    _write_event_files(tmp_path)
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    batch_out = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in se.session_window_stats(batch, gap="10 minutes").collect()
+    }
+    assert batch_out  # events 5 min apart per file -> real sessions form
+    stream = se.read_event_stream(spark, str(tmp_path))
+    q = se.run_to_memory_sink(
+        se.session_window_stats(stream, gap="10 minutes"), "sess_parity"
+    )
+    q.awaitTermination(60)
+    stream_out = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_parity").collect()
+    }
+    assert batch_out == stream_out
