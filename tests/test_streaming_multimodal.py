@@ -249,3 +249,58 @@ def test_session_window_stream_batch_parity(spark, tmp_path):
         for r in spark.sql("select * from sess_parity").collect()
     }
     assert batch_out == stream_out
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    """Continuous ETL: envelope files land -> stream cleans/appends ->
+    batch compaction dedups. New files are picked up exactly once."""
+    from social_link_prediction_spark.pipelines import transformer as tr
+    from social_link_prediction_spark.streaming import ingest as ing
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def envelope(rows):
+        return json.dumps(
+            {"head": {"vars": ["person", "personLabel", "relationshipLabel", "object", "objectLabel"]},
+             "results": {"bindings": rows}}
+        )
+
+    def binding(p, rel, o):
+        return {
+            "person": {"value": f"http://www.wikidata.org/entity/{p}"},
+            "personLabel": {"value": f"name {p}"},
+            "relationshipLabel": {"value": rel},
+            "object": {"value": f"http://www.wikidata.org/entity/{o}"},
+            "objectLabel": {"value": f"name {o}"},
+        }
+
+    (landing / "raw_data_spouse_a.json").write_text(
+        envelope([binding("Q1", "spouse", "Q2"), binding("Q2", "spouse", "Q1"),
+                  binding("bogus", "spouse", "Q3")])
+    )
+    schema = ing.envelope_schema(spark, str(landing / "raw_data_spouse_a.json"))
+
+    out = tmp_path / "edges_raw"
+    cp = tmp_path / "cp"
+    stream = ing.stream_raw_bindings(spark, str(landing), schema)
+    assert stream.isStreaming
+    q = ing.start_ingest(stream, str(out), str(cp))
+    q.awaitTermination(60)
+
+    appended = spark.read.parquet(str(out))
+    # bogus person filtered by the Q-ID validity stage; both orientations kept
+    assert appended.count() == 2
+
+    # second landing file: replays nothing, appends only the new rows
+    (landing / "raw_data_spouse_b.json").write_text(
+        envelope([binding("Q5", "spouse", "Q6")])
+    )
+    q2 = ing.start_ingest(ing.stream_raw_bindings(spark, str(landing), schema), str(out), str(cp))
+    q2.awaitTermination(60)
+    appended2 = spark.read.parquet(str(out))
+    assert appended2.count() == 3
+
+    # batch compaction: D5 canonicalization collapses the reverse pair
+    compacted = tr.build_edges(appended2)
+    assert compacted.count() == 2
