@@ -1519,6 +1519,48 @@ def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "referential_integrity_audit",
+    """
+    SELECT 'orders.o_custkey->customer' AS fk,
+           count(*) FILTER (WHERE c.c_custkey IS NULL) AS orphans,
+           count(*) AS n_rows
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           count(*) FILTER (WHERE p.p_partkey IS NULL), count(*)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    ORDER BY fk
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation: orphan-FK counts per declared
+    relationship. Broadcast the key side — at 100 TB the fact table
+    must not shuffle to be audited; a Bloom pre-filter (joins.
+    bloom_semi_filter) covers dimension tables past broadcast size."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    a = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left")
+        .agg(
+            F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphans"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.lit("orders.o_custkey->customer").alias("fk"), "orphans", "n_rows")
+    )
+    b = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left")
+        .agg(
+            F.count(F.when(F.col("p_partkey").isNull(), 1)).alias("orphans"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.lit("lineitem.l_partkey->part").alias("fk"), "orphans", "n_rows")
+    )
+    return a.unionByName(b).orderBy("fk")
+
+
+@query(
     "pivot_status_by_priority",
     """
     SELECT o_orderpriority,

@@ -132,3 +132,55 @@ def test_powerlaw_gamma_recovers_known_exponent(spark):
     got = powerlaw_gamma(df, "person", k_min=k_min).collect()[0]
     assert got.n_tail == n
     assert abs(got.gamma - gamma_true) < 0.1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 1000)), min_size=1, max_size=40
+    ),
+    n_salts=st.sampled_from([2, 7]),
+)
+@_slow
+def test_salted_aggregate_partition_law(spark, rows, n_salts):
+    """Two-phase salted aggregation == plain aggregation for any data
+    and salt count (sum/count/min/max are algebraic)."""
+    from social_link_prediction_spark.operators import joins as jn
+
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        (r["k"]): (r["s"], r["c"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("mn"), F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    got = {}
+    out = (
+        jn.salted_aggregate(df, ["k"], {"v": "sum"}, n_salts)
+        .join(jn.salted_aggregate(df, ["k"], {"v": "count"}, n_salts), "k")
+        .join(jn.salted_aggregate(df, ["k"], {"v": "min"}, n_salts), "k")
+        .join(jn.salted_aggregate(df, ["k"], {"v": "max"}, n_salts), "k")
+    )
+    for r in out.collect():
+        got[r["k"]] = (r["sum_v"], r["count_v"], r["min_v"], r["max_v"])
+    assert got == plain
+
+
+@given(
+    fact_keys=st.lists(st.integers(0, 100), min_size=1, max_size=50),
+    dim_keys=st.lists(st.integers(0, 100), min_size=1, max_size=20),
+)
+@_slow
+def test_bloom_filter_never_false_negative(spark, fact_keys, dim_keys):
+    """Every true match survives the Bloom pre-filter regardless of
+    data; the follow-up exact semi-join equals the direct one."""
+    from social_link_prediction_spark.operators import joins as jn
+
+    fact = spark.createDataFrame([(k,) for k in fact_keys], ["k"])
+    dim = spark.createDataFrame([(k,) for k in dim_keys], ["k"])
+    exact = sorted(r["k"] for r in fact.join(dim, "k", "left_semi").collect())
+    filtered = jn.bloom_semi_filter(fact, dim, "k", num_bits=1 << 12, n_hashes=3)
+    refined = sorted(r["k"] for r in filtered.join(dim, "k", "left_semi").collect())
+    assert refined == exact
