@@ -1216,6 +1216,41 @@ def bfs_distances_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.select("id", F.col("dist").cast("int").alias("dist"))
 
 
+_BFS_SEEDS = [1, 7, 13, 19, 25]  # deterministic supplier sample
+
+
+@query(
+    "multi_source_bfs",
+    f"""
+    WITH RECURSIVE {_DUCK_PS_EDGES.strip()},
+    walk(source, id, d) AS (
+        SELECT id, id, 0 FROM (
+            SELECT 's:' || k AS id FROM unnest({_BFS_SEEDS}::BIGINT[]) AS t(k)
+        )
+        UNION
+        SELECT w.source, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+        WHERE w.d < 3
+    )
+    SELECT source, id, min(d) AS dist FROM walk GROUP BY source, id
+    """,
+)
+def multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4/G5 multi-source case: ALL seeds relax in one frontier loop
+    (one job, source carried as a frontier column) — the distributed
+    replacement for the reference's per-source process-pool fan-out
+    (analysis_service.py:223-262)."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    sources = spark.createDataFrame([(k,) for k in _BFS_SEEDS], "source long")
+    sp = gpaths.multi_source_shortest_paths(
+        edges, sources, weight=None, max_hops=3, directed=True
+    )
+    return sp.select(
+        _fmt_node(F.col("source")).alias("source"),
+        _fmt_node(F.col("id")).alias("id"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 @query(
     "ego_2hop_s1",
     f"""
