@@ -182,3 +182,36 @@ def test_negative_sampling_scalable_index_matches_window_path(spark, monkeypatch
     big = ls.negative_sample(edges, nodes, ratio=2.0, seed=7)
     key = lambda df: sorted((r.src, r.dst, r.rel, r.label) for r in df.collect())
     assert key(small) == key(big)
+
+
+def test_model_store_roundtrip(spark, tmp_path):
+    """S11/M9 model store: MLlib save -> load -> identical scores
+    (replaces the reference's pickle/state_dict model_repo, SURVEY
+    §1.4; infrastructure/repositories/model_repo.py:20-68)."""
+    from pyspark.ml import PipelineModel
+
+    edges = []
+    for c in range(4):
+        ids = [f"C{c}N{i}" for i in range(5)]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                edges.append((ids[i], ids[j], "r"))
+    edf = spark.createDataFrame(edges, ["src", "dst", "rel"])
+    nodes = edf.select(F.col("src").alias("id")).union(edf.select("dst")).distinct()
+    labeled = ls.negative_sample(edf, nodes, ratio=1.0)
+    model, feats = mp.train_link_model(labeled, edf)
+
+    path = str(tmp_path / "link_model")
+    model.save(path)
+    loaded = PipelineModel.load(path)
+
+    before = {
+        (r["src"], r["dst"]): r["probability"][1]
+        for r in model.transform(feats).select("src", "dst", "probability").collect()
+    }
+    after = {
+        (r["src"], r["dst"]): r["probability"][1]
+        for r in loaded.transform(feats).select("src", "dst", "probability").collect()
+    }
+    assert before.keys() == after.keys()
+    assert all(abs(before[k] - after[k]) < 1e-12 for k in before)
