@@ -1554,6 +1554,33 @@ def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_balance_ranks",
+    """
+    SELECT c_custkey,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface (ntile/percent_rank/cume_dist) over a
+    global ordering. A single global window funnels all rows through
+    one task — fine for a dimension table; for a 100 TB fact rank use
+    the range-partition + offset composition in ml.linksplit's
+    scalable index instead."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return cust.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
     "referential_integrity_audit",
     """
     SELECT 'orders.o_custkey->customer' AS fk,
