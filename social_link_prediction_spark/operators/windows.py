@@ -114,12 +114,16 @@ def sessionize(
     ts: str,
     gap_seconds: int = 1800,
     out: str = "session_id",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Assign session ids: a new session starts when the gap to the
     previous event of the same user exceeds ``gap_seconds``. One
-    shuffle (partitionBy user), then two windows over it.
+    shuffle (partitionBy user), then two windows over it. ``tiebreak``
+    columns make the within-user order deterministic when two events
+    share a timestamp (same-ts events always share a session, but the
+    lag/cumsum pair needs a stable order to be reproducible).
     """
-    w = Window.partitionBy(user).orderBy(ts)
+    w = Window.partitionBy(user).orderBy(ts, *tiebreak)
     # microsecond precision: second-level casts would mis-bucket gaps
     # that straddle the threshold by a fraction of a second
     us = epoch_us(F.col(ts))

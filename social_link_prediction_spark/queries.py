@@ -460,16 +460,22 @@ def cumulative_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT event_id, user_id,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM g
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = win.sessionize(_t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800)
+    # CAST in the oracle: DuckDB widens windowed sum(int) to HUGEINT
+    # (int128), Spark to BIGINT — values identical, hash differs.
+    out = win.sessionize(
+        _t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800,
+        tiebreak=("event_id",),
+    )
     return out.select("event_id", "user_id", "session_id")
 
 
@@ -479,7 +485,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, ts, value,
                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
-                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -499,10 +505,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native Spark session windows (F.session_window, the streaming-
     capable gap-session operator) aggregated per user: start = first
-    event, end = last event + gap, matching the lag/gap formulation
-    the oracle uses. One shuffle on (user, session assignment) —
-    inside Structured Streaming the same expression runs stateful
-    with watermark-based state eviction."""
+    event, end = last event + gap. One shuffle on (user, session
+    assignment) — inside Structured Streaming the same expression runs
+    stateful with watermark-based state eviction.
+
+    Boundary convention: F.session_window merges events only on strict
+    window overlap, so an event exactly ``gap`` after its predecessor
+    starts a NEW session; the oracle's is_new therefore uses ``>=
+    gap``. Note this differs from the ``sessionize`` operator (and
+    sessionize_events), which keep an exactly-at-gap event in the SAME
+    session (``> gap``) — the two queries intentionally pin both
+    conventions."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
