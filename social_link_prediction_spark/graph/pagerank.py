@@ -214,48 +214,64 @@ def pagerank_per_relation(
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iterations: int = 50
 ) -> DataFrame:
-    """Undirected connected components by min-label propagation
-    (large-star-ish): each round every node adopts the min component
-    id among itself and its neighbors; stop when nothing changes.
-    Rounds ≈ graph diameter; each round is one shuffle.
-    Returns (id, component) where component = min node id reachable.
+    """Undirected connected components by alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): converges in O(log n) rounds regardless of component
+    diameter, unlike min-label propagation whose round count equals the
+    longest chain — the degenerate case for near-dup chains of crawl
+    snapshots, where duplicate chains can be arbitrarily long.
+
+    Each round is two shuffles (one groupBy per star op) plus one cheap
+    convergence aggregate. Returns (id, component) where component =
+    min node id reachable, for every id appearing in the edge list.
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("v").alias("id")))
         .dropDuplicates()
         .localCheckpoint()
     )
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .dropDuplicates()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint()
-    )
+    e = pairs.filter(F.col("u") != F.col("v")).dropDuplicates().localCheckpoint()
+    prev_sig = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            und.join(labels.withColumnRenamed("id", "a"), "a")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.min("component").alias("nmin"))
+        # large-star: each node u attaches its strictly-larger
+        # neighbors to m = min(N(u) ∪ {u}); every undirected edge is
+        # emitted once, from its smaller endpoint's group
+        nbrs = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.least("mn", F.col("u")).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
         )
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias(
-                    "component"
-                ),
-            )
+        # small-star: orient big→small, then each node attaches all its
+        # smaller neighbors (and itself) to the min of that set
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = canon.groupBy("u").agg(F.min("v").alias("mn"))
+        joined = canon.join(mins2, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionAll(joined.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # type-agnostic edge-set signature (ids may be strings);
+        # bit_xor can't overflow under ANSI mode, unlike sum
+        sig = small.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).collect()[0]
+        e = small
+        if prev_sig is not None and tuple(sig) == tuple(prev_sig):
             break
-    return labels
+        prev_sig = sig
+    # at the fixed point e is a star forest: u → component root (min id);
+    # the groupBy(min) is belt-and-braces against a signature collision
+    labels = e.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
+    roots = nodes.join(labels, "id", "left_anti").withColumn("component", F.col("id"))
+    return labels.unionByName(roots)

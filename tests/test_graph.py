@@ -91,6 +91,25 @@ def test_connected_components_two(social_graph):
     assert comp["Q8"] == comp["Q9"] != comp["Q1"]
 
 
+def test_connected_components_path_graph_log_rounds(spark):
+    """A 1000-node path is the degenerate case for min-label
+    propagation (1000 rounds); large-star/small-star must converge in
+    O(log n) — well under the 12-iteration cap given here."""
+    e = spark.createDataFrame([(i, i + 1) for i in range(999)], ["src", "dst"])
+    cc = gpr.connected_components(e, max_iterations=12)
+    rows = cc.collect()
+    assert len(rows) == 1000
+    assert {r.component for r in rows} == {0}
+
+
+def test_connected_components_self_loop_isolate(spark):
+    """A node whose only edge is a self-loop is still its own
+    (singleton) component."""
+    e = spark.createDataFrame([(1, 2), (7, 7)], ["src", "dst"])
+    comp = {r.id: r.component for r in gpr.connected_components(e).collect()}
+    assert comp == {1: 1, 2: 1, 7: 7}
+
+
 def test_ego_hops(social_graph):
     _, e = social_graph
     ego = {r.id: r.hop for r in gp.ego_network(e, ["Q1"], k=2).collect()}
