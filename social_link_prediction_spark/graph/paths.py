@@ -408,22 +408,30 @@ def six_degrees_experiment(
     Returns a single-row DataFrame of the experiment summary.
     """
     ids = vertices.select("id")
-    a = (
-        ids.orderBy(F.rand(seed))
-        .limit(n_pairs)
-        .select(F.col("id").alias("src"))  # rename breaks shared lineage ambiguity
-        .withColumn("k", F.monotonically_increasing_id())
-    )
-    b = (
-        ids.orderBy(F.rand(seed + 1))
-        .limit(n_pairs)
-        .select(F.col("id").alias("dst"))
-        .withColumn("k", F.monotonically_increasing_id())
-    )
+    n_nodes = vertices.count()
+    # Deterministic hash-threshold sampling (same pattern as the
+    # stratified sampler): the filter runs distributed over all
+    # vertices; only the ~1.5*n_pairs survivors hit the row_number
+    # window. No global sort / top-k heap over the full vertex set —
+    # the old orderBy(rand()).limit() shape scanned-and-heaped
+    # everything and zip-paired via monotonically_increasing_id, which
+    # only lined up because limit collapsed to one partition.
+    K = 1 << 30
+    thresh = int(min(1.0, 1.5 * n_pairs / max(n_nodes, 1)) * K)
+
+    def _sample(s: int, out: str) -> DataFrame:
+        cand = ids.filter(F.pmod(F.xxhash64("id", F.lit(s)), F.lit(K)) < thresh)
+        w = Window.orderBy(F.xxhash64("id", F.lit(s + 1_000_003)), "id")
+        return (
+            cand.withColumn("k", F.row_number().over(w))
+            .filter(F.col("k") <= n_pairs)
+            .select(F.col("id").alias(out), "k")
+        )
+
+    a = _sample(seed, "src")
+    b = _sample(seed + 1, "dst")
     pairs = a.join(b, "k").select("src", "dst").filter(F.col("src") != F.col("dst"))
     deg = degrees_of_separation(edges, pairs, vertices, weight=weight, max_hops=max_hops)
-
-    n_nodes = vertices.count()
     mean_k = (
         undirected(edges).groupBy("src").count().agg(F.avg("count")).first()[0]
     )

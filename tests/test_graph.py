@@ -125,6 +125,21 @@ def test_six_degrees_experiment(social_graph):
     assert out.n_pairs > 0
     assert out.unreachable >= 0
     assert out.l_theory == out.l_theory  # not NaN for this graph
+    # deterministic: same seed → identical summary row
+    again = gp.six_degrees_experiment(e, v, n_pairs=20, seed=1, max_hops=6).first()
+    assert out == again
+
+
+def test_six_degrees_sampling_no_global_topk(social_graph):
+    """The pair sampler must hash-filter BEFORE any ranking — no
+    orderBy(rand()).limit() full-scan heap over the vertex set.
+    (Catalyst legitimately turns the rank-filter into a TakeOrdered
+    over the already-filtered ~1.5*n sample; what must NOT appear is
+    a rand() sort, and the pmod hash filter must sit below it.)"""
+    v, e = social_graph
+    plan = gp.six_degrees_experiment(e, v, n_pairs=5, seed=1, max_hops=3)._jdf.queryExecution().executedPlan().toString()
+    assert "rand(" not in plan
+    assert "pmod(xxhash64" in plan
 
 
 def test_triangles_exact_once(spark):
