@@ -158,6 +158,19 @@ def personalized_pagerank(
         .cache()
     )
     n = nodes.count()
+    # a typo'd / absent seed would silently contribute no restart mass
+    # (the seed term applies via isin over contrib rows) and shrink
+    # every rank with no error — fail loudly instead. One broadcast
+    # semi-count against the already-cached nodes frame.
+    n_found = nodes.filter(F.col("id").isin(list(sources))).count()
+    if n_found != len(set(sources)):
+        missing = set(sources) - {
+            r.id for r in nodes.filter(F.col("id").isin(list(sources))).collect()
+        }
+        raise ValueError(
+            f"personalized_pagerank: seed ids not in the edge list's "
+            f"vertex set: {sorted(missing)!r}"
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     e_od = e.join(outdeg, "src").persist()
 

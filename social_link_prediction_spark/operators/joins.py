@@ -196,7 +196,18 @@ def salted_join(
     key (salting by hash(key) would re-concentrate the hot key) —
     ``monotonically_increasing_id`` gives a per-row value that is
     deterministic within a job run and spreads evenly.
+
+    Only left-preserving join types are valid: the right side is
+    replicated across salts, so right/full outer would emit each
+    unmatched right row once per salt.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right-preserving outer "
+            "joins would duplicate unmatched right rows n_salts times"
+        )
     lsalt = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
@@ -280,6 +291,9 @@ def bloom_semi_filter(
     ``bloom_filter_agg`` is not resolvable from the public function
     registry, hence the explicit construction.
     """
+    # bit positions go up to num_bits-1, so the word array must cover
+    # ceil(num_bits/64) words; round up rather than truncate
+    num_bits = ((num_bits + 63) // 64) * 64
     n_words = num_bits // 64
     pos = keys.select(
         F.explode(F.array(*_bloom_positions(F.col(on), num_bits, n_hashes))).alias("p")

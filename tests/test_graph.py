@@ -91,6 +91,14 @@ def test_connected_components_two(social_graph):
     assert comp["Q8"] == comp["Q9"] != comp["Q1"]
 
 
+def test_personalized_pagerank_rejects_missing_seed(social_graph):
+    import pytest
+
+    _, e = social_graph
+    with pytest.raises(ValueError, match="Q999"):
+        gpr.personalized_pagerank(e, sources=["Q1", "Q999"], iterations=2)
+
+
 def test_connected_components_path_graph_log_rounds(spark):
     """A 1000-node path is the degenerate case for min-label
     propagation (1000 rounds); large-star/small-star must converge in

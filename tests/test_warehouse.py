@@ -104,6 +104,29 @@ def test_salted_aggregate_matches_plain(spark, tables):
     assert p == s
 
 
+def test_salted_join_rejects_right_preserving(spark, tables):
+    orders, lineitem = tables
+    dim = orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    import pytest
+
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            jn.salted_join(lineitem, dim, "l_orderkey", n_salts=4, how=how)
+    # left-preserving types still go through
+    n_semi = jn.salted_join(lineitem, dim, "l_orderkey", n_salts=4, how="left_semi").count()
+    assert n_semi == lineitem.join(dim, "l_orderkey", "left_semi").count()
+
+
+def test_bloom_semi_filter_non_multiple_of_64_bits(spark, tables):
+    """num_bits not divisible by 64 used to truncate the word array and
+    IndexError when a hash landed in the last partial word."""
+    orders, lineitem = tables
+    keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+    filtered = jn.bloom_semi_filter(lineitem, keys, "l_orderkey", num_bits=1000, n_hashes=3)
+    exact = lineitem.join(keys, "l_orderkey", "left_semi")
+    assert filtered.join(keys, "l_orderkey", "left_semi").count() == exact.count()
+
+
 def test_bloom_semi_filter_superset_and_exact_after_join(spark, tables):
     orders, lineitem = tables
     keys = orders.filter(F.col("o_custkey") == 13).select(
