@@ -8,11 +8,14 @@ custom re-scoring (−30 short-candidate penalty, +20 prefix bonus,
 Spark design: the index is a DataFrame keyed by ``norm_name`` —
 exact lookup is a broadcast equi-join; the fuzzy path scores
 candidates with a pandas UDF wrapping rapidfuzz when available
-(exact WRatio parity, SURVEY §7.4.4) and falls back to a JVM
-levenshtein ratio otherwise. Re-scoring is pure column arithmetic
-either way. At 100 TB-node scale the scored scan is bounded by a
-cheap JVM pre-filter (first-character block / length band) before
-the expensive scorer runs.
+(exact WRatio parity, SURVEY §7.4.4) or the pure-Python
+WRatio-compatible twin in ``wratio.py`` otherwise — same recipe, so
+the reference's scoring semantics hold in environments without
+rapidfuzz. A JVM levenshtein-ratio scorer remains for fully
+oracle-checkable (no-Python) scans. Re-scoring is pure column
+arithmetic on every path. At 100 TB-node scale the scored scan is
+bounded by a cheap JVM pre-filter (first-character block / length
+band) before the expensive scorer runs.
 """
 
 from __future__ import annotations
@@ -27,9 +30,12 @@ SHORT_PENALTY = 30  # fuzzy_search.py:69-86
 PREFIX_BONUS = 20
 SUBSTRING_BONUS = 10
 
-try:  # rapidfuzz gives WRatio parity with the reference; optional
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+from social_link_prediction_spark.search import wratio as _wratio_py
+
+try:  # rapidfuzz (C++) preferred when importable; optional
     from rapidfuzz import fuzz as _rf_fuzz
 
     _HAS_RAPIDFUZZ = True
@@ -71,16 +77,23 @@ def _normalize_py(s: str) -> str:
 
 def _base_score(query_norm: str, scorer: str = "auto") -> Column:
     """Similarity 0-100 for each index key vs the query literal.
-    ``scorer``: 'auto' (WRatio when rapidfuzz present), 'wratio', or
-    'levenshtein' (pure-JVM, deterministic, oracle-checkable)."""
-    if scorer != "levenshtein" and _HAS_RAPIDFUZZ:
+    ``scorer``: 'auto'/'wratio' (rapidfuzz WRatio when installed, else
+    the pure-Python WRatio-compatible scorer in wratio.py — same
+    recipe, so reference parity holds on both paths) or 'levenshtein'
+    (pure-JVM, deterministic, oracle-checkable)."""
+    if scorer != "levenshtein":
+        score_fn = (
+            (lambda q, n: float(_rf_fuzz.WRatio(q, n)))
+            if _HAS_RAPIDFUZZ
+            else _wratio_py.wratio
+        )
 
         @pandas_udf("double")
         def wratio(names: pd.Series) -> pd.Series:
-            return names.map(lambda n: float(_rf_fuzz.WRatio(query_norm, n or "")))
+            return names.map(lambda n: score_fn(query_norm, n or ""))
 
         return wratio(F.col("norm_name"))
-    # JVM fallback: normalized levenshtein ratio (no Python in the scan)
+    # JVM levenshtein ratio (no Python in the scan)
     q = F.lit(query_norm)
     dist = F.levenshtein(F.col("norm_name"), q)
     longest = F.greatest(F.length("norm_name"), F.length(q))
