@@ -3,12 +3,15 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched mapInPandas stages.
 
 The Spark-side plumbing — schema, partitioning, UDF signature, batch
-shape — is real and tested. The pixel/sample DECODING is stubbed
-(this environment has no image/audio libs): ``decode_image`` raises
-NotImplementedError unless ``fake=True``, which produces a
-deterministic stand-in derived from the bytes so downstream operators
-(dedup by content hash, embedding by feature vector) are exercised
-end-to-end.
+shape — is real and tested. Image decoding is real too:
+``extract_features(fake=False)`` decodes bytes via PIL when installed,
+falling back to the pure-stdlib PNG decoder in ``imagecodec.py``
+(8-bit grey/RGB/RGBA, all five scanline filters). ``fake=True``
+remains the oracle-checkable default — deterministic features derived
+from the content digest, so downstream operators (dedup by content
+hash, embedding by feature vector) are exercised end-to-end with
+DuckDB-reproducible values. Audio/video sample decode stays an honest
+NotImplementedError (no sound libraries are assumed).
 
 Scale notes: binaries stay in their column through shuffles only when
 needed — metadata-only operations prune the binary at the parquet scan
@@ -56,26 +59,79 @@ def _fake_decode(data: bytes) -> list[float]:
     return [b / 255.0 for b in dig[:FEATURE_DIM]]
 
 
+_POOL_GRID = 4  # FEATURE_DIM == _POOL_GRID ** 2
+
+
+def _pixels_to_features(width: int, height: int, rows) -> list[float]:
+    """Luminance average-pooled to a 4x4 grid -> FEATURE_DIM floats in
+    [0, 1]. Identical arithmetic for the PIL and stdlib-PNG decoders so
+    features don't depend on which decoder ran."""
+    sums = [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for y in range(height):
+        gy = min(_POOL_GRID - 1, y * _POOL_GRID // max(height, 1))
+        row = rows[y]
+        for x in range(width):
+            r, g, b = row[x]
+            cell = gy * _POOL_GRID + min(_POOL_GRID - 1, x * _POOL_GRID // max(width, 1))
+            sums[cell] += (r + g + b) / 3.0
+            counts[cell] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def _real_decode_image(data: bytes) -> list[float]:
+    """Real byte-level image decode: PIL when importable (any format),
+    else the pure-stdlib PNG decoder (pipelines/imagecodec.py)."""
+    try:
+        import io
+
+        from PIL import Image  # optional, not in every environment
+
+        img = Image.open(io.BytesIO(bytes(data))).convert("RGB")
+        w, h = img.size
+        px = list(img.getdata())
+        rows = [px[y * w : (y + 1) * w] for y in range(h)]
+        return _pixels_to_features(w, h, rows)
+    except ImportError:
+        from social_link_prediction_spark.pipelines import imagecodec
+
+        w, h, rows = imagecodec.decode_png(bytes(data))
+        return _pixels_to_features(w, h, rows)
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches). Output
-    schema: input minus content, plus features array<float>. A real
-    implementation replaces ``_fake_decode`` with PIL/torchvision/
-    librosa calls — the Spark plumbing is identical.
+    schema: input minus content, plus features array<float>.
+
+    ``fake=True`` (the oracle-checkable default) derives deterministic
+    features from the content digest. ``fake=False`` decodes image
+    bytes for real — PIL when installed, else the stdlib PNG decoder —
+    and raises NotImplementedError for audio/video kinds (no sound
+    libraries are assumed anywhere). The Spark plumbing (Arrow batch
+    shape, schema, binary-column pruning) is identical on every path.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present "
-            "in this environment; pass fake=True for the deterministic stub"
-        )
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != "content"]
         + [StructField("features", ArrayType(FloatType()))]
     )
     other_cols = [f.name for f in out_schema.fields if f.name != "features"]
 
+    def decode_row(kind: str, content) -> list[float]:
+        data = bytes(content) if content is not None else b""
+        if fake:
+            return _fake_decode(data)
+        if kind == "image":
+            return _real_decode_image(data)
+        raise NotImplementedError(
+            f"real decode for kind={kind!r} requires audio/video libraries "
+            "not assumed in any environment; pass fake=True"
+        )
+
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
-            feats = pdf["content"].map(lambda b: _fake_decode(bytes(b) if b is not None else b""))
+            feats = [
+                decode_row(k, c) for k, c in zip(pdf["kind"], pdf["content"])
+            ]
             res = pdf[other_cols].copy()
             res["features"] = feats
             yield res

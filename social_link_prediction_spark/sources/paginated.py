@@ -139,3 +139,51 @@ def batched_values_lookup(
         values = " ".join(f"wd:{x}" for x in chunk)
         out.extend(fetcher(query_template.replace("##VALUES##", values)))
     return out
+
+
+# ---------------------------------------------------------------------
+# S1 production fetcher: HTTP SPARQL client (extractor.py:30-41,52-65
+# semantics — JSON results format, mandatory User-Agent, 300 s timeout,
+# tolerant utf-8 decode). Pure stdlib (urllib) so it works everywhere;
+# the ``transport`` hook injects a fake wire for offline tests, and the
+# recorded-fixture fetcher remains the default in the test suite. The
+# retry / page-shrink / backoff policy lives in run_paginated_query —
+# this function only does one request per call.
+# ---------------------------------------------------------------------
+def http_fetcher(
+    endpoint: str = "https://query.wikidata.org/sparql",
+    user_agent: str | None = None,
+    timeout: float = 300.0,
+    transport: Callable[[str, bytes, dict], bytes] | None = None,
+) -> Fetcher:
+    """Build a Fetcher that POSTs SPARQL queries and returns the
+    ``results.bindings`` list. ``transport(url, body, headers) ->
+    bytes`` is injectable; the default uses urllib."""
+    if not user_agent:
+        # the reference refuses to query Wikidata anonymously
+        # (extractor.py:31-32); same contract here
+        raise ValueError("user_agent is required for SPARQL endpoints")
+
+    if transport is None:
+
+        def transport(url: str, body: bytes, headers: dict) -> bytes:
+            import urllib.request
+
+            req = urllib.request.Request(url, data=body, headers=headers, method="POST")
+            with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+                return resp.read()
+
+    def fetch(query: str) -> list[dict]:
+        from urllib.parse import urlencode
+
+        body = urlencode({"query": query, "format": "json"}).encode()
+        headers = {
+            "User-Agent": user_agent,
+            "Accept": "application/sparql-results+json",
+            "Content-Type": "application/x-www-form-urlencoded",
+        }
+        raw = transport(endpoint, body, headers)
+        results = json.loads(raw.decode("utf-8", errors="ignore"))
+        return results["results"]["bindings"]
+
+    return fetch

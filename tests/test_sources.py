@@ -166,3 +166,80 @@ def test_register_views_sql_twin(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # events view carries the nanos->micros timestamp normalization
     assert dict(spark.table("events").dtypes)["ts"].startswith("timestamp")
+
+
+class FakeTransport:
+    """Records requests; fails the first N to exercise the retry path
+    upstream in run_paginated_query."""
+
+    def __init__(self, rows, fail_first=0):
+        self.rows = rows
+        self.fail_first = fail_first
+        self.requests = []
+
+    def __call__(self, url, body, headers):
+        self.requests.append((url, body.decode(), dict(headers)))
+        if len(self.requests) <= self.fail_first:
+            raise OSError("connection reset")
+        from urllib.parse import parse_qs
+
+        q = parse_qs(self.requests[-1][1])["query"][0]
+        limit = int(q.split("LIMIT")[1].split()[0])
+        offset = int(q.split("OFFSET")[1].split()[0])
+        return json.dumps(
+            {"head": {"vars": ["x"]}, "results": {"bindings": self.rows[offset:offset + limit]}}
+        ).encode()
+
+
+def test_http_fetcher_requires_user_agent():
+    import pytest
+
+    with pytest.raises(ValueError, match="user_agent"):
+        pg.http_fetcher()
+
+
+def test_http_fetcher_request_shape():
+    t = FakeTransport([{"x": {"value": "1"}}])
+    f = pg.http_fetcher(endpoint="https://example.org/sparql", user_agent="ua/1.0", transport=t)
+    out = f("SELECT ?x WHERE {}\nLIMIT 10 OFFSET 0")
+    assert out == [{"x": {"value": "1"}}]
+    url, body, headers = t.requests[0]
+    assert url == "https://example.org/sparql"
+    assert headers["User-Agent"] == "ua/1.0"
+    assert headers["Accept"] == "application/sparql-results+json"
+    assert "LIMIT+10" in body or "LIMIT%2010" in body or "LIMIT" in body
+
+
+def test_http_fetcher_retry_and_shrink_through_pagination():
+    """extractor.py:88-107 semantics end-to-end: transport errors make
+    run_paginated_query shrink the page by 2000 and retry (max 20)."""
+    rows = [{"x": {"value": str(i)}} for i in range(7)]
+    t = FakeTransport(rows, fail_first=2)
+    f = pg.http_fetcher(user_agent="ua/1.0", transport=t)
+    pages = list(pg.run_paginated_query(
+        "SELECT", f, page_size=6000,
+        retry=pg.RetryPolicy(page_shrink=2000, min_page_size=1000),
+    ))
+    assert sum(len(p) for p in pages) == 7
+    # 2 failures then success; page size shrank 6000 -> 4000 -> 2000
+    assert len(t.requests) == 3
+    assert "LIMIT 2000" in parse_query(t.requests[-1][1])
+
+
+def parse_query(body):
+    from urllib.parse import parse_qs
+
+    return parse_qs(body)["query"][0]
+
+
+def test_http_fetcher_exhausts_retries():
+    import pytest
+
+    t = FakeTransport([], fail_first=100)
+    f = pg.http_fetcher(user_agent="ua/1.0", transport=t)
+    with pytest.raises(OSError):
+        list(pg.run_paginated_query(
+            "SELECT", f, page_size=10000,
+            retry=pg.RetryPolicy(max_retries=5),
+        ))
+    assert len(t.requests) == 6  # initial + 5 retries
