@@ -72,17 +72,32 @@ def main() -> None:
         timings[name] = round(run_query(fn, spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # per-query deltas vs the stored anchor (BENCH_ANCHOR.json, the r2
+    # local[32] numbers) — only shifts beyond the ±15% machine-noise
+    # band are reported, as pct change
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("sf") == sf:
+            deltas = {}
+            for name, t in timings.items():
+                base = anchor.get("queries", {}).get(name)
+                if base:
+                    pct = (t - base) / base * 100.0
+                    if abs(pct) > 15.0:
+                        deltas[name] = round(pct, 1)
+            out["vs_anchor_r%d" % anchor.get("round", 0)] = deltas
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(out))
     spark.stop()
 
 

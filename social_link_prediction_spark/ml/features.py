@@ -61,6 +61,57 @@ def hashed_text_embedding(
     return vec.select(F.col(id_col), unit.alias(out))
 
 
+def model_text_embedding(
+    df: DataFrame,
+    text_col: str,
+    out: str = "embedding",
+    id_col: str = "id",
+    model_name: str = "all-MiniLM-L6-v2",
+    batch_size: int = 64,
+) -> DataFrame:
+    """M1 real embedder (reference data_processor.py:23-33,120: SBERT
+    all-MiniLM-L6-v2): an Arrow-batched mapInPandas stage that loads
+    the sentence-transformers model once per executor python worker
+    and encodes text in batches. Import-guarded — environments without
+    sentence-transformers raise ImportError at plan-build time (call
+    :func:`hashed_text_embedding` for the deterministic fallback; both
+    emit the same (id, array<float>) shape, so downstream assembly is
+    identical).
+
+    Scale notes: the model loads per-worker, not per-row (lazy module
+    global); batches come through Arrow so encode() sees contiguous
+    numpy; output is the embedding only — the text column is dropped
+    before any shuffle.
+    """
+    import importlib
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence-transformers is not installed; use "
+            "hashed_text_embedding() for the deterministic fallback"
+        )
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    id_field = next(f for f in df.schema.fields if f.name == id_col)
+    schema = StructType([id_field, StructField(out, ArrayType(FloatType()))])
+
+    def encode(it: Iterator) -> Iterator:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+        for pdf in it:
+            vecs = model.encode(
+                pdf[text_col].fillna("").tolist(), batch_size=batch_size
+            )
+            res = pdf[[id_col]].copy()
+            res[out] = [list(map(float, v)) for v in vecs]
+            yield res
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=schema)
+
+
 def assemble_features(
     df: DataFrame,
     array_cols: list[str],

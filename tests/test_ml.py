@@ -215,3 +215,22 @@ def test_model_store_roundtrip(spark, tmp_path):
     }
     assert before.keys() == after.keys()
     assert all(abs(before[k] - after[k]) < 1e-12 for k in before)
+
+
+def test_model_text_embedding_import_guard(spark):
+    """The real SBERT stage raises a clear ImportError in environments
+    without sentence-transformers (this sandbox); the hashed fallback
+    stays the deterministic twin with the same output shape."""
+    import importlib
+
+    import pytest
+
+    from social_link_prediction_spark.ml import features as ft
+
+    df = spark.createDataFrame([(1, "hello world")], ["id", "text"])
+    if importlib.util.find_spec("sentence_transformers") is None:
+        with pytest.raises(ImportError, match="sentence-transformers"):
+            ft.model_text_embedding(df, "text")
+    else:  # pragma: no cover - environment-dependent
+        out = ft.model_text_embedding(df, "text").collect()
+        assert len(out) == 1 and len(out[0].embedding) > 0
