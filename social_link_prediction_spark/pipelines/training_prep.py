@@ -1,0 +1,143 @@
+"""Training-data preparation operators: sequence packing, benchmark
+contamination screening, intra-document repetition metrics.
+
+These are the ops a 100 TB pretraining pipeline runs after dedup/
+quality filtering (pipelines/dedup.py, pipelines/text.py):
+
+- ``pack_documents`` — GPT-style concat-and-chunk packing: documents
+  are laid out end-to-end per shard in a deterministic order and cut
+  into fixed token-budget chunks; each doc learns its byte/token
+  offset and chunk span. Pure window arithmetic (one shuffle per
+  shard key), no UDF.
+- ``contamination_check`` — n-gram overlap screen of a training corpus
+  against a benchmark/eval set (the decontamination step every run
+  needs): inverted-index semi-join on hashed shingles, never
+  all-pairs; a ``max_doc_freq`` stop-shingle cap bounds the join's
+  skew exactly like ngram_jaccard's.
+- ``repetition_stats`` — Gopher-style repetition quality signals:
+  fraction of duplicate word n-grams and the share of the most
+  frequent n-gram, per document. explode + two-level aggregation with
+  map-side partial agg; shuffle key is (doc_id, ngram).
+
+All three are deterministic and SQL-expressible, so each has a DuckDB
+oracle in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines.dedup import shingles
+from social_link_prediction_spark.pipelines.text import tokens
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard (ordered by
+    ``id_col`` for determinism), documents are concatenated and sliced
+    into ``budget``-token training chunks. Output per doc:
+
+    - ``n_tokens``     whitespace token count
+    - ``start_offset`` cumulative token offset of the doc's first token
+    - ``first_chunk`` / ``last_chunk``  chunk indices the doc spans
+      (a doc may straddle a boundary — that IS the packing semantics;
+      greedy no-split packing is a different op)
+    - ``n_chunks``     how many chunks the doc touches
+
+    One shuffle (window partition by shard). At 100 TB the shard key
+    is date/source so each window partition is one input shard — skew
+    equals shard skew, not corpus size. Empty docs carry 0 tokens and
+    collapse to a zero-width span at their offset.
+    """
+    n_tok = F.size(tokens(text_col))
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    out = (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("start_offset", F.coalesce(cum, F.lit(0)).cast("long"))
+    )
+    first = F.floor(F.col("start_offset") / budget)
+    last = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / budget),
+    ).otherwise(first)
+    return (
+        out.withColumn("first_chunk", first.cast("long"))
+        .withColumn("last_chunk", last.cast("long"))
+        .withColumn("n_chunks", (F.col("last_chunk") - F.col("first_chunk") + 1).cast("long"))
+        .select(id_col, shard_col, "n_tokens", "start_offset", "first_chunk", "last_chunk", "n_chunks")
+    )
+
+
+def contamination_check(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: for every training doc, count the
+    distinct word ``n``-grams it shares with ANY benchmark doc.
+    Returns (id_col, n_shared) for contaminated docs only.
+
+    Scale shape: both sides explode to (doc, shingle-hash) — 64-bit
+    hashes, not strings, cross the shuffle — and meet in an
+    inverted-index equi-join on the hash; the benchmark side is
+    typically tiny (eval sets) and broadcasts. ``max_doc_freq`` drops
+    shingles appearing in more than that many TRAIN docs (boilerplate
+    stop-shingles: the df² skew guard, same policy as ngram_jaccard).
+    Never all-pairs.
+    """
+    def _sh(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle"))
+            .select(id_col, F.xxhash64("shingle").alias("h"))
+            .dropDuplicates([id_col, "h"])
+        )
+
+    t = _sh(train)
+    if max_doc_freq is not None:
+        hot = (
+            t.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("h")
+        )
+        t = t.join(hot, "h", "left_anti")
+    b = _sh(benchmark).select("h").dropDuplicates()
+    return (
+        t.join(b, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics per doc:
+
+    - ``n_ngrams``       total word n-grams
+    - ``dup_ngram_ratio`` 1 - distinct/total (mass in repeated n-grams)
+    - ``top_ngram_ratio`` share of the single most frequent n-gram
+
+    Docs with fewer than ``n`` tokens are absent (no n-grams). Two
+    aggregations: (doc, ngram) counts — map-side partial agg collapses
+    in-partition repeats before the shuffle — then a per-doc rollup.
+    """
+    ng = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    counts = ng.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_ngrams"),
+        F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ngram_ratio"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_ratio"),
+    )

@@ -2822,3 +2822,115 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
         .orderBy("day_start")
     )
+
+
+# =====================================================================
+# Training-data preparation: sequence packing, benchmark
+# decontamination, repetition quality metrics (pipelines/training_prep)
+# =====================================================================
+from social_link_prediction_spark.pipelines import training_prep as tp  # noqa: E402
+
+_PACK_BUDGET = 512
+_CONTAM_N = 3          # word n-gram width for the contamination screen
+_CONTAM_MAXDF = 50     # stop-shingle cap (train-side doc freq)
+
+
+@query(
+    "pack_documents_chunks",
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS start_offset
+        FROM d
+    ),
+    c AS (
+        SELECT *,
+               CAST(floor(start_offset / {_PACK_BUDGET}.0) AS BIGINT) AS first_chunk,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN floor((start_offset + n_tokens - 1) / {_PACK_BUDGET}.0)
+                         ELSE floor(start_offset / {_PACK_BUDGET}.0) END AS BIGINT) AS last_chunk
+        FROM o
+    )
+    SELECT doc_id, source, n_tokens, start_offset, first_chunk, last_chunk,
+           last_chunk - first_chunk + 1 AS n_chunks
+    FROM c ORDER BY source, doc_id
+    """,
+)
+def pack_documents_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing per source shard:
+    every doc learns its token offset and the training-chunk span it
+    occupies. Window cumsum only — one shuffle on the shard key."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tp.pack_documents(docs, budget=_PACK_BUDGET, shard_col="source")
+    return out.select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_offset", "first_chunk", "last_chunk", "n_chunks",
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "contamination_overlap",
+    f"""
+    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                 FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(tk[i:i+{_CONTAM_N - 1}], ' ')
+                       for i in range(1, greatest(len(tk) - {_CONTAM_N - 1}, 0) + 1)]) AS shingle
+        FROM tok
+    ),
+    t0 AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    keep AS (SELECT shingle FROM t0 GROUP BY shingle HAVING count(*) <= {_CONTAM_MAXDF}),
+    t AS (SELECT t0.doc_id, t0.shingle FROM t0 JOIN keep USING (shingle)),
+    b AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM t JOIN b USING (shingle)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: training docs (doc_id % 97
+    != 0) sharing any word trigram with the pseudo-benchmark set
+    (doc_id % 97 == 0). Inverted-index join on 64-bit shingle hashes
+    with the df>{50} stop-shingle cap — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    out = tp.contamination_check(
+        train, bench, n=_CONTAM_N, max_doc_freq=_CONTAM_MAXDF
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "repetition_ngram_stats",
+    """
+    WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                 FROM documents),
+    ng AS (
+        SELECT doc_id,
+               unnest([array_to_string(tk[i:i+1], ' ')
+                       for i in range(1, greatest(len(tk) - 1, 0) + 1)]) AS g
+        FROM tok
+    ),
+    c AS (SELECT doc_id, g, count(*) AS c FROM ng GROUP BY doc_id, g)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+           round(1.0 - count(*) / sum(c), 6) AS dup_ngram_ratio,
+           round(max(c) / sum(c), 6) AS top_ngram_ratio
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-bigram
+    mass and most-frequent-bigram share. (doc, ngram) partial-agg
+    counts then a per-doc rollup — two shuffles, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    return tp.repetition_stats(docs, n=2).orderBy("doc_id")

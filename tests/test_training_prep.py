@@ -1,0 +1,93 @@
+"""Training-data preparation: packing, decontamination, repetition."""
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.pipelines import training_prep as tp
+
+
+def test_pack_documents_chunk_spans(spark):
+    # shard A: 3 docs of 4, 5, 3 tokens; budget 6
+    # offsets 0, 4, 9 -> doc1 chunk 0; doc2 spans 0-1 (tokens 4..8);
+    # doc3 spans 1-1 (tokens 9..11)
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),
+            (2, "A", "e f g h i"),
+            (3, "A", "j k l"),
+            (4, "B", ""),          # empty doc: zero-width span
+            (5, "B", "x y"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {r.doc_id: r for r in tp.pack_documents(docs, budget=6).collect()}
+    assert (out[1].start_offset, out[1].first_chunk, out[1].last_chunk) == (0, 0, 0)
+    assert (out[2].start_offset, out[2].first_chunk, out[2].last_chunk) == (4, 0, 1)
+    assert out[2].n_chunks == 2
+    assert (out[3].start_offset, out[3].first_chunk, out[3].last_chunk) == (9, 1, 1)
+    # shard B independent; empty doc 4 sits at offset 0 with n_tokens 0
+    assert (out[4].n_tokens, out[4].n_chunks) == (0, 1)
+    assert out[5].start_offset == 0
+
+
+def test_pack_documents_shards_are_independent(spark):
+    docs = spark.createDataFrame(
+        [(i, "S%d" % (i % 3), "w " * 10) for i in range(30)],
+        ["doc_id", "source", "text"],
+    )
+    out = tp.pack_documents(docs, budget=100)
+    # per shard, offsets are a prefix-sum permutation: max+its tokens == total
+    agg = (
+        out.groupBy("source")
+        .agg(
+            F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    )
+    assert all(r.end == r.total for r in agg)
+
+
+def test_contamination_check_finds_known_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a quick brown fox appeared"),        # shares "quick brown fox"
+            (2, "totally unrelated words here now"),  # clean
+            (3, "the quick brown fox jumps again"),   # shares 3 trigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.n_shared for r in tp.contamination_check(train, bench, n=3).collect()}
+    assert out[1] == 1
+    assert out[3] == 3  # "the quick brown", "quick brown fox", "brown fox jumps"
+    assert 2 not in out
+
+
+def test_contamination_stop_shingle_cap(spark):
+    bench = spark.createDataFrame([(100, "x y z")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(i, "x y z") for i in range(5)], ["doc_id", "text"]
+    )
+    # cap 3 < train df 5 -> the boilerplate shingle is dropped, nothing flagged
+    assert tp.contamination_check(train, bench, n=3, max_doc_freq=3).count() == 0
+    assert tp.contamination_check(train, bench, n=3).count() == 5
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "c d e f"),       # all distinct
+            (3, "x"),             # too short: absent
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in tp.repetition_stats(docs, n=2).collect()}
+    assert out[1].n_ngrams == 5
+    assert abs(out[1].dup_ngram_ratio - (1 - 2 / 5)) < 1e-9
+    assert abs(out[1].top_ngram_ratio - 3 / 5) < 1e-9  # "a b" occurs 3x
+    assert out[2].dup_ngram_ratio == 0.0
+    assert 3 not in out
