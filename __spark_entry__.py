@@ -30,12 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's oracle gate checks the FIRST 50 queries in registration
 # order (CORRECTNESS_r02 == first 50 of 85 exactly). Rounds 1-2 verified
-# the catalog head; this round the 35 previously-unchecked queries are
-# promoted to the front, followed by the two whose semantics changed
-# this round (sessionize_events, session_window_stats). Everything has
-# also been verified locally via tools/verify_local.py at sf0.01
-# (85/85 green) — the ordering only decides which rows the DRIVER
-# re-proves this round. See COVERAGE.md "Driver-gate rotation".
+# the catalog head; this round the previously-unchecked queries are
+# promoted to the front, followed by queries added or changed since the
+# r2 gate ran (training-prep trio, round-3 additions, the sessionize
+# pair). Everything has also been verified locally via
+# tools/verify_local.py at sf0.01 (93/93 green) — the ordering only
+# decides which rows the DRIVER re-proves this round. See COVERAGE.md
+# "Driver-gate rotation".
 _PRIORITY = [
     # unchecked in CORRECTNESS_r01/r02 (driver cap), most load-bearing first
     "etl_clean_edges", "fuzzy_search_parts", "weighted_sssp_s1",
@@ -51,6 +52,10 @@ _PRIORITY = [
     "referential_integrity_audit", "asof_click_attribution",
     "session_concurrency", "range_join_shipments", "multires_event_rollup",
     "hll_daily_users",
+    # added after the r2 gate ran — no driver rows yet
+    "pack_documents_chunks", "contamination_overlap", "repetition_ngram_stats",
+    "semantic_dedup_pairs", "semantic_dedup_survivors", "pii_scrub_docs",
+    "quality_filter_summary", "kcore_partsupp",
     # changed this round — need fresh driver rows
     "sessionize_events", "session_window_stats",
 ]

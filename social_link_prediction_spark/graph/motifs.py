@@ -80,3 +80,62 @@ def degree_assortativity(
     return und2.join(da, "a").join(db, "b").agg(
         F.corr("da", "db").alias("assortativity")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph where
+    every vertex has degree >= k, by iterative peeling — drop all
+    vertices with current degree < k, drop their incident edges,
+    repeat until a fixed point (or ``max_rounds``; each removal can
+    only lower degrees, so rounds <= the peeling depth, typically
+    single digits on heavy-tailed graphs).
+
+    Returns (id, degree) for every vertex IN the k-core, with its
+    within-core degree. Each round is one degree aggregation plus two
+    semi-joins (edge endpoint filters) — shuffle keys stay (src)/(dst)
+    throughout, so AQE coalesces the survivors as the graph shrinks;
+    localCheckpoint per round truncates the growing lineage exactly
+    like the PageRank loop.
+
+    Not in the reference (its analysis stops at degrees/wedges); added
+    as the standard cohesion peel for social graphs, and because
+    peeling is the canonical iterative-shrink join pattern at scale.
+    """
+    e = (
+        _oriented(edges, src, dst)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .localCheckpoint()
+    )
+    prev_edges = e.count()
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        live = deg.filter(F.col("degree") >= k).select("id").localCheckpoint()
+        kept = (
+            e.join(live.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(live.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_after = kept.count()
+        e = kept
+        if n_after == prev_edges:
+            break
+        prev_edges = n_after
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.filter(F.col("degree") >= k)

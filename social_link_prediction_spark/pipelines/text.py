@@ -183,3 +183,76 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+# --- PII scrubbing ---------------------------------------------------
+# Ordered (name, pattern, token): applied in sequence; SSN before
+# phone because both are dashed digit runs (3-2-4 never matches the
+# phone's 3-3-4, but fixed order makes the composition deterministic
+# regardless). Patterns stay within the Java-regex / RE2 common subset
+# ([0-9] classes, bounded repeats — no backrefs, no lookaround) so the
+# same strings run on the engine and the DuckDB oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, col: str = "text", out: str = "text_scrubbed"
+) -> DataFrame:
+    """Redact PII spans (emails, SSNs, phone numbers, IPv4s) with
+    typed placeholder tokens, and count redactions per type. Pure
+    JVM regexp_replace / regexp_extract_all chain — codegen'd, scan
+    speed, no UDF; the pattern list is the policy knob.
+
+    Adds ``out`` (scrubbed text) and one ``n_<type>`` count column per
+    pattern. Counts are measured on the ORIGINAL text but with earlier
+    patterns' matches already removed (sequential application), so a
+    string is only ever counted by the first pattern that owns it."""
+    cur = F.col(col)
+    counts = {}
+    for name, pat, token in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, token)
+    out_df = df.withColumn(out, cur)
+    for name, c in counts.items():
+        out_df = out_df.withColumn(f"n_{name}", c)
+    return out_df
+
+
+# --- quality filtering ----------------------------------------------
+def quality_filter(
+    df: DataFrame,
+    col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_distinct_ratio: float = 0.1,
+    max_punct_ratio: float = 0.3,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate over :func:`text_stats`
+    features: length band, lexical diversity floor, punctuation-noise
+    ceiling, mean-token-length band. Adds ``keep`` (1/0) and
+    ``drop_reason`` (first failed rule in a fixed order, NULL when
+    kept) — the reason column is what a pipeline operator reports to
+    its data-quality dashboard. One projection; the stats and the
+    verdict fuse into the same codegen stage."""
+    stats = text_stats(df, col)
+    rules = [
+        ("too_short", F.col("n_tokens") < min_tokens),
+        ("too_long", F.col("n_tokens") > max_tokens),
+        ("low_diversity", F.col("distinct_ratio") < min_distinct_ratio),
+        ("punct_noise", F.col("punct_ratio") > max_punct_ratio),
+        ("token_len_low", F.col("mean_token_len") < min_mean_token_len),
+        ("token_len_high", F.col("mean_token_len") > max_mean_token_len),
+    ]
+    reason = F.lit(None).cast("string")
+    for name, cond in reversed(rules):
+        reason = F.when(cond, F.lit(name)).otherwise(reason)
+    return stats.withColumn("drop_reason", reason).withColumn(
+        "keep", F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
+    )

@@ -2934,3 +2934,254 @@ def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts then a per-doc rollup — two shuffles, no UDF."""
     docs = _t(spark, sf_dir, "documents")
     return tp.repetition_stats(docs, n=2).orderBy("doc_id")
+
+
+# =====================================================================
+# Round-3 training-pipeline additions: semantic dedup (SemDeDup),
+# PII scrubbing, heuristic quality gate, k-core peeling.
+# =====================================================================
+from social_link_prediction_spark.graph import motifs as gmot  # noqa: E402
+from social_link_prediction_spark.pipelines import semdedup as sdd  # noqa: E402
+
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def _duck_cells_cte() -> str:
+    """(vec_id, v, cell) CTE mirroring semdedup.ivf_cells over
+    _IVF_CENTROIDS — the same first-best-wins argmax as ivf_assign."""
+    cents = [
+        "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _IVF_CENTROIDS
+    ]
+    scores = ", ".join(
+        f"list_cosine_similarity(v, {c}) AS s{i}" for i, c in enumerate(cents)
+    )
+    case = (
+        "CASE WHEN s3 > greatest(s0, s1, s2) THEN 3 "
+        "WHEN s2 > greatest(s0, s1) THEN 2 "
+        "WHEN s1 > s0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {scores} FROM e),
+    cells AS (SELECT vec_id, v, {case} AS cell FROM s)"""
+
+
+@query("semantic_dedup_pairs", None)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup candidate pairs: within-IVF-cell cosine >= threshold.
+    The cell join bounds the pair blowup to sum_k C(n_k, 2) — the same
+    candidate-then-verify shape as LSH banding, so a 100 TB embedding
+    table partitioned by cell never sees a corpus-wide cross join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = sdd.ivf_cells(emb, _IVF_CENTROIDS)
+    return sdd.semantic_pairs(cells, threshold=_SEMDEDUP_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLES["semantic_dedup_pairs"] = f"""
+WITH {_duck_cells_cte()}
+SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+@query("semantic_dedup_survivors", None)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop rollup per cell: a vector is dropped when a
+    lower-id same-cell vector sits within the cosine radius (each
+    near-group keeps its min id). The per-cell survivor rate is the
+    dashboard number a dedup stage reports before committing a corpus
+    rewrite."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = sdd.ivf_cells(emb, _IVF_CENTROIDS)
+    marked = sdd.semantic_dedup(cells, threshold=_SEMDEDUP_THRESHOLD)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+ORACLES["semantic_dedup_survivors"] = f"""
+WITH {_duck_cells_cte()},
+dropped AS (
+    SELECT DISTINCT b.vec_id AS id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT cell, count(*) AS n_vectors,
+       CAST(sum(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM cells c LEFT JOIN dropped d ON c.vec_id = d.id
+GROUP BY cell ORDER BY cell
+"""
+
+
+# PII scrub: the synthetic corpus has no PII, so both sides append a
+# deterministic doc_id-derived PII suffix before scrubbing — the regex
+# engines (Java vs RE2) are then exercised on real matches, not on a
+# vacuous zero-match pass.
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    octet = (F.col("doc_id") % 256).cast("string")
+    return docs.withColumn(
+        "text_aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.org or 555-867-"), four,
+            F.lit(" ssn 123-45-"), four,
+            F.lit(" ip 10.0."), octet, F.lit(".1"),
+        ),
+    )
+
+
+@query("pii_scrub_docs", None)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit: per-type redaction counts plus an md5 of
+    the scrubbed text (proving the replacement bytes, not just the
+    counts, agree with the oracle). regexp chain is all JVM codegen —
+    scan-speed at 100 TB, no UDF."""
+    docs = _pii_augmented(_t(spark, sf_dir, "documents"))
+    out = ptx.scrub_pii(docs, col="text_aug", out="text_scrubbed")
+    return out.select(
+        "doc_id",
+        "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLES["pii_scrub_docs"] = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' reach user' || doc_id ||
+           '@example.org or 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+           ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t0
+    FROM documents
+),
+s1 AS (SELECT doc_id, t0,
+              len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+              regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+       FROM aug),
+s2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+              regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ssn,
+              len(regexp_extract_all(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS n_phone,
+              regexp_replace(t2, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS t3
+       FROM s2),
+s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+              len(regexp_extract_all(t3, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+              regexp_replace(t3, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t4
+       FROM s3)
+SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, md5(t4) AS scrub_md5
+FROM s4 ORDER BY doc_id
+"""
+
+
+@query(
+    "quality_filter_summary",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+               round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS mean_token_len,
+               round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) / len(toks), 6) AS punct_ratio
+        FROM t
+    ),
+    v AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens < 10 THEN 'too_short'
+                    WHEN n_tokens > 100000 THEN 'too_long'
+                    WHEN distinct_ratio < 0.1 THEN 'low_diversity'
+                    WHEN punct_ratio > 0.3 THEN 'punct_noise'
+                    WHEN mean_token_len < 2.0 THEN 'token_len_low'
+                    WHEN mean_token_len > 12.0 THEN 'token_len_high'
+                    END AS drop_reason
+        FROM st
+    )
+    SELECT coalesce(drop_reason, 'kept') AS verdict, count(*) AS n_docs
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality gate rollup: how many docs
+    each rule drops (first-failing-rule attribution, fixed rule
+    order). Stats and verdict fuse into one codegen stage — a corpus
+    quality report is a single scan."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ptx.quality_filter(docs)
+    return (
+        out.groupBy(
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("verdict")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("verdict")
+    )
+
+
+_KCORE_K = 30
+_KCORE_ORACLE_ROUNDS = 8
+
+
+def _duck_kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolled peeling, one (degree, live, edges) CTE triple per
+    round — same chained-CTE technique as the PageRank oracle. The
+    engine peels to a fixed point; ``rounds`` must exceed the peel
+    depth at the oracle's sf (verified: sf0.01 converges in 2 rounds)."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times -> 3^rounds
+    # scans of lineitem without it (fd exhaustion, exponential time)
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT least(-l_partkey - 1, l_suppkey::BIGINT) AS u,
+               greatest(-l_partkey - 1, l_suppkey::BIGINT) AS v
+        FROM lineitem)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+                SELECT u AS id FROM e{p} UNION ALL SELECT v FROM e{p}
+            ) GROUP BY id),
+            l{i} AS MATERIALIZED (SELECT id FROM d{i} WHERE deg >= {k}),
+            e{i} AS MATERIALIZED (SELECT u, v FROM e{p}
+                     WHERE u IN (SELECT id FROM l{i})
+                       AND v IN (SELECT id FROM l{i}))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+    fin AS (SELECT id, count(*) AS degree FROM (
+        SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds}
+    ) GROUP BY id)
+    SELECT CASE WHEN id < 0 THEN 'p:' || CAST(-id - 1 AS VARCHAR)
+                ELSE 's:' || CAST(id AS VARCHAR) END AS id,
+           degree
+    FROM fin WHERE degree >= {k} ORDER BY id
+    """
+    )
+
+
+@query("kcore_partsupp", None)
+def kcore_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the part-supplier graph: iterative peeling until the
+    fixed point, (id, within-core degree) for surviving vertices.
+    Oracle: the peel unrolled as chained CTEs (8 rounds covers the
+    sf0.01 peel depth of 2 with 4x margin)."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    out = gmot.k_core(edges, k=_KCORE_K)
+    return out.select(
+        _fmt_node(F.col("id")).alias("id"), "degree"
+    ).orderBy("id")
+
+
+ORACLES["kcore_partsupp"] = _duck_kcore_sql()

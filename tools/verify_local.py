@@ -14,6 +14,7 @@ import hashlib
 import math
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -62,9 +63,11 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -73,8 +76,9 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
+        timings[name] = round(time.perf_counter() - t0, 2)
         if name not in oracles:
-            print(f"ok    {name}: rows={len(srows)} (no oracle — rows-only)")
+            print(f"ok    {name}: rows={len(srows)} t={timings[name]}s (no oracle — rows-only)")
             continue
         try:
             res = con.execute(oracles[name])
@@ -103,8 +107,12 @@ def main():
             print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
             failed.append(name)
         else:
-            print(f"PASS  {name}: rows={len(srows)}")
+            print(f"PASS  {name}: rows={len(srows)} t={timings[name]}s")
     spark.stop()
+    print("\nslowest (spark side, s):")
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {t:7.2f}  {name}")
+    print(f"total spark time: {round(sum(timings.values()), 1)}s")
     if failed:
         print(f"\n{len(failed)} failed: {failed}")
         sys.exit(1)
