@@ -118,15 +118,27 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid (broadcast centroid list, argmin over a small array).
-    Write-out partitioned by ``ivf_cell`` gives partition-pruned probes.
+    centroid (broadcast centroid list, argmax over a small score
+    array). Write-out partitioned by ``ivf_cell`` gives
+    partition-pruned probes.
+
+    Argmax = first index hitting the array max (array_position), which
+    is exactly the sequential strict-> first-best-wins rule. The score
+    array is built ONCE — a nested when-chain instead re-references
+    each accumulated best twice per step, doubling the expression tree
+    per centroid (O(2^K) analysis cost; measured seconds of pure
+    planning at K=4, dim=64). Vector norms are hoisted to a column and
+    centroid norms computed driver-side, so each score is a single
+    64-term dot product.
     """
     v = F.col(vec_col).cast("array<double>")
-    best_cell = F.lit(-1)
-    best_score = F.lit(float("-inf"))
-    for i, c in enumerate(centroids):
-        score = cosine_similarity(v, F.array([F.lit(float(x)) for x in c]))
-        better = score > best_score
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_score = F.when(better, score).otherwise(best_score)
-    return emb.withColumn("ivf_cell", best_cell)
+    out = emb.withColumn("__vn", l2_norm(v))
+    scores = F.array(
+        *[
+            dot(v, F.array([F.lit(float(x)) for x in c]))
+            / (F.col("__vn") * F.lit(math.sqrt(sum(x * x for x in c))))
+            for c in centroids
+        ]
+    )
+    cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return out.withColumn("ivf_cell", cell).drop("__vn")
