@@ -44,6 +44,12 @@ HEADLINE = [
     "fuzzy_search_parts",
     "negative_sample_supplies",
     "media_features",
+    # round-3 additions: semantic dedup (BLAS pair stage), PII scrub,
+    # quality gate, k-core peel
+    "semantic_dedup_pairs",
+    "pii_scrub_docs",
+    "quality_filter_summary",
+    "kcore_partsupp",
 ]
 
 

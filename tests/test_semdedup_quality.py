@@ -117,3 +117,18 @@ def test_k_core_keeps_whole_graph_when_k_low(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
     core = gmot.k_core(edges, k=1)
     assert core.count() == 3
+
+
+def test_semantic_pairs_blas_matches_sql(spark):
+    cells = sdd.ivf_cells(_emb_df(spark), _CENTROIDS4)
+    blas = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sdd.semantic_pairs(cells, threshold=0.5, impl="blas").collect()
+    }
+    sql = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sdd.semantic_pairs(cells, threshold=0.5, impl="sql").collect()
+    }
+    assert set(blas) == set(sql)
+    for k in blas:
+        assert abs(blas[k] - sql[k]) < 2e-6
