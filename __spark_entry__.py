@@ -55,7 +55,8 @@ _PRIORITY = [
     "referential_integrity_audit", "multires_event_rollup",
     "group_concat_segments", "range_join_shipments", "session_concurrency",
     "tfidf_top_terms", "quality_filter_summary", "repetition_ngram_stats",
-    "pii_scrub_docs", "contamination_overlap",
+    "pii_scrub_docs", "contamination_overlap", "scd2_merge_customers",
+    "pq_codes_stats",
     # 1-2 s tier
     "link_split_counts", "scan_relationship_cs", "negative_sample_supplies",
     "etl_clean_edges", "fuzzy_search_parts",

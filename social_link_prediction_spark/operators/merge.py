@@ -1,0 +1,106 @@
+"""Warehouse merge operators: type-1 upsert and SCD type-2 history
+merge.
+
+Not in the reference (its stores are overwrite-only pickles); added
+because any periodically re-extracted dimension (the reference
+re-crawls Wikidata monthly) needs a merge discipline to avoid
+rewriting unchanged history. Expressed as pure DataFrame joins so
+Catalyst broadcasts the (small) update batch against the (large)
+dimension — the classic MERGE INTO shape without a table format:
+at 100 TB the dimension stays partitioned/bucketed by key and only
+touched partitions rewrite (pair with warehouse.py bucketing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """Type-1 merge: updates replace matching keys, unmatched keys
+    append. One left-anti join (current minus updated keys) + union —
+    the update side is typically the small side and broadcasts."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = current.join(updates.select(*keys), keys, "left_anti")
+    return kept.unionByName(updates)
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    tracked: list[str],
+    ts_col: str = "effective_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD type-2 merge: rows of ``updates`` whose ``tracked``
+    attributes differ from the CURRENT version of their key close that
+    version (``valid_to`` = update timestamp, ``is_current`` = 0) and
+    insert a new current version; no-op updates (identical tracked
+    attrs) are dropped; brand-new keys insert directly. History rows
+    (``is_current`` = 0) pass through untouched.
+
+    ``current`` must carry (key..., tracked..., ts_col is NOT needed,
+    valid_from, valid_to, is_current); ``updates`` carries
+    (key..., tracked..., ts_col).
+
+    Shape: one equi-join of updates against the current slice (null-
+    safe attr comparison decides changed/no-op), then unions. The
+    dimension's history rows never join anything — at scale the only
+    shuffled data is the current slice and the update batch, and the
+    update batch broadcasts when small.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cur = current.filter(F.col(is_current) == 1)
+    hist = current.filter(F.col(is_current) != 1)
+
+    upd = updates.select(
+        *[F.col(c).alias(f"u_{c}") for c in keys + tracked], F.col(ts_col)
+    )
+    joined = cur.join(
+        upd,
+        [F.col(k) == F.col(f"u_{k}") for k in keys],
+        "left",
+    )
+    changed_pred = F.col(f"u_{keys[0]}").isNotNull() & ~F.expr(
+        " AND ".join(f"({c} <=> u_{c})" for c in tracked)
+    )
+
+    types = dict(cur.dtypes)
+    untouched = joined.filter(F.col(f"u_{keys[0]}").isNull() | ~changed_pred).select(
+        cur.columns
+    )
+    closed = joined.filter(changed_pred).select(
+        *[F.col(c) for c in cur.columns if c not in (valid_to, is_current)],
+        F.col(ts_col).cast(types[valid_to]).alias(valid_to),
+        F.lit(0).cast(types[is_current]).alias(is_current),
+    ).select(cur.columns)
+    new_versions = joined.filter(changed_pred).select(
+        *[F.col(f"u_{c}").alias(c) for c in keys],
+        *[F.col(f"u_{c}").alias(c) for c in tracked],
+        F.col(ts_col).cast(types[valid_from]).alias(valid_from),
+        F.lit(None).cast(types[valid_to]).alias(valid_to),
+        F.lit(1).cast(types[is_current]).alias(is_current),
+    ).select(cur.columns)
+
+    brand_new = (
+        updates.join(cur.select(*keys), keys, "left_anti")
+        .select(
+            *[F.col(c) for c in keys + tracked],
+            F.col(ts_col).cast(types[valid_from]).alias(valid_from),
+        )
+        .withColumn(valid_to, F.lit(None).cast(types[valid_to]))
+        .withColumn(is_current, F.lit(1).cast(types[is_current]))
+        .select(cur.columns)
+    )
+
+    return hist.unionByName(untouched).unionByName(closed).unionByName(
+        new_versions
+    ).unionByName(brand_new)

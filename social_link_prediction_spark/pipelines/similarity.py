@@ -142,3 +142,85 @@ def ivf_assign(
     )
     cell = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
     return out.withColumn("ivf_cell", cell).drop("__vn")
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search"): split each vector into M subvectors and
+    encode each as the index of its nearest sub-centroid (L2, first-
+    best-wins ties). ``codebooks`` is M lists of centroids; subvector
+    i spans dims [i*sub_dim, (i+1)*sub_dim).
+
+    Output: (id, codes array<int>, sq_err double) — codes are the
+    compressed representation (M bytes/vector at 256 centroids vs
+    4*dim raw), sq_err the total reconstruction error. At 100 TB the
+    codes table replaces the raw vectors for coarse scoring
+    (asymmetric distance = sum of per-subspace lookup tables) and the
+    raw table is only consulted to re-rank the short list.
+
+    All JVM expressions — per subspace, one score array + one
+    array_position argmin, exactly the ivf_assign shape.
+    """
+    sub_dim = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    err_cols = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(v, m * sub_dim + 1, sub_dim)
+        d2s = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array([F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in book
+            ]
+        )
+        code_cols.append((F.array_position(d2s, F.array_min(d2s)) - 1).cast("int"))
+        err_cols.append(F.array_min(d2s))
+    out = emb.select(
+        F.col(id_col).alias("id"),
+        F.array(*code_cols).alias("codes"),
+        sum(err_cols[1:], err_cols[0]).alias("sq_err"),
+    )
+    return out
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    n_subspaces: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Learn PQ codebooks: one MLlib KMeans per subspace over the
+    corpus's subvectors (the production path; the registered query
+    uses fixed codebooks so the DuckDB oracle can replay encoding).
+    Driver-side returns M x K x sub_dim floats — tiny (the codebook,
+    not the data)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    sub_dim = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        sub = emb.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), m * sub_dim + 1, sub_dim)
+            ).alias("features")
+        )
+        model = KMeans(k=n_centroids, seed=seed + m, maxIter=max_iter).fit(sub)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books

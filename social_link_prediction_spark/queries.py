@@ -3185,3 +3185,190 @@ def kcore_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["kcore_partsupp"] = _duck_kcore_sql()
+
+
+# =====================================================================
+# Warehouse merge (type-1 / SCD2) + product quantization.
+# =====================================================================
+from social_link_prediction_spark.operators import merge as mg  # noqa: E402
+
+
+@query(
+    "scd2_merge_customers",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+               DATE '1994-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+        FROM customer
+    ),
+    upd AS (
+        -- every 5th key sends an update; only every 10th actually
+        -- changes (acctbal + 100); every 100th also re-registers under
+        -- a new key (insert path)
+        SELECT c_custkey,
+               c_mktsegment,
+               round(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100.0 ELSE 0.0 END, 2) AS c_acctbal,
+               DATE '1995-06-01' AS effective_ts
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 200000, c_mktsegment, round(c_acctbal, 2),
+               DATE '1995-06-01'
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    changed AS (
+        SELECT u.* FROM upd u JOIN cur c ON c.c_custkey = u.c_custkey
+        WHERE NOT (c.c_mktsegment = u.c_mktsegment AND c.c_acctbal = u.c_acctbal)
+    ),
+    merged AS (
+        -- untouched current rows (no update, or a no-op update)
+        SELECT c.* FROM cur c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        -- closed-out versions
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+               ch.effective_ts, 0
+        FROM cur c JOIN changed ch ON ch.c_custkey = c.c_custkey
+        UNION ALL
+        -- new current versions
+        SELECT c_custkey, c_mktsegment, c_acctbal, effective_ts, NULL, 1
+        FROM changed
+        UNION ALL
+        -- brand-new keys
+        SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, u.effective_ts,
+               NULL, 1
+        FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    )
+    SELECT is_current, (valid_to IS NOT NULL) AS closed,
+           count(*) AS n_rows,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           round(sum(c_acctbal), 2) AS sum_acctbal
+    FROM merged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge audit: apply a deterministic update batch
+    (1/5 of keys update, 1/10 actually change, 1/100 insert as new
+    keys) to a freshly-initialized customer dimension, then roll up
+    the merged table by (is_current, closed). Exercises all four merge
+    paths — untouched, no-op update, close+reinsert, brand-new key."""
+    cust = _t(spark, sf_dir, "customer")
+    cur = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    upd_changed = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.round(
+            F.col("c_acctbal")
+            + F.when(F.col("c_custkey") % 10 == 0, F.lit(100.0)).otherwise(F.lit(0.0)),
+            2,
+        ).alias("c_acctbal"),
+        F.lit("1995-06-01").cast("date").alias("effective_ts"),
+    )
+    upd_new = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 200000).alias("c_custkey"),
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        F.lit("1995-06-01").cast("date").alias("effective_ts"),
+    )
+    merged = mg.scd2_merge(
+        cur,
+        upd_changed.unionByName(upd_new),
+        key="c_custkey",
+        tracked=["c_mktsegment", "c_acctbal"],
+        ts_col="effective_ts",
+    )
+    return (
+        merged.groupBy(
+            "is_current", F.col("valid_to").isNotNull().alias("closed")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("c_custkey").alias("n_keys"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("is_current", "closed")
+    )
+
+
+_PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
+_PQ_CODEBOOKS = [
+    [
+        [1.0 if d % _PQ_K == j else 0.0 for d in range(_PQ_SUBDIM)]
+        for j in range(_PQ_K)
+    ]
+    for _ in range(_PQ_M)
+]
+
+
+def _duck_pq_sql() -> str:
+    subs = []
+    for m in range(_PQ_M):
+        cents = [
+            "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]"
+            for c in _PQ_CODEBOOKS[m]
+        ]
+        lo = m * _PQ_SUBDIM + 1
+        hi = (m + 1) * _PQ_SUBDIM
+        ds = ", ".join(
+            f"list_distance(v[{lo}:{hi}], {c}) ** 2 AS d{m}_{j}"
+            for j, c in enumerate(cents)
+        )
+        subs.append(ds)
+    dcols = ",\n           ".join(subs)
+    # first-best-wins argmin per subspace (<= chain)
+    cases = []
+    errs = []
+    for m in range(_PQ_M):
+        cases.append(
+            f"CASE WHEN d{m}_0 <= least(d{m}_1, d{m}_2, d{m}_3) THEN 0 "
+            f"WHEN d{m}_1 <= least(d{m}_2, d{m}_3) THEN 1 "
+            f"WHEN d{m}_2 <= d{m}_3 THEN 2 ELSE 3 END AS code{m}"
+        )
+        errs.append(f"least(d{m}_0, d{m}_1, d{m}_2, d{m}_3)")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id,
+           {dcols}
+          FROM e),
+    codes AS (SELECT vec_id, {', '.join(cases)},
+                     {' + '.join(errs)} AS sq_err
+              FROM d)
+    SELECT code0, code1, code2, code3,
+           count(*) AS n_vectors,
+           round(avg(sq_err), 6) AS mean_sq_err
+    FROM codes GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+    """
+
+
+@query("pq_codes_stats", None)
+def pq_codes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code histogram: encode each embedding as
+    4 sub-codes (nearest sub-centroid by L2 over fixed codebooks) and
+    roll up code-tuple frequencies + mean reconstruction error. The
+    codes table is what ships to the ANN serving tier at 100 TB; raw
+    vectors are only consulted for re-ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = sim.pq_encode(emb, _PQ_CODEBOOKS)
+    return (
+        enc.select(
+            F.col("codes")[0].alias("code0"),
+            F.col("codes")[1].alias("code1"),
+            F.col("codes")[2].alias("code2"),
+            F.col("codes")[3].alias("code3"),
+            "sq_err",
+        )
+        .groupBy("code0", "code1", "code2", "code3")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sq_err"), 6).alias("mean_sq_err"),
+        )
+        .orderBy("code0", "code1", "code2", "code3")
+    )
+
+
+ORACLES["pq_codes_stats"] = _duck_pq_sql()

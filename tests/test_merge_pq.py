@@ -1,0 +1,119 @@
+"""Warehouse merge (upsert / SCD2) and product quantization."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.operators import merge as mg
+from social_link_prediction_spark.pipelines import similarity as sim
+
+D = datetime.date
+
+
+def test_upsert_replaces_and_appends(spark):
+    cur = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"])
+    out = {r.k: r.v for r in mg.upsert(cur, upd, "k").collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            # (key, attr, valid_from, valid_to, is_current)
+            (1, "x", D(2020, 1, 1), None, 1),
+            (2, "y", D(2020, 1, 1), None, 1),
+            (3, "z", D(2020, 1, 1), None, 1),
+            # pre-existing history row for key 1
+            (1, "w", D(2019, 1, 1), D(2020, 1, 1), 0),
+        ],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    )
+
+
+def test_scd2_all_four_paths(spark):
+    upd = spark.createDataFrame(
+        [
+            (1, "X", D(2021, 6, 1)),   # changed -> close + reinsert
+            (2, "y", D(2021, 6, 1)),   # no-op -> dropped
+            (9, "new", D(2021, 6, 1)), # brand-new key
+        ],
+        ["k", "attr", "effective_ts"],
+    )
+    out = mg.scd2_merge(_dim(spark), upd, key="k", tracked=["attr"]).collect()
+    rows = {(r.k, r.attr): r for r in out}
+    assert len(out) == 6
+    # old history untouched
+    assert rows[(1, "w")].is_current == 0 and rows[(1, "w")].valid_to == D(2020, 1, 1)
+    # key 1 closed at the update ts, new version open
+    assert rows[(1, "x")].is_current == 0 and rows[(1, "x")].valid_to == D(2021, 6, 1)
+    assert rows[(1, "X")].is_current == 1 and rows[(1, "X")].valid_to is None
+    assert rows[(1, "X")].valid_from == D(2021, 6, 1)
+    # no-op update: key 2 keeps its original open version, no new row
+    assert rows[(2, "y")].is_current == 1 and rows[(2, "y")].valid_from == D(2020, 1, 1)
+    # untouched key 3
+    assert rows[(3, "z")].is_current == 1
+    # brand-new key
+    assert rows[(9, "new")].is_current == 1 and rows[(9, "new")].valid_from == D(2021, 6, 1)
+
+
+def test_scd2_null_safe_attr_compare(spark):
+    cur = spark.createDataFrame(
+        [(1, None, D(2020, 1, 1), None, 1)],
+        "k int, attr string, valid_from date, valid_to date, is_current int",
+    )
+    # None -> None is a no-op; None -> 'a' is a change
+    noop = spark.createDataFrame(
+        [(1, None, D(2021, 1, 1))], "k int, attr string, effective_ts date"
+    )
+    out = mg.scd2_merge(cur, noop, key="k", tracked=["attr"]).collect()
+    assert len(out) == 1 and out[0].is_current == 1
+
+    change = spark.createDataFrame(
+        [(1, "a", D(2021, 1, 1))], "k int, attr string, effective_ts date"
+    )
+    out = mg.scd2_merge(cur, change, key="k", tracked=["attr"]).collect()
+    assert len(out) == 2
+    assert {r.is_current for r in out} == {0, 1}
+
+
+_BOOKS = [
+    [[1.0, 0.0], [0.0, 1.0]],  # subspace 0: dims 0-1
+    [[2.0, 0.0], [0.0, 2.0]],  # subspace 1: dims 2-3
+]
+
+
+def test_pq_encode_codes_and_error(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 2.0]),  # exact centroids -> codes [0,1], err 0
+            (1, [0.1, 0.9, 1.9, 0.1]),  # near [0,1] and [2,0] -> codes [1,0]
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r.id: r for r in sim.pq_encode(df, _BOOKS).collect()}
+    assert list(out[0].codes) == [0, 1] and abs(out[0].sq_err) < 1e-12
+    assert list(out[1].codes) == [1, 0]
+    # err: (0.1^2 + 0.1^2) + (0.1^2 + 0.1^2)
+    assert abs(out[1].sq_err - 0.04) < 1e-9
+
+
+def test_pq_encode_tie_first_wins(spark):
+    df = spark.createDataFrame([(0, [0.5, 0.5, 1.0, 1.0])], ["vec_id", "embedding"])
+    out = sim.pq_encode(df, _BOOKS).first()
+    assert list(out.codes)[0] == 0  # equidistant -> first centroid
+
+
+def test_pq_train_codebooks_shapes(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = sim.pq_train_codebooks(df, n_subspaces=2, n_centroids=3)
+    assert len(books) == 2
+    assert all(len(b) == 3 for b in books)
+    assert all(len(c) == 4 for b in books for c in b)
+    enc = sim.pq_encode(df, books)
+    codes = enc.select(F.explode("codes").alias("c")).distinct().collect()
+    assert {r.c for r in codes} <= {0, 1, 2}
