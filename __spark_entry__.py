@@ -61,6 +61,7 @@ _PRIORITY = [
     "link_split_counts", "scan_relationship_cs", "negative_sample_supplies",
     "etl_clean_edges", "fuzzy_search_parts",
     # heavy tier (graph loops, pair joins, media)
+    "harmonic_centrality_sample",
     "pair_features_suppliers", "srp_topk", "semantic_dedup_survivors",
     "ivf_cell_counts", "media_features", "kcore_partsupp",
     "pagerank_multiview", "embedding_neardup", "simhash_neardup",

@@ -447,3 +447,32 @@ def six_degrees_experiment(
         F.expr("percentile_approx(degree, 0.5)").alias("median_degree_sep"),
         F.max("degree").alias("max_degree_sep"),
     ).withColumn("l_theory", F.lit(l_theory))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 2,
+    directed: bool = False,
+) -> DataFrame:
+    """Sampled harmonic centrality: H(v) = sum over seed s of
+    1/d(s, v) for 0 < d(s, v) <= max_hops (Boldi & Vigna, "Axioms for
+    Centrality" — the centrality that stays well-defined on
+    disconnected graphs, unlike closeness). Exact harmonic centrality
+    needs all-pairs distances; the standard estimator runs BFS from a
+    uniform seed SAMPLE and scales by n/|seeds| — pair it with the
+    hash-threshold sampler so the seed set (and therefore the oracle)
+    is deterministic. One multi-source BFS: all seeds share each
+    round's frontier shuffle.
+
+    ``seeds``: DataFrame with a ``source`` column. Returns
+    (id, harmonic) for every vertex reached by any seed.
+    """
+    best = multi_source_shortest_paths(
+        edges, seeds, weight=None, max_hops=max_hops, directed=directed
+    )
+    return (
+        best.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
+    )

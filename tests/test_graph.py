@@ -185,3 +185,18 @@ def test_degree_assortativity_bounds_and_sign(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], ["src", "dst"])
     r = gm.degree_assortativity(star).collect()[0]["assortativity"]
     assert abs(r - (-1.0)) < 1e-9
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from social_link_prediction_spark.graph import paths as gp
+
+    # path 1-2-3-4; seeds {1, 4}; max_hops 2
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (4,)], ["source"])
+    out = {r.id: r.harmonic for r in gp.harmonic_centrality(edges, seeds, max_hops=2).collect()}
+    # d(1,2)=1 d(4,2)=2 -> 1.5 ; node 3 symmetric ; node 1: d(4,1)=3 unreached -> only d(1,1)=0 excluded
+    assert abs(out[2] - 1.5) < 1e-9
+    assert abs(out[3] - 1.5) < 1e-9
+    # endpoints only reach each other at d=3 > max_hops, and d=0 self
+    # rows are excluded, so neither endpoint appears at all
+    assert out.get(1) is None and out.get(4) is None
