@@ -379,3 +379,51 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     # batch compaction: D5 canonicalization collapses the reverse pair
     compacted = tr.build_edges(appended2)
     assert compacted.count() == 2
+
+
+def test_pii_scrub_stream_batch_parity(spark, tmp_path):
+    """scrub_pii and quality_filter are stateless projections, so the
+    same body runs unchanged on a readStream source (the streaming
+    ETL path scrubs before anything lands in the lake)."""
+    import json as _json
+
+    from social_link_prediction_spark.pipelines import text as ptx
+
+    docs = [
+        {"doc_id": 1, "text": "mail a@b.org and 10.0.0.1 plus " + "tok " * 20},
+        {"doc_id": 2, "text": "ssn 123-45-6789 tel 555-123-4567"},
+        {"doc_id": 3, "text": " ".join("w%d" % i for i in range(30))},
+    ]
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "part0.json").write_text("\n".join(_json.dumps(d) for d in docs))
+    schema = "doc_id long, text string"
+
+    batch = spark.read.schema(schema).json(str(p))
+    b_out = {
+        r.doc_id: (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4, r.text_scrubbed)
+        for r in ptx.scrub_pii(batch).collect()
+    }
+    b_keep = {r.doc_id: r.keep for r in ptx.quality_filter(batch).collect()}
+
+    stream = spark.readStream.schema(schema).json(str(p))
+    scrubbed = ptx.quality_filter(
+        ptx.scrub_pii(stream).drop("text").withColumnRenamed("text_scrubbed", "text")
+    )
+    q = (
+        scrubbed.writeStream.format("memory")
+        .queryName("pii_parity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    s_rows = {r.doc_id: r for r in spark.sql("select * from pii_parity").collect()}
+    assert set(s_rows) == {1, 2, 3}
+    for d, (ne, ns, np_, ni, txt) in b_out.items():
+        r = s_rows[d]
+        assert (r.n_email, r.n_ssn, r.n_phone, r.n_ipv4) == (ne, ns, np_, ni)
+        assert r.text == txt
+    # quality verdict on the scrubbed stream matches batch keep for the
+    # docs whose stats the scrub doesn't change
+    assert s_rows[3].keep == b_keep[3] == 1
