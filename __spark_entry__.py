@@ -56,7 +56,7 @@ _PRIORITY = [
     "group_concat_segments", "range_join_shipments", "session_concurrency",
     "tfidf_top_terms", "quality_filter_summary", "repetition_ngram_stats",
     "pii_scrub_docs", "contamination_overlap", "scd2_merge_customers",
-    "pq_codes_stats",
+    "pq_codes_stats", "pq_adc_topk",
     # 1-2 s tier
     "link_split_counts", "scan_relationship_cs", "negative_sample_supplies",
     "etl_clean_edges", "fuzzy_search_parts",

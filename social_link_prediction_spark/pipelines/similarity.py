@@ -224,3 +224,41 @@ def pq_train_codebooks(
         model = KMeans(k=n_centroids, seed=seed + m, maxIter=max_iter).fit(sub)
         books.append([list(map(float, c)) for c in model.clusterCenters()])
     return books
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    un-quantized; per subspace a tiny lookup table of squared L2
+    distances from the query subvector to each centroid is computed
+    DRIVER-side, and each database vector's approximate distance is
+    the sum of M table lookups on its codes — no per-pair arithmetic
+    over raw vectors at all. This is the PQ serving path: at 100 TB
+    the scan touches only the codes table (M small ints per row) and
+    the k-heap (TakeOrdered) does the rest; re-rank the short list
+    against raw vectors afterwards if exactness matters.
+    """
+    sub_dim = len(codebooks[0][0])
+    luts: list[list[float]] = []
+    for m, book in enumerate(codebooks):
+        sub = query_vec[m * sub_dim : (m + 1) * sub_dim]
+        luts.append(
+            [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
+        )
+    enc = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    dist = None
+    for m, lut in enumerate(luts):
+        term = F.element_at(
+            F.array([F.lit(float(x)) for x in lut]), F.col("codes")[m] + 1
+        )
+        dist = term if dist is None else dist + term
+    scored = enc.select(
+        "id", F.round(dist, 6).alias("approx_sq_dist")
+    )
+    return scored.orderBy(F.col("approx_sq_dist").asc(), F.col("id").asc()).limit(k)

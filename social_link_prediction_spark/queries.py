@@ -3438,3 +3438,41 @@ SELECT CASE WHEN id < 0 THEN 'p:' || CAST(-id - 1 AS VARCHAR)
        round(harmonic, 6) AS harmonic
 FROM h ORDER BY harmonic DESC, id LIMIT 20
 """
+
+
+_PQ_QUERY_VEC = [0.5 if i % 3 == 0 else -0.25 for i in range(64)]
+
+
+def _duck_pq_adc_sql() -> str:
+    sub_dim = _PQ_SUBDIM
+    luts = []
+    for m, book in enumerate(_PQ_CODEBOOKS):
+        sub = _PQ_QUERY_VEC[m * sub_dim : (m + 1) * sub_dim]
+        luts.append(
+            [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
+        )
+    # codes CTE identical to _duck_pq_sql's
+    base = _duck_pq_sql().split("SELECT code0")[0]
+    terms = " + ".join(
+        "([" + ",".join(repr(x) for x in luts[m]) + "]::DOUBLE[])[code%d + 1]" % m
+        for m in range(_PQ_M)
+    )
+    return (
+        base
+        + f"""SELECT vec_id AS id, round({terms}, 6) AS approx_sq_dist
+    FROM codes ORDER BY approx_sq_dist ASC, id ASC LIMIT 10
+    """
+    )
+
+
+@query("pq_adc_topk", None)
+def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10: per-subspace query->centroid
+    lookup tables (driver-side, M x K doubles) summed over each
+    vector's codes — the codes-only ANN serving scan. TakeOrdered
+    k-heap, no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(emb, _PQ_CODEBOOKS, _PQ_QUERY_VEC, k=10)
+
+
+ORACLES["pq_adc_topk"] = _duck_pq_adc_sql()

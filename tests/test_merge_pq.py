@@ -117,3 +117,18 @@ def test_pq_train_codebooks_shapes(spark):
     enc = sim.pq_encode(df, books)
     codes = enc.select(F.explode("codes").alias("c")).distinct().collect()
     assert {r.c for r in codes} <= {0, 1, 2}
+
+
+def test_pq_adc_topk_orders_by_lut_distance(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 2.0]),   # codes [0,1]
+            (1, [0.0, 1.0, 2.0, 0.0]),   # codes [1,0]
+        ],
+        ["vec_id", "embedding"],
+    )
+    # query = exactly centroid (0,1) pattern -> vec 0's codes give dist 0
+    q = [1.0, 0.0, 0.0, 2.0]
+    out = sim.pq_adc_topk(df, _BOOKS, q, k=2).collect()
+    assert out[0].id == 0 and abs(out[0].approx_sq_dist) < 1e-12
+    assert out[1].id == 1 and out[1].approx_sq_dist > 0
