@@ -56,9 +56,15 @@ def pagerank(
         .cache()
     )
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # edges ⋈ outdeg is loop-invariant: cache once, reuse every iteration
-    e_od = e.join(outdeg, "src").persist()
+    # Out-degree attaches to the RANK frame (|V| rows), not the edge
+    # table: ranks ⋈ outdeg is a small-small join that broadcasts, so
+    # the big edge table is never materialized with an extra column
+    # and each round scans the 2-column persisted edges directly. (The
+    # earlier e ⋈ outdeg formulation persisted an |E|-row 3-column
+    # join output — a whole extra |E| materialization, and at 100 TB
+    # an |E|-sized shuffle, for data derivable from the |V|-sized
+    # side.)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
 
     # Dangling nodes (no out-edges) exist iff some vertex never appears
     # as a src; sourceless nodes (no in-edges) iff some vertex never
@@ -94,8 +100,9 @@ def pagerank(
     every_round = has_dangling or has_sourceless
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for it in range(iterations):
+        r_od = ranks.withColumnRenamed("id", "src").join(outdeg, "src")
         contribs = (
-            e_od.join(_v(ranks.withColumnRenamed("id", "src")), "src")
+            e.join(_v(r_od), "src")
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))
@@ -171,8 +178,8 @@ def personalized_pagerank(
             f"personalized_pagerank: seed ids not in the edge list's "
             f"vertex set: {sorted(missing)!r}"
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    e_od = e.join(outdeg, "src").persist()
+    # degree on the rank side, not the edge side — see pagerank()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
 
     seed_mass = 1.0 / len(sources)
     seed_col = F.when(
@@ -184,8 +191,9 @@ def personalized_pagerank(
 
     ranks = nodes.select("id", seed_col.alias("pr"))
     for it in range(iterations):
+        r_od = ranks.withColumnRenamed("id", "src").join(outdeg, "src")
         contribs = (
-            e_od.join(_v(ranks.withColumnRenamed("id", "src")), "src")
+            e.join(_v(r_od), "src")
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))

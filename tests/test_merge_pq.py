@@ -132,3 +132,18 @@ def test_pq_adc_topk_orders_by_lut_distance(spark):
     out = sim.pq_adc_topk(df, _BOOKS, q, k=2).collect()
     assert out[0].id == 0 and abs(out[0].approx_sq_dist) < 1e-12
     assert out[1].id == 1 and out[1].approx_sq_dist > 0
+
+
+def test_scd2_idempotent_on_reapply(spark):
+    """Re-applying the same update batch to the merged table is a
+    no-op: every changed key's new current version now EQUALS the
+    update, so the second pass classifies it no-op and drops it."""
+    upd = spark.createDataFrame(
+        [(1, "X", D(2021, 6, 1)), (9, "new", D(2021, 6, 1))],
+        ["k", "attr", "effective_ts"],
+    )
+    once = mg.scd2_merge(_dim(spark), upd, key="k", tracked=["attr"])
+    twice = mg.scd2_merge(once, upd, key="k", tracked=["attr"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
