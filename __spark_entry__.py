@@ -65,8 +65,8 @@ _PRIORITY = [
     "pair_features_suppliers", "srp_topk", "semantic_dedup_survivors",
     "ivf_cell_counts", "media_features", "kcore_partsupp",
     "pagerank_multiview", "embedding_neardup", "simhash_neardup",
-    "recommend_suppliers_for_s1", "semantic_dedup_pairs", "weighted_sssp_s1",
-    "six_degrees_summary",
+    "recommend_suppliers_for_s1", "semantic_dedup_pairs", "curation_funnel",
+    "weighted_sssp_s1", "six_degrees_summary",
 ]
 
 

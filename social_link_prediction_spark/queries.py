@@ -3476,3 +3476,88 @@ def pq_adc_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["pq_adc_topk"] = _duck_pq_adc_sql()
+
+
+# =====================================================================
+# End-to-end corpus-curation funnel: the composed training-data
+# pipeline (quality gate -> exact dedup -> near-dup dedup) as ONE
+# plan with ONE oracle — the flagship demonstration that the stages
+# compose without materialization barriers.
+# =====================================================================
+@query(
+    "curation_funnel",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOKS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, text, len(toks) AS n_tokens,
+               round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+               round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS mean_token_len,
+               round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) / len(toks), 6) AS punct_ratio
+        FROM t
+    ),
+    kept AS (
+        SELECT doc_id, text FROM st
+        WHERE NOT (n_tokens < 10 OR n_tokens > 100000 OR distinct_ratio < 0.1
+                   OR punct_ratio > 0.3 OR mean_token_len < 2.0 OR mean_token_len > 12.0)
+    ),
+    exkeep AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+    exd AS MATERIALIZED (SELECT k.doc_id, k.text FROM kept k JOIN exkeep USING (doc_id)),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               unnest([array_to_string(tk[i:i+{_MINHASH_N - 1}], ' ')
+                       for i in range(1, greatest(len(tk) - {_MINHASH_N - 1}, 0) + 1)]) AS shingle
+        FROM (SELECT doc_id, {_DUCK_TOKS.replace("text", "text")} AS tk FROM exd)
+    ),
+    goodsh AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGJ_MAXDF}),
+    sh2 AS MATERIALIZED (SELECT sh.doc_id, sh.shingle FROM sh JOIN goodsh USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+    dropped AS (
+        SELECT DISTINCT id_b FROM i
+        JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    )
+    SELECT stage, n_docs FROM (
+        SELECT '1_raw' AS stage, count(*) AS n_docs FROM documents
+        UNION ALL SELECT '2_quality', count(*) FROM kept
+        UNION ALL SELECT '3_exact_dedup', count(*) FROM exd
+        UNION ALL SELECT '4_neardup_dedup', count(*) FROM exd
+                  WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+    ) ORDER BY stage
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation funnel: heuristic quality gate ->
+    exact dedup (md5 keep-min) -> trigram-Jaccard near-dup dedup
+    (inverted-index pairs, keep-min), reported as per-stage survivor
+    counts. Each stage shrinks the data the next one shuffles — the
+    100 TB curation shape; the narrow survivor frames persist because
+    all four stage counts and the pair join re-read them."""
+    docs = _t(spark, sf_dir, "documents")
+    # persist the two narrow survivor frames: four stage counts plus
+    # the pair join all read them, and the quality stats / md5 grouping
+    # are the expensive part of the plan (HOF aggregates over text)
+    kept = (
+        ptx.quality_filter(docs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id", "text")
+        .persist()
+    )
+    exd = pdd.drop_exact_duplicates(kept).persist()
+    pairs = pdd.ngram_jaccard_pairs(
+        exd, n=_MINHASH_N, threshold=0.5, max_doc_freq=_NGJ_MAXDF
+    )
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
+    final = exd.join(dropped, "doc_id", "left_anti")
+    stages = [
+        docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("1_raw")),
+        kept.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("2_quality")),
+        exd.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("3_exact_dedup")),
+        final.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("4_neardup_dedup")),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.select("stage", "n_docs").orderBy("stage")
