@@ -184,3 +184,93 @@ def test_bloom_filter_never_false_negative(spark, fact_keys, dim_keys):
     filtered = jn.bloom_semi_filter(fact, dim, "k", num_bits=1 << 12, n_hashes=3)
     refined = sorted(r["k"] for r in filtered.join(dim, "k", "left_semi").collect())
     assert refined == exact
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=40
+    ),
+    k=st.integers(1, 4),
+)
+@_slow
+def test_k_core_matches_brute_force_peel(spark, edges, k):
+    from social_link_prediction_spark.graph.motifs import k_core
+
+    # reference: driver-side peeling over the undirected simple graph
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        live = {v for v, d in deg.items() if d >= k}
+        kept = {(a, b) for a, b in es if a in live and b in live}
+        if kept == es:
+            break
+        es = kept
+    expect: dict = {}
+    for a, b in es:
+        expect[a] = expect.get(a, 0) + 1
+        expect[b] = expect.get(b, 0) + 1
+    expect = {v: d for v, d in expect.items() if d >= k}
+
+    if not edges:
+        return
+    df = spark.createDataFrame(list(edges), ["src", "dst"])
+    got = {r.id: r.degree for r in k_core(df, k=k).collect()}
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),
+            st.lists(
+                st.floats(-2, 2, allow_nan=False, width=32), min_size=4, max_size=4
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@_slow
+def test_pq_codes_match_numpy_argmin(spark, vecs):
+    import numpy as np
+
+    from social_link_prediction_spark.pipelines.similarity import pq_encode
+
+    books = [[[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]], [[2.0, 0.0], [0.0, -2.0], [1.0, 1.0]]]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = {r.id: list(r.codes) for r in pq_encode(df, books).collect()}
+    for vid, v in vecs:
+        v = [float(x) for x in v]
+        want = []
+        for m, book in enumerate(books):
+            sub = np.array(v[m * 2 : (m + 1) * 2])
+            d2 = [float(((sub - np.array(c)) ** 2).sum()) for c in book]
+            want.append(int(np.argmin(d2)))  # argmin = first min: same tie rule
+        assert got[vid] == want
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab0123456789.-@ ", min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_slow
+def test_scrub_pii_idempotent(spark, texts):
+    from social_link_prediction_spark.pipelines.text import scrub_pii
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    once = scrub_pii(df)
+    again = scrub_pii(
+        once.select("doc_id", F.col("text_scrubbed").alias("text"))
+    )
+    rows1 = {r.doc_id: r.text_scrubbed for r in once.collect()}
+    rows2 = {r.doc_id: r.text_scrubbed for r in again.collect()}
+    assert rows1 == rows2  # placeholders contain nothing scrubbable
