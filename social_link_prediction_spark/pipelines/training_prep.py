@@ -141,3 +141,95 @@ def repetition_stats(
         F.round(F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 6).alias("dup_ngram_ratio"),
         F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_ratio"),
     )
+
+
+# --- deterministic weighted sampling (A-ES) --------------------------
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministic: the
+    A-ES / Efraimidis-Spirakis exponential-sort trick. Each row draws
+    u = uniform(0,1) from a HASH of its key (not an RNG), and the k
+    rows with the largest u^(1/w) — equivalently the smallest
+    -ln(u)/w — win. Inclusion probability is proportional to weight,
+    the sample is reproducible across engines and runs, and the
+    selection is one scan + a TakeOrdered k-heap: no global sort, no
+    RNG state, cluster-scale safe.
+
+    Weights must be positive; rows with w <= 0 are excluded.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", *key_cols, F.lit(str(seed)))), 1, 15
+            ),
+            16, 10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    # clamp away u=0 (would make -ln(u) infinite for every weight)
+    key = -F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__aes", key)
+        .orderBy(F.col("__aes").asc(), *key_cols)
+        .limit(k)
+        .drop("__aes")
+    )
+
+
+def kfold_assign(
+    df: DataFrame, key_cols: list[str], n_folds: int = 5, seed: int = 42
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold = hash(key, seed) mod k.
+    Same hash family as the link split, so folds are reproducible and
+    grouping-stable (all rows of one key land in one fold — the
+    leakage-safe construction when keys repeat)."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", *key_cols, F.lit(str(seed)))), 1, 15
+            ),
+            16, 10,
+        ).cast("bigint")
+        % n_folds
+    )
+    return df.withColumn("fold", fold.cast("int"))
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    half_life_days: float = 30.0,
+) -> DataFrame:
+    """Exponentially time-decayed aggregation: each value weighted by
+    2^(-age/half_life) relative to the corpus max timestamp — recency
+    weighting for training-data mixture tuning or feature freshness.
+    The max-ts anchor is a 1-row broadcast crossJoin (same pattern as
+    impute_mean); everything else is a plain map-side-combinable agg.
+    """
+    from social_link_prediction_spark.operators.windows import epoch_us
+
+    anchor = df.agg(F.max(ts_col).alias("__maxts"))
+    # epoch_us: NTZ-safe (fixtures store TIMESTAMP_NTZ; a direct
+    # timestamp->double cast is forbidden under Spark 4 ANSI and
+    # unix_micros rejects NTZ); the UTC offset cancels in the age
+    age_days = (
+        (epoch_us(F.col("__maxts")) / 1e6) - (epoch_us(F.col(ts_col)) / 1e6)
+    ) / 86400.0
+    w = F.pow(F.lit(2.0), -age_days / half_life_days)
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .groupBy(*group_cols)
+        .agg(
+            F.round(F.sum(F.col(value_col) * w), 6).alias("decayed_sum"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

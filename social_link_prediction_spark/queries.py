@@ -3561,3 +3561,139 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.select("stage", "n_docs").orderBy("stage")
+
+
+# =====================================================================
+# Sampling / folds / recency weighting / vocabulary coverage — the
+# mixture-tuning toolkit around the curation pipeline. (Registered
+# after the 50-slot gate head; driver rows land in the next rotation;
+# all verified by tools/verify_local.py.)
+# =====================================================================
+@query(
+    "weighted_sample_parts",
+    f"""
+    WITH s AS (
+        SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice,
+               -ln(greatest(
+                   {_DUCK_H60.format(args="p_partkey::VARCHAR, '42'")} / 1152921504606846976.0,
+                   1e-18)) / p_retailprice AS aes
+        FROM part WHERE p_retailprice > 0
+    )
+    SELECT p_partkey, p_retailprice
+    FROM s ORDER BY aes ASC, p_partkey LIMIT 50
+    """,
+)
+def weighted_sample_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES with
+    a hash-derived uniform): 50 parts with inclusion probability
+    proportional to retail price. One scan + TakeOrdered k-heap; the
+    same rows come back on any engine or cluster size."""
+    part = _t(spark, sf_dir, "part").withColumn(
+        "p_retailprice", F.round("p_retailprice", 2)
+    )
+    out = tp.weighted_sample(
+        part, weight_col="p_retailprice", k=50, key_cols=["p_partkey"], seed=42
+    )
+    return out.select("p_partkey", "p_retailprice")
+
+
+@query(
+    "kfold_counts",
+    f"""
+    WITH f AS (
+        SELECT {_DUCK_H60.format(args="o_custkey::VARCHAR, '42'")} % 5 AS fold,
+               o_custkey, o_totalprice
+        FROM orders
+    )
+    SELECT CAST(fold AS INT) AS fold, count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           round(sum(o_totalprice), 2) AS fold_revenue
+    FROM f GROUP BY 1 ORDER BY 1
+    """,
+)
+def kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe k-fold assignment: fold = hash(customer) mod 5, so
+    ALL of a customer's orders share a fold (grouping-stable — the
+    construction cross-validation needs when keys repeat). Per-fold
+    order/customer/revenue rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    folds = tp.kfold_assign(orders, key_cols=["o_custkey"], n_folds=5, seed=42)
+    return (
+        folds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("fold_revenue"),
+        )
+        .orderBy("fold")
+    )
+
+
+@query(
+    "time_decay_event_values",
+    """
+    WITH a AS (SELECT max(ts) AS maxts FROM events)
+    SELECT event_type,
+           round(sum(value * pow(2.0,
+               -((epoch_us(maxts) / 1000000.0 - epoch_us(ts) / 1000000.0) / 86400.0)
+               / 7.0)), 6) AS decayed_sum,
+           count(*) AS n_events
+    FROM events, a GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_decay_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially recency-weighted event values (half-life 7 days,
+    anchored at the corpus max timestamp): the mixture-freshness
+    signal. 1-row broadcast anchor + one map-side-combinable agg."""
+    ev = _t(spark, sf_dir, "events")
+    return tp.time_decayed_sum(
+        ev, ts_col="ts", value_col="value", group_cols=["event_type"],
+        half_life_days=7.0,
+    ).orderBy("event_type")
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    vocab AS (
+        SELECT tok FROM tok GROUP BY tok
+        ORDER BY count(*) DESC, tok LIMIT 100
+    )
+    SELECT lang, count(*) AS total_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (tok)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: build the top-100 corpus vocabulary
+    (count-desc, token tie-break) and report per-language OOV token
+    rates — the quick tokenizer-fit check before committing a vocab.
+    Top-k vocab is a TakeOrdered heap broadcast back against the
+    exploded token stream."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(ptx.tokens("text")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(100)
+        .select("tok")
+        .withColumn("__v", F.lit(1))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.col("__v").isNull().cast("bigint")).alias("oov_tokens"),
+            F.round(
+                F.sum(F.col("__v").isNull().cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

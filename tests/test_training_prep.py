@@ -91,3 +91,46 @@ def test_repetition_stats(spark):
     assert abs(out[1].top_ngram_ratio - 3 / 5) < 1e-9  # "a b" occurs 3x
     assert out[2].dup_ngram_ratio == 0.0
     assert 3 not in out
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    rows = [(i, 1000.0 if i < 10 else 0.001) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    s1 = {r.k for r in tp.weighted_sample(df, "w", 10, ["k"], seed=1).collect()}
+    s2 = {r.k for r in tp.weighted_sample(df, "w", 10, ["k"], seed=1).collect()}
+    assert s1 == s2  # deterministic
+    # heavy rows (1000x weight) dominate the sample
+    assert len(s1 & set(range(10))) >= 8
+    # zero/negative weights excluded
+    dfz = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 2.0)], ["k", "w"])
+    assert {r.k for r in tp.weighted_sample(dfz, "w", 5, ["k"]).collect()} == {3}
+
+
+def test_kfold_grouping_stable(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    rows = [(i % 7, i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["cust", "order_id"])
+    out = tp.kfold_assign(df, key_cols=["cust"], n_folds=3)
+    per_key = out.groupBy("cust").agg(F.countDistinct("fold").alias("nf")).collect()
+    assert all(r.nf == 1 for r in per_key)  # a key never straddles folds
+    assert out.select("fold").distinct().count() <= 3
+
+
+def test_time_decayed_sum_halflife(spark):
+    import datetime
+
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 8.0),                                  # 14 days old: w=1/4
+        ("a", t0 + datetime.timedelta(days=7), 8.0),     # 7 days old:  w=1/2
+        ("a", t0 + datetime.timedelta(days=14), 8.0),    # anchor:      w=1
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "v"])
+    out = tp.time_decayed_sum(df, "ts", "v", ["g"], half_life_days=7.0).first()
+    assert out.n_events == 3
+    assert abs(out.decayed_sum - (2.0 + 4.0 + 8.0)) < 1e-6
