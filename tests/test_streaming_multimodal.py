@@ -427,3 +427,51 @@ def test_pii_scrub_stream_batch_parity(spark, tmp_path):
     # quality verdict on the scrubbed stream matches batch keep for the
     # docs whose stats the scrub doesn't change
     assert s_rows[3].keep == b_keep[3] == 1
+
+
+def test_streaming_curation_end_to_end(spark, tmp_path):
+    """Landing-zone JSONL -> quality gate -> scrub -> watermarked
+    exact dedup -> parquet append, exactly-once; duplicates and
+    low-quality docs never land."""
+    import datetime as _dt
+    import json as _json
+
+    from social_link_prediction_spark.streaming import curation as cur
+
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    good = " ".join("w%d" % i for i in range(30))
+    docs = [
+        {"doc_id": 1, "text": good + " mail a@b.org", "lang": "en",
+         "source": "s0", "event_ts": t0.isoformat()},
+        # exact duplicate after scrubbing (same text, same email)
+        {"doc_id": 2, "text": good + " mail a@b.org", "lang": "en",
+         "source": "s1", "event_ts": (t0 + _dt.timedelta(minutes=5)).isoformat()},
+        # DIFFERENT pii, same scrubbed text -> also a duplicate
+        {"doc_id": 3, "text": good + " mail z@y.org", "lang": "en",
+         "source": "s2", "event_ts": (t0 + _dt.timedelta(minutes=10)).isoformat()},
+        # too short -> gated out
+        {"doc_id": 4, "text": "tiny", "lang": "en", "source": "s3",
+         "event_ts": t0.isoformat()},
+        # distinct survivor
+        {"doc_id": 5, "text": good + " extra tail tokens", "lang": "en",
+         "source": "s4", "event_ts": t0.isoformat()},
+    ]
+    landing = tmp_path / "landing"; landing.mkdir()
+    (landing / "drop0.json").write_text("\n".join(_json.dumps(d) for d in docs))
+
+    q = cur.start_curation(
+        spark, str(landing), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(90)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.doc_id: r for r in out.collect()}
+    # one representative of the {1,2,3} scrub-identical group; 4 gated; 5 kept
+    assert len(set(rows) & {1, 2, 3}) == 1
+    assert 4 not in rows
+    assert 5 in rows
+    surv = rows[min(set(rows) & {1, 2, 3})]
+    assert "<EMAIL>" in surv.text_scrubbed and "@" not in surv.text_scrubbed.replace("<EMAIL>", "")
+    assert surv.n_email == 1
+    # batch path of the same call gives the same survivor count
+    batch = spark.read.schema(cur.DOC_SCHEMA).json(str(landing))
+    assert cur.curate_stream(batch).count() == len(rows)
