@@ -104,3 +104,43 @@ def scd2_merge(
     return hist.unionByName(untouched).unionByName(closed).unionByName(
         new_versions
     ).unionByName(brand_new)
+
+
+def scd2_asof_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str | list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION that was valid at
+    the fact's timestamp: key equality plus
+    ``valid_from <= ts < coalesce(valid_to, +inf)``. The equi-key
+    carries the hash join (the range conjuncts are post-filters on the
+    matched key's few versions — never a cartesian), so at 100 TB this
+    shuffles exactly like a plain dimension join; version history adds
+    a small constant factor per key, not a blowup.
+
+    SCD2 validity intervals are half-open and non-overlapping per key
+    by construction (scd2_merge), so each fact row matches at most one
+    version.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    d = dim.select(
+        *[F.col(c).alias(f"d_{c}") for c in dim.columns]
+    )
+    cond = [F.col(k) == F.col(f"d_{k}") for k in keys]
+    cond.append(F.col(f"d_{valid_from}") <= F.col(fact_ts))
+    cond.append(
+        F.col(f"d_{valid_to}").isNull() | (F.col(fact_ts) < F.col(f"d_{valid_to}"))
+    )
+    joined = fact.join(d, cond, how)
+    # undo the disambiguation prefix on non-key dim columns
+    renames = {
+        f"d_{c}": c for c in dim.columns if c not in keys
+    }
+    for old, new in renames.items():
+        joined = joined.withColumnRenamed(old, new)
+    return joined.drop(*[f"d_{k}" for k in keys])

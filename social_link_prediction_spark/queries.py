@@ -3193,9 +3193,7 @@ ORACLES["kcore_partsupp"] = _duck_kcore_sql()
 from social_link_prediction_spark.operators import merge as mg  # noqa: E402
 
 
-@query(
-    "scd2_merge_customers",
-    """
+_SCD2_ORACLE = """
     WITH cur AS (
         SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
                DATE '1994-01-01' AS valid_from,
@@ -3244,14 +3242,14 @@ from social_link_prediction_spark.operators import merge as mg  # noqa: E402
            CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_keys,
            round(sum(c_acctbal), 2) AS sum_acctbal
     FROM merged GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-)
-def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD type-2 merge audit: apply a deterministic update batch
-    (1/5 of keys update, 1/10 actually change, 1/100 insert as new
-    keys) to a freshly-initialized customer dimension, then roll up
-    the merged table by (is_current, closed). Exercises all four merge
-    paths — untouched, no-op update, close+reinsert, brand-new key."""
+    """
+
+
+def _scd2_demo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic SCD2 demo dimension shared by
+    scd2_merge_customers and scd2_asof_orders: a freshly-initialized
+    customer dim merged with one update batch (1/5 of keys update,
+    1/10 actually change, 1/100 insert as new keys)."""
     cust = _t(spark, sf_dir, "customer")
     cur = cust.select(
         "c_custkey", "c_mktsegment",
@@ -3275,13 +3273,21 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("c_acctbal"),
         F.lit("1995-06-01").cast("date").alias("effective_ts"),
     )
-    merged = mg.scd2_merge(
+    return mg.scd2_merge(
         cur,
         upd_changed.unionByName(upd_new),
         key="c_custkey",
         tracked=["c_mktsegment", "c_acctbal"],
         ts_col="effective_ts",
     )
+
+
+def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge audit: apply a deterministic update batch to a
+    freshly-initialized customer dimension, then roll up the merged
+    table by (is_current, closed). Exercises all four merge paths —
+    untouched, no-op update, close+reinsert, brand-new key."""
+    merged = _scd2_demo_dim(spark, sf_dir)
     return (
         merged.groupBy(
             "is_current", F.col("valid_to").isNotNull().alias("closed")
@@ -3293,6 +3299,10 @@ def scd2_merge_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_current", "closed")
     )
+
+
+QUERIES["scd2_merge_customers"] = scd2_merge_customers
+ORACLES["scd2_merge_customers"] = _SCD2_ORACLE
 
 
 _PQ_M, _PQ_SUBDIM, _PQ_K = 4, 16, 4
@@ -3696,4 +3706,73 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "scd2_asof_orders",
+    """
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS c_acctbal,
+               DATE '1994-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to, 1 AS is_current
+        FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_mktsegment,
+               round(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100.0 ELSE 0.0 END, 2) AS c_acctbal,
+               DATE '1995-06-01' AS effective_ts
+        FROM customer WHERE c_custkey % 5 = 0
+        UNION ALL
+        SELECT c_custkey + 200000, c_mktsegment, round(c_acctbal, 2),
+               DATE '1995-06-01'
+        FROM customer WHERE c_custkey % 100 = 0
+    ),
+    changed AS (
+        SELECT u.* FROM upd u JOIN cur c ON c.c_custkey = u.c_custkey
+        WHERE NOT (c.c_mktsegment = u.c_mktsegment AND c.c_acctbal = u.c_acctbal)
+    ),
+    merged AS (
+        SELECT c.* FROM cur c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM changed)
+        UNION ALL
+        SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+               ch.effective_ts, 0
+        FROM cur c JOIN changed ch ON ch.c_custkey = c.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal, effective_ts, NULL, 1 FROM changed
+        UNION ALL
+        SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal, u.effective_ts, NULL, 1
+        FROM upd u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM cur)
+    )
+    SELECT d.is_current AS version_is_current, o.o_orderpriority,
+           count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN merged d
+      ON d.c_custkey = o.o_custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def scd2_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact→dimension join: each order joins the customer
+    VERSION valid on its order date (key equi-join carries the hash
+    join; the validity range is a per-key post-filter). Orders before
+    the 1995-06 change hit the closed version, later ones the current
+    one — the revenue split proves version routing."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    dim = _scd2_demo_dim(spark, sf_dir)
+    joined = mg.scd2_asof_join(
+        orders, dim, key=["c_custkey"], fact_ts="o_orderdate", how="inner"
+    )
+    return (
+        joined.groupBy(
+            F.col("is_current").alias("version_is_current"), "o_orderpriority"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("version_is_current", "o_orderpriority")
     )

@@ -147,3 +147,26 @@ def test_scd2_idempotent_on_reapply(spark):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+def test_scd2_asof_join_routes_to_valid_version(spark):
+    dim = spark.createDataFrame(
+        [
+            (1, "old", D(2020, 1, 1), D(2021, 1, 1), 0),
+            (1, "new", D(2021, 1, 1), None, 1),
+        ],
+        "k int, attr string, valid_from date, valid_to date, is_current int",
+    )
+    fact = spark.createDataFrame(
+        [
+            (1, D(2020, 6, 1), 10.0),   # -> old version
+            (1, D(2021, 1, 1), 20.0),   # boundary: valid_from <= ts < valid_to -> new
+            (1, D(2022, 1, 1), 30.0),   # -> new (open-ended)
+            (1, D(2019, 1, 1), 40.0),   # before any version -> dropped (inner)
+            (2, D(2021, 1, 1), 50.0),   # unknown key -> dropped
+        ],
+        "k int, ts date, v double",
+    )
+    out = mg.scd2_asof_join(fact, dim, key=["k"], fact_ts="ts")
+    got = {float(r.v): r.attr for r in out.collect()}
+    assert got == {10.0: "old", 20.0: "new", 30.0: "new"}
