@@ -38,16 +38,28 @@ def year_features(df: DataFrame, col: str = "birth_year") -> DataFrame:
 
 
 def hashed_text_embedding(
-    df: DataFrame, text_col: str, dim: int = 32, out: str = "embedding", id_col: str = "id"
+    df: DataFrame, text_col: str, dim: int = 32, out: str = "embedding",
+    id_col: str = "id", hash_fn: str = "murmur",
 ) -> DataFrame:
     """M1 fallback: HashingTF-style deterministic embedding, entirely
-    JVM-side — explode tokens, murmur-hash to a bucket, count, scatter
+    JVM-side — explode tokens, hash to a bucket, count, scatter
     into a dense array, L2-normalize. A production SBERT encoder slots
     in as a mapInPandas stage with the same (id, array<float>) output.
+
+    ``hash_fn``: 'murmur' (default; F.hash, fastest) or 'md5' (the
+    hash60 family — slower, but DuckDB computes the identical bucket,
+    so embeddings built with it are oracle-replayable end-to-end).
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    if hash_fn == "md5":
+        bucket = (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10)
+            .cast("bigint") % dim
+        )
+    else:
+        bucket = F.pmod(F.hash("t"), F.lit(dim))
     counts = tok.groupBy(
-        id_col, F.pmod(F.hash("t"), F.lit(dim)).alias("bucket")
+        id_col, bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).cast("double").alias("c"))
     vec = counts.groupBy(id_col).agg(
         F.map_from_entries(F.collect_list(F.struct("bucket", "c"))).alias("m")

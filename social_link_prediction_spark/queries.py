@@ -3776,3 +3776,75 @@ def scd2_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version_is_current", "o_orderpriority")
     )
+
+
+# =====================================================================
+# Text-to-retrieval demo: hashed embedding (md5-bucket variant, so the
+# oracle replays the exact vectors) + brute-force cosine top-3 per
+# query document. Ties ml.features (M1) to the similarity family.
+# =====================================================================
+_RETR_DIM = 32
+_RETR_QUERY_DOCS = (0, 100, 200)
+
+
+@query(
+    "doc_retrieval_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents),
+    cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {_RETR_DIM} AS bucket,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS n FROM cnt GROUP BY doc_id),
+    dots AS (
+        SELECT q.doc_id AS query_id, d.doc_id AS doc_id, sum(q.c * d.c) AS dot
+        FROM cnt q JOIN cnt d ON q.bucket = d.bucket
+        WHERE q.doc_id IN {_RETR_QUERY_DOCS} AND d.doc_id <> q.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT dots.query_id, dots.doc_id,
+               round(dot / (nq.n * nd.n), 6) AS cosine,
+               row_number() OVER (PARTITION BY dots.query_id
+                                  ORDER BY round(dot / (nq.n * nd.n), 6) DESC, dots.doc_id)
+                   AS rank
+        FROM dots JOIN nrm nq ON nq.doc_id = dots.query_id
+                  JOIN nrm nd ON nd.doc_id = dots.doc_id
+    )
+    SELECT query_id, doc_id, cosine, rank FROM scored
+    WHERE rank <= 3 ORDER BY query_id, rank
+    """,
+)
+def doc_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: hash-bucket document embeddings (md5
+    variant of M1's HashingTF stand-in — oracle-replayable), then
+    brute-force cosine top-3 neighbors for 3 fixed query docs.
+    The query side is 3 rows broadcast against the corpus vectors;
+    the rank window partitions by query (3 tiny partitions). The
+    oracle computes the same cosines relationally (dot over shared
+    buckets == dot of the dense vectors)."""
+    from social_link_prediction_spark.ml import features as mlf
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = mlf.hashed_text_embedding(
+        docs, "text", dim=_RETR_DIM, id_col="doc_id", hash_fn="md5"
+    ).persist()
+    q = emb.filter(F.col("doc_id").isin(list(_RETR_QUERY_DOCS))).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    d = emb.select(F.col("doc_id"), F.col("embedding").alias("dv"))
+    # unit vectors: cosine == dot
+    cos = sim.dot(F.col("qv").cast("array<double>"), F.col("dv").cast("array<double>"))
+    scored = (
+        q.crossJoin(d)
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", F.round(cos, 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )

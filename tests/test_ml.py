@@ -234,3 +234,18 @@ def test_model_text_embedding_import_guard(spark):
     else:  # pragma: no cover - environment-dependent
         out = ft.model_text_embedding(df, "text").collect()
         assert len(out) == 1 and len(out[0].embedding) > 0
+
+
+def test_hashed_embedding_md5_variant_unit_norm(spark):
+    from social_link_prediction_spark.ml import features as mlf
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "alpha alpha")], ["id", "text"]
+    )
+    for fn in ("murmur", "md5"):
+        out = {r.id: list(r.embedding) for r in
+               mlf.hashed_text_embedding(df, "text", dim=8, hash_fn=fn).collect()}
+        for vid, v in out.items():
+            assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
+        # doc 2 is a single repeated token -> exactly one nonzero bucket
+        assert sum(1 for x in out[2] if x > 0) == 1
