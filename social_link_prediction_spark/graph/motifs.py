@@ -132,6 +132,15 @@ def k_core(
         if n_after == prev_edges:
             break
         prev_edges = n_after
+    else:
+        # Loudly refuse rather than silently return a non-core: the
+        # final degree filter alone cannot repair an unconverged peel
+        # (removing a <k vertex lowers its neighbors' degrees again).
+        # Long chains peel O(n) rounds — raise max_rounds for those.
+        raise RuntimeError(
+            f"k_core did not reach a fixed point in {max_rounds} rounds; "
+            f"raise max_rounds (peeling depth can reach O(|V|) on chains)"
+        )
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))

@@ -416,8 +416,13 @@ def six_degrees_experiment(
     # the old orderBy(rand()).limit() shape scanned-and-heaped
     # everything and zip-paired via monotonically_increasing_id, which
     # only lined up because limit collapsed to one partition.
+    # Oversample enough that a binomial shortfall below n_pairs is
+    # negligible even for small n_pairs: target mean = n_pairs +
+    # 4*sqrt(n_pairs) + 10 keeps P(survivors < n_pairs) < ~1e-4
+    # (a flat 1.5x factor left ~8% shortfall odds at n_pairs=10).
     K = 1 << 30
-    thresh = int(min(1.0, 1.5 * n_pairs / max(n_nodes, 1)) * K)
+    target = n_pairs + 4.0 * (n_pairs ** 0.5) + 10.0
+    thresh = int(min(1.0, target / max(n_nodes, 1)) * K)
 
     def _sample(s: int, out: str) -> DataFrame:
         cand = ids.filter(F.pmod(F.xxhash64("id", F.lit(s)), F.lit(K)) < thresh)

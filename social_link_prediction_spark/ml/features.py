@@ -95,7 +95,7 @@ def model_text_embedding(
     numpy; output is the embedding only — the text column is dropped
     before any shuffle.
     """
-    import importlib
+    import importlib.util
 
     if importlib.util.find_spec("sentence_transformers") is None:
         raise ImportError(

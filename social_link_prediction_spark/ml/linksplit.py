@@ -17,10 +17,13 @@ from pyspark.sql import functions as F
 _SCALABLE_INDEX_MIN = 1_000_000
 
 
-def _hash60(*cols: Column) -> Column:
+def hash60(*cols: Column) -> Column:
     """Deterministic 60-bit uniform hash from md5 — chosen over
     xxhash64 because DuckDB computes the identical value, keeping the
-    split and the sampler oracle-checkable end-to-end."""
+    split and the sampler oracle-checkable end-to-end. The single
+    engine-side twin of queries._DUCK_H60 — every oracle-replayable
+    hash (link split, negative/weighted/stratified samplers, k-fold,
+    harmonic seed set) goes through here."""
     return F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 15), 16, 10
     ).cast("bigint")
@@ -40,7 +43,7 @@ def link_split(
     land in the same bucket. Deterministic via hash(key, seed), not
     randSplit — re-runs and retries produce identical splits.
     """
-    key = _hash60(
+    key = hash60(
         F.least(F.col(src), F.col(dst)),
         F.greatest(F.col(src), F.col(dst)),
         F.col(rel),
@@ -92,7 +95,7 @@ def negative_sample(
     )
     attempts = attempts.withColumn(
         "__pick",
-        _hash60(F.col(src), F.col(rel), F.col("__try"), F.lit(str(seed))) % F.lit(n_nodes),
+        hash60(F.col(src), F.col(rel), F.col("__try"), F.lit(str(seed))) % F.lit(n_nodes),
     )
     if n_nodes < _SCALABLE_INDEX_MIN:
         indexed = F.broadcast(

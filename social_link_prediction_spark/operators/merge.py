@@ -13,7 +13,7 @@ touched partitions rewrite (pair with warehouse.py bucketing).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,8 +56,25 @@ def scd2_merge(
     dimension's history rows never join anything — at scale the only
     shuffled data is the current slice and the update batch, and the
     update batch broadcasts when small.
+
+    A CDC-style batch may carry several updates for one key; a
+    duplicate key would match the current row once PER update (the
+    same version would close twice and open twice — overlapping
+    validity, multiple ``is_current`` rows). The batch is therefore
+    resolved to ONE winner per key first: latest ``ts_col``, ties
+    broken by the tracked attributes descending (deterministic).
+    Intermediate same-batch versions are intentionally not emitted —
+    per-batch granularity, the standard micro-batch SCD2 semantics.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in tracked]
+    )
+    updates = (
+        updates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     cur = current.filter(F.col(is_current) == 1)
     hist = current.filter(F.col(is_current) != 1)
 
@@ -125,9 +142,16 @@ def scd2_asof_join(
 
     SCD2 validity intervals are half-open and non-overlapping per key
     by construction (scd2_merge), so each fact row matches at most one
-    version.
+    version. Fact and dim must not share non-key column names (the
+    rename-back would create duplicate columns) — checked loudly.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    clash = (set(fact.columns) & set(dim.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"scd2_asof_join: fact and dim share non-key columns "
+            f"{sorted(clash)!r}; rename one side first"
+        )
     d = dim.select(
         *[F.col(c).alias(f"d_{c}") for c in dim.columns]
     )

@@ -233,16 +233,21 @@ def pq_adc_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
     un-quantized; per subspace a tiny lookup table of squared L2
     distances from the query subvector to each centroid is computed
     DRIVER-side, and each database vector's approximate distance is
-    the sum of M table lookups on its codes — no per-pair arithmetic
-    over raw vectors at all. This is the PQ serving path: at 100 TB
-    the scan touches only the codes table (M small ints per row) and
-    the k-heap (TakeOrdered) does the rest; re-rank the short list
-    against raw vectors afterwards if exactness matters.
+    the sum of M table lookups on its codes. This is the PQ serving
+    path: pass the PRECOMPUTED (id, codes) table via ``codes`` and
+    the scan touches only M small ints per row plus a TakeOrdered
+    k-heap — no raw-vector arithmetic at all; re-rank the short list
+    against raw vectors afterwards if exactness matters. Without
+    ``codes`` the call encodes from ``emb`` first (convenient for
+    one-shot use, but it re-runs the full encode per query — at
+    serving scale materialize the codes table once with
+    :func:`pq_encode` and reuse it).
     """
     sub_dim = len(codebooks[0][0])
     luts: list[list[float]] = []
@@ -251,7 +256,11 @@ def pq_adc_topk(
         luts.append(
             [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
         )
-    enc = pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    enc = (
+        codes
+        if codes is not None
+        else pq_encode(emb, codebooks, id_col=id_col, vec_col=vec_col)
+    )
     dist = None
     for m, lut in enumerate(luts):
         term = F.element_at(

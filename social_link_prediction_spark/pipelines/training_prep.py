@@ -162,16 +162,9 @@ def weighted_sample(
 
     Weights must be positive; rows with w <= 0 are excluded.
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", *key_cols, F.lit(str(seed)))), 1, 15
-            ),
-            16, 10,
-        ).cast("bigint")
-        .cast("double")
-        / F.lit(float(1 << 60))
-    )
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    u = hash60(*key_cols, F.lit(str(seed))).cast("double") / F.lit(float(1 << 60))
     # clamp away u=0 (would make -ln(u) infinite for every weight)
     key = -F.log(F.greatest(u, F.lit(1e-18))) / F.col(weight_col)
     return (
@@ -190,15 +183,9 @@ def kfold_assign(
     Same hash family as the link split, so folds are reproducible and
     grouping-stable (all rows of one key land in one fold — the
     leakage-safe construction when keys repeat)."""
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", *key_cols, F.lit(str(seed)))), 1, 15
-            ),
-            16, 10,
-        ).cast("bigint")
-        % n_folds
-    )
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    fold = hash60(*key_cols, F.lit(str(seed))) % n_folds
     return df.withColumn("fold", fold.cast("int"))
 
 

@@ -26,7 +26,7 @@ from social_link_prediction_spark.operators import windows as win
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# 60-bit md5 hash as DuckDB SQL — the oracle twin of ml.linksplit._hash60
+# 60-bit md5 hash as DuckDB SQL — the oracle twin of ml.linksplit.hash60
 # (used by the link split, the negative sampler, and the stratified sampler).
 _DUCK_H60 = (
     "CAST(concat('0x', substr(md5(concat_ws(chr(31), {args})), 1, 15)) AS BIGINT)"
@@ -1491,7 +1491,7 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         cond = F.when(F.col("lang") == k, F.lit(int(v * 10000)))
         rate = cond if rate is None else rate.when(F.col("lang") == k, F.lit(int(v * 10000)))
     rate = rate.otherwise(F.lit(0))
-    keep = mls._hash60(F.col("doc_id").cast("string"), F.lit("42")) % 10000 < rate
+    keep = mls.hash60(F.col("doc_id").cast("string"), F.lit("42")) % 10000 < rate
     return (
         docs.filter(keep)
         .groupBy("lang")
@@ -3404,12 +3404,7 @@ def harmonic_centrality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("source"))
         .dropDuplicates()
         .filter(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("\x1f", F.format_string("s%d", "source"), F.lit("hc"))),
-                    1, 15,
-                ), 16, 10,
-            ).cast("bigint") % 100 < 6
+            mls.hash60(F.format_string("s%d", "source"), F.lit("hc")) % 100 < 6
         )
     )
     hc = gpaths.harmonic_centrality(edges, seeds, max_hops=2, directed=True)
@@ -3546,9 +3541,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB curation shape; the narrow survivor frames persist because
     all four stage counts and the pair join re-read them."""
     docs = _t(spark, sf_dir, "documents")
-    # persist the two narrow survivor frames: four stage counts plus
-    # the pair join all read them, and the quality stats / md5 grouping
-    # are the expensive part of the plan (HOF aggregates over text)
+    # persist the two narrow survivor frames — four stage counts plus
+    # the pair join read them, and the quality stats / md5 grouping
+    # are the expensive part of the plan (HOF aggregates over text) —
+    # then compute the funnel EAGERLY so both caches can be released
+    # before returning (a lazily-returned plan would pin them for the
+    # rest of the session; the gate runs 100+ queries in one session)
     kept = (
         ptx.quality_filter(docs)
         .filter(F.col("keep") == 1)
@@ -3561,16 +3559,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = pairs.select(F.col("id_b").alias("doc_id")).dropDuplicates()
     final = exd.join(dropped, "doc_id", "left_anti")
-    stages = [
-        docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("1_raw")),
-        kept.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("2_quality")),
-        exd.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("3_exact_dedup")),
-        final.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("stage", F.lit("4_neardup_dedup")),
-    ]
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out.select("stage", "n_docs").orderBy("stage")
+    try:
+        rows = [
+            ("1_raw", docs.count()),
+            ("2_quality", kept.count()),
+            ("3_exact_dedup", exd.count()),
+            ("4_neardup_dedup", final.count()),
+        ]
+    finally:
+        kept.unpersist()
+        exd.unpersist()
+    return spark.createDataFrame(rows, "stage string, n_docs long").orderBy("stage")
 
 
 # =====================================================================
@@ -3828,9 +3827,11 @@ def doc_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_link_prediction_spark.ml import features as mlf
 
     docs = _t(spark, sf_dir, "documents")
+    # no persist: the q side re-derives only 3 rows' worth of upstream,
+    # and a builder-side persist would pin the cache past this query
     emb = mlf.hashed_text_embedding(
         docs, "text", dim=_RETR_DIM, id_col="doc_id", hash_fn="md5"
-    ).persist()
+    )
     q = emb.filter(F.col("doc_id").isin(list(_RETR_QUERY_DOCS))).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
     )

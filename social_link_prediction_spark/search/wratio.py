@@ -51,14 +51,21 @@ def ratio(a: str, b: str) -> float:
 
 
 def partial_ratio(a: str, b: str) -> float:
-    """Best ``ratio`` of the shorter string vs any window of the longer
-    with the same length (sliding alignment)."""
+    """Best ``ratio`` of the shorter string vs any same-length window
+    of the longer, INCLUDING windows clipped at either edge (rapidfuzz
+    lets the alignment slide past the ends: 'abcd' vs 'zzzabc' scores
+    against the clipped suffix 'abc' -> 85.7, not just the full
+    window 'zabc' -> 75 — interior-only sliding under-scores edge
+    matches and diverges from the reference scorer)."""
     if len(a) > len(b):
         a, b = b, a
     if not a:
         return 100.0 if not b else 0.0
-    n = len(a)
-    return max(ratio(a, b[i : i + n]) for i in range(len(b) - n + 1))
+    n, m = len(a), len(b)
+    best = max(ratio(a, b[i : i + n]) for i in range(m - n + 1))
+    for k in range(1, n):  # edge-clipped alignments
+        best = max(best, ratio(a, b[:k]), ratio(a, b[m - k :]))
+    return best
 
 
 def _token_sort_join(s: str) -> str:

@@ -87,6 +87,9 @@ def test_wratio_pure_python_pinned_scores():
     assert wr.wratio("ring", "small ring xx") == 90.0
     # long-vs-short branch: len_ratio >= 8 -> partial scale 0.6
     assert wr.wratio("ab", "ab" + "x" * 14) == 60.0
+    # edge-clipped partial alignment (rapidfuzz semantics): the best
+    # window for 'abcd' in 'zzzabc' is the clipped suffix 'abc'
+    assert abs(wr.partial_ratio("abcd", "zzzabc") - 600.0 / 7.0) < 1e-9
 
 
 def test_rescore_arithmetic_pinned_both_paths(spark):
