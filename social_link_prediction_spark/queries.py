@@ -3849,3 +3849,110 @@ def doc_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("query_id", "rank")
     )
+
+
+# =====================================================================
+# Label-propagation communities (synchronous, deterministic) + CCNet-
+# style unigram log-prob document scoring.
+# =====================================================================
+from social_link_prediction_spark.graph import communities as gcom  # noqa: E402
+
+_LPA_ROUNDS = 3
+
+
+def _duck_lpa_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """Synchronous LPA unrolled: per round, per-node neighbor-label
+    counts -> argmax (count desc, label asc). MATERIALIZED per round
+    (the labels CTE is referenced by the next round's join)."""
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT DISTINCT -l_partkey - 1 AS u, l_suppkey::BIGINT AS v FROM lineitem
+            UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+        ) WHERE u <> v)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+                SELECT e.u AS id, l.label, count(*) AS c
+                FROM e JOIN l{p} l ON l.id = e.v
+                GROUP BY e.u, l.label),
+            l{i} AS MATERIALIZED (
+                SELECT id, label FROM (
+                    SELECT id, label,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY c DESC, label ASC) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT CASE WHEN label < 0 THEN 'p:' || CAST(-label - 1 AS VARCHAR)
+                ELSE 's:' || CAST(label AS VARCHAR) END AS community,
+           count(*) AS n_members
+    FROM l{rounds} GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20
+    """
+    )
+
+
+@query("lpa_communities", None)
+def lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds, deterministic
+    count-desc/min-label argmax) over the part-supplier graph; top-20
+    communities by size. The sync variant is order-free, so the
+    oracle replays the exact same label evolution."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    labels = gcom.label_propagation(edges, rounds=_LPA_ROUNDS)
+    return (
+        labels.groupBy(_fmt_node(F.col("label")).alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )
+
+
+ORACLES["lpa_communities"] = _duck_lpa_sql()
+
+
+@query(
+    "unigram_logprob_docs",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    lm AS MATERIALIZED (
+        SELECT t, count(*) AS c FROM tok GROUP BY t
+    ),
+    tot AS (SELECT sum(c) AS n FROM lm)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(ln(lm.c / (SELECT n FROM tot))) / count(*), 6)
+               AS mean_logprob
+    FROM tok JOIN lm USING (t)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal: mean per-token log
+    probability under the corpus's own unigram LM (documents full of
+    rare junk score low; perplexity = exp(-mean_logprob)). The LM is
+    a (token, count) table broadcast back onto the exploded token
+    stream — at 100 TB the LM is vocabulary-sized, not corpus-sized,
+    and the whole signal is two aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ptx.tokens("text")).alias("t"))
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    scored = tok.join(F.broadcast(lm), "t").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

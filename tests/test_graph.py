@@ -200,3 +200,17 @@ def test_harmonic_centrality_path_graph(spark):
     # endpoints only reach each other at d=3 > max_hops, and d=0 self
     # rows are excluded, so neither endpoint appears at all
     assert out.get(1) is None and out.get(4) is None
+
+
+def test_label_propagation_two_cliques(spark):
+    from social_link_prediction_spark.graph import communities as gcom
+
+    k4a = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    k4b = [(5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)]
+    edges = spark.createDataFrame(k4a + k4b + [(4, 5)], ["src", "dst"])
+    out = {r.id: r.label for r in gcom.label_propagation(edges, rounds=3).collect()}
+    # pinned from a driver-side simulation of the same sync/min rules
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+    # deterministic: a second run agrees exactly
+    again = {r.id: r.label for r in gcom.label_propagation(edges, rounds=3).collect()}
+    assert again == out
