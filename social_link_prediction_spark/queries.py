@@ -3956,3 +3956,108 @@ def unigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# =====================================================================
+# Incremental aggregate refresh (partial-agg merge algebra) + ordered
+# event funnel.
+# =====================================================================
+@query(
+    "incremental_agg_refresh",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by partial-aggregate merge: the
+    base slice (orders < 1996) and the delta slice (>= 1996) are
+    aggregated separately, then MERGED with the aggregates' own
+    combine algebra (sum of counts/sums, max of maxes) — the oracle
+    aggregates the full table in one pass, so a green row proves the
+    merge is lossless. This is the nightly-refresh shape at 100 TB:
+    only the delta partition is re-scanned, the base stays a stored
+    aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def agg_slice(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    base = agg_slice(orders.filter(F.col("o_orderdate") < "1996-01-01"))
+    delta = agg_slice(orders.filter(F.col("o_orderdate") >= "1996-01-01"))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.round(F.max("max_price"), 2).alias("max_price"),
+        )
+    )
+    return merged.orderBy("o_orderpriority")
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN f ON f.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > f.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, count(*) AS n_users FROM f WHERE t_view IS NOT NULL
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+    ) ORDER BY stage
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users whose FIRST view is followed
+    by a click, followed in turn by a purchase (earliest-completion
+    semantics: min qualifying timestamp at each stage). Three
+    aggregations keyed on user_id — the same shuffle key throughout,
+    so the stages pipeline without re-partitioning."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    f = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(f, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = [
+        f.agg(F.count(F.lit(1)).alias("n_users")).withColumn("stage", F.lit("1_view")),
+        c.agg(F.count(F.lit(1)).alias("n_users")).withColumn("stage", F.lit("2_click")),
+        p.agg(F.count(F.lit(1)).alias("n_users")).withColumn("stage", F.lit("3_purchase")),
+    ]
+    out = stages[0].unionByName(stages[1]).unionByName(stages[2])
+    return out.select("stage", "n_users").orderBy("stage")
