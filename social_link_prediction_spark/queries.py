@@ -4061,3 +4061,61 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = stages[0].unionByName(stages[1]).unionByName(stages[2])
     return out.select("stage", "n_users").orderBy("stage")
+
+
+# =====================================================================
+# Join-key (FK) discovery: containment scoring over candidate column
+# pairs (the Auto-BI-style inference — VLDB'23 — reduced to its core
+# signal: |distinct(A) ∩ distinct(B)| / |distinct(A)|).
+# =====================================================================
+_FK_CANDIDATES = [
+    # (fact table, fact col, dim table, dim col)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),   # plausible but weak
+    ("orders", "o_custkey", "supplier", "s_suppkey"),  # decoy
+]
+
+
+@query(
+    "fk_discovery_containment",
+    "\nUNION ALL\n".join(
+        f"""
+        SELECT '{ft}.{fc} -> {dt}.{dc}' AS candidate,
+               (SELECT count(DISTINCT {fc}) FROM {ft}) AS n_fact_keys,
+               (SELECT count(*) FROM
+                   (SELECT DISTINCT {fc} AS k FROM {ft}) a
+                   JOIN (SELECT DISTINCT {dc} AS k FROM {dt}) b USING (k)
+               ) AS n_contained,
+               round((SELECT count(*) FROM
+                   (SELECT DISTINCT {fc} AS k FROM {ft}) a
+                   JOIN (SELECT DISTINCT {dc} AS k FROM {dt}) b USING (k))
+                   / (SELECT count(DISTINCT {fc}) FROM {ft}), 6) AS containment
+        FROM (SELECT 1)"""
+        for ft, fc, dt, dc in _FK_CANDIDATES
+    )
+    + "\nORDER BY containment DESC, candidate",
+)
+def fk_discovery_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery: for each candidate (fact.col -> dim.col)
+    pair, the containment of the fact side's distinct values in the
+    dim side's — the core Auto-BI FK-inference signal. Real FKs score
+    1.0, decoys fall off. Each candidate is two distinct-aggregations
+    + a semi-join of KEY SETS (never the tables), so at warehouse
+    scale the cost tracks key cardinalities; sketch the distinct sets
+    (HLL / minhash) to screen thousands of candidate pairs before
+    exact scoring."""
+    parts = []
+    for ft, fc, dt, dc in _FK_CANDIDATES:
+        fkeys = _t(spark, sf_dir, ft).select(F.col(fc).alias("k")).dropDuplicates()
+        dkeys = _t(spark, sf_dir, dt).select(F.col(dc).alias("k")).dropDuplicates()
+        n_fact = fkeys.count()
+        n_cont = fkeys.join(dkeys, "k", "left_semi").count()
+        parts.append((f"{ft}.{fc} -> {dt}.{dc}", n_fact, n_cont,
+                      round(n_cont / n_fact, 6) if n_fact else 0.0))
+    out = spark.createDataFrame(
+        parts, "candidate string, n_fact_keys long, n_contained long, containment double"
+    )
+    return out.orderBy(F.col("containment").desc(), "candidate")
