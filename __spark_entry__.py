@@ -37,9 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # decides which rows the DRIVER re-proves this round. The 50 entries
 # below are ordered by measured sf0.01 latency, CHEAPEST FIRST: under
 # a count cap any order works, but if the gate is secretly time-capped
-# this order maximizes how many get rows before the cut. The 6 queries
-# added after these slots filled rotate into the r4 gate. See
-# COVERAGE.md "Driver-gate rotation".
+# this order maximizes how many get rows before the cut. The 11 queries
+# added after these slots filled (see COVERAGE.md "Driver-gate
+# rotation" for the list) rotate into the r4 gate.
 _PRIORITY = [
     # sub-second tier
     "customer_balance_ranks", "rollup_order_revenue", "media_frame_plan",
