@@ -4119,3 +4119,99 @@ def fk_discovery_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts, "candidate string, n_fact_keys long, n_contained long, containment double"
     )
     return out.orderBy(F.col("containment").desc(), "candidate")
+
+
+# =====================================================================
+# HITS hubs/authorities and deterministic random-walk corpus (round 3
+# additions past the rotation head — they enter the r4 driver gate).
+# =====================================================================
+from social_link_prediction_spark.graph import hits as ghits  # noqa: E402
+from social_link_prediction_spark.graph import walks as gwalks  # noqa: E402
+
+_DUCK_PS_EDGES_INT = (
+    "e AS (SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst"
+    " FROM lineitem UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1"
+    " FROM lineitem)"
+)
+
+
+def _duck_hits_sql(iterations: int = 3) -> str:
+    """Raw-power-iteration HITS unrolled as chained CTEs, normalized
+    once in the final projection — the same equivalence the engine
+    uses (graph/hits.py: N(A·N(x)) = N(A·x))."""
+    ctes = [
+        _DUCK_PS_EDGES_INT,
+        "nodes AS (SELECT DISTINCT src AS id FROM e)",  # symmetric: src set = V
+        "h0 AS (SELECT id, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"a{i} AS (SELECT e.dst AS id, sum(h.hub) AS auth"
+            f" FROM e JOIN h{i-1} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT e.src AS id, sum(a.auth) AS hub"
+            f" FROM e JOIN a{i} a ON a.id = e.dst GROUP BY e.src)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT CASE WHEN n.id < 0 THEN 'p:' || (-n.id - 1) ELSE 's:' || n.id END AS id,
+               round(h.hub / (SELECT sum(hub) FROM h{iterations}), 6) AS hub,
+               round(a.auth / (SELECT sum(auth) FROM a{iterations}), 6) AS auth
+        FROM nodes n JOIN h{iterations} h ON h.id = n.id
+        JOIN a{iterations} a ON a.id = n.id
+        ORDER BY id"""
+    )
+
+
+@query("hits_partsupp", None)
+def hits_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS (3 sum-normalized iterations) on the symmetric
+    part-supplier graph — hub/authority centrality, the asymmetric
+    complement to pagerank_partsupp. Oracle: the recurrence unrolled
+    as chained CTEs (one auth-flow + one hub-flow join per round)."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    out = ghits.hits(edges, iterations=3)
+    return out.select(
+        _fmt_node(F.col("id")).alias("id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    ).orderBy("id")
+
+
+ORACLES["hits_partsupp"] = _duck_hits_sql(3)
+
+
+_DUCK_WALK_SEEDS = "seeds AS (SELECT DISTINCT l_suppkey::BIGINT AS id FROM lineitem)"
+
+
+@query(
+    "randomwalk_visits",
+    f"""
+    SELECT CASE WHEN node < 0 THEN 'p:' || (-node - 1) ELSE 's:' || node END AS id,
+           count(*) AS visits,
+           count(DISTINCT walk_id) AS n_walks
+    FROM ({gwalks.duck_walk_sql(_DUCK_PS_EDGES_INT, _DUCK_WALK_SEEDS, 4, 2)}) corpus
+    GROUP BY 1 ORDER BY id
+    """,
+)
+def randomwalk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style corpus prep: 2 deterministic 4-step walks from
+    every supplier node over the part-supplier graph, reported as
+    per-node visit counts (the corpus term frequencies a downstream
+    word2vec/embedding trainer would consume). Walk choices use the
+    portable mid-square hash in graph/walks.py, so the DuckDB oracle
+    replays the exact same walks step by step."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("id")).filter(F.col("id") >= 0).dropDuplicates()
+    corpus = gwalks.random_walks(edges, seeds, length=4, walks_per_seed=2)
+    return (
+        corpus.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("visits"),
+            F.countDistinct("walk_id").alias("n_walks"),
+        )
+        .select(_fmt_node(F.col("node")).alias("id"), "visits", "n_walks")
+        .orderBy("id")
+    )

@@ -214,3 +214,63 @@ def test_label_propagation_two_cliques(spark):
     # deterministic: a second run agrees exactly
     again = {r.id: r.label for r in gcom.label_propagation(edges, rounds=3).collect()}
     assert again == out
+
+
+def test_hits_star_graph(spark):
+    # Directed star: spokes all point at the center. The center is the
+    # unique authority (auth 1.0); spokes are equal hubs (1/3 each,
+    # sum-normalized); the center hubs nothing, spokes author nothing.
+    from social_link_prediction_spark.graph import hits as gh
+
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], ["src", "dst"]
+    )
+    out = {r.id: (r.hub, r.auth) for r in gh.hits(e, iterations=3).collect()}
+    assert abs(out[0][1] - 1.0) < 1e-9 and out[0][0] == 0.0
+    for spoke in (1, 2, 3):
+        assert abs(out[spoke][0] - 1 / 3) < 1e-9 and out[spoke][1] == 0.0
+
+
+def test_hits_normalized_each_round(spark):
+    from social_link_prediction_spark.graph import hits as gh
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], ["src", "dst"]
+    )
+    rows = gh.hits(e, iterations=4).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.auth for r in rows) - 1.0) < 1e-9
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    # Walks must follow edges, start at their seed, and be identical
+    # across re-runs (hash-driven, no RNG).
+    from social_link_prediction_spark.graph import walks as gw
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
+    c1 = gw.random_walks(e, seeds, length=3, walks_per_seed=2).collect()
+    c2 = gw.random_walks(e, seeds, length=3, walks_per_seed=2).collect()
+    assert sorted(map(tuple, c1)) == sorted(map(tuple, c2))
+    # 6 walks x 4 positions (no dead ends in this graph)
+    assert len(c1) == 24
+    by_walk = {}
+    for r in c1:
+        by_walk.setdefault(r.walk_id, {})[r.step] = r.node
+    edge_set = {(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)}
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid // 2  # starts at its seed
+        for t in range(1, 4):
+            assert (steps[t - 1], steps[t]) in edge_set
+
+
+def test_random_walks_dead_end_terminates(spark):
+    from social_link_prediction_spark.graph import walks as gw
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 2 is a sink
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    rows = gw.random_walks(e, seeds, length=3, walks_per_seed=1).collect()
+    # step 0 at node 1, step 1 at node 2, then the walk dies.
+    assert sorted((r.step, r.node) for r in rows) == [(0, 1), (1, 2)]
