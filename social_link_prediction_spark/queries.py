@@ -4215,3 +4215,88 @@ def randomwalk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_fmt_node(F.col("node")).alias("id"), "visits", "n_walks")
         .orderBy("id")
     )
+
+
+# =====================================================================
+# Sampled betweenness centrality (depth-bounded Brandes; the seed set
+# is hash-deterministic so the oracle replays forward sigma counts and
+# backward dependency accumulation level by level).
+# =====================================================================
+from social_link_prediction_spark.graph import centrality as gcent  # noqa: E402
+
+_BC_SEED_SQL = _DUCK_H60.format(args="'s' || src, 'bc'") + " % 100 < 4"
+
+
+@query("betweenness_sample", None)
+def betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled k-betweenness (Brandes & Pich) on the part-supplier
+    graph: forward BFS (<=3 levels) from a deterministic 4% supplier
+    sample, backward dependency accumulation, top 20 interior
+    vertices. All sources share each level's shuffle."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("src") >= 0)
+        .select(F.col("src").alias("source"))
+        .dropDuplicates()
+        .filter(
+            mls.hash60(F.format_string("s%d", "source"), F.lit("bc")) % 100 < 4
+        )
+    )
+    bc = gcent.betweenness_sampled(edges, seeds, max_depth=3)
+    return (
+        bc.select(
+            _fmt_node(F.col("id")).alias("id"),
+            F.round("betweenness", 6).alias("betweenness"),
+        )
+        .orderBy(F.col("betweenness").desc(), "id")
+        .limit(20)
+    )
+
+
+ORACLES["betweenness_sample"] = f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst FROM lineitem
+    UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+),
+seeds AS MATERIALIZED (
+    SELECT DISTINCT src AS s FROM e WHERE src >= 0 AND {_BC_SEED_SQL}
+),
+l0 AS (SELECT s, s AS node, 1.0 AS sigma FROM seeds),
+-- bipartite graph: l1/l3 are parts, l0/l2 suppliers, so level-(d-2)
+-- revisit exclusion is exact (sign-disjoint id spaces)
+l1 AS MATERIALIZED (
+    SELECT l0.s, e.dst AS node, sum(l0.sigma) AS sigma
+    FROM l0 JOIN e ON e.src = l0.node GROUP BY 1, 2
+),
+l2 AS MATERIALIZED (
+    SELECT l1.s, e.dst AS node, sum(l1.sigma) AS sigma
+    FROM l1 JOIN e ON e.src = l1.node WHERE e.dst <> l1.s GROUP BY 1, 2
+),
+l3 AS MATERIALIZED (
+    SELECT l2.s, e.dst AS node, sum(l2.sigma) AS sigma
+    FROM l2 JOIN e ON e.src = l2.node
+    LEFT JOIN l1 v ON v.s = l2.s AND v.node = e.dst
+    WHERE v.node IS NULL GROUP BY 1, 2
+),
+d2 AS MATERIALIZED (
+    SELECT l2.s, l2.node, sum(l2.sigma / w.sigma) AS delta
+    FROM l2 JOIN e ON e.src = l2.node
+    JOIN l3 w ON w.s = l2.s AND w.node = e.dst GROUP BY 1, 2
+),
+d1 AS MATERIALIZED (
+    SELECT l1.s, l1.node,
+           sum(l1.sigma / w.sigma * (1 + coalesce(d2.delta, 0))) AS delta
+    FROM l1 JOIN e ON e.src = l1.node
+    JOIN l2 w ON w.s = l1.s AND w.node = e.dst
+    LEFT JOIN d2 ON d2.s = w.s AND d2.node = w.node GROUP BY 1, 2
+),
+bc AS (
+    SELECT node, sum(delta) AS betweenness
+    FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+    WHERE delta > 0 GROUP BY node
+)
+SELECT CASE WHEN node < 0 THEN 'p:' || CAST(-node - 1 AS VARCHAR)
+            ELSE 's:' || CAST(node AS VARCHAR) END AS id,
+       round(betweenness, 6) AS betweenness
+FROM bc ORDER BY round(betweenness, 6) DESC, id LIMIT 20
+"""

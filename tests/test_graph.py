@@ -274,3 +274,27 @@ def test_random_walks_dead_end_terminates(spark):
     rows = gw.random_walks(e, seeds, length=3, walks_per_seed=1).collect()
     # step 0 at node 1, step 1 at node 2, then the walk dies.
     assert sorted((r.step, r.node) for r in rows) == [(0, 1), (1, 2)]
+
+
+def test_betweenness_path_graph(spark):
+    # Undirected 5-path 1-2-3-4-5, all nodes as sources, full depth:
+    # unique shortest paths, so bc(v) = #ordered pairs (s,t) with v
+    # strictly between: node3 = 2*2*2 = 8, nodes 2/4 = 2*1*3 = 6.
+    from social_link_prediction_spark.graph import centrality as gc
+
+    und = [(i, i + 1) for i in range(1, 5)] + [(i + 1, i) for i in range(1, 5)]
+    e = spark.createDataFrame(und, ["src", "dst"])
+    seeds = spark.createDataFrame([(i,) for i in range(1, 6)], ["source"])
+    out = {r.id: r.betweenness for r in gc.betweenness_sampled(e, seeds, max_depth=4).collect()}
+    assert out == {2: 6.0, 3: 8.0, 4: 6.0}
+
+
+def test_betweenness_diamond_split_paths(spark):
+    # Diamond 1->{2,3}->4: two shortest 1-4 paths, so from source 1
+    # nodes 2 and 3 each carry dependency 1/2.
+    from social_link_prediction_spark.graph import centrality as gc
+
+    e = spark.createDataFrame([(1, 2), (1, 3), (2, 4), (3, 4)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["source"])
+    out = {r.id: r.betweenness for r in gc.betweenness_sampled(e, seeds, max_depth=3).collect()}
+    assert out == {2: 0.5, 3: 0.5}
