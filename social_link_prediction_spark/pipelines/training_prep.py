@@ -220,3 +220,87 @@ def time_decayed_sum(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --- corpus mixture rebalancing --------------------------------------
+def mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Domain/language mixture planning (the "data mixing" step of a
+    pretraining pipeline, cf. The Pile / DoReMi-style fixed-weight
+    mixes): given target proportions per group, find the LARGEST total
+    corpus size achievable without upsampling any group, and the
+    per-group planned row counts and keep rates that hit it.
+
+        total   = min over g of floor(n_g / share_g)
+        planned = floor(share_g * total)   (<= n_g by construction)
+
+    Integer floors make the plan exactly replayable in SQL. Groups
+    absent from ``targets`` get share 0 (dropped). Cost: one count
+    aggregation + arithmetic over G rows — the data itself is not
+    touched beyond the count.
+
+    Output: (group, n_available, target_share, planned_rows,
+    keep_rate) — feed to :func:`apply_mixture`.
+    """
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"{group_col} string, target_share double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_available"))
+    g = counts.join(F.broadcast(shares), group_col, "inner").filter(
+        F.col("target_share") > 0
+    )
+    total = F.broadcast(
+        g.select(
+            F.min(F.floor(F.col("n_available") / F.col("target_share"))).alias(
+                "__total"
+            )
+        )
+    )
+    return g.crossJoin(total).select(
+        group_col,
+        "n_available",
+        "target_share",
+        F.floor(F.col("target_share") * F.col("__total"))
+        .cast("long")
+        .alias("planned_rows"),
+        F.round(
+            F.floor(F.col("target_share") * F.col("__total"))
+            / F.col("n_available"),
+            6,
+        ).alias("keep_rate"),
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    group_col: str,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a mixture plan with the deterministic hash-threshold
+    sampler: keep a row iff hash(key, seed) mod 1e6 falls under the
+    group's keep-rate threshold. Reproducible (no RNG), stable under
+    re-runs and engine changes, one broadcast join + filter — no
+    shuffle of the corpus. Kept counts are within O(sqrt(n)) of
+    planned_rows; exact-count selection would need a per-group top-k
+    by hash instead (same sampler family, one extra window)."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    thresh = plan.select(
+        group_col,
+        F.floor(F.col("planned_rows") / F.col("n_available") * 1_000_000).alias(
+            "__thresh"
+        ),
+    )
+    h = F.pmod(hash60(*key_cols, F.lit(str(seed))), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(thresh), group_col, "inner")
+        .filter(h < F.col("__thresh"))
+        .drop("__thresh")
+    )

@@ -4300,3 +4300,62 @@ SELECT CASE WHEN node < 0 THEN 'p:' || CAST(-node - 1 AS VARCHAR)
        round(betweenness, 6) AS betweenness
 FROM bc ORDER BY round(betweenness, 6) DESC, id LIMIT 20
 """
+
+
+# =====================================================================
+# Corpus mixture rebalancing (training-data mixing): plan the largest
+# total hitting target language shares without upsampling, then apply
+# it with the deterministic hash-threshold sampler.
+# =====================================================================
+_MIX_TARGETS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+@query(
+    "mixture_rebalance_langs",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n_available FROM documents GROUP BY lang),
+    t(lang, target_share) AS (VALUES
+        ('en', 0.4), ('de', 0.15), ('fr', 0.15), ('es', 0.15), ('zh', 0.15)),
+    g AS (SELECT c.lang, n_available, CAST(target_share AS DOUBLE) AS target_share
+          FROM counts c JOIN t USING (lang) WHERE target_share > 0),
+    tot AS (SELECT min(floor(n_available / target_share)) AS total FROM g),
+    plan AS (SELECT lang, n_available, target_share,
+             CAST(floor(target_share * (SELECT total FROM tot)) AS BIGINT) AS planned_rows
+             FROM g),
+    kept AS (SELECT d.lang, count(*) AS kept_rows
+             FROM documents d JOIN plan p USING (lang)
+             WHERE {_DUCK_H60.format(args="doc_id, '42'")} % 1000000
+                   < floor(planned_rows / n_available * 1000000)
+             GROUP BY d.lang)
+    SELECT p.lang, n_available, target_share, planned_rows,
+           round(planned_rows / n_available, 6) AS keep_rate,
+           coalesce(k.kept_rows, 0) AS kept_rows
+    FROM plan p LEFT JOIN kept k USING (lang) ORDER BY lang
+    """,
+)
+def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalance over the documents corpus: plan the
+    largest total consistent with the target shares (no group
+    upsampled), then deterministically hash-sample each language to
+    its keep rate and report planned vs actually-kept rows. The plan
+    is G rows of arithmetic; the apply pass is one broadcast join +
+    filter over the corpus — no shuffle, reproducible across runs."""
+    docs = _t(spark, sf_dir, "documents")
+    plan = tp.mixture_plan(docs, "lang", _MIX_TARGETS)
+    kept = (
+        tp.apply_mixture(docs, plan, "lang", ["doc_id"], seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept_rows"))
+    )
+    return (
+        plan.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_available",
+            "target_share",
+            "planned_rows",
+            "keep_rate",
+            F.coalesce("kept_rows", F.lit(0)).alias("kept_rows"),
+        )
+        .orderBy("lang")
+    )

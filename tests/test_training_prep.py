@@ -134,3 +134,40 @@ def test_time_decayed_sum_halflife(spark):
     out = tp.time_decayed_sum(df, "ts", "v", ["g"], half_life_days=7.0).first()
     assert out.n_events == 3
     assert abs(out.decayed_sum - (2.0 + 4.0 + 8.0)) < 1e-6
+
+
+def test_mixture_plan_feasible_and_shares(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    rows = [("en", i) for i in range(80)] + [("de", i) for i in range(15)] + [
+        ("zh", i) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    plan = {r.lang: r for r in tp.mixture_plan(
+        df, "lang", {"en": 0.5, "de": 0.1, "zh": 0.4}
+    ).collect()}
+    # binding group is en: total = floor(80/0.5) = 160? no — de: 15/0.1=150,
+    # zh: 40/0.4=100 -> total=100
+    assert plan["en"].planned_rows == 50
+    assert plan["de"].planned_rows == 10
+    assert plan["zh"].planned_rows == 40
+    for r in plan.values():
+        assert r.planned_rows <= r.n_available  # never upsample
+
+
+def test_apply_mixture_deterministic_and_close(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    rows = [("en", i) for i in range(400)] + [("de", i + 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, ["lang", "doc_id"])
+    plan = tp.mixture_plan(df, "lang", {"en": 0.6, "de": 0.4})
+    k1 = tp.apply_mixture(df, plan, "lang", ["doc_id"]).collect()
+    k2 = tp.apply_mixture(df, plan, "lang", ["doc_id"]).collect()
+    assert sorted(map(tuple, k1)) == sorted(map(tuple, k2))
+    kept = {}
+    for r in k1:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+    planned = {r.lang: r.planned_rows for r in plan.collect()}
+    # hash sampling lands within a few-sigma band of the plan
+    for lang, p in planned.items():
+        assert abs(kept.get(lang, 0) - p) <= 4 * max(1, p) ** 0.5
