@@ -50,6 +50,12 @@ HEADLINE = [
     "pii_scrub_docs",
     "quality_filter_summary",
     "kcore_partsupp",
+    # round-3 late additions: HITS power iterations, sampled Brandes
+    # betweenness, deterministic random-walk corpus, mixture rebalance
+    "hits_partsupp",
+    "betweenness_sample",
+    "randomwalk_visits",
+    "mixture_rebalance_langs",
 ]
 
 

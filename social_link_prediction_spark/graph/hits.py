@@ -82,17 +82,20 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
             .localCheckpoint()
         )
-    sums = F.broadcast(
-        hub.agg(F.sum("hub").alias("hs"))
-        .crossJoin(auth.agg(F.sum("auth").alias("as_")))
-    )
-    return (
+    raw = (
         nodes.join(maybe_bc(hub), "id", "left")
         .join(maybe_bc(auth), "id", "left")
-        .crossJoin(sums)
         .select(
             "id",
-            F.coalesce(F.col("hub") / F.col("hs"), F.lit(0.0)).alias("hub"),
-            F.coalesce(F.col("auth") / F.col("as_"), F.lit(0.0)).alias("auth"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
         )
+    )
+    # One 1-row broadcast normalizer (both sums in a single agg), so the
+    # plan carries exactly one nested-loop join of a literal frame.
+    sums = F.broadcast(raw.agg(F.sum("hub").alias("hs"), F.sum("auth").alias("as_")))
+    return raw.crossJoin(sums).select(
+        "id",
+        (F.col("hub") / F.col("hs")).alias("hub"),
+        (F.col("auth") / F.col("as_")).alias("auth"),
     )

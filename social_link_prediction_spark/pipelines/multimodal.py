@@ -129,12 +129,16 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:
-            # `kind` is only consulted by the real-decode path; the
-            # fake path must keep accepting content-only frames
-            kinds = pdf["kind"] if "kind" in pdf.columns else [None] * len(pdf)
-            feats = [
-                decode_row(k, c) for k, c in zip(kinds, pdf["content"])
-            ]
+            if fake:
+                # hot path: one vectorized map, no per-row kind branch
+                feats = pdf["content"].map(
+                    lambda b: _fake_decode(bytes(b) if b is not None else b"")
+                )
+            else:
+                # `kind` is only consulted by the real-decode path; the
+                # fake path must keep accepting content-only frames
+                kinds = pdf["kind"] if "kind" in pdf.columns else [None] * len(pdf)
+                feats = [decode_row(k, c) for k, c in zip(kinds, pdf["content"])]
             res = pdf[other_cols].copy()
             res["features"] = feats
             yield res

@@ -4224,13 +4224,13 @@ def randomwalk_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 from social_link_prediction_spark.graph import centrality as gcent  # noqa: E402
 
-_BC_SEED_SQL = _DUCK_H60.format(args="'s' || src, 'bc'") + " % 100 < 4"
+_BC_SEED_SQL = _DUCK_H60.format(args="'s' || src, 'bc'") + " % 100 < 2"
 
 
 @query("betweenness_sample", None)
 def betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled k-betweenness (Brandes & Pich) on the part-supplier
-    graph: forward BFS (<=3 levels) from a deterministic 4% supplier
+    graph: forward BFS (<=3 levels) from a deterministic 2% supplier
     sample, backward dependency accumulation, top 20 interior
     vertices. All sources share each level's shuffle."""
     edges = _partsupp_edges_int(spark, sf_dir)
@@ -4239,7 +4239,7 @@ def betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("source"))
         .dropDuplicates()
         .filter(
-            mls.hash60(F.format_string("s%d", "source"), F.lit("bc")) % 100 < 4
+            mls.hash60(F.format_string("s%d", "source"), F.lit("bc")) % 100 < 2
         )
     )
     bc = gcent.betweenness_sampled(edges, seeds, max_depth=3)
@@ -4341,7 +4341,10 @@ def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is G rows of arithmetic; the apply pass is one broadcast join +
     filter over the corpus — no shuffle, reproducible across runs."""
     docs = _t(spark, sf_dir, "documents")
-    plan = tp.mixture_plan(docs, "lang", _MIX_TARGETS)
+    # The plan frame (G rows) feeds both the apply pass and the final
+    # report — persist so its 1-row total crossJoin appears once as a
+    # shared InMemoryRelation, not twice as separate nested loops.
+    plan = tp.mixture_plan(docs, "lang", _MIX_TARGETS).persist()
     kept = (
         tp.apply_mixture(docs, plan, "lang", ["doc_id"], seed=42)
         .groupBy("lang")
@@ -4359,3 +4362,58 @@ def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# =====================================================================
+# Weisfeiler-Lehman color refinement: per-round equivalence-class
+# counts + the largest round-2 classes (structural-role histogram).
+# =====================================================================
+from social_link_prediction_spark.graph import wl as gwl  # noqa: E402
+
+@query(
+    "wl_refinement_classes",
+    f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst FROM lineitem
+        UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+    ),
+    n0 AS (SELECT DISTINCT src AS id, '1' AS label FROM e),
+    nb1 AS (SELECT e.src AS id, string_agg(l.label, ',' ORDER BY l.label) AS nbrs
+            FROM e JOIN n0 l ON l.id = e.dst GROUP BY e.src),
+    n1 AS MATERIALIZED (
+        SELECT l.id, CAST({_DUCK_H60.format(args="l.label, nb.nbrs")} AS VARCHAR) AS label
+        FROM n0 l JOIN nb1 nb ON nb.id = l.id),
+    nb2 AS (SELECT e.src AS id, string_agg(l.label, ',' ORDER BY l.label) AS nbrs
+            FROM e JOIN n1 l ON l.id = e.dst GROUP BY e.src),
+    n2 AS MATERIALIZED (
+        SELECT l.id, CAST({_DUCK_H60.format(args="l.label, nb.nbrs")} AS VARCHAR) AS label
+        FROM n1 l JOIN nb2 nb ON nb.id = l.id)
+    SELECT round, n_classes, n_nodes FROM (
+        SELECT 0 AS round, count(DISTINCT label) AS n_classes, count(*) AS n_nodes FROM n0
+        UNION ALL
+        SELECT 1, count(DISTINCT label), count(*) FROM n1
+        UNION ALL
+        SELECT 2, count(DISTINCT label), count(*) FROM n2
+    ) ORDER BY round
+    """,
+)
+def wl_refinement_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement on the part-supplier graph: how many
+    structural equivalence classes exist after 0/1/2 rounds (round 1 ==
+    degree classes; round 2 distinguishes 2-hop neighborhood shapes).
+    The oracle replays both rounds — sorted neighbor-multiset concat +
+    the md5 hash60 relabel — exactly."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    hist = gwl.wl_refinement_history(edges, iterations=2)
+    parts = [
+        h.agg(
+            F.lit(i).alias("round"),
+            F.countDistinct("label").alias("n_classes"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        for i, h in enumerate(hist)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("round")

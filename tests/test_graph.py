@@ -298,3 +298,18 @@ def test_betweenness_diamond_split_paths(spark):
     seeds = spark.createDataFrame([(1,)], ["source"])
     out = {r.id: r.betweenness for r in gc.betweenness_sampled(e, seeds, max_depth=3).collect()}
     assert out == {2: 0.5, 3: 0.5}
+
+
+def test_wl_refinement_path_graph(spark):
+    # Undirected 5-path: round 1 refines by degree (2 classes), round 2
+    # separates {ends}, {2,4}, {3}; symmetric vertices share labels.
+    from social_link_prediction_spark.graph import wl as gw
+
+    und = [(i, i + 1) for i in range(1, 5)] + [(i + 1, i) for i in range(1, 5)]
+    e = spark.createDataFrame(und, ["src", "dst"])
+    h = gw.wl_refinement_history(e, iterations=2)
+    r1 = {r.id: r.label for r in h[1].collect()}
+    r2 = {r.id: r.label for r in h[2].collect()}
+    assert len(set(r1.values())) == 2 and r1[1] == r1[5] and r1[2] == r1[3] == r1[4]
+    assert len(set(r2.values())) == 3 and r2[1] == r2[5] and r2[2] == r2[4]
+    assert r2[3] != r2[2] and r2[1] != r2[2]
