@@ -419,3 +419,55 @@ def write_embeddings(emb: DataFrame, path: str) -> None:
 
 def read_embeddings(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "cand_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """M10 extension: IR-style ranking evaluation for link-prediction /
+    retrieval scorers — MRR, hits@k, precision@k over per-query ranked
+    candidates. Complements the threshold-free AUC pair in
+    :func:`evaluate_link_model` with the serving-side view (what
+    fraction of top-k recommendations are real; reference's ranked
+    outputs: predicter.py top-k paths).
+
+    Rank = row_number over (score desc, candidate id) per query — the
+    deterministic tie-break keeps the metric (and its SQL oracle)
+    exactly reproducible. Queries with no positive candidate are
+    excluded from MRR/hits (undefined reciprocal rank) but reported in
+    n_queries. One shuffle on the query key; metrics are a second tiny
+    aggregation.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(cand_col).asc()
+    )
+    ranked = scored.withColumn("__rank", F.row_number().over(w))
+    per_q = ranked.groupBy(query_col).agg(
+        F.min(F.when(F.col(label_col) == 1, F.col("__rank"))).alias("first_pos"),
+        F.sum(
+            ((F.col(label_col) == 1) & (F.col("__rank") <= k)).cast("int")
+        ).alias("pos_in_k"),
+        F.max(F.col(label_col)).alias("has_pos"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.avg(F.when(F.col("has_pos") == 1, F.lit(1.0) / F.col("first_pos"))), 6
+        ).alias("mrr"),
+        F.round(
+            F.avg(
+                F.when(F.col("has_pos") == 1, (F.col("first_pos") <= k).cast("double"))
+            ),
+            6,
+        ).alias(f"hits_at_{k}"),
+        F.round(F.avg(F.col("pos_in_k") / F.lit(float(k))), 6).alias(
+            f"precision_at_{k}"
+        ),
+    )

@@ -4417,3 +4417,65 @@ def wl_refinement_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("round")
+
+
+# =====================================================================
+# Retrieval ranking evaluation (MRR / hits@k / precision@k): the
+# IR-metric view of the similarity stack, on label-relevance ground
+# truth. Scores are rounded BEFORE ranking on both sides so float
+# summation-order noise can't flip a rank at a tie.
+# =====================================================================
+@query(
+    "retrieval_ranking_eval",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel FROM e WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, e.vec_id AS cand_id,
+                      round(list_cosine_similarity(e.v, q.qv), 6) AS score,
+                      CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS label
+               FROM q JOIN e ON e.vec_id <> q.query_id),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, cand_id) AS r
+               FROM scored),
+    per_q AS (SELECT query_id,
+                min(CASE WHEN label = 1 THEN r END) AS first_pos,
+                sum(CASE WHEN label = 1 AND r <= 5 THEN 1 ELSE 0 END) AS pos_in_k,
+                max(label) AS has_pos
+              FROM ranked GROUP BY query_id)
+    SELECT count(*) AS n_queries,
+           round(avg(CASE WHEN has_pos = 1 THEN 1.0 / first_pos END), 6) AS mrr,
+           round(avg(CASE WHEN has_pos = 1 THEN
+                 CASE WHEN first_pos <= 5 THEN 1.0 ELSE 0.0 END END), 6) AS hits_at_5,
+           round(avg(pos_in_k / 5.0), 6) AS precision_at_5
+    FROM per_q
+    """,
+)
+def retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR / hits@5 / precision@5 for cosine retrieval over the
+    embeddings table: queries = vec_id < 10, relevant = same label.
+    The 10-row query side broadcasts; candidate scoring is one scan of
+    the corpus; ranks come from one window keyed by query. The same
+    ranking_metrics operator evaluates any (query, cand, score, label)
+    frame — link-prediction serving included."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(emb, emb["vec_id"] != q["query_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(sim.cosine_similarity(F.col("v"), F.col("qv")), 6).alias("score"),
+            (F.col("label") == F.col("qlabel")).cast("int").alias("label"),
+        )
+    )
+    return mlp.ranking_metrics(
+        scored, query_col="query_id", cand_col="cand_id",
+        score_col="score", label_col="label", k=5,
+    )

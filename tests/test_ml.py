@@ -249,3 +249,33 @@ def test_hashed_embedding_md5_variant_unit_norm(spark):
             assert abs(sum(x * x for x in v) - 1.0) < 1e-9  # unit norm
         # doc 2 is a single repeated token -> exactly one nonzero bucket
         assert sum(1 for x in out[2] if x > 0) == 1
+
+
+def test_ranking_metrics_known_values(spark):
+    from social_link_prediction_spark.ml import predict as mlp
+
+    # q1: positives at ranks 1 and 3 -> rr 1, pos_in_5 = 2
+    # q2: positive at rank 4 -> rr 0.25
+    # q3: no positive -> excluded from mrr/hits, precision 0
+    rows = [
+        (1, 10, 0.9, 1), (1, 11, 0.8, 0), (1, 12, 0.7, 1),
+        (2, 20, 0.9, 0), (2, 21, 0.8, 0), (2, 22, 0.7, 0), (2, 23, 0.6, 1),
+        (3, 30, 0.9, 0), (3, 31, 0.8, 0),
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "cand_id", "score", "label"])
+    r = mlp.ranking_metrics(df, k=5).first()
+    assert r.n_queries == 3
+    assert abs(r.mrr - (1.0 + 0.25) / 2) < 1e-9
+    assert abs(r.hits_at_5 - 1.0) < 1e-9
+    assert abs(r.precision_at_5 - ((2 + 1 + 0) / 5.0) / 3) < 1e-9
+
+
+def test_ranking_metrics_tie_break_deterministic(spark):
+    from social_link_prediction_spark.ml import predict as mlp
+
+    # equal scores: rank order falls back to cand_id asc, so the
+    # positive with the smaller id wins the reciprocal rank
+    rows = [(1, 5, 0.5, 0), (1, 3, 0.5, 1), (1, 9, 0.5, 0)]
+    df = spark.createDataFrame(rows, ["query_id", "cand_id", "score", "label"])
+    r = mlp.ranking_metrics(df, k=1).first()
+    assert abs(r.mrr - 1.0) < 1e-9  # cand 3 ranks first
