@@ -481,3 +481,44 @@ def harmonic_centrality(
         .groupBy("id")
         .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("harmonic"))
     )
+
+
+def double_sweep_diameter(
+    edges: DataFrame,
+    max_hops: int = 6,
+    directed: bool = True,
+) -> DataFrame:
+    """Double-sweep diameter lower bound (Magnien, Latapy & Habib,
+    "Fast computation of empirically tight bounds for the diameter of
+    massive graphs", JEA 2009): BFS from a fixed vertex, hop to the
+    farthest vertex found, BFS again — the second eccentricity is the
+    classic near-tight diameter lower bound on real-world graphs at
+    the cost of exactly two BFS runs (vs |V| for the exact diameter).
+
+    Deterministic by construction: the first sweep starts at the
+    MINIMUM vertex id, and every farthest-vertex argmax breaks ties by
+    smaller id — so a SQL oracle replays both sweeps exactly. The two
+    "pick the extreme row" reductions are 1-row ``first()`` calls on
+    already-aggregated frames (control-plane, like the PageRank
+    relation-list collect). Returns one row:
+    (start_node, far_node, ecc_start, diameter_lb).
+    """
+    spark = edges.sparkSession
+    start = edges.agg(F.min("src")).first()[0]
+    s1 = spark.createDataFrame([(start,)], ["source"])
+    d1 = multi_source_shortest_paths(
+        edges, s1, weight=None, max_hops=max_hops, directed=directed
+    )
+    far_row = (
+        d1.orderBy(F.col("dist").desc(), F.col("id").asc()).select("id", "dist").first()
+    )
+    far, ecc_start = far_row[0], int(far_row[1])
+    s2 = spark.createDataFrame([(far,)], ["source"])
+    d2 = multi_source_shortest_paths(
+        edges, s2, weight=None, max_hops=max_hops, directed=directed
+    )
+    diameter_lb = int(d2.agg(F.max("dist")).first()[0])
+    return spark.createDataFrame(
+        [(start, far, ecc_start, diameter_lb)],
+        "start_node long, far_node long, ecc_start long, diameter_lb long",
+    )

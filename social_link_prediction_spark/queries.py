@@ -4479,3 +4479,110 @@ def retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, query_col="query_id", cand_col="cand_id",
         score_col="score", label_col="label", k=5,
     )
+
+
+# =====================================================================
+# Incremental batch-vs-corpus dedup: the "dedup tonight's crawl
+# against the 100 TB corpus" pattern — bloom prefilter (broadcast
+# bitmap, false-positives only) then exact md5 semi-join on the
+# survivors. The oracle checks the exact result; the bloom stage can
+# only shrink intermediate traffic, never change the answer.
+# =====================================================================
+@query(
+    "incremental_dedup_batch",
+    """
+    WITH batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+    corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0)
+    SELECT count(*) AS n_batch,
+           sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS n_already_in_corpus,
+           sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS n_new
+    FROM batch b LEFT JOIN corpus c ON c.h = b.h
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup screening of an incoming batch (doc_id % 10 == 0)
+    against the existing corpus: md5 content hashes, bloom-bitmap
+    prefilter (joins.bloom_semi_filter) to drop definitely-new docs
+    without shuffling them, then an exact semi-join on the bloom
+    survivors. At 100 TB the corpus side is a per-partition hash scan
+    feeding one bit_or aggregation; only the (tiny) possibly-dup
+    fraction of the batch reaches the exact join."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select(
+        F.md5("text").alias("h")
+    ).dropDuplicates()
+    candidates = jn.bloom_semi_filter(batch, corpus, on="h", num_bits=1 << 20)
+    dups = candidates.join(corpus, "h", "left_semi").select("doc_id")
+    n_batch = batch.agg(F.count(F.lit(1)).alias("n_batch"))
+    n_dup = dups.agg(F.count(F.lit(1)).alias("n_already_in_corpus"))
+    return (
+        n_batch.crossJoin(F.broadcast(n_dup))
+        .select(
+            "n_batch",
+            "n_already_in_corpus",
+            (F.col("n_batch") - F.col("n_already_in_corpus")).alias("n_new"),
+        )
+    )
+
+
+# =====================================================================
+# Double-sweep diameter lower bound (two BFS runs, deterministic
+# min-id start and min-id tie-breaks, so the oracle replays both
+# sweeps level by level).
+# =====================================================================
+def _duck_bfs_dist(prefix: str, start_sql: str, hops: int) -> list[str]:
+    """CTE chain: {prefix}d(id, dist) = BFS distances from start_sql
+    (DISTINCT frontier expansion per level, dist = first level seen)."""
+    ctes = [f"{prefix}l0 AS (SELECT {start_sql} AS id)"]
+    for k in range(1, hops + 1):
+        ctes.append(
+            f"{prefix}l{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id"
+            f" FROM {prefix}l{k-1} f JOIN e ON e.src = f.id)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT id, {k} AS d FROM {prefix}l{k}" for k in range(hops + 1)
+    )
+    ctes.append(
+        f"{prefix}d AS MATERIALIZED (SELECT id, min(d) AS dist FROM ({union}) GROUP BY id)"
+    )
+    return ctes
+
+
+_DSD_HOPS = 6
+_DSD_CTES = ",\n".join(
+    [
+        _DUCK_PS_EDGES_INT,
+        *_duck_bfs_dist("a", "(SELECT min(src) FROM e)", _DSD_HOPS),
+        "far AS (SELECT id FROM ad ORDER BY dist DESC, id ASC LIMIT 1)",
+        *_duck_bfs_dist("b", "(SELECT id FROM far)", _DSD_HOPS),
+    ]
+)
+
+
+@query(
+    "diameter_double_sweep",
+    f"""
+    WITH {_DSD_CTES}
+    SELECT CASE WHEN s.id < 0 THEN 'p:' || (-s.id - 1) ELSE 's:' || s.id END AS start_node,
+           CASE WHEN f.id < 0 THEN 'p:' || (-f.id - 1) ELSE 's:' || f.id END AS far_node,
+           (SELECT max(dist) FROM ad) AS ecc_start,
+           (SELECT max(dist) FROM bd) AS diameter_lb
+    FROM (SELECT min(src) AS id FROM e) s, far f
+    """,
+)
+def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound on the part-supplier graph:
+    BFS from the minimum vertex id, re-BFS from the farthest vertex
+    found (min-id tie-break), report the second eccentricity — two
+    BFS runs instead of |V| for a near-tight bound on real graphs."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    out = gpaths.double_sweep_diameter(edges, max_hops=6, directed=True)
+    return out.select(
+        _fmt_node(F.col("start_node")).alias("start_node"),
+        _fmt_node(F.col("far_node")).alias("far_node"),
+        "ecc_start",
+        "diameter_lb",
+    )

@@ -313,3 +313,29 @@ def test_wl_refinement_path_graph(spark):
     assert len(set(r1.values())) == 2 and r1[1] == r1[5] and r1[2] == r1[3] == r1[4]
     assert len(set(r2.values())) == 3 and r2[1] == r2[5] and r2[2] == r2[4]
     assert r2[3] != r2[2] and r2[1] != r2[2]
+
+
+def test_double_sweep_diameter_path_graph(spark):
+    # Undirected 6-path 1..6: start = min id 1 (an endpoint), farthest
+    # is 6 at dist 5; second sweep from 6 also finds 5 = true diameter.
+    from social_link_prediction_spark.graph import paths as gp2
+
+    und = [(i, i + 1) for i in range(1, 6)] + [(i + 1, i) for i in range(1, 6)]
+    e = spark.createDataFrame(und, ["src", "dst"])
+    r = gp2.double_sweep_diameter(e, max_hops=8).first()
+    assert r.start_node == 1 and r.far_node == 6
+    assert r.ecc_start == 5 and r.diameter_lb == 5
+
+
+def test_double_sweep_tie_break_min_id(spark):
+    # Star centered at 0: every leaf is at dist 1 from 0; the farthest
+    # pick must take the SMALLEST leaf id deterministically.
+    from social_link_prediction_spark.graph import paths as gp2
+
+    leaves = [1, 2, 3]
+    e = spark.createDataFrame(
+        [(0, v) for v in leaves] + [(v, 0) for v in leaves], ["src", "dst"]
+    )
+    r = gp2.double_sweep_diameter(e, max_hops=4).first()
+    assert r.start_node == 0 and r.far_node == 1
+    assert r.ecc_start == 1 and r.diameter_lb == 2
