@@ -4586,3 +4586,177 @@ def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ecc_start",
         "diameter_lb",
     )
+
+
+# =====================================================================
+# Governance: k-anonymity audit over quasi-identifier combinations.
+# =====================================================================
+@query(
+    "k_anonymity_audit",
+    """
+    WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+               FROM customer GROUP BY 1, 2)
+    SELECT count(*) AS n_groups,
+           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS groups_below_k,
+           coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS rows_at_risk,
+           min(n) AS min_group_size
+    FROM g
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) on the (nation, market-segment)
+    quasi-identifier pair: how many combination groups are smaller
+    than k, and how many rows they expose. One aggregation keyed by
+    the quasi-identifier — the release gate a privacy-aware corpus
+    pipeline runs before publishing joined demographic slices
+    (complements the PII scrub, which removes direct identifiers)."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < 5).cast("int")).alias("groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+# =====================================================================
+# Mergeable histogram-sketch quantiles: the fixed-grid sketch whose
+# per-partition pieces combine associatively (the 100 TB answer when
+# percentile_approx's sketch can't be oracle-replayed). Estimate =
+# linear interpolation inside the covering bin.
+# =====================================================================
+_SKQ_BINS = 1024
+
+
+@query(
+    "sketch_quantiles_price",
+    f"""
+    WITH bounds AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+    binned AS (
+        SELECT least({_SKQ_BINS - 1}, CAST(floor((o_totalprice - lo) / ((hi - lo) / {_SKQ_BINS})) AS BIGINT)) AS b,
+               count(*) AS n
+        FROM orders, bounds GROUP BY 1
+    ),
+    cum AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS c, sum(n) OVER () AS total FROM binned),
+    qs AS (
+        SELECT q,
+               min(b) FILTER (WHERE c >= q * total) AS qb
+        FROM cum, (VALUES (0.5), (0.9), (0.99)) t(q)
+        GROUP BY q
+    )
+    SELECT CAST(q AS DOUBLE) AS quantile,
+           round(lo + (qb + 0.5) * ((hi - lo) / {_SKQ_BINS}), 6) AS estimate
+    FROM qs, bounds ORDER BY q
+    """,
+)
+def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles of o_totalprice from a fixed-grid histogram sketch:
+    one pass bins values into 1024 equi-width buckets (per-partition
+    counts merge associatively — the property that lets 1000 executors
+    each sketch their shard and combine), then each quantile reads the
+    first bin whose cumulative count covers it (bin-center estimate;
+    error <= half a bin width). Exact percentiles need a full sort at
+    100 TB; the sketch needs one scan + a 1024-row reduce."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = F.broadcast(
+        orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / _SKQ_BINS
+    binned = (
+        orders.crossJoin(bounds)
+        .select(
+            F.least(
+                F.lit(_SKQ_BINS - 1),
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = binned.select(
+        "b", F.sum("n").over(w_cum).alias("c"), F.sum("n").over(w_all).alias("total")
+    )
+    qdf = orders.sparkSession.createDataFrame(
+        [(0.5,), (0.9,), (0.99,)], "q double"
+    )
+    qb = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("c") >= F.col("q") * F.col("total"))
+        .groupBy("q")
+        .agg(F.min("b").alias("qb"))
+    )
+    return (
+        qb.crossJoin(bounds)
+        .select(
+            F.col("q").alias("quantile"),
+            F.round(F.col("lo") + (F.col("qb") + 0.5) * width, 6).alias("estimate"),
+        )
+        .orderBy("quantile")
+    )
+
+
+# =====================================================================
+# Time-series anomaly flags: per event-type daily counts scored by
+# z-score against the TRAILING 7-day window (leakage-free: today is
+# excluded from its own baseline).
+# =====================================================================
+@query(
+    "event_rate_anomalies",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day, n,
+               avg(n)      OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               count(*)    OVER w AS n_hist
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n,
+           round((n - mu) / sigma, 6) AS z
+    FROM scored
+    WHERE n_hist >= 3 AND sigma > 0 AND abs((n - mu) / sigma) > 2
+    ORDER BY event_type, day
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/drop detection on daily event-type counts: z-score vs the
+    trailing 7-day window (today excluded from its own baseline; first
+    2 days warm up). One shuffle keyed by event_type for the window;
+    the daily rollup shrinks the stream before any window state — at
+    100 TB the rollup is the map-side combine, the window runs over
+    |types| x |days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 3) & (F.col("sigma") > 0) & (F.abs(z) > 2)
+        )
+        .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+        .orderBy("event_type", "day")
+    )
