@@ -256,3 +256,37 @@ def quality_filter(
     return stats.withColumn("drop_reason", reason).withColumn(
         "keep", F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
     )
+
+
+def lexicon_sentiment(
+    df: DataFrame,
+    lexicon: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexicon-based sentiment scoring (the AFINN/VADER-family
+    construction behind large-scale Spark sentiment pipelines, e.g.
+    "Large Scale Sentiment Analysis on Twitter with Spark", EDBT 2016):
+    score(doc) = sum of per-token lexicon valences / token count.
+    Whole pipeline is JVM-side — explode tokens, broadcast-join the
+    (tiny) lexicon, one aggregation keyed by doc — so it runs at
+    corpus scale with the lexicon as the only driver-side object.
+    Returns (id, n_tokens, valence_sum, sentiment)."""
+    spark = df.sparkSession
+    lex = F.broadcast(
+        spark.createDataFrame(
+            [(w, float(s)) for w, s in lexicon.items()], "w string, s double"
+        )
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w")
+    )
+    return (
+        tok.join(lex, "w", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("s", F.lit(0.0))).alias("valence_sum"),
+        )
+        .withColumn("sentiment", F.col("valence_sum") / F.col("n_tokens"))
+    )

@@ -4760,3 +4760,149 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "n", F.round(z, 6).alias("z"))
         .orderBy("event_type", "day")
     )
+
+
+# =====================================================================
+# Lexicon sentiment at corpus scale (EDBT'16 Spark-sentiment analog):
+# per-language sentiment rollup from a broadcast valence lexicon.
+# =====================================================================
+_SENT_LEX = {"fast": 1.0, "big": 1.0, "slow": -1.0, "small": -1.0}
+
+
+@query(
+    "sentiment_by_lang",
+    """
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    lex(w, s) AS (VALUES ('fast', 1.0), ('big', 1.0), ('slow', -1.0), ('small', -1.0)),
+    per_doc AS (
+        SELECT doc_id, lang,
+               count(*) AS n_tokens,
+               sum(coalesce(CAST(s AS DOUBLE), 0)) AS valence_sum
+        FROM tok LEFT JOIN lex USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(valence_sum / n_tokens), 6) AS avg_sentiment,
+           round(avg(CASE WHEN valence_sum > 0 THEN 1.0 ELSE 0.0 END), 6) AS pct_positive
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def sentiment_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sentiment rollup: broadcast-lexicon token valences
+    averaged per document, then aggregated by language. Everything is
+    JVM-side (explode + broadcast join + two aggregations); the
+    lexicon is the only driver-side object, so the same plan scores a
+    100 TB corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = ptx.lexicon_sentiment(docs, _SENT_LEX).join(
+        docs.select(F.col("doc_id").alias("id"), "lang"), "id"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sentiment"), 6).alias("avg_sentiment"),
+            F.round(
+                F.avg((F.col("valence_sum") > 0).cast("double")), 6
+            ).alias("pct_positive"),
+        )
+        .orderBy("lang")
+    )
+
+
+# =====================================================================
+# Trajectory similarity (ICDE'21 REPOSE analog): top-10 most similar
+# user event-sequences by order-preserving-trigram Jaccard, candidate
+# pairs from an inverted-index join over a deterministic user sample.
+# =====================================================================
+from social_link_prediction_spark.pipelines import trajectory as ptraj  # noqa: E402
+
+_TRAJ_SAMPLE_SQL = _DUCK_H60.format(args="'u' || user_id, 'traj'") + " % 100 < 5"
+
+
+@query(
+    "trajectory_similarity_users",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE {_TRAJ_SAMPLE_SQL}
+    ),
+    g0 AS (
+        SELECT user_id,
+               event_type || '|' || lead(event_type, 1) OVER w
+                          || '|' || lead(event_type, 2) OVER w AS tg,
+               lead(event_type, 2) OVER w AS third
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tg AS (SELECT DISTINCT user_id AS id, tg FROM g0 WHERE third IS NOT NULL),
+    sizes AS (SELECT id, count(*) AS n FROM tg GROUP BY id),
+    shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+        FROM tg a JOIN tg b ON a.tg = b.tg AND a.id < b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON sa.id = shared.id_a
+         JOIN sizes sb ON sb.id = shared.id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 10
+    """,
+)
+def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most similar user event trajectories: order-preserving
+    event-type trigram sets compared by Jaccard, candidates from the
+    shared-gram inverted index (never a cross join), over a
+    deterministic 5% user sample. At population scale swap the sample
+    for MinHash signatures over the gram sets (pipelines/dedup) — the
+    query shape is unchanged."""
+    ev = _t(spark, sf_dir, "events").filter(
+        mls.hash60(F.format_string("u%d", "user_id"), F.lit("traj")) % 100 < 5
+    )
+    grams = ptraj.sequence_trigrams(ev)
+    return ptraj.jaccard_pairs_topk(grams, k=10)
+
+
+# =====================================================================
+# Incremental top-k reuse (EDBT'20 interactive-session analog): a
+# materialized per-bucket top-k head table answers any subsequent
+# global or filtered top-k' (k' <= k) without rescanning the fact
+# table — the session-cache pattern for interactive data analysis.
+# =====================================================================
+@query(
+    "incremental_topk_reuse",
+    """
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+    FROM orders
+    ORDER BY round(o_totalprice, 6) DESC, o_orderkey LIMIT 10
+    """,
+)
+def incremental_topk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by price answered from a per-bucket head
+    table: rank within pmod(custkey, 16) buckets, keep each bucket's
+    top 10 (the materialized "session cache" — 160 rows), then global
+    top-10 from the heads. Any later interactive ask with k' <= 10 —
+    global, or filtered to a bucket subset — reads ONLY the head
+    table. Correct because a global top-k row is necessarily in its
+    bucket's top k. At 100 TB the heads are the window's map-side
+    rank-k pushdown (one shuffle on the bucket key, k rows per bucket
+    survive), and the re-asks cost no fact-table scan at all."""
+    orders = _t(spark, sf_dir, "orders")
+    wb = Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(16))).orderBy(
+        F.round(F.col("o_totalprice"), 6).desc(), F.col("o_orderkey").asc()
+    )
+    heads = (
+        orders.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= 10)
+        .persist()  # the reusable session cache
+    )
+    return (
+        heads.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )

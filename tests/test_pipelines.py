@@ -180,3 +180,52 @@ def test_neardup_clusters(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
     out = {r.id: (r.cluster, r.is_canonical) for r in pdd.neardup_clusters(docs, pairs).collect()}
     assert out == {0: (0, 1), 1: (0, 0), 2: (0, 0), 3: (3, 1), 4: (4, 1), 5: (4, 0)}
+
+
+def test_lexicon_sentiment_arithmetic(spark):
+    from social_link_prediction_spark.pipelines import text as ptx
+
+    df = spark.createDataFrame(
+        [(1, "fast fast slow other"), (2, "neutral words only here")],
+        ["doc_id", "text"],
+    )
+    out = {r.id: r for r in ptx.lexicon_sentiment(
+        df, {"fast": 1.0, "slow": -1.0}
+    ).collect()}
+    assert out[1].n_tokens == 4 and abs(out[1].valence_sum - 1.0) < 1e-9
+    assert abs(out[1].sentiment - 0.25) < 1e-9
+    assert out[2].valence_sum == 0.0 and out[2].sentiment == 0.0
+
+
+def test_sequence_trigrams_order_and_dedup(spark):
+    import datetime
+
+    from social_link_prediction_spark.pipelines import trajectory as ptraj
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a b a b a  -> trigrams a|b|a, b|a|b, a|b|a -> 2 distinct
+        (1, "a", t0, 1), (1, "b", t0, 2), (1, "a", t0, 3),
+        (1, "b", t0, 4), (1, "a", t0, 5),
+        # user 2: too short for any trigram
+        (2, "a", t0, 6), (2, "b", t0, 7),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+    g = ptraj.sequence_trigrams(df).collect()
+    got = {(r.id, r.tg) for r in g}
+    assert got == {(1, "a|b|a"), (1, "b|a|b")}
+
+
+def test_jaccard_pairs_topk_values(spark):
+    from social_link_prediction_spark.pipelines import trajectory as ptraj
+
+    grams = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (3, "z")],
+        ["id", "tg"],
+    )
+    top = ptraj.jaccard_pairs_topk(grams, k=3).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in top}
+    assert by_pair[(1, 2)] == 1.0
+    assert abs(by_pair[(1, 3)] - 1 / 3) < 1e-6  # rounded to 6 before ranking
+    assert abs(by_pair[(2, 3)] - 1 / 3) < 1e-6
+    assert top[0].id_a == 1 and top[0].id_b == 2  # ranked first
