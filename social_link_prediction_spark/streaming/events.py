@@ -13,7 +13,7 @@ maps to exactly this shape — each page/interval is a micro-batch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
@@ -275,4 +275,41 @@ def session_window_stats(
             "n_events",
             "total_value",
         )
+    )
+
+
+def trending_topk(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 3,
+) -> DataFrame:
+    """Per-window trending top-k event types. Streaming top-k can't
+    rank inside the incremental aggregation (ranks are only final when
+    the window closes), so this is the standard two-stage shape: the
+    watermarked windowed count IS the streaming stateful stage, and
+    the rank-k cut runs on its APPEND output — here fused for batch
+    and availableNow micro-batch runs, where every emitted window is
+    already final. On a continuous stream, run windowed_event_counts
+    as the stream and apply this ranking in foreachBatch (each closed
+    window arrives exactly once past the watermark).
+
+    Deterministic rank tie-break: (count desc, event_type asc).
+    """
+    counts = windowed_event_counts(events, window=window, watermark=watermark)
+    return rank_windowed_counts(counts, k=k)
+
+
+def rank_windowed_counts(counts: DataFrame, k: int = 3) -> DataFrame:
+    """The rank-k cut of :func:`trending_topk`, separated so it can run
+    over a sink table / inside foreachBatch (ranking is not a streaming
+    operator — Structured Streaming rejects non-time windows on a
+    streaming frame)."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", "event_type", "n_events")
     )

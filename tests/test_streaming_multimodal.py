@@ -475,3 +475,25 @@ def test_streaming_curation_end_to_end(spark, tmp_path):
     # batch path of the same call gives the same survivor count
     batch = spark.read.schema(cur.DOC_SCHEMA).json(str(landing))
     assert cur.curate_stream(batch).count() == len(rows)
+
+
+def test_trending_topk_stream_parity(spark, tmp_path):
+    # Stateful stage (watermarked window counts) runs as the stream;
+    # the rank-k cut runs over the sink table (the foreachBatch shape).
+    # Batch trending_topk over the same files must agree exactly.
+    _write_event_files(tmp_path)
+    stream = se.read_event_stream(spark, str(tmp_path))
+    q = se.run_to_memory_sink(
+        se.windowed_event_counts(stream), "trend_counts"
+    )
+    q.awaitTermination(60)
+    q.stop()
+    sink = spark.sql("select * from trend_counts")
+    out = se.rank_windowed_counts(sink, k=2).collect()
+    batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
+    batch_out = se.trending_topk(batch, k=2).collect()
+    key = lambda rows: sorted(
+        (r.window_start, r.rank, r.event_type, r.n_events) for r in rows
+    )
+    assert key(out) == key(batch_out)
+    assert all(r.rank <= 2 for r in out) and len(out) > 0
