@@ -4906,3 +4906,59 @@ def incremental_topk_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+# =====================================================================
+# Entity resolution (record linkage): classic block-then-match —
+# candidate pairs only within (nation, name-prefix) blocks, scored by
+# name edit distance. The composition pattern behind the fuzzy-search
+# and dedup stacks, on structured identity fields.
+# =====================================================================
+@query(
+    "entity_resolution_names",
+    """
+    WITH c AS (SELECT c_custkey, c_nationkey, c_name,
+                      substr(c_name, 10, 7) AS blk FROM customer)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey AND a.blk = b.blk
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    ORDER BY dist, key_a, key_b LIMIT 20
+    """,
+)
+def entity_resolution_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidate generation + scoring: block customers
+    by (nation, 7-char name-prefix) — the standard ER blocking-key
+    construction — self-join INSIDE blocks only (never the full cross
+    product), score with JVM levenshtein, keep near-identical name
+    pairs. Block sizes bound the quadratic term the way LSH buckets do
+    in the text-dedup stack; at 100 TB add the bucket-size guard from
+    pipelines/dedup.lsh_candidates verbatim."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name",
+        F.substring("c_name", 10, 7).alias("blk"),
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", "key_a", "key_b")
+        .limit(20)
+    )
