@@ -59,8 +59,12 @@ def hits(
     )
     n = nodes.count()
     maybe_bc = (lambda df: F.broadcast(df)) if n <= broadcast_max_rows else (lambda df: df)
+    # |V|-tracking partition count for the score frames (one partition
+    # per ~500k rows, up to the session parallelism) — same rationale
+    # as graph/pagerank.py.
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
 
-    hub = nodes.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    hub = nodes.withColumn("hub", F.lit(1.0)).coalesce(n_part).localCheckpoint()
     auth = None
     for i in range(iterations):
         # auth step: hub mass flows src -> dst.
@@ -68,6 +72,7 @@ def hits(
             e.join(maybe_bc(hub.select(F.col("id").alias("src"), "hub")), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("auth"))
+            .coalesce(n_part)
         )
         # The last round's auth feeds both the final join and the final
         # sum — checkpoint it then; mid-loop auths are consumed exactly
@@ -80,6 +85,7 @@ def hits(
             e.join(maybe_bc(auth.select(F.col("id").alias("dst"), "auth")), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hub"))
+            .coalesce(n_part)
             .localCheckpoint()
         )
     raw = (

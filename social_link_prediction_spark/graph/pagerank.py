@@ -64,7 +64,17 @@ def pagerank(
     # join output — a whole extra |E| materialization, and at 100 TB
     # an |E|-sized shuffle, for data derivable from the |V|-sized
     # side.)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    # |V|-sized frames get a partition count that tracks |V| (one
+    # partition per ~500k rows), not the session's shuffle setting —
+    # a 4k-row rank frame has no business occupying 32 shuffle
+    # partitions' worth of per-round task launches and checkpoint
+    # blocks, and at 1e9 vertices the same formula returns to full
+    # parallelism. coalesce() narrows the shuffle read without adding
+    # an exchange. At bench scale the effect is within noise (the loop
+    # cost is the edge-side join); the win is checkpoint block count
+    # and task-launch pressure on wide-but-tiny frames.
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).coalesce(n_part).persist()
 
     # Dangling nodes (no out-edges) exist iff some vertex never appears
     # as a src; sourceless nodes (no in-edges) iff some vertex never
@@ -106,6 +116,7 @@ def pagerank(
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))
+            .coalesce(n_part)
         )
         if every_round or it % 3 == 2:
             contribs = contribs.localCheckpoint()
@@ -178,8 +189,10 @@ def personalized_pagerank(
             f"personalized_pagerank: seed ids not in the edge list's "
             f"vertex set: {sorted(missing)!r}"
         )
-    # degree on the rank side, not the edge side — see pagerank()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).persist()
+    # degree on the rank side, not the edge side — see pagerank();
+    # |V|-tracking partition count for the small frames, ditto
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).coalesce(n_part).persist()
 
     seed_mass = 1.0 / len(sources)
     seed_col = F.when(
@@ -197,6 +210,7 @@ def personalized_pagerank(
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("flow"))
+            .coalesce(n_part)
         )
         ranks = contribs.select(
             "id",
