@@ -56,6 +56,9 @@ HEADLINE = [
     "betweenness_sample",
     "randomwalk_visits",
     "mixture_rebalance_langs",
+    # multi-join relational classics
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 

@@ -22,7 +22,8 @@ import os
 import shutil
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -70,3 +71,31 @@ def n_exchanges(df: DataFrame) -> int:
         for line in plan.splitlines()
         if "Exchange" in line and "Reused" not in line
     )
+
+
+def zorder_key(*cols: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of up to 4 non-negative integer
+    columns into one BIGINT sort key — the multi-dimensional
+    clustering layout (Databricks OPTIMIZE ZORDER BY, Hudi/Iceberg
+    z-ordering) built from public bit arithmetic: writing a table
+    sorted by z(key_a, key_b) makes min/max file statistics selective
+    for range predicates on EITHER column, so data skipping prunes
+    files for both access paths from one layout.
+
+    Each column contributes its low ``bits`` bits (cap values first if
+    they can exceed 2^bits - 1); bits * n_cols must fit in 63. All
+    JVM expressions (shiftleft / shiftright / bitwise or), no UDF.
+    Usage: df.repartitionByRange(N, z).sortWithinPartitions(z).write...
+    """
+    n = len(cols)
+    if not 1 <= n <= 4:
+        raise ValueError("zorder_key takes 1-4 columns")
+    if bits * n > 63:
+        raise ValueError(f"bits*cols = {bits * n} exceeds a signed 64-bit key")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            cc = F.col(c) if isinstance(c, str) else c
+            bit = F.shiftright(cc.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key

@@ -140,3 +140,47 @@ def test_bloom_semi_filter_superset_and_exact_after_join(spark, tables):
     assert (
         filtered.join(keys, "l_orderkey", "left_semi").count() == exact.count()
     )
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from social_link_prediction_spark import warehouse as wh
+
+    def morton(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = df.withColumn("z", wh.zorder_key("a", "b", bits=16)).collect()
+    for r in out:
+        assert r.z == morton(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_key_locality(spark):
+    # neighboring (a,b) cells interleave into nearby keys: the max key
+    # of a 2x2 block is within the block's morton range (property of
+    # the curve), and sorting by z groups the quadrants.
+    from social_link_prediction_spark import warehouse as wh
+
+    rows = [(a, b) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = sorted(
+        ((r.z, r.a, r.b) for r in df.withColumn("z", wh.zorder_key("a", "b", bits=2)).collect())
+    )
+    # first four keys = the (0..1, 0..1) quadrant
+    first_quadrant = {(a, b) for _, a, b in out[:4]}
+    assert first_quadrant == {(0, 0), (1, 0), (0, 1), (1, 1)}
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+
+    from social_link_prediction_spark import warehouse as wh
+
+    with _pytest.raises(ValueError):
+        wh.zorder_key("a", "b", "c", "d", bits=16)  # 64 bits > 63
+    with _pytest.raises(ValueError):
+        wh.zorder_key()
