@@ -5148,3 +5148,74 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# =====================================================================
+# Layered neighbor sampling (M6, the GNN-minibatch loader): rank-by-
+# hash fanout caps per hop, replayed exactly by the oracle's windows.
+# =====================================================================
+from social_link_prediction_spark.graph import sampling as gsamp  # noqa: E402
+
+_NS_SEED_SQL = _DUCK_H60.format(args="'s' || src, 'nsseed'") + " % 100 < 2"
+
+
+@query(
+    "neighbor_sample_blocks",
+    f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst FROM lineitem
+        UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+    ),
+    seeds AS (SELECT DISTINCT src FROM e WHERE src >= 0 AND {_NS_SEED_SQL}),
+    h0 AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT s.src, e.dst,
+                   row_number() OVER (PARTITION BY s.src ORDER BY
+                       {_DUCK_H60.format(args="CAST(s.src AS VARCHAR), CAST(e.dst AS VARCHAR), '0', 'ns'")},
+                       e.dst) AS r
+            FROM seeds s JOIN e ON e.src = s.src
+        ) WHERE r <= 3
+    ),
+    f1 AS (SELECT DISTINCT dst AS src FROM h0),
+    h1 AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT f.src, e.dst,
+                   row_number() OVER (PARTITION BY f.src ORDER BY
+                       {_DUCK_H60.format(args="CAST(f.src AS VARCHAR), CAST(e.dst AS VARCHAR), '1', 'ns'")},
+                       e.dst) AS r
+            FROM f1 f JOIN e ON e.src = f.src
+        ) WHERE r <= 2
+    )
+    SELECT hop, count(*) AS n_edges,
+           count(DISTINCT src) AS n_src_nodes,
+           count(DISTINCT dst) AS n_dst_nodes,
+           sum(dst) AS dst_id_sum
+    FROM (SELECT 0 AS hop, * FROM h0 UNION ALL SELECT 1, * FROM h1)
+    GROUP BY hop ORDER BY hop
+    """,
+)
+def neighbor_sample_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 neighbor sampling: 2-hop fanout [3, 2] blocks from a 2%
+    supplier seed sample, summarized per hop (edge count, node counts,
+    dst-id checksum). The rank-by-hash fanout cap bounds every node's
+    expansion at hub scale; the oracle replays the exact sample."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("src") >= 0)
+        .select(F.col("src").alias("id"))
+        .dropDuplicates()
+        .filter(
+            mls.hash60(F.format_string("s%d", "id"), F.lit("nsseed")) % 100 < 2
+        )
+    )
+    blocks = gsamp.neighbor_sample(edges, seeds, fanouts=[3, 2], tag="ns")
+    return (
+        blocks.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src").alias("n_src_nodes"),
+            F.countDistinct("dst").alias("n_dst_nodes"),
+            F.sum("dst").alias("dst_id_sum"),
+        )
+        .orderBy("hop")
+    )

@@ -339,3 +339,25 @@ def test_double_sweep_tie_break_min_id(spark):
     r = gp2.double_sweep_diameter(e, max_hops=4).first()
     assert r.start_node == 0 and r.far_node == 1
     assert r.ecc_start == 1 and r.diameter_lb == 2
+
+
+def test_neighbor_sample_fanout_caps_and_determinism(spark):
+    from social_link_prediction_spark.graph import sampling as gs
+
+    # star: hub 0 with 10 leaves (both directions)
+    e = spark.createDataFrame(
+        [(0, v) for v in range(1, 11)] + [(v, 0) for v in range(1, 11)],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    b1 = gs.neighbor_sample(e, seeds, fanouts=[3, 2]).collect()
+    b2 = gs.neighbor_sample(e, seeds, fanouts=[3, 2]).collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))  # deterministic
+    hop0 = [r for r in b1 if r.hop == 0]
+    hop1 = [r for r in b1 if r.hop == 1]
+    assert len(hop0) == 3 and all(r.src == 0 for r in hop0)  # fanout cap
+    # hop-1 frontier = the 3 sampled leaves; each has only the hub back
+    assert len(hop1) == 3 and all(r.dst == 0 for r in hop1)
+    # a different tag redraws a (generally) different sample
+    b3 = gs.neighbor_sample(e, seeds, fanouts=[3, 2], tag="epoch2").collect()
+    assert sorted(map(tuple, b3)) != sorted(map(tuple, b1))
