@@ -5219,3 +5219,51 @@ def neighbor_sample_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# =====================================================================
+# Feature-correlation audit (feature-selection prep): pairwise Pearson
+# over the lineitem numeric features in ONE aggregation pass.
+# =====================================================================
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "feature_correlations",
+    "\nUNION ALL\n".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, "
+        f"round(corr({a}, {b}), 6) AS pearson FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+    + "\nORDER BY feat_a, feat_b",
+)
+def feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric features
+    (the feature-selection screen before model training, M2-adjacent).
+    All C(4,2) correlations come out of ONE scan + one aggregation —
+    corr() is an algebraic aggregate, so the map-side combine carries
+    6 moment tuples, not data."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"{a}__{b}"))
+    wide = li.agg(*aggs)
+    pairs = [
+        f"('{a}', '{b}', {a}__{b})"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    return (
+        wide.selectExpr(
+            f"stack({len(pairs)}, "
+            + ", ".join(
+                f"'{a}', '{b}', {a}__{b}"
+                for i, a in enumerate(_CORR_COLS)
+                for b in _CORR_COLS[i + 1:]
+            )
+            + ") as (feat_a, feat_b, pearson)"
+        )
+        .orderBy("feat_a", "feat_b")
+    )
