@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # decides which rows the DRIVER re-proves this round. The 50 entries
 # below are ordered by measured sf0.01 latency, CHEAPEST FIRST: under
 # a count cap any order works, but if the gate is secretly time-capped
-# this order maximizes how many get rows before the cut. The 33 queries
+# this order maximizes how many get rows before the cut. The 32 queries
 # added after these slots filled (see COVERAGE.md "Driver-gate
 # rotation" for the list) rotate into the r4 gate.
 _PRIORITY = [
