@@ -300,3 +300,59 @@ def test_python_datasource_streaming(spark, tmp_path):
     q.stop()
     out = spark.sql("select rel, count(*) as n from sparql_stream group by rel").collect()
     assert {r.rel: r.n for r in out} == {"spouse": 10, "sibling": 3}
+
+
+def test_datasource_stream_to_parquet_e2e(spark, tmp_path):
+    """End-to-end continuous extraction: sparql_paginated stream ->
+    JSON envelope projection -> exactly-once parquet append."""
+    from pyspark.sql import functions as F
+
+    from social_link_prediction_spark.sources.datasource import (
+        HAVE_DATASOURCE,
+        HAVE_STREAM_READER,
+        PaginatedSparqlDataSource,
+    )
+
+    if not (HAVE_DATASOURCE and HAVE_STREAM_READER):
+        import pytest
+
+        pytest.skip("pyspark<4: no Python DataSource streaming API")
+
+    fixtures = tmp_path / "cells"
+    fixtures.mkdir()
+    (fixtures / "spouse_1800_1805.json").write_text(
+        json.dumps([{"person": {"value": f"Q{i}"}} for i in range(5)])
+    )
+    spark.dataSource.register(PaginatedSparqlDataSource)
+    stream = (
+        spark.readStream.format("sparql_paginated")
+        .option("fixtures", str(fixtures))
+        .option("relations", "spouse")
+        .option("start", 1800).option("end", 1805).option("step", 5)
+        .load()
+        .select(
+            "rel",
+            F.get_json_object("binding", "$.person.value").alias("qid"),
+        )
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "edges"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(str(tmp_path / "edges")).count() >= 5:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    q.stop()
+    out = spark.read.parquet(str(tmp_path / "edges")).collect()
+    assert sorted(r.qid for r in out) == [f"Q{i}" for i in range(5)]
+    assert all(r.rel == "spouse" for r in out)
