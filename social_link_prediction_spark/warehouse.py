@@ -99,3 +99,45 @@ def zorder_key(*cols: Column, bits: int = 16) -> Column:
             bit = F.shiftright(cc.cast("long"), b).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
     return key
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction for an append-heavy parquet table (the
+    maintenance half of the streaming ingest-then-compact layout in
+    streaming/ingest.py): size the output file count from the actual
+    on-disk bytes, rewrite once (optionally re-sorted so min/max file
+    stats become selective — pair with :func:`zorder_key`), then swap
+    directories atomically-enough for a single-writer maintenance
+    window. Returns the new file count.
+
+    At warehouse scale this is the nightly OPTIMIZE job; concurrent
+    readers during the swap need a real table format's snapshot commit
+    (the parquet-directory layout here has no manifest), so run it in
+    the ingest's quiet window — the streaming checkpoint itself is
+    unaffected because the SINK directory is what's rewritten.
+    """
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(root, fname))
+    n_files = max(1, (total_bytes + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.coalesce(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -184,3 +184,45 @@ def test_zorder_key_validation(spark):
         wh.zorder_key("a", "b", "c", "d", bits=16)  # 64 bits > 63
     with _pytest.raises(ValueError):
         wh.zorder_key()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from social_link_prediction_spark import warehouse as wh
+
+    path = str(tmp_path / "t")
+    # many tiny appended files
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).withColumnRenamed("id", "k").write.mode(
+            "append"
+        ).parquet(path)
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 6
+    n = wh.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert n == 1 and after == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 600
+    assert out.agg({"k": "min"}).first()[0] == 0
+    assert out.agg({"k": "max"}).first()[0] == 599
+
+
+def test_compact_parquet_sorted_layout(spark, tmp_path):
+    import glob
+
+    from social_link_prediction_spark import warehouse as wh
+
+    path = str(tmp_path / "t2")
+    spark.range(0, 1000).withColumnRenamed("id", "k").orderBy(F.rand(7)).write.parquet(path)
+    wh.compact_parquet(spark, path, target_file_bytes=4000, sort_cols=["k"])
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) >= 2
+    # range-partitioned + sorted: per-file key ranges must not overlap
+    ranges = []
+    for f in files:
+        d = spark.read.parquet(f).agg(F.min("k"), F.max("k")).first()
+        ranges.append((d[0], d[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
