@@ -313,3 +313,59 @@ def rank_windowed_counts(counts: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("window_start", "rank", "event_type", "n_events")
     )
+
+
+def start_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+):
+    """Streaming type-1 merge: maintain a keyed current-state parquet
+    table from an append stream via foreachBatch — per micro-batch,
+    reduce to the latest row per key (order_col desc, deterministic),
+    then operators.merge.upsert into the table (anti-join + union,
+    rewritten with a directory swap). Idempotent per batch — replaying
+    a checkpointed batch re-applies the same latest-per-key rows, so
+    exactly-once state follows from foreachBatch's at-least-once
+    contract. The lakehouse CDC-apply shape; a real table format swaps
+    the directory dance for a snapshot commit.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from social_link_prediction_spark.operators.merge import upsert
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(
+            F.col(order_col).desc(), *[F.col(c) for c in batch_df.columns]
+        )
+        latest = (
+            batch_df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .drop("__r")
+        )
+        if _os.path.exists(path):
+            current = spark.read.parquet(path)
+            merged = upsert(current, latest, key)
+        else:
+            merged = latest
+        tmp = path.rstrip("/") + "__upsert_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.exists(path):
+            old = path.rstrip("/") + "__upsert_old"
+            _os.rename(path, old)
+            _os.rename(tmp, path)
+            _shutil.rmtree(old)
+        else:
+            _os.rename(tmp, path)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

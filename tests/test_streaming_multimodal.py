@@ -497,3 +497,47 @@ def test_trending_topk_stream_parity(spark, tmp_path):
     )
     assert key(out) == key(batch_out)
     assert all(r.rank <= 2 for r in out) and len(out) > 0
+
+
+def test_streaming_upsert_sink_latest_state(spark, tmp_path):
+    import json as _json
+    import time as _time
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def ev(eid, uid, val, minute):
+        return _json.dumps({
+            "event_id": eid, "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+            "user_id": uid, "event_type": "score", "value": val, "props": "{}",
+        })
+
+    (land / "a.json").write_text("\n".join([ev(1, 0, 1.0, 1), ev(2, 1, 5.0, 2)]))
+    stream = se.read_event_stream(spark, str(land))
+    state = str(tmp_path / "state")
+    q = se.start_upsert_sink(
+        stream, state, key="user_id", order_col="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(state).count() == 2:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    # a later file updates user 1 and adds user 2
+    (land / "b.json").write_text("\n".join([ev(3, 1, 9.0, 3), ev(4, 2, 7.0, 4)]))
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            rows = {r.user_id: r.value for r in spark.read.parquet(state).collect()}
+            if len(rows) == 3 and rows.get(1) == 9.0:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    q.stop()
+    rows = {r.user_id: r.value for r in spark.read.parquet(state).collect()}
+    assert rows == {0: 1.0, 1: 9.0, 2: 7.0}
