@@ -304,3 +304,29 @@ def apply_mixture(
         .filter(h < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def epoch_order(
+    df: DataFrame,
+    key_cols: list[str],
+    epoch: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: sort key =
+    hash(key, epoch). Every epoch is a different but REPRODUCIBLE
+    permutation — a restarted job re-derives the identical order (and
+    hence the identical batch boundaries), which RNG-shuffled writes
+    cannot promise. With ``n_shards``, range-partition by the hash
+    before the within-shard sort, so the global order is (shard_id,
+    within-shard order) and each shard writes independently — the
+    distributed shuffle-then-shard step in front of a data loader.
+    Adds ``__order`` (the hash) for downstream inspection."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    h = hash60(*key_cols, F.lit(f"epoch{epoch}"))
+    out = df.withColumn("__order", h)
+    if n_shards:
+        return out.repartitionByRange(n_shards, "__order").sortWithinPartitions(
+            "__order"
+        )
+    return out.orderBy("__order")

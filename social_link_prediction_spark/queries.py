@@ -5439,3 +5439,26 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+# =====================================================================
+# Deterministic epoch shuffle (training order): reproducible global
+# permutation per epoch; restartable, engine-replayable.
+# =====================================================================
+@query(
+    "epoch_order_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY {_DUCK_H60.format(args="doc_id, 'epoch1'")}, doc_id
+    LIMIT 20
+    """,
+)
+def epoch_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 documents of the epoch-1 deterministic training order
+    (hash-keyed global permutation, pipelines/training_prep.epoch_order).
+    Epoch changes redraw the permutation; restarts replay it exactly —
+    the property an RNG shuffle can't give a resumable data loader."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tp.epoch_order(docs, ["doc_id"], epoch=1)
+    return out.orderBy("__order", "doc_id").select("doc_id", "lang").limit(20)

@@ -171,3 +171,33 @@ def test_apply_mixture_deterministic_and_close(spark):
     # hash sampling lands within a few-sigma band of the plan
     for lang, p in planned.items():
         assert abs(kept.get(lang, 0) - p) <= 4 * max(1, p) ** 0.5
+
+
+def test_epoch_order_reproducible_and_epoch_dependent(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    o1 = [r.doc_id for r in tp.epoch_order(df, ["doc_id"], epoch=0).collect()]
+    o2 = [r.doc_id for r in tp.epoch_order(df, ["doc_id"], epoch=0).collect()]
+    o3 = [r.doc_id for r in tp.epoch_order(df, ["doc_id"], epoch=1).collect()]
+    assert o1 == o2          # restart replays the same order
+    assert o1 != o3          # epochs permute differently
+    assert sorted(o1) == list(range(200))  # it's a permutation
+    assert o1 != list(range(200))          # and genuinely shuffled
+
+
+def test_epoch_order_sharded_global_order(spark):
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    sharded = tp.epoch_order(df, ["doc_id"], epoch=2, n_shards=4)
+    # per-partition __order ranges must not overlap (global order =
+    # shard order concatenated)
+    parts = sharded.rdd.glom().collect()
+    ranges = [
+        (min(r["__order"] for r in p), max(r["__order"] for r in p))
+        for p in parts if p
+    ]
+    ranges.sort()
+    for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
