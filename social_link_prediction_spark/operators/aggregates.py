@@ -199,3 +199,77 @@ def total_degree(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
     """Undirected degree: union endpoint columns, count. One shuffle."""
     ends = edges.select(F.col(src).alias("id")).unionAll(edges.select(F.col(dst).alias("id")))
     return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) counter table:
+    (r, b, cnt) for r in [0, depth), b = hash_r(key) mod width. One
+    explode + one aggregation; per-partition counter tables merge by
+    plain addition (groupBy sums), which is what makes the sketch the
+    frequency-estimation member of the mergeable trio here (HLL =
+    cardinality, fixed-grid histogram = quantiles, CMS = frequency).
+    The hash family is the oracle-replayable md5 hash60, salted per
+    row — estimates are deterministic across engines and runs."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    hash60(F.col(key_col).cast("string"), F.lit(f"cms{i}")),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.r", "p.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate key frequencies from a CMS counter table:
+    est(key) = min over rows of counter[r, hash_r(key) mod width]
+    (0 when the bucket is empty). Never underestimates; collisions
+    only inflate. The keys side is the (small) candidate set — typical
+    use pairs an exact top-k over a sample with CMS estimates over the
+    full corpus. Broadcast of the candidate buckets, one join keyed on
+    (r, b), one min-aggregation."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.pmod(
+                    hash60(F.col(key_col).cast("string"), F.lit(f"cms{i}")),
+                    F.lit(width),
+                ).alias("b"),
+            )
+            for i in range(depth)
+        ]
+    )
+    kb = keys.select(key_col, F.explode(pairs).alias("p")).select(
+        key_col, "p.r", "p.b"
+    )
+    return (
+        kb.join(cms, ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

@@ -5462,3 +5462,64 @@ def epoch_order_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = tp.epoch_order(docs, ["doc_id"], epoch=1)
     return out.orderBy("__order", "doc_id").select("doc_id", "lang").limit(20)
+
+
+# =====================================================================
+# Count-min sketch frequency estimates vs exact counts for the top
+# tokens — the frequency member of the mergeable-sketch trio.
+# =====================================================================
+@query(
+    "cms_token_freq",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tokf AS (SELECT w FROM tok WHERE w <> ''),
+    exact AS (
+        SELECT w, count(*) AS exact_count FROM tokf GROUP BY w
+        ORDER BY exact_count DESC, w LIMIT 10
+    ),
+    rs(r) AS (VALUES (0), (1), (2), (3)),
+    cms AS (
+        SELECT r, {_DUCK_H60.format(args="w, 'cms' || r")} % 1024 AS b,
+               count(*) AS cnt
+        FROM tokf, rs GROUP BY 1, 2
+    ),
+    kb AS (
+        SELECT e.w, rs.r,
+               CAST(concat('0x', substr(md5(concat_ws(chr(31), e.w, 'cms' || rs.r)), 1, 15)) AS BIGINT) % 1024 AS b
+        FROM exact e, rs
+    ),
+    est AS (
+        SELECT kb.w, min(coalesce(c.cnt, 0)) AS cms_estimate
+        FROM kb LEFT JOIN cms c ON c.r = kb.r AND c.b = kb.b
+        GROUP BY kb.w
+    )
+    SELECT e.w AS token, e.exact_count, est.cms_estimate
+    FROM exact e JOIN est ON est.w = e.w
+    ORDER BY exact_count DESC, token
+    """,
+)
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates vs exact counts for the 10 most
+    frequent document tokens. The sketch is a (4 x 1024)-counter
+    table built in one aggregation (per-partition tables merge by
+    addition — the 100 TB shape); estimates can only overestimate,
+    so est >= exact row by row. Candidates come from the exact top-k;
+    at scale that side is a sampled top-k and the sketch covers the
+    full corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ptx.tokens("text")).alias("w"))
+    exact = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "w")
+        .limit(10)
+    )
+    cms = agg.cms_build(tok, "w", depth=4, width=1024)
+    est = agg.cms_estimate(cms, exact.select("w"), "w", depth=4, width=1024)
+    return (
+        exact.join(est, "w")
+        .select(F.col("w").alias("token"), "exact_count", "cms_estimate")
+        .orderBy(F.col("exact_count").desc(), "token")
+    )

@@ -109,3 +109,32 @@ def test_hll_rollup_merge_is_lossless_and_accurate(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct  # union of sketches == sketch of union
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from social_link_prediction_spark.operators import aggregates as agg
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(rows, ["w"])
+    cms = agg.cms_build(df, "w", depth=4, width=64)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["w"])
+    est = {r.w: r.cms_estimate for r in agg.cms_estimate(cms, keys, "w", 4, 64).collect()}
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1}
+    for k, v in exact.items():
+        assert est[k] >= v  # CMS can only overestimate
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B), counter-wise
+    a = spark.createDataFrame([("a",)] * 30 + [("b",)] * 5, ["w"])
+    b = spark.createDataFrame([("a",)] * 20 + [("b",)] * 15 + [("c",)] * 5 + [("d",)] * 1, ["w"])
+    ca = agg.cms_build(a, "w", depth=4, width=64)
+    cb = agg.cms_build(b, "w", depth=4, width=64)
+    merged = (
+        ca.unionByName(cb).groupBy("r", "b").agg(F.sum("cnt").alias("cnt"))
+    )
+    full = agg.cms_build(df, "w", depth=4, width=64)
+    diff = merged.join(full, ["r", "b"], "full")
+    bad = diff.filter(
+        F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(full["cnt"], F.lit(0))
+    ).count()
+    assert bad == 0
