@@ -5523,3 +5523,41 @@ def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("token"), "exact_count", "cms_estimate")
         .orderBy(F.col("exact_count").desc(), "token")
     )
+
+
+# =====================================================================
+# Bipartite projection: part-supplier graph projected onto suppliers
+# (co-supply weights) — the standard one-mode projection operator.
+# =====================================================================
+@query(
+    "bipartite_projection_suppliers",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)
+    SELECT a.s AS supp_a, b.s AS supp_b, count(*) AS shared_parts
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY a.s, b.s
+    HAVING count(*) >= 2
+    ORDER BY shared_parts DESC, supp_a, supp_b LIMIT 20
+    """,
+)
+def bipartite_projection_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-mode projection of the part-supplier bipartite graph onto
+    suppliers: edge weight = number of co-supplied parts, thin edges
+    (< 2 shared) pruned, top 20. The pair blowup is Σ C(deg(part), 2)
+    — bounded here by part degree; on hub-heavy bipartite data cap the
+    exploding side's degree first (the wedge `max_neighbor_degree`
+    guard in ml/predict.pair_features is this same control)."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).dropDuplicates()
+    a = ps.alias("a")
+    b = ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 2)
+        .orderBy(F.col("shared_parts").desc(), "supp_a", "supp_b")
+        .limit(20)
+    )
