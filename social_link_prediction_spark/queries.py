@@ -69,9 +69,12 @@ def query(name: str, oracle: str | None = None):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6)                                   AS sum_qty,
-           round(sum(l_extendedprice), 6)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           -- big money sums round to 2 dp (TPC-H convention): at 5e9
+           -- magnitude, double summation-order drift (~1e-6 absolute at
+           -- sf0.1) overwhelms 6-dp rounding; per-group avgs stay 6 dp
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 6)                                   AS avg_qty,
            round(avg(l_extendedprice), 6)                              AS avg_price,
            round(avg(l_discount), 6)                                   AS avg_disc,
@@ -90,9 +93,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -563,7 +566,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events, unnest([0, 1, 2, 3]) AS t(i)
     )
     SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
-           count(*) AS n_events, round(avg(value), 6) AS avg_value
+           count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM w GROUP BY window_start, event_type
     ORDER BY window_start, event_type
     """,

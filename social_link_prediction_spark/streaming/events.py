@@ -196,13 +196,20 @@ def sliding_event_rates(
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # SUM, not avg: 2-dp-quantized values sum with ~1e-13 drift,
+            # so round(,2) is engine-stable at any scale; an avg sits on
+            # .xxxx5 rounding boundaries whenever counts divide evenly
+            # and flips between engines' half-up/half-even modes
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "avg_value",
+            "total_value",
         )
     )
 

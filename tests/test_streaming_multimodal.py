@@ -269,7 +269,7 @@ def test_sliding_event_rates_stream(spark, tmp_path):
     batch = spark.read.schema(se.EVENT_SCHEMA).json(str(tmp_path))
     batch_out = se.sliding_event_rates(batch).collect()
     key = lambda rows: sorted(
-        (r.window_start, r.event_type, r.n_events, r.avg_value) for r in rows
+        (r.window_start, r.event_type, r.n_events, r.total_value) for r in rows
     )
     assert key(out) == key(batch_out)
 
