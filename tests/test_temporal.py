@@ -138,3 +138,58 @@ def test_cms_never_underestimates_and_merges(spark):
         F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(full["cnt"], F.lit(0))
     ).count()
     assert bad == 0
+
+
+def test_sketch_quantile_error_bound(spark):
+    # histogram-sketch quantile is within half a bin width of exact
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = [float(x) for x in np.random.RandomState(7).lognormal(3, 1, 4000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    lo, hi = min(vals), max(vals)
+    bins = 512
+    width = (hi - lo) / bins
+    binned = (
+        df.select(
+            F.least(F.lit(bins - 1), F.floor((F.col("x") - lo) / width).cast("long")).alias("b")
+        )
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {r.b: r.n for r in binned}
+    total = sum(counts.values())
+    for q in (0.5, 0.9, 0.99):
+        c = 0
+        for b in sorted(counts):
+            c += counts[b]
+            if c >= q * total:
+                est = lo + (b + 0.5) * width
+                break
+        exact = float(np.quantile(np.array(vals), q, method="inverted_cdf"))
+        assert abs(est - exact) <= width, (q, est, exact, width)
+
+
+def test_bucket_head_topk_equals_direct(spark):
+    # per-bucket rank-k heads answer the global top-k exactly
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    vals = np.random.RandomState(11).permutation(5000)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], ["k", "v"]
+    )
+    wb = Window.partitionBy(F.pmod(F.col("k"), F.lit(16))).orderBy(
+        F.col("v").desc(), F.col("k").asc()
+    )
+    heads = df.withColumn("__r", F.row_number().over(wb)).filter(F.col("__r") <= 10)
+    from_heads = [
+        (r.k, r.v)
+        for r in heads.orderBy(F.col("v").desc(), F.col("k")).limit(10).collect()
+    ]
+    direct = [
+        (r.k, r.v) for r in df.orderBy(F.col("v").desc(), F.col("k")).limit(10).collect()
+    ]
+    assert from_heads == direct
