@@ -290,8 +290,12 @@ def scan_relationship(
         .join(vt.select(F.col("id").alias("dst"), F.col("vt").alias("dst_type")), "dst")
         .filter(allowed_relation(F.col("rel"), F.col("src_type"), F.col("dst_type")))
     )
+    # argmax key carries (score, rel): equal scores happen (hashed or
+    # quantized scorers), and a bare max_by is then engine/run-
+    # nondeterministic — the lexicographically larger relation wins
     best = s.groupBy("src", "dst").agg(
-        F.max_by("rel", "score").alias("best_rel"), F.max("score").alias("best_score")
+        F.max_by("rel", F.struct(F.col("score"), F.col("rel"))).alias("best_rel"),
+        F.max("score").alias("best_score"),
     )
     return s.join(best, ["src", "dst"]).select(
         "src", "dst", "rel", "score", "best_rel", "best_score"

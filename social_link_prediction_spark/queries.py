@@ -2401,7 +2401,12 @@ ORACLES["pagerank_multiview"] = (
                OR src_type = 'human')
     ),
     best AS (
-        SELECT src, dst, max_by(rel, score) AS best_rel, max(score) AS best_score
+        -- composite VARCHAR argmax key: scores are exact 3-decimal
+        -- quantized, so fixed-width '%.3f' orders like the number and
+        -- '|' || rel breaks ties the same way the engine's struct does
+        SELECT src, dst,
+               max_by(rel, printf('%.3f', score) || '|' || rel) AS best_rel,
+               max(score) AS best_score
         FROM adm GROUP BY src, dst
     )
     SELECT a.src, a.dst, a.rel, a.score, b.best_rel, b.best_score
