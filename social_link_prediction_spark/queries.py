@@ -2467,7 +2467,7 @@ def scan_relationship_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT count(*) AS n_rows,
-           sum(coalesce(viol, 0)) AS n_violations,
+           CAST(sum(coalesce(viol, 0)) AS BIGINT) AS n_violations,
            CAST(sum(coalesce(viol, 0)) = 0 AS INT) AS is_sorted
     FROM seq
     """,
@@ -2765,12 +2765,12 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     daily AS (
         SELECT date_trunc('day', bucket_start) AS bucket_start,
-               sum(n_events) AS n_events, sum(sv) AS sv
+               CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
         FROM hourly GROUP BY 1
     ),
     monthly AS (
         SELECT date_trunc('month', bucket_start) AS bucket_start,
-               sum(n_events) AS n_events, sum(sv) AS sv
+               CAST(sum(n_events) AS BIGINT) AS n_events, sum(sv) AS sv
         FROM daily GROUP BY 1
     )
     SELECT 'hour' AS resolution, bucket_start, n_events,
@@ -4502,8 +4502,8 @@ def retrieval_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
     corpus AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0)
     SELECT count(*) AS n_batch,
-           sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS n_already_in_corpus,
-           sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS n_new
+           CAST(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_already_in_corpus,
+           CAST(sum(CASE WHEN c.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new
     FROM batch b LEFT JOIN corpus c ON c.h = b.h
     """,
 )
@@ -4605,8 +4605,8 @@ def diameter_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
                FROM customer GROUP BY 1, 2)
     SELECT count(*) AS n_groups,
-           sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS groups_below_k,
-           coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS rows_at_risk,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS groups_below_k,
+           CAST(coalesce(sum(CASE WHEN n < 5 THEN n ELSE 0 END), 0) AS BIGINT) AS rows_at_risk,
            min(n) AS min_group_size
     FROM g
     """,
@@ -5197,7 +5197,7 @@ _NS_SEED_SQL = _DUCK_H60.format(args="'s' || src, 'nsseed'") + " % 100 < 2"
     SELECT hop, count(*) AS n_edges,
            count(DISTINCT src) AS n_src_nodes,
            count(DISTINCT dst) AS n_dst_nodes,
-           sum(dst) AS dst_id_sum
+           CAST(sum(dst) AS BIGINT) AS dst_id_sum
     FROM (SELECT 0 AS hop, * FROM h0 UNION ALL SELECT 1, * FROM h1)
     GROUP BY hop ORDER BY hop
     """,

@@ -62,6 +62,29 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    # HUGEINT sweep (VERDICT-r3 #1): DuckDB sum(INTEGER/BIGINT) returns
+    # HUGEINT (int128), which the driver's fetch path stringifies
+    # differently from Spark's int64 — every r1-r3 red hash row was this
+    # class. Binding an oracle (relation .types) is cheap and does not
+    # execute it, so sweep the WHOLE catalog every run, even with a
+    # name filter: no oracle may ever emit HUGEINT (or any other type
+    # Spark can't produce). Fix is CAST(... AS BIGINT) in the oracle.
+    hugeint = []
+    for name, sql in oracles.items():
+        try:
+            types = [str(t) for t in con.sql(sql).types]
+        except Exception:  # noqa: BLE001 — execution pass reports real errors
+            continue
+        bad = [c for c, t in zip(con.sql(sql).columns, types) if t == "HUGEINT"]
+        if bad:
+            hugeint.append(f"{name}: {bad}")
+    if hugeint:
+        print("HUGEINT oracle columns (driver hash-fail class — CAST to BIGINT):")
+        for line in hugeint:
+            print(f"  {line}")
+        sys.exit(1)
+
     failed = []
     timings = {}
     for name, fn in qs.items():
