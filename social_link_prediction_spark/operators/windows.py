@@ -9,12 +9,22 @@ from pyspark.sql import functions as F
 
 
 def epoch_us(col: Column) -> Column:
-    """NTZ-safe microsecond epoch. The parquet fixtures store
-    TIMESTAMP_NTZ and ``unix_micros`` only accepts TIMESTAMP; the
-    session TZ is pinned to UTC (session.py) so the cast is exact,
-    and in gap/difference arithmetic any fixed offset cancels anyway.
-    """
-    return F.unix_micros(col.cast("timestamp"))
+    """Microseconds since 1970-01-01 00:00:00 of an NTZ wall-clock,
+    computed without any timezone: pure NTZ difference arithmetic.
+    (The previous ``unix_micros(cast('timestamp'))`` re-interpreted the
+    wall-clock in the session zone — a fixed offset cancels in gap
+    differences, but a DST transition between two events shifts their
+    gap by an hour, so sessionization boundaries depended on
+    ``spark.sql.session.timeZone``.) Equals UTC ``unix_micros`` for the
+    fixtures, under every session timezone."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        # no-op for NTZ input (the fixture path); for LTZ input (tests
+        # building frames from naive datetimes) this reads the session
+        # wall-clock, preserving the old cast semantics.
+        col.cast("timestamp_ntz"),
+    )
 
 
 # --- W1: contiguous per-group index (transformer.py:173)

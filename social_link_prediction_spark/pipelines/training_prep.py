@@ -227,6 +227,7 @@ def mixture_plan(
     df: DataFrame,
     group_col: str,
     targets: dict[str, float],
+    strict: bool = False,
 ) -> DataFrame:
     """Domain/language mixture planning (the "data mixing" step of a
     pretraining pipeline, cf. The Pile / DoReMi-style fixed-weight
@@ -242,6 +243,14 @@ def mixture_plan(
     aggregation + arithmetic over G rows — the data itself is not
     touched beyond the count.
 
+    A positive-share target group with ZERO corpus rows makes the mix
+    infeasible without upsampling. The join runs from the shares side
+    (left), so such a group still appears — with n_available=0 — and
+    collapses the no-upsample total to 0: every planned_rows goes to 0
+    rather than silently over-claiming target shares the corpus cannot
+    satisfy. With ``strict=True`` (an extra tiny action over the G-row
+    plan) the infeasibility raises instead.
+
     Output: (group, n_available, target_share, planned_rows,
     keep_rate) — feed to :func:`apply_mixture`.
     """
@@ -251,8 +260,11 @@ def mixture_plan(
         f"{group_col} string, target_share double",
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_available"))
-    g = counts.join(F.broadcast(shares), group_col, "inner").filter(
-        F.col("target_share") > 0
+    g = (
+        F.broadcast(shares)
+        .join(counts, group_col, "left")
+        .withColumn("n_available", F.coalesce("n_available", F.lit(0)))
+        .filter(F.col("target_share") > 0)
     )
     total = F.broadcast(
         g.select(
@@ -261,19 +273,33 @@ def mixture_plan(
             )
         )
     )
-    return g.crossJoin(total).select(
+    plan = g.crossJoin(total).select(
         group_col,
         "n_available",
         "target_share",
         F.floor(F.col("target_share") * F.col("__total"))
         .cast("long")
         .alias("planned_rows"),
-        F.round(
-            F.floor(F.col("target_share") * F.col("__total"))
-            / F.col("n_available"),
-            6,
-        ).alias("keep_rate"),
+        F.when(F.col("n_available") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.floor(F.col("target_share") * F.col("__total"))
+                / F.col("n_available"),
+                6,
+            )
+        )
+        .alias("keep_rate"),
     )
+    if strict:
+        empty = [
+            r[group_col]
+            for r in plan.filter(F.col("n_available") == 0).collect()
+        ]
+        if empty:
+            raise ValueError(
+                f"mixture infeasible: positive-share groups with no corpus rows: {empty}"
+            )
+    return plan
 
 
 def apply_mixture(

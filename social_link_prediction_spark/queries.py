@@ -35,17 +35,47 @@ _DUCK_H60 = (
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # The events table is written with TIMESTAMP(NANOS), which the
-        # vectorized parquet reader rejects by default. Read nanos as
-        # long and truncate to microseconds (exactly what DuckDB's
-        # TIMESTAMP does), using integer division to avoid double
-        # rounding on epoch-nano magnitudes.
+        # The events table has been written both as TIMESTAMP(NANOS)
+        # (vectorized reader rejects it by default → read nanos as long)
+        # and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively
+        # as TIMESTAMP_NTZ). Normalize every path to TIMESTAMP_NTZ at
+        # the UTC wall-clock: parquet NTZ is exactly DuckDB's TIMESTAMP,
+        # and an NTZ `ts` makes every downstream bucket label
+        # independent of spark.sql.session.timeZone (VERDICT-r3 #3).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        dt = dict(df.dtypes).get("ts")
+        ntz_epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+        if dt == "bigint":  # TIMESTAMP(NANOS) read raw: nanos div 1000
+            df = df.withColumn(
+                "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {ntz_epoch})")
+            )
+        elif dt == "timestamp":  # harness read it as LTZ: pin the UTC wall-clock
+            df = df.withColumn(
+                "ts", F.expr(f"timestampadd(MICROSECOND, unix_micros(ts), {ntz_epoch})")
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _trunc_ntz(unit: str, col: str | Column) -> Column:
+    """Session-TZ-independent truncation for TIMESTAMP_NTZ columns.
+
+    ``F.date_trunc`` always returns session-zone TIMESTAMP (it
+    implicitly casts NTZ input), so its bucket labels shift with
+    ``spark.sql.session.timeZone``. Rebuilding the truncated wall-clock
+    from extracted fields stays NTZ end-to-end — matching DuckDB's
+    ``date_trunc`` over its (NTZ) TIMESTAMP exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    y, mo, d = F.year(c), F.month(c), F.dayofmonth(c)
+    zero = F.lit(0)
+    if unit == "hour":
+        return F.make_timestamp_ntz(y, mo, d, F.hour(c), zero, zero)
+    if unit == "day":
+        return F.make_timestamp_ntz(y, mo, d, zero, zero, zero)
+    if unit == "month":
+        return F.make_timestamp_ntz(y, mo, F.lit(1), zero, zero, zero)
+    raise ValueError(f"unsupported truncation unit: {unit}")
 
 
 def query(name: str, oracle: str | None = None):
@@ -2788,15 +2818,15 @@ def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the (orders-of-magnitude smaller) level below it."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        ev.groupBy(_trunc_ntz("hour", "ts").alias("bucket_start"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
     )
     daily = (
-        hourly.groupBy(F.date_trunc("day", "bucket_start").alias("bucket_start"))
+        hourly.groupBy(_trunc_ntz("day", "bucket_start").alias("bucket_start"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
     )
     monthly = (
-        daily.groupBy(F.date_trunc("month", "bucket_start").alias("bucket_start"))
+        daily.groupBy(_trunc_ntz("month", "bucket_start").alias("bucket_start"))
         .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
     )
 
@@ -2822,11 +2852,11 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact count and sketch-union associativity."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        ev.groupBy(_trunc_ntz("hour", "ts").alias("hour_start"))
         .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
     )
     return (
-        hourly.groupBy(F.date_trunc("day", "hour_start").alias("day_start"))
+        hourly.groupBy(_trunc_ntz("day", "hour_start").alias("day_start"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
         .orderBy("day_start")
     )
@@ -4745,7 +4775,9 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| x |days| rows."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
-        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        # to_date on the NTZ ts directly — TZ-free (date_trunc would
+        # round-trip through a session-zone TIMESTAMP)
+        "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     w = (
         Window.partitionBy("event_type")

@@ -344,9 +344,30 @@ def start_upsert_sink(
 
     from social_link_prediction_spark.operators.merge import upsert
 
+    tmp = path.rstrip("/") + "__upsert_tmp"
+    old = path.rstrip("/") + "__upsert_old"
+
+    def _recover() -> None:
+        # Crash points in the swap below leave exactly two signatures:
+        #   (a) died between rename(path→old) and rename(tmp→path):
+        #       `old` holds the only copy of the state — put it back.
+        #       The interrupted batch replays from the checkpoint, and
+        #       the merge is idempotent, so no state is lost.
+        #   (b) died before rmtree(old): the swap completed; `old` is
+        #       garbage and must go or the next rename(path→old) fails.
+        # A leftover `tmp` is always a partial/stale write — drop it.
+        if _os.path.exists(old):
+            if not _os.path.exists(path):
+                _os.rename(old, path)  # (a)
+            else:
+                _shutil.rmtree(old)  # (b)
+        if _os.path.exists(tmp):
+            _shutil.rmtree(tmp)
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _recover()
         spark = batch_df.sparkSession
         w = Window.partitionBy(key).orderBy(
             F.col(order_col).desc(), *[F.col(c) for c in batch_df.columns]
@@ -361,10 +382,8 @@ def start_upsert_sink(
             merged = upsert(current, latest, key)
         else:
             merged = latest
-        tmp = path.rstrip("/") + "__upsert_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if _os.path.exists(path):
-            old = path.rstrip("/") + "__upsert_old"
             _os.rename(path, old)
             _os.rename(tmp, path)
             _shutil.rmtree(old)

@@ -121,6 +121,20 @@ def compact_parquet(
     the ingest's quiet window — the streaming checkpoint itself is
     unaffected because the SINK directory is what's rewritten.
     """
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    # Recover a previous run that died mid-swap: `old` holding the only
+    # copy means the second rename never happened — put it back; `old`
+    # alongside `path` means only the cleanup was missed. A leftover
+    # `tmp` is always a partial write.
+    if os.path.exists(old):
+        if not os.path.exists(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     total_bytes = 0
     for root, _dirs, files in os.walk(path):
         for fname in files:
@@ -133,11 +147,18 @@ def compact_parquet(
             *sort_cols
         )
     else:
-        df = df.coalesce(n_files)
-    tmp = path.rstrip("/") + "__compact_tmp"
+        # coalesce cannot RAISE the partition count; fall back to a
+        # repartition when the input has fewer partitions than asked for
+        # (splitting oversized files is as much OPTIMIZE's job as
+        # merging small ones).
+        current = df.rdd.getNumPartitions()
+        df = df.coalesce(n_files) if current >= n_files else df.repartition(n_files)
     df.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
-    return n_files
+    # Report what actually landed, not the target.
+    actual = 0
+    for root, _dirs, files in os.walk(path):
+        actual += sum(1 for fname in files if fname.endswith(".parquet"))
+    return actual

@@ -541,3 +541,54 @@ def test_streaming_upsert_sink_latest_state(spark, tmp_path):
     q.stop()
     rows = {r.user_id: r.value for r in spark.read.parquet(state).collect()}
     assert rows == {0: 1.0, 1: 9.0, 2: 7.0}
+
+
+def test_streaming_upsert_sink_recovers_mid_swap_crash(spark, tmp_path):
+    import json as _json
+    import os as _os
+    import time as _time
+
+    land = tmp_path / "land"
+    land.mkdir()
+
+    def ev(eid, uid, val, minute):
+        return _json.dumps({
+            "event_id": eid, "ts": f"2024-01-01T00:{minute:02d}:00.000Z",
+            "user_id": uid, "event_type": "score", "value": val, "props": "{}",
+        })
+
+    state = str(tmp_path / "state")
+    # Simulate a process that died between rename(path, old) and
+    # rename(tmp, path): the state table is missing, __upsert_old holds
+    # the only copy, and a stale __upsert_tmp is present. (ADVICE-r3:
+    # before the recovery step this lost all prior keyed state AND
+    # poisoned every later swap with the leftover __upsert_old.)
+    prior = spark.createDataFrame(
+        [(99, "2024-01-01T00:00:00.000Z", 0, "score", 4.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    prior.write.parquet(state + "__upsert_old")
+    _os.makedirs(state + "__upsert_tmp")
+    (tmp_path / "state__upsert_tmp" / "part-junk.parquet").write_bytes(b"junk")
+
+    (land / "a.json").write_text(ev(1, 1, 5.0, 1))
+    stream = se.read_event_stream(spark, str(land))
+    q = se.start_upsert_sink(
+        stream, state, key="user_id", order_col="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    deadline = _time.time() + 60
+    rows = {}
+    while _time.time() < deadline:
+        try:
+            rows = {r.user_id: r.value for r in spark.read.parquet(state).collect()}
+            if len(rows) == 2:
+                break
+        except Exception:
+            pass
+        _time.sleep(0.5)
+    q.stop()
+    # prior state (user 0) survived the crash; the new batch merged in
+    assert rows == {0: 4.0, 1: 5.0}
+    assert not _os.path.exists(state + "__upsert_old")
+    assert not _os.path.exists(state + "__upsert_tmp")

@@ -201,3 +201,27 @@ def test_epoch_order_sharded_global_order(spark):
     ranges.sort()
     for (_, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2
+
+
+def test_mixture_plan_infeasible_target_group(spark):
+    # ADVICE-r3: a positive-share group with zero corpus rows must not
+    # be silently dropped from the plan.
+    df = spark.createDataFrame([("en",)] * 10, "lang string")
+    plan = tp.mixture_plan(df, "lang", {"en": 0.5, "xx": 0.5})
+    rows = {r.lang: r for r in plan.collect()}
+    assert set(rows) == {"en", "xx"}
+    assert rows["xx"].n_available == 0
+    # no-upsample total collapses to 0 — the plan cannot over-claim
+    assert rows["en"].planned_rows == 0 and rows["xx"].planned_rows == 0
+    assert rows["xx"].keep_rate == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="xx"):
+        tp.mixture_plan(df, "lang", {"en": 0.5, "xx": 0.5}, strict=True)
+
+
+def test_mixture_plan_feasible_unchanged_by_left_join(spark):
+    df = spark.createDataFrame([("en",)] * 80 + [("vi",)] * 20, "lang string")
+    plan = {r.lang: r for r in tp.mixture_plan(df, "lang", {"en": 0.5, "vi": 0.5}).collect()}
+    # limited by vi: total = floor(20/0.5) = 40 -> 20 rows each
+    assert plan["en"].planned_rows == 20 and plan["vi"].planned_rows == 20

@@ -226,3 +226,41 @@ def test_compact_parquet_sorted_layout(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_compact_parquet_recovers_mid_swap_crash(spark, tmp_path):
+    import glob
+    import os
+
+    from social_link_prediction_spark import warehouse as wh
+
+    path = str(tmp_path / "t3")
+    spark.range(0, 300).withColumnRenamed("id", "k").write.parquet(path)
+    # Simulate a crash between rename(path, old) and rename(tmp, path):
+    # the table directory is gone, __compact_old holds the only copy,
+    # and a partial __compact_tmp is lying around.
+    os.rename(path, path + "__compact_old")
+    os.makedirs(path + "__compact_tmp")
+    (tmp_path / "t3__compact_tmp" / "part-junk.parquet").write_bytes(b"junk")
+    n = wh.compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")
+    assert spark.read.parquet(path).count() == 300
+
+
+def test_compact_parquet_can_split_oversized_files(spark, tmp_path):
+    import glob
+
+    from social_link_prediction_spark import warehouse as wh
+
+    path = str(tmp_path / "t4")
+    # one big file; a tiny target must INCREASE the file count, which
+    # coalesce alone can never do
+    spark.range(0, 20000).withColumnRenamed("id", "k").coalesce(1).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    n = wh.compact_parquet(spark, path, target_file_bytes=20000)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= 2
+    assert n == len(files)
+    assert spark.read.parquet(path).count() == 20000
