@@ -6,12 +6,16 @@ The Spark-side plumbing — schema, partitioning, UDF signature, batch
 shape — is real and tested. Image decoding is real too:
 ``extract_features(fake=False)`` decodes bytes via PIL when installed,
 falling back to the pure-stdlib PNG decoder in ``imagecodec.py``
-(8-bit grey/RGB/RGBA, all five scanline filters). ``fake=True``
-remains the oracle-checkable default — deterministic features derived
-from the content digest, so downstream operators (dedup by content
-hash, embedding by feature vector) are exercised end-to-end with
-DuckDB-reproducible values. Audio/video sample decode stays an honest
-NotImplementedError (no sound libraries are assumed).
+(8-bit grey/RGB/RGBA, all five scanline filters). Audio decoding is
+real as well: 8/16-bit PCM WAV through the stdlib ``wave`` reader
+(``_real_decode_audio``; ``synth_wav`` is its encode twin for
+fixtures/oracles). ``fake=True`` remains the oracle-checkable default
+— deterministic features derived from the content digest, so
+downstream operators (dedup by content hash, embedding by feature
+vector) are exercised end-to-end with DuckDB-reproducible values.
+Video frame decode stays an honest NotImplementedError (no video
+libraries are assumed); the frame-sampling PLAN is real
+(frame_sample_plan).
 
 Scale notes: binaries stay in their column through shuffles only when
 needed — metadata-only operations prune the binary at the parquet scan
@@ -99,6 +103,54 @@ def _real_decode_image(data: bytes) -> list[float]:
         return _pixels_to_features(w, h, rows)
 
 
+def synth_wav(seed: int, n_samples: int, framerate: int = 8000) -> bytes:
+    """Deterministic mono 8-bit PCM WAV fixture: sample i is
+    ``(seed*7 + i*13) % 256``. Pure stdlib (wave) — the encode half of
+    the audio round-trip test/oracle."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(framerate)
+        w.writeframes(bytes((seed * 7 + i * 13) % 256 for i in range(n_samples)))
+    return buf.getvalue()
+
+
+def _real_decode_audio(data: bytes) -> list[float]:
+    """Real byte-level audio decode via the stdlib ``wave`` reader
+    (8/16-bit PCM WAV, any channel count — channels are averaged).
+    Features: normalized [0,1] sample means average-pooled to
+    FEATURE_DIM time buckets (bucket = i*FEATURE_DIM//n — the same
+    pooling convention as the image grid, so both modalities land in
+    one feature space)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+        nch, width, n = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(n)
+    if width == 1:  # unsigned 8-bit
+        vals = [b / 255.0 for b in raw]
+    elif width == 2:  # signed 16-bit little-endian
+        ints = struct.unpack(f"<{len(raw) // 2}h", raw)
+        vals = [(s + 32768) / 65535.0 for s in ints]
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width: {width}")
+    # average channels per frame
+    frames = [sum(vals[i : i + nch]) / nch for i in range(0, len(vals), nch)]
+    sums, counts = [0.0] * FEATURE_DIM, [0] * FEATURE_DIM
+    n_frames = len(frames)
+    for i, v in enumerate(frames):
+        cell = min(FEATURE_DIM - 1, i * FEATURE_DIM // max(n_frames, 1))
+        sums[cell] += v
+        counts[cell] += 1
+    return [s / c if c else 0.0 for s, c in zip(sums, counts)]
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches). Output
     schema: input minus content, plus features array<float>.
@@ -122,8 +174,10 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             return _fake_decode(data)
         if kind == "image":
             return _real_decode_image(data)
+        if kind == "audio":
+            return _real_decode_audio(data)
         raise NotImplementedError(
-            f"real decode for kind={kind!r} requires audio/video libraries "
+            f"real decode for kind={kind!r} requires video libraries "
             "not assumed in any environment; pass fake=True"
         )
 

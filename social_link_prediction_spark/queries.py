@@ -5738,3 +5738,367 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+# =====================================================================
+# P2/P8/P9/P11 promoted to the oracle catalog (VERDICT-r3 #6): one
+# cleaning pipeline emitting snake-cased, coerced, null-normalized,
+# text-assembled columns (reference transformer.py:171,201,254-269 and
+# data_processor.py:109-118 semantics on warehouse data).
+# =====================================================================
+@query(
+    "cleaning_normalize_customers",
+    """
+    WITH raw AS (
+        SELECT c_custkey AS cust_key,
+               c_name AS customer_name,
+               CASE WHEN c_custkey % 10 = 0 THEN 'xx'
+                    ELSE CAST(c_nationkey AS VARCHAR) END AS country_code_raw,
+               CASE WHEN c_custkey % 7 = 0 THEN ''
+                    ELSE c_mktsegment END AS market_segment_raw
+        FROM customer
+    )
+    SELECT cust_key,
+           customer_name,
+           TRY_CAST(country_code_raw AS INT) AS country_code,
+           nullif(market_segment_raw, '') AS market_segment,
+           concat('name: ', coalesce(customer_name, ''), ', ',
+                  'segment: ',
+                  coalesce(nullif(market_segment_raw, ''), '')) AS full_text
+    FROM raw
+    """,
+)
+def cleaning_normalize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P8+P9+P11 as one pipeline: camelCase source columns renamed
+    to snake_case (driver-side metadata op), lenient numeric coercion
+    (try_cast — 'xx' rows go null, never throw under ANSI), empty
+    strings normalized to null, and the null-safe labeled full-text
+    assembly used for embedding input. The dirty values are synthesized
+    deterministically (custkey % 10 / % 7) so the oracle replays them.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custKey"),
+        F.col("c_name").alias("customerName"),
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("xx"))
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("countryCode"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("marketSegment"),
+    )
+    out = cl.snake_case_columns(cust)  # P2
+    out = out.withColumn("country_code", cl.coerce_int("country_code"))  # P8
+    out = out.withColumn("market_segment", cl.empty_to_null("market_segment"))  # P9
+    out = cl.assemble_text(  # P11
+        out, {"name": "customer_name", "segment": "market_segment"}, out="full_text"
+    )
+    return out.select(
+        "cust_key", "customer_name", "country_code", "market_segment", "full_text"
+    )
+
+
+# =====================================================================
+# D4 priority dedup promoted to the catalog: "first wins" survivor per
+# customer with an EXPLICIT priority (order status F < O < P), date +
+# orderkey tie-breaks — the reference's concat-order-dependent
+# drop_duplicates(keep='first') made deterministic (SURVEY §7.4.2).
+# =====================================================================
+@query(
+    "priority_dedup_orders",
+    """
+    SELECT o_custkey, o_orderkey AS kept_orderkey, o_orderstatus AS kept_status
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CASE o_orderstatus WHEN 'F' THEN 0
+                                               WHEN 'O' THEN 1
+                                               ELSE 2 END,
+                            o_orderdate, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def priority_dedup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: one surviving order per customer by explicit priority
+    (finished beats open beats pending), earliest-date / lowest-key
+    tie-breaks. row_number over the priority ordering — deterministic
+    across retries and partitionings, unlike pandas keep='first'."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "prio",
+        F.when(F.col("o_orderstatus") == "F", 0)
+        .when(F.col("o_orderstatus") == "O", 1)
+        .otherwise(2),
+    )
+    out = dd.priority_dedup(
+        o, key="o_custkey", priority_col="prio", tiebreak=["o_orderdate", "o_orderkey"]
+    )
+    return out.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("kept_orderkey"),
+        F.col("o_orderstatus").alias("kept_status"),
+    )
+
+
+# =====================================================================
+# D6/D7/D8 promoted to the catalog: relation-set maintenance — merge
+# relation labels, flip one relation's direction, per-relation edge
+# dedup, thin-relation pruning (reference TRAIN-NB cells 16/19 and
+# data_processor.py:148-180 MIN_EDGE_COUNT semantics).
+# =====================================================================
+_RM_MIN_COUNT = 500
+
+
+@query(
+    "relation_maintenance_counts",
+    f"""
+    WITH base AS (
+        SELECT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst,
+               CASE WHEN l_returnflag IN ('A', 'R') THEN 'returned'
+                    ELSE l_returnflag END AS rel
+        FROM lineitem
+    ),
+    flipped AS (
+        SELECT dst AS src, src AS dst, 'shipped_to' AS rel
+        FROM base WHERE rel = 'N'
+        UNION ALL
+        SELECT src, dst, rel FROM base WHERE rel <> 'N'
+    ),
+    deduped AS (SELECT DISTINCT src, dst, rel FROM flipped),
+    counted AS (SELECT rel, count(*) AS n_edges FROM deduped GROUP BY rel)
+    SELECT rel, n_edges FROM counted
+    WHERE n_edges >= {_RM_MIN_COUNT}
+    ORDER BY n_edges DESC, rel
+    """,
+)
+def relation_maintenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 merge (return flags A + R -> 'returned'), D7 flip (the 'N'
+    relation reversed and renamed — the student_of->advisor_of
+    pattern), D6 per-relation edge dedup, D8 thin-relation pruning at
+    MIN_EDGE_COUNT=500.
+    Per-relation surviving edge counts; the prune side is a tiny
+    broadcast semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        F.col("l_returnflag").alias("rel"),
+    )
+    base = dd.merge_relations(base, {"A": "returned", "R": "returned"}, rel="rel")
+    flip = dd.flip_edges(base.filter(F.col("rel") == "N"), "src", "dst").withColumn(
+        "rel", F.lit("shipped_to")
+    )
+    edges = base.filter(F.col("rel") != "N").unionByName(flip)
+    edges = dd.dedup_edges_per_relation(edges, "src", "dst", "rel")
+    edges = dd.prune_thin_groups(edges, ["rel"], min_count=_RM_MIN_COUNT)
+    return (
+        edges.groupBy("rel")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy(F.col("n_edges").desc(), F.col("rel"))
+    )
+
+
+# =====================================================================
+# G4/G6 promoted to the catalog: shortest path s:1 -> a deterministic
+# distance-3 part, parent-pointer reconstruction, then path decoration
+# (edge relation + orientation + names; reference
+# analysis_service.py:100-187). The oracle replays the BFS levels and
+# the engine's min-parent tie-break exactly: with unit weights a node
+# first visited at level L takes parent = min int id among its level
+# L-1 neighbors (min(struct(dist, parent)) with strict-improvement
+# merges can never change it later).
+# =====================================================================
+@query(
+    "decorated_path_s1",
+    """
+    WITH e AS (
+        SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst FROM lineitem
+        UNION
+        SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+    ),
+    l1 AS (SELECT DISTINCT dst AS id FROM e WHERE src = 1),
+    l2 AS (SELECT DISTINCT dst AS id FROM e JOIN l1 ON e.src = l1.id
+           WHERE dst <> 1 AND dst NOT IN (SELECT id FROM l1)),
+    l3 AS (SELECT DISTINCT dst AS id FROM e JOIN l2 ON e.src = l2.id
+           WHERE dst <> 1 AND dst NOT IN (SELECT id FROM l1)
+             AND dst NOT IN (SELECT id FROM l2)),
+    t3 AS (SELECT max(id) AS id FROM l3 WHERE id < 0),
+    p2 AS (SELECT min(e.src) AS id FROM e JOIN l2 ON e.src = l2.id
+           WHERE e.dst = (SELECT id FROM t3)),
+    p1 AS (SELECT min(e.src) AS id FROM e JOIN l1 ON e.src = l1.id
+           WHERE e.dst = (SELECT id FROM p2))
+    SELECT * FROM (
+        SELECT 0 AS pos, 's:1' AS node,
+               (SELECT s_name FROM supplier WHERE s_suppkey = 1) AS node_name,
+               'p:' || (-(SELECT id FROM p1) - 1) AS next_node,
+               'supplied_by' AS rel, 'backward' AS direction
+        UNION ALL
+        SELECT 1, 'p:' || (-(SELECT id FROM p1) - 1),
+               (SELECT p_name FROM part
+                WHERE p_partkey = -(SELECT id FROM p1) - 1),
+               's:' || (SELECT id FROM p2), 'supplied_by', 'forward'
+        UNION ALL
+        SELECT 2, 's:' || (SELECT id FROM p2),
+               (SELECT s_name FROM supplier
+                WHERE s_suppkey = (SELECT id FROM p2)),
+               'p:' || (-(SELECT id FROM t3) - 1), 'supplied_by', 'backward'
+    ) WHERE (SELECT id FROM t3) IS NOT NULL
+    ORDER BY pos
+    """,
+)
+def decorated_path_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 (pair path via parent-pointer reconstruction) + G6 (path
+    decoration): 3-hop BFS from s:1, target = the distance-3 part with
+    the smallest part key (deterministic at every sf; empty output if
+    none exists), decorated hop-by-hop with the connecting relation,
+    edge orientation, and node names. Decoration edges are the DIRECTED
+    part->supplier 'supplied_by' set, so forward/backward is
+    well-defined per hop."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    ew = edges.withColumn("w", F.lit(1.0))
+    sources = spark.createDataFrame([(1,)], "source long")
+    best = gpaths.multi_source_shortest_paths(
+        ew, sources, weight="w", max_hops=3, directed=True
+    )
+    target = (
+        best.filter((F.col("dist") == 3.0) & (F.col("id") < 0))
+        .agg(F.max("id").alias("id"))
+        .filter(F.col("id").isNotNull())
+    )
+    targets = target.select(F.lit(1).cast("long").alias("source"), "id")
+    rec = gpaths.reconstruct_paths(best, targets, max_hops=3)
+    sp = rec.select(F.col("source").alias("src"), F.col("id").alias("dst"), "path")
+    dir_edges = edges.filter(F.col("src") < 0).withColumn("rel", F.lit("supplied_by"))
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id"), F.col("s_name").alias("name")
+    )
+    part = _t(spark, sf_dir, "part").select(
+        (-F.col("p_partkey") - 1).cast("long").alias("id"),
+        F.col("p_name").alias("name"),
+    )
+    out = gpaths.decorate_path(sp, dir_edges, supp.unionByName(part))
+    return out.select(
+        "pos",
+        _fmt_node(F.col("node")).alias("node"),
+        "node_name",
+        _fmt_node(F.col("next_node")).alias("next_node"),
+        "rel",
+        "direction",
+    ).orderBy("pos")
+
+
+# =====================================================================
+# Real audio decode through the multimodal stage (VERDICT-r3 #7):
+# deterministic 8-bit PCM WAV fixtures synthesized per document
+# (sample i = (id*7 + i*13) % 256), ENCODED with the stdlib wave
+# writer and DECODED back by extract_features(fake=False) — a real
+# byte-level codec round-trip inside the Arrow mapInPandas stage. The
+# oracle regenerates the samples arithmetically and replays the
+# 16-bucket time pooling.
+# =====================================================================
+@query(
+    "media_audio_features",
+    """
+    WITH m AS (SELECT doc_id AS media_id, 160 + (doc_id % 7) * 16 AS n
+               FROM documents),
+    s AS (SELECT media_id, n, unnest(generate_series(0, n - 1, 1)) AS i FROM m),
+    f AS (SELECT media_id,
+                 CAST(i * 16 // n AS INT) AS bucket,
+                 ((media_id * 7 + i * 13) % 256) / 255.0 AS v
+          FROM s),
+    b AS (SELECT media_id, bucket, avg(v) AS fv FROM f GROUP BY 1, 2)
+    SELECT media_id,
+           round(CAST(CAST(max(CASE WHEN bucket = 0 THEN fv END) AS REAL) AS DOUBLE), 6) AS f0,
+           round(CAST(CAST(max(CASE WHEN bucket = 7 THEN fv END) AS REAL) AS DOUBLE), 6) AS f7,
+           round(CAST(CAST(max(CASE WHEN bucket = 15 THEN fv END) AS REAL) AS DOUBLE), 6) AS f15
+    FROM b GROUP BY media_id
+    """,
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality end-to-end: per-document WAV bytes (mono, 8-bit
+    PCM, 160..256 samples) synthesized in one Arrow batch stage,
+    decoded for real by the stdlib wave reader in the next, pooled to
+    FEATURE_DIM time buckets. Three bucket probes are oracle-checked
+    through the float32 feature column."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(160) + (F.col("doc_id") % 7) * 16).cast("int").alias("n_samples"),
+    )
+
+    def synth(it):
+        for pdf in it:
+            out = pdf[["media_id"]].copy()
+            out["kind"] = "audio"
+            out["content"] = [
+                mm.synth_wav(int(m), int(n))
+                for m, n in zip(pdf["media_id"], pdf["n_samples"])
+            ]
+            yield out
+
+    media = docs.mapInPandas(synth, schema="media_id long, kind string, content binary")
+    out = mm.extract_features(media, fake=False)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 6).alias("f7"),
+        F.round(F.element_at("features", 16).cast("double"), 6).alias("f15"),
+    )
+
+
+# =====================================================================
+# M15 promoted to the catalog: constrained spouse recommendation —
+# age-gap score halving + taboo-relation anti-join (reference
+# predicter.py spouse constraints). All constraint inputs are
+# synthesized deterministically from customer keys so the oracle
+# replays them.
+# =====================================================================
+@query(
+    "spouse_candidates_c1",
+    """
+    WITH src AS (SELECT 1940 + (c_custkey * 13) % 60 AS src_by,
+                        c_nationkey AS nk
+                 FROM customer WHERE c_custkey = 1),
+    taboo AS (SELECT 'c:' || c_custkey AS dst FROM customer
+              WHERE c_custkey % 23 = 1 AND c_custkey <> 1),
+    cand AS (SELECT 'c:' || c_custkey AS dst,
+                    ((c_custkey * 37) % 1000) / 1000.0 AS score,
+                    1940 + (c_custkey * 13) % 60 AS by
+             FROM customer
+             WHERE c_nationkey = (SELECT nk FROM src) AND c_custkey <> 1),
+    scored AS (SELECT dst,
+                      CASE WHEN abs(by - (SELECT src_by FROM src)) > 20
+                           THEN score / 2 ELSE score END AS final_score
+               FROM cand WHERE dst NOT IN (SELECT dst FROM taboo))
+    SELECT dst, round(final_score, 6) AS final_score
+    FROM scored ORDER BY final_score DESC, dst ASC LIMIT 10
+    """,
+)
+def spouse_candidates_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: top-10 spouse candidates for c:1 among same-nation
+    customers — candidates already linked by a taboo relation
+    (synthetic sibling edges, every 23rd customer) are anti-joined out,
+    and a birth-year gap over 20 years halves the score. Deterministic
+    synthetic scores/birth-years keyed on c_custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    verts = cust.select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"),
+        F.col("c_name").alias("name"),
+        (F.lit(1940) + (F.col("c_custkey") * 13) % 60).alias("birth_year"),
+    )
+    edges = cust.filter(
+        (F.col("c_custkey") % 23 == 1) & (F.col("c_custkey") != 1)
+    ).select(
+        F.lit("c:1").alias("src"),
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+        F.lit("sibling").alias("rel"),
+    )
+    nat1 = cust.filter(F.col("c_custkey") == 1).select(F.col("c_nationkey").alias("nk"))
+    cand = cust.join(F.broadcast(nat1), cust["c_nationkey"] == F.col("nk")).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+        (((F.col("c_custkey") * 37) % 1000) / F.lit(1000.0)).alias("score"),
+    )
+    out = mlp.constrained_spouse_candidates(
+        "c:1", cand, edges, verts, k=10, age_gap_limit=20
+    )
+    return out.select("dst", F.round("final_score", 6).alias("final_score"))

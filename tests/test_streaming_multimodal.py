@@ -592,3 +592,53 @@ def test_streaming_upsert_sink_recovers_mid_swap_crash(spark, tmp_path):
     assert rows == {0: 4.0, 1: 5.0}
     assert not _os.path.exists(state + "__upsert_old")
     assert not _os.path.exists(state + "__upsert_tmp")
+
+
+def test_wav_roundtrip_and_16bit_stereo(spark):
+    import io
+    import struct
+    import wave
+
+    from social_link_prediction_spark.pipelines import multimodal as mmod
+
+    # 8-bit mono synth -> decode round-trip: bucket means match the
+    # arithmetic definition exactly
+    data = mmod.synth_wav(seed=5, n_samples=160)
+    feats = mmod._real_decode_audio(data)
+    assert len(feats) == mmod.FEATURE_DIM
+    expected0 = sum((5 * 7 + i * 13) % 256 for i in range(10)) / 10 / 255.0
+    assert abs(feats[0] - expected0) < 1e-12
+
+    # 16-bit stereo WAV decodes too (channels averaged)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = b"".join(
+            struct.pack("<hh", (i * 321) % 30000 - 15000, (i * 123) % 30000 - 15000)
+            for i in range(32)
+        )
+        w.writeframes(frames)
+    feats2 = mmod._real_decode_audio(buf.getvalue())
+    assert len(feats2) == mmod.FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in feats2)
+
+    # unsupported widths stay honest
+    import pytest as _pytest
+
+    buf3 = io.BytesIO()
+    with wave.open(buf3, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 64)
+    with _pytest.raises(NotImplementedError):
+        mmod._real_decode_audio(buf3.getvalue())
+
+    # video decode is still a declared non-goal
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"xx"))], "media_id long, kind string, content binary"
+    )
+    with _pytest.raises(Exception):
+        mmod.extract_features(df, fake=False).collect()
