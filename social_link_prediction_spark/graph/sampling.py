@@ -68,3 +68,40 @@ def neighbor_sample(
     for part in layers[1:]:
         out = out.unionByName(part)
     return out
+
+
+def export_training_blocks(
+    blocks: DataFrame,
+    node_features: DataFrame,
+    path: str,
+) -> dict[str, str]:
+    """The M6 -> external-trainer seam (SURVEY §7.4.3 "pluggable
+    embeddings"): materialize sampled blocks + the features of exactly
+    the nodes they touch as the M3 partitioned tensor layout —
+
+    - ``<path>/edges``  (src, dst) partitioned by ``hop``: each hop is
+      one directory of parquet shards, i.e. one adjacency tensor per
+      GNN layer, loadable independently (PyG-style bipartite blocks);
+    - ``<path>/nodes``  the node feature table through the M12
+      embedding store (``ml.predict.write_embeddings`` — partitioned by
+      ``type`` when present), semi-joined down to nodes appearing in
+      the blocks so the export is minibatch-sized, not corpus-sized.
+
+    An external torch stage reads both directories with any parquet
+    reader; ``ml.predict.read_embeddings`` round-trips the node side
+    for Spark-side scoring. Returns the two directory paths.
+    """
+    from social_link_prediction_spark.ml.predict import write_embeddings
+
+    edges_path = f"{path.rstrip('/')}/edges"
+    nodes_path = f"{path.rstrip('/')}/nodes"
+    blocks.select("hop", "src", "dst").write.mode("overwrite").partitionBy(
+        "hop"
+    ).parquet(edges_path)
+    touched = (
+        blocks.select(F.col("src").alias("id"))
+        .unionByName(blocks.select(F.col("dst").alias("id")))
+        .dropDuplicates()
+    )
+    write_embeddings(node_features.join(touched, "id", "left_semi"), nodes_path)
+    return {"edges": edges_path, "nodes": nodes_path}

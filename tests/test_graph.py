@@ -361,3 +361,58 @@ def test_neighbor_sample_fanout_caps_and_determinism(spark):
     # a different tag redraws a (generally) different sample
     b3 = gs.neighbor_sample(e, seeds, fanouts=[3, 2], tag="epoch2").collect()
     assert sorted(map(tuple, b3)) != sorted(map(tuple, b1))
+
+
+def test_export_training_blocks_roundtrip(spark, tmp_path):
+    """VERDICT-r3 #8: the M6 -> external-trainer seam end-to-end —
+    sample blocks, export (M3 tensor layout + M12 embedding store),
+    read back, and score with read_embeddings."""
+    from social_link_prediction_spark.graph import sampling as gs
+    from social_link_prediction_spark.ml import predict as mp
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "id long")
+    blocks = gs.neighbor_sample(edges, seeds, fanouts=[3, 2], tag="exp")
+
+    feats = spark.createDataFrame(
+        [(i, "n", [float(i), float(i) * 0.5]) for i in range(6)],
+        "id long, type string, embedding array<float>",
+    )
+    out = gs.export_training_blocks(blocks, feats, str(tmp_path / "blk"))
+
+    # edges round-trip: hop partitioning preserved, edge sets identical
+    back_edges = spark.read.parquet(out["edges"])
+    assert set(back_edges.columns) == {"hop", "src", "dst"}
+    orig = {(r.hop, r.src, r.dst) for r in blocks.collect()}
+    assert {(r.hop, r.src, r.dst) for r in back_edges.collect()} == orig
+    import os
+
+    assert os.path.isdir(out["edges"] + "/hop=0") and os.path.isdir(
+        out["edges"] + "/hop=1"
+    )
+
+    # node side: exactly the touched nodes, loadable via the embedding
+    # store and usable for scoring
+    emb = mp.read_embeddings(spark, out["nodes"])
+    touched = {r.src for r in blocks.collect()} | {r.dst for r in blocks.collect()}
+    assert {r.id for r in emb.collect()} == touched
+    a = emb.select(F.col("id").alias("src"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("id").alias("dst"), F.col("embedding").alias("eb"))
+    scored = (
+        back_edges.join(a, "src").join(b, "dst")
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("ea", "eb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    rows = scored.collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        assert abs(r.score - (r.src * r.dst + r.src * 0.5 * r.dst * 0.5)) < 1e-5
