@@ -59,6 +59,12 @@ HEADLINE = [
     # multi-join relational classics
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    # round-4 additions: cleaning pipeline, relation maintenance,
+    # parent-pointer path reconstruction + decoration, real WAV decode
+    "cleaning_normalize_customers",
+    "relation_maintenance_counts",
+    "decorated_path_s1",
+    "media_audio_features",
 ]
 
 

@@ -260,9 +260,11 @@ def mixture_plan(
         f"{group_col} string, target_share double",
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_available"))
+    # left join FROM the shares side; broadcast the counts side (the
+    # preserved side of a left-outer can't be broadcast, the other can
+    # — and counts is one row per group after its aggregation)
     g = (
-        F.broadcast(shares)
-        .join(counts, group_col, "left")
+        shares.join(F.broadcast(counts), group_col, "left")
         .withColumn("n_available", F.coalesce("n_available", F.lit(0)))
         .filter(F.col("target_share") > 0)
     )
