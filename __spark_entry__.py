@@ -36,8 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # multires_event_rollup), and the 6 queries added in r4
 # (cleaning_normalize_customers, priority_dedup_orders,
 # relation_maintenance_counts, decorated_path_s1, media_audio_features,
-# spouse_candidates_c1). A green r4 gate completes driver coverage of
-# all 144 oracle-paired queries. The full catalog (146) is verified
+# spouse_candidates_c1). A green r4 gate covers 144 of the 154
+# oracle-paired queries; the 10 TPC-H completion shapes added late in
+# r4 rotate into the r5 head. The full catalog (156) is verified
 # locally via tools/verify_local.py at sf0.001 AND sf0.01; the ordering
 # only decides which rows the DRIVER re-proves this round. Entries are
 # ordered by measured sf0.01 latency, CHEAPEST FIRST: under a count cap

@@ -6102,3 +6102,504 @@ def spouse_candidates_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c:1", cand, edges, verts, k=10, age_gap_limit=20
     )
     return out.select("dst", F.round("final_score", 6).alias("final_score"))
+
+
+# =====================================================================
+# TPC-H completion (Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21/Q22 shapes): with
+# these, all 22 TPC-H query shapes are oracle-checked (Q1 is
+# pricing_summary). The testdata has no partsupp table, phone numbers,
+# commit/receipt dates, or ship modes, so: partsupp is SYNTHESIZED
+# deterministically from the distinct (partkey, suppkey) pairs in
+# lineitem with arithmetic supplycost/availqty (identical formula on
+# both sides); Q4/Q21's "late delivery" predicate becomes
+# l_returnflag='R'; Q12's ship modes become return flags; Q22's
+# phone country code becomes c_custkey % 10. The JOIN/SUBQUERY SHAPE —
+# what the optimizer is graded on — is preserved exactly.
+# =====================================================================
+_DUCK_PSX = """
+    psx AS (
+        SELECT ps_partkey, ps_suppkey,
+               ((ps_partkey * 31 + ps_suppkey * 17) % 10000) / 10.0 AS ps_supplycost,
+               (ps_partkey * 7 + ps_suppkey * 13) % 1000 + 1 AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              FROM lineitem)
+    )
+"""
+
+
+def _psx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic partsupp: one row per distinct (partkey, suppkey) pair
+    observed in lineitem, with deterministic arithmetic supplycost and
+    availqty so the DuckDB oracle reproduces them exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).dropDuplicates()
+    return ps.withColumn(
+        "ps_supplycost",
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 10000) / F.lit(10.0),
+    ).withColumn(
+        "ps_availqty",
+        (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 1000 + 1,
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_DUCK_PSX.strip()},
+    regional AS (
+        SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, s_acctbal, n_name
+        FROM psx JOIN supplier ON s_suppkey = ps_suppkey
+             JOIN nation ON n_nationkey = s_nationkey
+             JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'ASIA'
+    ),
+    best AS (SELECT ps_partkey AS bk, min(ps_supplycost) AS mc
+             FROM regional GROUP BY ps_partkey)
+    SELECT s_name, n_name, p_partkey, p_name,
+           round(ps_supplycost, 2) AS supplycost
+    FROM regional JOIN part ON p_partkey = ps_partkey
+         JOIN best ON bk = ps_partkey AND ps_supplycost = mc
+    WHERE p_size = 15 AND p_type = 'MEDIUM'
+    ORDER BY p_partkey, s_name
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the ASIA supplier(s)
+    achieving the regional minimum supply cost — the correlated min
+    subquery becomes a per-part aggregate joined back on equality
+    (aggregate-then-join, no correlated rescans); supplier/nation/
+    region dims broadcast."""
+    psx = _psx(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "MEDIUM")
+    )
+    regional = (
+        psx.join(F.broadcast(supp), psx["ps_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "n_name")
+    )
+    best = regional.groupBy(F.col("ps_partkey").alias("bk")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    return (
+        regional.join(
+            best,
+            (F.col("ps_partkey") == F.col("bk"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .join(F.broadcast(part), F.col("ps_partkey") == part["p_partkey"])
+        .select(
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarter's orders counted per priority where at
+    least one line "failed" (returnflag R stands in for the reference's
+    commit<receipt — the testdata has no commit/receipt dates). EXISTS
+    = left-semi join; the lineitem side is filtered BEFORE the join so
+    the semi-join probe carries only candidate keys."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    WITH {_DUCK_PSX.strip()}
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - ps_supplycost * l_quantity), 2) AS sum_profit
+    FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN psx ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per-nation per-year profit on 'red' parts —
+    revenue minus synthetic supply cost. Five-way join: the part filter
+    prunes the fact scan through the join, supplier/nation broadcast,
+    psx co-partitions with lineitem on (partkey, suppkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    psx = _psx(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "ps_supplycost"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(
+            psx,
+            (li["l_partkey"] == psx["ps_partkey"])
+            & (li["l_suppkey"] == psx["ps_suppkey"]),
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH {_DUCK_PSX.strip()},
+    g AS (SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+          FROM psx JOIN supplier ON s_suppkey = ps_suppkey
+          WHERE s_nationkey = 7
+          GROUP BY ps_partkey)
+    SELECT ps_partkey, round(value, 2) AS value
+    FROM g WHERE value > (SELECT sum(value) * 0.002 FROM g)
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one nation's
+    suppliers, kept only above a fraction of the nation's total — the
+    global-threshold subquery is a 1-row broadcast against the SAME
+    aggregated frame (persisted: aggregated once, read twice)."""
+    psx = _psx(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    g = (
+        psx.join(F.broadcast(supp), psx["ps_suppkey"] == supp["s_suppkey"], "left_semi")
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("value"))
+        .persist()
+    )
+    thresh = F.broadcast(g.agg((F.sum("value") * 0.002).alias("__t")))
+    return (
+        g.crossJoin(thresh)
+        .filter(F.col("value") > F.col("__t"))
+        .select("ps_partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q12_priority_classes",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lines split into high/low order-priority
+    counts per class (return flag stands in for ship mode). Conditional
+    aggregation — one join, one pass, map-side combinable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    f"""
+    WITH {_DUCK_PSX.strip()}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM psx JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) excluding one brand and "complaint" suppliers (negative
+    balance stands in for the comment scan). The NOT IN is an
+    anti-join against a tiny broadcast key set; the part filter
+    broadcasts into psx."""
+    psx = _psx(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        psx.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(part), psx["ps_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracketed predicates across both
+    join sides. The shared part of each disjunct (brand membership,
+    quantity bounds) is pushable; Catalyst derives the
+    brand-IN-superset filter for the part scan from the OR."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "tpch_q20_part_promotion",
+    f"""
+    WITH {_DUCK_PSX.strip()},
+    shipped AS (
+        SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM psx JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+          AND ps_availqty > half_qty
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock (availqty above
+    half the year's shipped quantity) of 'red' parts — nested IN
+    subqueries become chained semi-joins; the part-name key set
+    broadcasts, the shipped aggregate joins on the composite key."""
+    li = _t(spark, sf_dir, "lineitem")
+    psx = _psx(spark, sf_dir)
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        F.col("p_partkey").alias("ps_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("half_qty"))
+    )
+    excess = (
+        psx.join(F.broadcast(red), "ps_partkey", "left_semi")
+        .join(
+            shipped,
+            (psx["ps_partkey"] == shipped["l_partkey"])
+            & (psx["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.join(excess, supp["s_suppkey"] == excess["ps_suppkey"], "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole "failing" supplier on multi-supplier
+    finished orders (returnflag R stands in for receipt>commit). The
+    EXISTS/NOT EXISTS pair with inequality correlation is expressed as
+    aggregated per-order supplier sets joined once — Spark has no
+    correlated-exists-with-inequality semi-join, and the aggregate
+    form shuffles lineitem exactly once instead of twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    # per (orderkey, suppkey): any other supplier on the order? any
+    # OTHER supplier with a failing line?
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("max_fail_supp"),
+        F.min(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("min_fail_supp"),
+    )
+    # NOTE: no dedup — Q21's numwait counts qualifying l1 ROWS (a
+    # supplier with several failing lines on one order counts each)
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    cand = (
+        l1.join(o, l1["l_orderkey"] == o["o_orderkey"])
+        .join(per_order, "l_orderkey")
+        # EXISTS other supplier: n_supp > 1; NOT EXISTS other failing
+        # supplier: this suppkey is the ONLY failing one
+        .filter(
+            (F.col("n_supp") > 1)
+            & (F.col("n_fail_supp") == 1)
+            & (F.col("max_fail_supp") == F.col("l_suppkey"))
+        )
+    )
+    return (
+        cand.join(F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH pos AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0),
+    eligible AS (
+        SELECT c_custkey, c_acctbal, CAST(c_custkey % 10 AS INT) AS cntrycode
+        FROM customer
+        WHERE c_custkey % 10 IN (1, 2, 3, 4, 5)
+          AND c_acctbal > (SELECT a FROM pos)
+    )
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM eligible
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per country code
+    (c_custkey % 10 stands in for the phone prefix; "inactive" = no
+    order since 2000 — the testdata's order coverage is dense, so the
+    literal no-orders-ever predicate returns nothing). The global
+    positive-balance average is a 1-row broadcast; the NOT EXISTS on
+    orders is an anti-join on the already-filtered (small) customer
+    side."""
+    cust = _t(spark, sf_dir, "customer")
+    pos = F.broadcast(
+        cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__a"))
+    )
+    eligible = (
+        cust.filter((F.col("c_custkey") % 10).isin(1, 2, 3, 4, 5))
+        .crossJoin(pos)
+        .filter(F.col("c_acctbal") > F.col("__a"))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_custkey") % 10).cast("int").alias("cntrycode"),
+        )
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        eligible.join(o, eligible["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
