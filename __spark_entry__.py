@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # relation_maintenance_counts, decorated_path_s1, media_audio_features,
 # spouse_candidates_c1). A green r4 gate covers 144 of the 154
 # oracle-paired queries; the 10 TPC-H completion shapes added late in
-# r4 rotate into the r5 head. The full catalog (156) is verified
+# r4 rotate into the r5 head. The full catalog (157) is verified
 # locally via tools/verify_local.py at sf0.001 AND sf0.01; the ordering
 # only decides which rows the DRIVER re-proves this round. Entries are
 # ordered by measured sf0.01 latency, CHEAPEST FIRST: under a count cap

@@ -6603,3 +6603,68 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntrycode")
     )
+
+
+# =====================================================================
+# Paragraph-level exact dedup (C4-style line dedup): chunk every
+# document into fixed 10-token "paragraphs", hash each, and surface
+# the chunks repeated across the corpus. At 100 TB this is the
+# line-dedup pass run before document-level near-dup: explode + one
+# hash-keyed aggregation, all JVM (split/slice/md5 — no Python).
+# =====================================================================
+_PARA_W = 10
+
+
+@query(
+    "paragraph_dedup_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(t, i * {_PARA_W} + 1, i * {_PARA_W} + {_PARA_W}),
+                   ' ')) AS chunk_hash
+        FROM toks,
+             unnest(generate_series(0, CAST(floor(len(t) / {_PARA_W}) AS INT) - 1, 1)) AS u(i)
+        WHERE len(t) >= {_PARA_W}
+    )
+    SELECT chunk_hash, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(*) > 1
+    ORDER BY n_occurrences DESC, chunk_hash LIMIT 20
+    """,
+)
+def paragraph_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top repeated 10-token paragraphs across the corpus — the
+    C4/RefinedWeb line-dedup signal. Chunking is a JVM transform over
+    the token array (no explode until the chunk level), dedup is one
+    md5-keyed aggregation; at scale the HAVING>1 filter is the
+    map-side-combinable duplicate screen."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _PARA_W
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.size("t") / _PARA_W).cast("int") - 1),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i * _PARA_W + 1, _PARA_W))
+                ),
+            )
+        ).alias("chunk_hash"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
+        .limit(20)
+    )
