@@ -6190,7 +6190,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         regional.join(
-            best,
+            # per-part minima: one row per in-region part — dimension-
+            # sized next to regional, so broadcast beats the SMJ pair
+            F.broadcast(best),
             (F.col("ps_partkey") == F.col("bk"))
             & (F.col("ps_supplycost") == F.col("mc")),
         )
