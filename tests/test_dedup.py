@@ -57,3 +57,33 @@ def test_flip_and_merge_relations(spark):
     assert flipped.first().src == "B"
     merged = dd.merge_relations(df, {"student_of": "advisor_of"})
     assert merged.first().relationship_label == "advisor_of"
+
+
+def test_priority_dedup_stable_under_repartitioning(spark):
+    # SURVEY §7.4.2: "keep first" must not depend on physical layout.
+    # The same frame shuffled into different partitionings must elect
+    # identical survivors.
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (f"k{rng.randrange(40)}", rng.randrange(3), rng.randrange(1000))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["key", "prio", "tie"])
+    pick = lambda d: sorted(
+        (r.key, r.prio, r.tie)
+        for r in dd.priority_dedup(d, "key", "prio", tiebreak=["tie"]).collect()
+    )
+    base = pick(df)
+    assert pick(df.repartition(7)) == base
+    assert pick(df.repartition(1)) == base
+    assert pick(df.orderBy(F.col("tie").desc())) == base
+    # survivor really is the (min prio, min tie) row per key
+    import collections
+
+    best = {}
+    for k, p, t in rows:
+        if k not in best or (p, t) < best[k]:
+            best[k] = (p, t)
+    assert base == sorted((k, p, t) for k, (p, t) in best.items())

@@ -87,6 +87,7 @@ def main():
 
     failed = []
     timings = {}
+    oracle_timings = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -103,6 +104,7 @@ def main():
         if name not in oracles:
             print(f"ok    {name}: rows={len(srows)} t={timings[name]}s (no oracle — rows-only)")
             continue
+        t1 = time.perf_counter()
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
@@ -111,6 +113,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
+        oracle_timings[name] = round(time.perf_counter() - t1, 2)
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
@@ -136,6 +139,10 @@ def main():
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  {t:7.2f}  {name}")
     print(f"total spark time: {round(sum(timings.values()), 1)}s")
+    print("slowest (duckdb oracle side, s):")
+    for name, t in sorted(oracle_timings.items(), key=lambda kv: -kv[1])[:10]:
+        print(f"  {t:7.2f}  {name}")
+    print(f"total oracle time: {round(sum(oracle_timings.values()), 1)}s")
     if failed:
         print(f"\n{len(failed)} failed: {failed}")
         sys.exit(1)
