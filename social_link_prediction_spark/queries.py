@@ -6670,3 +6670,294 @@ def paragraph_dedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "chunk_hash")
         .limit(20)
     )
+
+
+# =====================================================================
+# Round-4 additions: time-series gap-fill/LOCF, decile bucketing,
+# GROUPING SETS, Markov transitions, rolling active users, cohort
+# retention — the product-analytics / hypertable shapes the catalog
+# didn't yet cover. All JVM-side; the only joins are a broadcast of a
+# 1-row bounds frame and a broadcast of the (tiny) day/type grid.
+# =====================================================================
+
+
+@query(
+    "gapfill_locf_hourly",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               round(sum(value), 6) AS hour_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT min(date_trunc('hour', ts)) AS lo,
+               max(date_trunc('hour', ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT t.event_type, g.bucket
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds) g
+    )
+    SELECT grid.event_type, grid.bucket,
+           last_value(hourly.hour_value IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value,
+           CAST(hourly.hour_value IS NULL AS INT) AS was_gap
+    FROM grid LEFT JOIN hourly
+      ON grid.event_type = hourly.event_type AND grid.bucket = hourly.bucket
+    """,
+)
+def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + last-observation-carried-forward:
+    the dense (event_type × hour) grid is synthesized with
+    ``F.sequence`` from a 1-row broadcast bounds frame (never a
+    driver-side loop), missing hours join as null, and LOCF is a
+    running ``last(ignorenulls)`` window. At 100 TB the grid is
+    |types|×|hours| — tiny next to raw events — so the single shuffle
+    is the hourly pre-aggregation. Reference analog: resample/ffill
+    on extraction timelines (SURVEY §2.6 window family)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = _trunc_ntz("hour", "ts")
+    hourly = ev.groupBy(
+        "event_type", hour.alias("bucket")
+    ).agg(F.round(F.sum("value"), 6).alias("hour_value"))
+    bounds = ev.agg(
+        F.min(hour).alias("lo"), F.max(hour).alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["event_type", "bucket"], "left")
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNull().cast("int").alias("was_gap"),
+    )
+
+
+@query(
+    "ntile_decile_spend",
+    """
+    WITH spend AS (
+        SELECT c_custkey, round(sum(o_totalprice), 2) AS total_spend
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    ),
+    tiled AS (
+        SELECT total_spend,
+               ntile(10) OVER (ORDER BY total_spend DESC, c_custkey) AS decile
+        FROM spend
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(min(total_spend), 2) AS min_spend,
+           round(max(total_spend), 2) AS max_spend,
+           round(sum(total_spend), 2) AS decile_spend
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+)
+def ntile_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile table (ntile + per-bucket stats) — the
+    quantile-bucketing step of feature binning / LTV reporting. The
+    ntile window is a single global sort; tie-break on c_custkey makes
+    bucket assignment deterministic. Reference analog: degree-decile
+    reporting (SURVEY §2.5 A14 family)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    tiled = spend.select(
+        "total_spend",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("total_spend").desc(), "c_custkey"))
+        .alias("decile"),
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("total_spend"), 2).alias("min_spend"),
+            F.round(F.max("total_spend"), 2).alias("max_spend"),
+            F.round(F.sum("total_spend"), 2).alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind the catalog's
+    rollup/cube entries) with grouping() disambiguation flags so an
+    aggregated-away NULL is distinguishable from a data NULL. One
+    Expand + one hash aggregate — no re-scan per set."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / CAST(sum(n_transitions) OVER (
+               PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (lead window → bigram counts → row-normalized
+    probabilities). (ts, event_id) ordering is a deterministic total
+    order. The per-user window and the bigram aggregation share the
+    user_id shuffle. Reference analog: trajectory/path statistics
+    (SURVEY §2.6 W-family over event streams)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt).cast("double"),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT days.d AS activity_date,
+           count(DISTINCT daily.user_id) AS wau
+    FROM days JOIN daily
+      ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) per day. COUNT(DISTINCT) can't
+    ride a sliding window, so the dense day list (tiny — one row per
+    day, broadcast) range-joins the deduped (day, user) pairs and
+    re-counts per anchor day. At 100 TB the expensive input is the
+    (day, user) dedup — one shuffle on a pre-projected 2-column frame;
+    the range join fans each pair out at most 7×."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select(F.col("d").alias("anchor")).distinct()
+    joined = daily.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("anchor"))
+        & (F.col("d") >= F.date_sub(F.col("anchor"), 6)),
+    )
+    return joined.groupBy(F.col("anchor").alias("activity_date")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.first_day,
+               CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7)
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(date_trunc('month', first_day) AS DATE) AS cohort_month,
+           week_offset,
+           count(DISTINCT user_id) AS n_active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month,
+    counted per week-offset since their own first day — the classic
+    product-analytics triangle. first_day is a per-user aggregate
+    reused via a user_id-keyed join (co-partitioned with the activity
+    scan's own user_id shuffle, so AQE plans one exchange each side)."""
+    ev = _t(spark, sf_dir, "events")
+    evd = ev.select("user_id", F.to_date("ts").alias("d"))
+    firsts = evd.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    activity = (
+        evd.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "first_day",
+            F.floor(F.datediff("d", "first_day") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.trunc("first_day", "month").alias("cohort_month"), "week_offset"
+    ).agg(F.countDistinct("user_id").alias("n_active_users"))
