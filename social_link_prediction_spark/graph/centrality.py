@@ -26,15 +26,22 @@ n/|seeds| for the unbiased estimate if absolute values matter; the
 ranking (what top-k consumers use) is scale-invariant.
 
 Scale shape: the edge table is persisted once, every join keys on the
-node id so its partitioning is reused; per-level frames localCheckpoint
-(lineage truncation, same discipline as graph/pagerank.py). Memory is
-one (source, node) row per visited pair — the sample size bounds it.
+node id so its partitioning is reused; per-level frames persist()
+lazily — with a depth-bounded loop (3-4 levels) lineage stays shallow,
+so caching gives the reuse without the per-level eager materialization
+job that localCheckpoint would force (9 forced jobs at depth 3 — the
+dominant cost at bench scale; pagerank's unbounded loop is the case
+that needs true lineage truncation). Memory is one (source, node) row
+per visited pair — the sample size bounds it.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+_BROADCAST_GUARD = 2_000_000  # rows; same guard discipline as graph/pagerank.py
 
 
 def betweenness_sampled(
@@ -53,22 +60,31 @@ def betweenness_sampled(
         seeds.select(F.col("source"), F.col("source").alias("node"))
         .dropDuplicates()
         .select("source", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
-        .localCheckpoint()
+        .persist()
     )
     levels = [lv0]
+    # Per-level row counts gate the broadcast hints below: the frontier
+    # is |sources| x |level nodes| — tiny for a sampled run, unbounded
+    # in principle — so hint only under the explicit guard and fall
+    # back to shuffle joins above it (the count doubles as the eager
+    # materialization of the persisted level, so it costs no extra job).
+    counts = [lv0.count()]
     visited = lv0.select("source", "node")
     frontier = lv0
     for d in range(1, max_depth + 1):
+        f = F.broadcast(frontier) if counts[-1] <= _BROADCAST_GUARD else frontier
         nxt = (
-            frontier.join(e, frontier["node"] == e["src"])
+            f.join(e, f["node"] == e["src"])
             .groupBy("source", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
             .join(visited, ["source", "node"], "left_anti")
             .select("source", "node", F.lit(d).alias("dist"), "sigma")
-            .localCheckpoint()
+            .persist()
         )
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("source", "node")).localCheckpoint()
+        counts.append(nxt.count())
+        # components are cached, so the union itself needs no checkpoint
+        visited = visited.unionByName(nxt.select("source", "node"))
         frontier = nxt
 
     # Backward accumulation, deepest level first (its delta is 0).
@@ -84,10 +100,12 @@ def betweenness_sampled(
             F.col("delta").alias("w_delta"),
         )
         lv = levels[d]
+        lvh = F.broadcast(lv) if counts[d] <= _BROADCAST_GUARD else lv
+        such = F.broadcast(succ) if counts[d + 1] <= _BROADCAST_GUARD else succ
         contrib = (
-            lv.join(e, lv["node"] == e["src"])
+            lvh.join(e, lvh["node"] == e["src"])
             .join(
-                succ,
+                such,
                 (F.col("source") == F.col("w_source"))
                 & (F.col("dst") == F.col("w_node")),
             )
@@ -106,7 +124,7 @@ def betweenness_sampled(
                 "sigma",
                 F.coalesce("dep", F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint()
+            .persist()
         )
         deps.append(delta)
 
