@@ -134,7 +134,13 @@ def multi_source_shortest_paths(
                 "source", "id",
                 F.col("c.dist").alias("dist"), F.col("c.parent").alias("parent"),
             )
-            .localCheckpoint()
+            # lazy persist, not localCheckpoint: `improved`'s checkpoint
+            # already bounds downstream plan depth to one union+agg per
+            # round, so truncating best's lineage too only forced an
+            # extra eager job per round; the cache is filled as a
+            # side-effect of the next round's improved.count() and
+            # plan-matched on reuse.
+            .persist()
         )
         frontier = improved
     return best

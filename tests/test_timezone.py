@@ -46,6 +46,11 @@ EVENT_TIME_QUERIES = [
     "hll_daily_users",
     "cumulative_daily_revenue",
     "scd2_asof_orders",
+    # round-4 product-analytics additions over event time
+    "gapfill_locf_hourly",
+    "event_transition_matrix",
+    "rolling_7d_active_users",
+    "retention_cohorts",
 ]
 
 needs_testdata = pytest.mark.skipif(
