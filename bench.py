@@ -65,6 +65,14 @@ HEADLINE = [
     "relation_maintenance_counts",
     "decorated_path_s1",
     "media_audio_features",
+    # round-4 late additions: product-analytics shapes (gap-fill/LOCF,
+    # deciles, grouping sets, Markov transitions, WAU, retention)
+    "gapfill_locf_hourly",
+    "ntile_decile_spend",
+    "grouping_sets_revenue",
+    "event_transition_matrix",
+    "rolling_7d_active_users",
+    "retention_cohorts",
 ]
 
 
