@@ -300,6 +300,20 @@ def test_betweenness_diamond_split_paths(spark):
     assert out == {2: 0.5, 3: 0.5}
 
 
+def test_betweenness_guard_shuffle_path_matches_broadcast(spark, monkeypatch):
+    # Above the row guard the loops fall back to shuffle joins; the
+    # numbers must not depend on which join strategy ran.
+    from social_link_prediction_spark.graph import centrality as gc
+
+    und = [(i, i + 1) for i in range(1, 5)] + [(i + 1, i) for i in range(1, 5)]
+    e = spark.createDataFrame(und, ["src", "dst"])
+    seeds = spark.createDataFrame([(i,) for i in range(1, 6)], ["source"])
+    expected = {r.id: r.betweenness for r in gc.betweenness_sampled(e, seeds, max_depth=4).collect()}
+    monkeypatch.setattr(gc, "_BROADCAST_GUARD", 0)
+    forced = {r.id: r.betweenness for r in gc.betweenness_sampled(e, seeds, max_depth=4).collect()}
+    assert forced == expected == {2: 6.0, 3: 8.0, 4: 6.0}
+
+
 def test_wl_refinement_path_graph(spark):
     # Undirected 5-path: round 1 refines by degree (2 classes), round 2
     # separates {ends}, {2,4}, {3}; symmetric vertices share labels.
