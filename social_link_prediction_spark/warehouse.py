@@ -55,6 +55,41 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | Sequence[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning — the other half of the
+    physical layout story next to :func:`write_bucketed`: partition by
+    the coarse pruning dimension (almost always the date/hour column
+    at 100 TB), bucket by the join key within it. A reader whose
+    predicate binds the partition column never opens the other
+    directories at all — the FileIndex prunes them before any parquet
+    footer is read, which is what makes a year-long table cheap to
+    query for one day. Keep partition cardinality in the thousands
+    (a partition per day/hour/country), never per-user — millions of
+    tiny directories destroy listing time and the small-file budget.
+    """
+    cols = (
+        [partition_cols]
+        if isinstance(partition_cols, str)
+        else list(partition_cols)
+    )
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """Extract the scan's PartitionFilters from the physical plan —
+    the assertion primitive for 'this predicate prunes directories,
+    not rows' (the pruning twin of :func:`n_exchanges`)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m]
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table (bucket metadata comes with it — a plain
     ``spark.read.parquet(path)`` would NOT see the bucketing and would

@@ -264,3 +264,47 @@ def test_compact_parquet_can_split_oversized_files(spark, tmp_path):
     assert len(files) >= 2
     assert n == len(files)
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    # Predicate on the partition column must land in PartitionFilters
+    # (directory pruning), NOT in the row-level PushedFilters; a
+    # predicate on a data column must do the opposite.
+    path = str(tmp_path / "events_by_day")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("day"),
+        (F.col("id") % 3).alias("kind"),
+    )
+    wh.write_partitioned(df, path, "day")
+
+    pruned = spark.read.parquet(path).filter(F.col("day") == 3)
+    pf = " ".join(wh.partition_filters(pruned))
+    assert "day" in pf, f"partition predicate not pruned: {pf!r}"
+    assert pruned.count() == 100
+    # the partition predicate must not be a row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pushed = " ".join(__import__("re").findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "day" not in pushed
+
+    data_filtered = spark.read.parquet(path).filter(F.col("kind") == 1)
+    assert not wh.partition_filters(data_filtered)
+    plan2 = data_filtered._jdf.queryExecution().executedPlan().toString()
+    pushed2 = " ".join(__import__("re").findall(r"PushedFilters: \[([^\]]*)\]", plan2))
+    assert "kind" in pushed2
+
+
+def test_partitioned_files_only_under_matching_directory(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("p")
+    )
+    wh.write_partitioned(df, path, ["p"])
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert dirs == ["p=0", "p=1", "p=2", "p=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # round-trip preserves the partition column (as a directory key)
+    assert set(back.columns) == {"id", "p"}
