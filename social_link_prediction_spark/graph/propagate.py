@@ -1,0 +1,77 @@
+"""Neighborhood feature propagation — the message-passing forward
+pass of a GNN, as pure DataFrame algebra.
+
+Each layer computes, for every node v,
+
+    h_{k+1}(v) = (1 - alpha) * h_k(v) + alpha * mean_{(u,v) in E} h_k(u)
+
+— the GraphSAGE-mean aggregator with identity weight matrices /
+SGC-style simplified graph convolution (Hamilton et al. 2017; Wu et
+al. 2019 "Simplifying Graph Convolutional Networks"). With learned
+weights stripped, propagation is exactly one keyed join + one keyed
+aggregate per layer per feature column, so Catalyst sees the whole
+forward pass declaratively and the edge table's src-hash partitioning
+is reused across layers.
+
+This complements the substituted link-prediction stack (SURVEY
+§7.4.3: wedge features + MLlib replace the reference's torch GNN,
+reference core/ai/gnn_architecture.py:13-96): propagated features ARE
+GNN-style node embeddings, computed engine-side with no tensor
+library, and feed the same downstream scorers (ml/predict.py).
+
+Scale shape: per layer, the feature frame (|V| rows, narrow) joins
+the edge list on src — at 100 TB the features are the small side and
+broadcast under the caller's guard, else both sides hash-shuffle on
+the node id once and every subsequent layer reuses that partitioning.
+Isolated nodes (no in-edges) keep their own features (coalesce to
+h_k, the standard convention for mean aggregation over an empty
+neighborhood).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def propagate_features(
+    edges: DataFrame,
+    feats: DataFrame,
+    cols: Sequence[str],
+    layers: int = 2,
+    alpha: float = 0.5,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Run ``layers`` rounds of mean-aggregation message passing over
+    the numeric feature columns ``cols`` of ``feats`` (one row per
+    node, keyed by ``id_col``). Returns the final (id, *cols) frame.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    h = feats.select(F.col(id_col).alias("id"), *[F.col(c).cast("double") for c in cols])
+    for _ in range(layers):
+        msg = (
+            h.join(e, h["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(*[F.avg(c).alias(f"nbr_{c}") for c in cols])
+        )
+        h = (
+            h.join(msg, "id", "left")
+            .select(
+                "id",
+                *[
+                    (
+                        F.lit(1.0 - alpha) * F.col(c)
+                        + F.lit(alpha) * F.coalesce(F.col(f"nbr_{c}"), F.col(c))
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+            .persist()
+        )
+    return h

@@ -6961,3 +6961,58 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.trunc("first_day", "month").alias("cohort_month"), "week_offset"
     ).agg(F.countDistinct("user_id").alias("n_active_users"))
+
+
+from social_link_prediction_spark.graph import propagate as gprop  # noqa: E402
+
+
+@query(
+    "feature_propagation_suppliers",
+    """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT -l_partkey - 1 AS src, l_suppkey::BIGINT AS dst
+        FROM lineitem
+        UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+    ),
+    deg AS MATERIALIZED (
+        SELECT dst AS id, CAST(count(*) AS DOUBLE) AS f FROM e GROUP BY dst
+    ),
+    l1 AS MATERIALIZED (
+        SELECT d.id, 0.5 * d.f + 0.5 * coalesce(m.nf, d.f) AS f
+        FROM deg d LEFT JOIN (
+            SELECT e.dst AS id, avg(s.f) AS nf
+            FROM e JOIN deg s ON s.id = e.src GROUP BY e.dst
+        ) m USING (id)
+    ),
+    l2 AS (
+        SELECT d.id, 0.5 * d.f + 0.5 * coalesce(m.nf, d.f) AS f
+        FROM l1 d LEFT JOIN (
+            SELECT e.dst AS id, avg(s.f) AS nf
+            FROM e JOIN l1 s ON s.id = e.src GROUP BY e.dst
+        ) m USING (id)
+    )
+    SELECT 's:' || id AS id, round(f, 6) AS feature
+    FROM l2 WHERE id >= 0
+    ORDER BY round(f, 6) DESC, id LIMIT 20
+    """,
+)
+def feature_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-layer GNN-style neighborhood feature propagation
+    (GraphSAGE-mean aggregator with identity weights / SGC) on the
+    part-supplier graph, seeded with node degree: top 20 suppliers by
+    the propagated embedding. One keyed join + one keyed aggregate per
+    layer — the whole forward pass is declarative DataFrame algebra,
+    no tensor library (the engine-side analog of the reference's GNN
+    encoder, core/ai/gnn_architecture.py:13-96)."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    deg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    h = gprop.propagate_features(edges, deg, ["f"], layers=2, alpha=0.5)
+    return (
+        h.filter(F.col("id") >= 0)
+        .select("id", F.round("f", 6).alias("feature"))
+        .orderBy(F.col("feature").desc(), "id")
+        .limit(20)
+        .select(_fmt_node(F.col("id")).alias("id"), "feature")
+    )

@@ -430,3 +430,40 @@ def test_export_training_blocks_roundtrip(spark, tmp_path):
     assert len(rows) == len(orig)
     for r in rows:
         assert abs(r.score - (r.src * r.dst + r.src * 0.5 * r.dst * 0.5)) < 1e-5
+
+
+def test_feature_propagation_path_graph(spark):
+    # Undirected 3-path 1-2-3, f0 = degree = {1:1, 2:2, 3:1}.
+    # layer 1 (alpha=0.5): h(1) = .5*1 + .5*2 = 1.5; h(2) = .5*2 + .5*1 = 1.5;
+    # h(3) = 1.5 -> uniform, so layer 2 stays 1.5 everywhere.
+    from social_link_prediction_spark.graph import propagate as gp
+    from pyspark.sql import functions as F
+
+    und = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    e = spark.createDataFrame(und, ["src", "dst"])
+    deg = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("f")
+    )
+    out = {r.id: r.f for r in gp.propagate_features(e, deg, ["f"], layers=2).collect()}
+    assert out == {1: 1.5, 2: 1.5, 3: 1.5}
+
+
+def test_feature_propagation_isolated_node_keeps_features(spark):
+    from social_link_prediction_spark.graph import propagate as gp
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    feats = spark.createDataFrame([(1, 4.0), (2, 8.0), (9, 6.0)], ["id", "f"])
+    out = {r.id: r.f for r in gp.propagate_features(e, feats, ["f"], layers=1).collect()}
+    # node 2 averages its one in-neighbor (4.0): .5*8 + .5*4 = 6.0;
+    # node 1 and isolated node 9 have no in-edges -> unchanged.
+    assert out == {1: 4.0, 2: 6.0, 9: 6.0}
+
+
+def test_feature_propagation_alpha_validation(spark):
+    from social_link_prediction_spark.graph import propagate as gp
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    feats = spark.createDataFrame([(1, 1.0)], ["id", "f"])
+    with _pytest.raises(ValueError):
+        gp.propagate_features(e, feats, ["f"], alpha=1.5)
