@@ -274,3 +274,62 @@ def test_scrub_pii_idempotent(spark, texts):
     rows1 = {r.doc_id: r.text_scrubbed for r in once.collect()}
     rows2 = {r.doc_id: r.text_scrubbed for r in again.collect()}
     assert rows1 == rows2  # placeholders contain nothing scrubbable
+
+
+def test_transition_matrix_rows_are_distributions(spark):
+    # p_transition sums to ~1 for every from_type (round-off only),
+    # and every count is positive.
+    from social_link_prediction_spark import queries as q
+
+    df = q.QUERIES["event_transition_matrix"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows and all(r.n_transitions > 0 for r in rows)
+    sums = {}
+    for r in rows:
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p_transition
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
+
+
+def test_rolling_wau_bounds_daily_actives(spark):
+    # WAU(d) >= DAU(d) (the window contains the day itself) and WAU
+    # never exceeds the total distinct-user population.
+    from social_link_prediction_spark import queries as q
+    from social_link_prediction_spark.queries import _t
+
+    sf = "/root/testdata/sf0.001"
+    wau = {r.activity_date: r.wau
+           for r in q.QUERIES["rolling_7d_active_users"](spark, sf).collect()}
+    ev = _t(spark, sf, "events")
+    dau = {r.d: r.dau
+           for r in ev.groupBy(F.to_date("ts").alias("d"))
+                      .agg(F.countDistinct("user_id").alias("dau")).collect()}
+    total = ev.select("user_id").distinct().count()
+    assert set(dau) == set(wau)
+    assert all(dau[d] <= wau[d] <= total for d in dau)
+
+
+def test_gapfill_grid_is_dense_and_locf_consistent(spark):
+    # Every (event_type, hour) cell between the global bounds exists
+    # exactly once; non-gap rows carry their own hourly value; gap rows
+    # repeat the latest earlier value (or null before the first).
+    from social_link_prediction_spark import queries as q
+
+    df = q.QUERIES["gapfill_locf_hourly"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    n_hours = {t: len(v) for t, v in by_type.items()}
+    assert len(set(n_hours.values())) == 1, "types disagree on grid size"
+    for t, v in by_type.items():
+        v.sort(key=lambda r: r.bucket)
+        # buckets are consecutive hours
+        for a, b in zip(v, v[1:]):
+            assert (b.bucket - a.bucket).total_seconds() == 3600
+        last = None
+        for r in v:
+            if r.was_gap == 0:
+                last = r.filled_value
+                assert r.filled_value is not None
+            else:
+                assert r.filled_value == last
