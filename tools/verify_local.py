@@ -76,11 +76,18 @@ def main():
             types = [str(t) for t in con.sql(sql).types]
         except Exception:  # noqa: BLE001 — execution pass reports real errors
             continue
-        bad = [c for c, t in zip(con.sql(sql).columns, types) if t == "HUGEINT"]
+        bad = [
+            c
+            for c, t in zip(con.sql(sql).columns, types)
+            if t == "HUGEINT" or t.startswith("DECIMAL")
+        ]
         if bad:
             hugeint.append(f"{name}: {bad}")
     if hugeint:
-        print("HUGEINT oracle columns (driver hash-fail class — CAST to BIGINT):")
+        print(
+            "HUGEINT/DECIMAL oracle columns (driver hash-fail class — "
+            "CAST to BIGINT/DOUBLE):"
+        )
         for line in hugeint:
             print(f"  {line}")
         sys.exit(1)
