@@ -197,3 +197,34 @@ def compact_parquet(
     for root, _dirs, files in os.walk(path):
         actual += sum(1 for fname in files if fname.endswith(".parquet"))
     return actual
+
+
+def skew_report(
+    df: DataFrame, key_cols: str | Sequence[str], k: int = 20
+) -> DataFrame:
+    """Key-skew diagnostic — run this BEFORE choosing a join/agg
+    strategy on a 100 TB table: the output is the top-``k`` heaviest
+    keys with their row share and the ratio of each key's weight to
+    the mean key weight (`x_mean`). A top key with x_mean in the
+    thousands is the signal to salt (operators/joins.salted_join), to
+    isolate the key into its own broadcast pass, or to rely on AQE
+    skew-join splitting; a flat report says plain hash partitioning
+    is fine. One groupBy + one 1-row aggregate broadcast — safe to run
+    on the full table.
+    """
+    cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.avg("n_rows").alias("_mean")
+    )
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            *cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n_rows") / F.col("_mean"), 2).alias("x_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), *cols)
+        .limit(k)
+    )

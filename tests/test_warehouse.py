@@ -308,3 +308,15 @@ def test_partitioned_files_only_under_matching_directory(spark, tmp_path):
     assert back.count() == 100
     # round-trip preserves the partition column (as a directory key)
     assert set(back.columns) == {"id", "p"}
+
+
+def test_skew_report_identifies_heavy_key(spark):
+    # 1000 rows of key 'hot' + 10 distinct singleton keys.
+    rows = [("hot",)] * 1000 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["key"])
+    rep = wh.skew_report(df, "key", k=3).collect()
+    assert rep[0].key == "hot" and rep[0].n_rows == 1000
+    # share = 1000/1010, x_mean = 1000 / (1010/11 keys)
+    assert abs(rep[0].share - 1000 / 1010) < 1e-6
+    assert abs(rep[0].x_mean - 1000 / (1010 / 11)) < 0.01
+    assert all(r.n_rows == 1 for r in rep[1:])
