@@ -429,3 +429,39 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
     )
+
+
+def lsh_collision_probability(s: float, bands: int, rows: int) -> float:
+    """P(two docs with MinHash-Jaccard similarity ``s`` share at least
+    one LSH band bucket) = 1 - (1 - s^rows)^bands — the S-curve that
+    governs the banding trade-off (Leskovec/Rajaraman/Ullman, Mining
+    of Massive Datasets §3.4)."""
+    if not 0.0 <= s <= 1.0:
+        raise ValueError(f"similarity must be in [0, 1], got {s}")
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_band_plan(n_hashes: int, threshold: float) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for an ``n_hashes``-permutation
+    MinHash signature so the banding S-curve's midpoint sits closest
+    to ``threshold``: over all factorizations b*r = n_hashes, minimize
+    |(1/b)^(1/r) - threshold| (the curve's inflection approximation),
+    breaking ties toward more bands (higher recall at the threshold —
+    the safer default for dedup, where a missed duplicate is worse
+    than an extra verified candidate pair). Drive
+    :func:`lsh_candidate_pairs`'s n_bands/rows choice from this
+    instead of hand-picking."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be positive")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+        approx = (1.0 / bands) ** (1.0 / rows)
+        key = (abs(approx - threshold), -bands)
+        if best is None or key < best[0]:
+            best = (key, (bands, rows))
+    return best[1]

@@ -7016,3 +7016,167 @@ def feature_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(20)
         .select(_fmt_node(F.col("id")).alias("id"), "feature")
     )
+
+
+def _ivf_probe_cells(query_vec: list[float], n_probe: int = 2) -> list[int]:
+    """Driver-side query routing: the n_probe IVF cells whose centroid
+    is most cosine-similar to the query (deterministic — centroids and
+    query are module constants, so the oracle replays the same route)."""
+    import math as _m
+
+    qn = _m.sqrt(sum(x * x for x in query_vec))
+    sims = []
+    for i, c in enumerate(_IVF_CENTROIDS):
+        cn = _m.sqrt(sum(x * x for x in c))
+        sims.append((-sum(a * b for a, b in zip(query_vec, c)) / (qn * cn), i))
+    sims.sort()
+    return sorted(i for _, i in sims[:n_probe])
+
+
+def _duck_ivf_pq_sql(n_probe: int = 2, shortlist: int = 50, k: int = 10) -> str:
+    cents = [
+        "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _IVF_CENTROIDS
+    ]
+    scores = ", ".join(
+        f"list_cosine_similarity(v, {c}) AS s{i}" for i, c in enumerate(cents)
+    )
+    case = (
+        "CASE WHEN s3 > greatest(s0, s1, s2) THEN 3 "
+        "WHEN s2 > greatest(s0, s1) THEN 2 "
+        "WHEN s1 > s0 THEN 1 ELSE 0 END"
+    )
+    probes = ", ".join(str(p) for p in _ivf_probe_cells(_PQ_QUERY_VEC, n_probe))
+    # per-subspace encode over the candidate set (same expressions as
+    # _duck_pq_sql, restricted to the probed cells)
+    subs, cases = [], []
+    for m in range(_PQ_M):
+        cbs = [
+            "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]"
+            for c in _PQ_CODEBOOKS[m]
+        ]
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        subs.append(
+            ", ".join(
+                f"list_distance(v[{lo}:{hi}], {c}) ** 2 AS d{m}_{j}"
+                for j, c in enumerate(cbs)
+            )
+        )
+        cases.append(
+            f"CASE WHEN d{m}_0 <= least(d{m}_1, d{m}_2, d{m}_3) THEN 0 "
+            f"WHEN d{m}_1 <= least(d{m}_2, d{m}_3) THEN 1 "
+            f"WHEN d{m}_2 <= d{m}_3 THEN 2 ELSE 3 END AS code{m}"
+        )
+    sub_dim = _PQ_SUBDIM
+    luts = []
+    for m, book in enumerate(_PQ_CODEBOOKS):
+        sub = _PQ_QUERY_VEC[m * sub_dim : (m + 1) * sub_dim]
+        luts.append([sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book])
+    adc = " + ".join(
+        "([" + ",".join(repr(x) for x in luts[m]) + "]::DOUBLE[])[code%d + 1]" % m
+        for m in range(_PQ_M)
+    )
+    qv = "[" + ",".join(repr(float(x)) for x in _PQ_QUERY_VEC) + "]::DOUBLE[]"
+    dcols = ",\n           ".join(subs)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {scores} FROM e),
+    cand AS (SELECT vec_id, v FROM s WHERE ({case}) IN ({probes})),
+    d AS (SELECT vec_id, v,
+           {dcols}
+          FROM cand),
+    codes AS (SELECT vec_id, v, {', '.join(cases)} FROM d),
+    short AS (SELECT vec_id, v, round({adc}, 6) AS approx_sq_dist
+              FROM codes
+              ORDER BY approx_sq_dist ASC, vec_id ASC LIMIT {shortlist})
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(v, {qv}), 6) AS cosine
+    FROM short ORDER BY cosine DESC, id LIMIT {k}
+    """
+
+
+@query("ivf_pq_rerank_topk", _duck_ivf_pq_sql())
+def ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production two-stage ANN serving composition: IVF routing (the
+    query probes its 2 nearest cells — at scale a partitionBy(ivf_cell)
+    layout makes this a directory prune), PQ asymmetric-distance
+    shortlist over the candidates (codes-only scan, driver-side M x K
+    lookup tables, TakeOrdered heap), exact cosine re-rank of the
+    50-vector shortlist against raw embeddings. Every stage bounds the
+    next one's input; only the shortlist ever touches raw vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cells = sim.ivf_assign(emb, _IVF_CENTROIDS)
+    probes = _ivf_probe_cells(_PQ_QUERY_VEC, 2)
+    cand = cells.filter(F.col("ivf_cell").isin(probes))
+    short = sim.pq_adc_topk(cand, _PQ_CODEBOOKS, _PQ_QUERY_VEC, k=50)
+    qcol = F.array([F.lit(float(x)) for x in _PQ_QUERY_VEC])
+    rer = short.select("id").join(
+        emb, F.col("id") == F.col("vec_id")
+    ).select(
+        "id",
+        F.round(
+            sim.cosine_similarity(F.col("embedding").cast("array<double>"), qcol), 6
+        ).alias("cosine"),
+    )
+    return rer.orderBy(F.col("cosine").desc(), "id").limit(10)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 12, 8
+
+
+@query(
+    "doc_sliding_chunks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_id,
+               CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+               CAST(least({_CHUNK_SIZE}, len(t) - i * {_CHUNK_STRIDE}) AS BIGINT)
+                   AS n_tokens,
+               md5(array_to_string(
+                   list_slice(t, i * {_CHUNK_STRIDE} + 1,
+                              i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' '))
+                   AS chunk_hash
+        FROM toks,
+             unnest(generate_series(
+                 0,
+                 CAST(ceil(len(t) / {_CHUNK_STRIDE}) AS INT), 1)) AS u(i)
+        WHERE i * {_CHUNK_STRIDE} < len(t)
+    )
+    SELECT doc_id, chunk_id, start_token, n_tokens, chunk_hash FROM chunks
+    """,
+)
+def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-standard sliding-window chunking: fixed-size token windows
+    with overlap (size 12, stride 8 — each chunk shares 4 tokens with
+    its predecessor so no answer span is split across a boundary).
+    Chunking stays an array transform until the per-chunk explode —
+    the JVM-side twin of pack_documents' concat-and-chunk (packing
+    fills fixed budgets; sliding windows preserve locality for
+    retrieval)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    n_windows = F.ceil(n / F.lit(_CHUNK_STRIDE)).cast("int")
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_windows)).alias("chunk_id"),
+        "t",
+    ).filter(
+        F.col("chunk_id") * _CHUNK_STRIDE < F.size("t")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_STRIDE).cast("bigint").alias("start_token"),
+        F.least(
+            F.lit(_CHUNK_SIZE),
+            F.size("t") - F.col("chunk_id") * _CHUNK_STRIDE,
+        ).cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice("t", F.col("chunk_id") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_SIZE)),
+            )
+        ).alias("chunk_hash"),
+    )

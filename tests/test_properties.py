@@ -333,3 +333,23 @@ def test_gapfill_grid_is_dense_and_locf_consistent(spark):
                 assert r.filled_value is not None
             else:
                 assert r.filled_value == last
+
+
+def test_lsh_band_plan_scurve_laws():
+    from social_link_prediction_spark.pipelines.dedup import (
+        lsh_band_plan,
+        lsh_collision_probability,
+    )
+
+    for n_hashes, threshold in [(64, 0.5), (128, 0.8), (100, 0.3), (16, 0.9)]:
+        b, r = lsh_band_plan(n_hashes, threshold)
+        assert b * r == n_hashes
+        # the plan's S-curve midpoint approximates the threshold
+        assert abs((1 / b) ** (1 / r) - threshold) < 0.25
+        # S-curve is monotone in s and steep around the threshold
+        probs = [lsh_collision_probability(s / 20, b, r) for s in range(21)]
+        assert probs == sorted(probs)
+        assert probs[0] == 0.0 and probs[-1] == 1.0
+        lo = lsh_collision_probability(max(threshold - 0.25, 0.01), b, r)
+        hi = lsh_collision_probability(min(threshold + 0.25, 0.99), b, r)
+        assert hi > lo
