@@ -168,3 +168,49 @@ def scd2_asof_join(
     for old, new in renames.items():
         joined = joined.withColumnRenamed(old, new)
     return joined.drop(*[f"d_{k}" for k in keys])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style snapshot comparison: classify every key across two
+    snapshots of the same table as added / removed / changed /
+    unchanged. The audit tool behind any periodic re-extraction (the
+    reference re-crawls Wikidata monthly — this is how you see what
+    the month changed before merging it).
+
+    One full-outer join on the key; change detection compares an md5
+    over the non-key columns (computed map-side on each branch, so the
+    join carries one hash per side instead of every compared column —
+    at 100 TB the shuffle width is keys + 32 bytes). NULL and empty
+    string are kept distinct via a NUL sentinel prefix per value.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+
+    def _hashed(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.concat(
+                        F.lit("\x00"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x01null")),
+                    )
+                    for c in cols
+                ],
+            )
+        )
+        return df.select(*keys, h.alias(alias))
+
+    j = _hashed(old, "_old_h").join(_hashed(new, "_new_h"), keys, "full_outer")
+    change = (
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_old_h") != F.col("_new_h"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*keys, change.alias("change_type"))

@@ -7180,3 +7180,56 @@ def doc_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+from social_link_prediction_spark.operators import merge as mrg  # noqa: E402
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH newsnap AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 101 <> 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 103 = 0
+    ),
+    o AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    d AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_totalprice <> n.o_totalprice
+                         OR o.o_orderstatus <> n.o_orderstatus THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, count(*) AS n_keys FROM d GROUP BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot audit over a deterministic simulated re-extraction
+    of orders (every 101st key removed, every 97th repriced +10%,
+    every 103rd re-added under a shifted key): per-change-type key
+    counts via operators/merge.snapshot_diff (full-outer join on
+    map-side row hashes)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    kept = o.filter(F.col("o_orderkey") % 101 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 103 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    new = kept.unionByName(added)
+    d = mrg.snapshot_diff(o, new, "o_orderkey")
+    return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))

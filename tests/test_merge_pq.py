@@ -170,3 +170,35 @@ def test_scd2_asof_join_routes_to_valid_version(spark):
     out = mg.scd2_asof_join(fact, dim, key=["k"], fact_ts="ts")
     got = {float(r.v): r.attr for r in out.collect()}
     assert got == {10.0: "old", 20.0: "new", 30.0: "new"}
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from social_link_prediction_spark.operators.merge import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        ["k", "v", "x"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "", 40.0), (5, "e", 50.0)],
+        ["k", "v", "x"],
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    # 4 flips NULL -> '' : must be detected as changed (sentinel law)
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "added",
+    }
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from social_link_prediction_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], ["k", "v", "noise"])
+    new = spark.createDataFrame([(1, "a", 2.0)], ["k", "v", "noise"])
+    out = snapshot_diff(old, new, "k", compare_cols=["v"]).collect()
+    assert out[0].change_type == "unchanged"
