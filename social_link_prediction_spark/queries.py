@@ -7233,3 +7233,151 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = kept.unionByName(added)
     d = mrg.snapshot_diff(o, new, "o_orderkey")
     return d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+@query(
+    "order_interarrival_stats",
+    """
+    WITH seq AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    ),
+    gaps AS (SELECT o_custkey, gap_days FROM seq WHERE gap_days IS NOT NULL),
+    cust AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+               round(avg(gap_days), 6) AS mean_gap_days
+        FROM gaps GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(mean_gap_days), 6) AS avg_mean_gap_days,
+           CAST(min(n_gaps) AS BIGINT) AS min_gaps,
+           CAST(max(n_gaps) AS BIGINT) AS max_gaps
+    FROM cust JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def order_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time analysis: per-customer gaps between
+    consecutive orders (lag window on a deterministic (date, key)
+    total order), rolled up to per-segment averages. The per-customer
+    window and the per-customer aggregate share one o_custkey shuffle;
+    the segment dimension joins broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    per_cust = seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("mean_gap_days"),
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("mean_gap_days"), 6).alias("avg_mean_gap_days"),
+            F.min("n_gaps").alias("min_gaps"),
+            F.max("n_gaps").alias("max_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+from social_link_prediction_spark.graph import truss as gtruss  # noqa: E402
+
+_KT_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'kt'"
+)
+
+
+def _duck_ktruss_sql(rounds: int = 3) -> str:
+    """Unrolled triangle-support peeling (k=3: keep edges in >= 1
+    triangle), same chained-CTE technique as the k-core oracle. The
+    engine peels to the fixed point under the same round cap;
+    convergence by round 2 verified at every sf tier."""
+    parts = [
+        f"""WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e0 AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_KT_EDGE_SQL} % 10000 < 400
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""t{r} AS MATERIALIZED (
+        SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+        FROM e{p} ab JOIN e{p} ac ON ac.src = ab.src AND ab.dst < ac.dst
+        JOIN e{p} bc ON bc.src = ab.dst AND bc.dst = ac.dst
+    )""")
+        parts.append(f"""s{r} AS MATERIALIZED (
+        SELECT src, dst, count(*) AS sup FROM (
+            SELECT a AS src, b AS dst FROM t{r}
+            UNION ALL SELECT a, c FROM t{r}
+            UNION ALL SELECT b, c FROM t{r}
+        ) GROUP BY 1, 2
+    )""")
+        parts.append(f"""e{r} AS MATERIALIZED (
+        SELECT e{p}.src, e{p}.dst FROM e{p} JOIN s{r} USING (src, dst)
+        WHERE sup >= 1
+    )""")
+    n = rounds
+    parts.append(f"""tf AS MATERIALIZED (
+        SELECT ab.src AS a, ab.dst AS b, ac.dst AS c
+        FROM e{n} ab JOIN e{n} ac ON ac.src = ab.src AND ab.dst < ac.dst
+        JOIN e{n} bc ON bc.src = ab.dst AND bc.dst = ac.dst
+    )""")
+    parts.append(f"""sf_ AS (
+        SELECT src, dst, count(*) AS sup FROM (
+            SELECT a AS src, b AS dst FROM tf
+            UNION ALL SELECT a, c FROM tf
+            UNION ALL SELECT b, c FROM tf
+        ) GROUP BY 1, 2
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""{body}
+    SELECT coalesce(sf_.sup, 0) AS support,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM e{n} LEFT JOIN sf_ USING (src, dst)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("ktruss_suppliers", _duck_ktruss_sql())
+def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of a deterministic hash-sampled supplier graph (4% of
+    ordered pairs via the h60 seed hash — the fixtures' natural graphs
+    are bipartite or near-complete, so the Erdős–Rényi-style sample is
+    the replayable sparse graph with genuine triangle structure):
+    triangle-support peeling to the fixed point under a 3-round cap,
+    reported as the within-truss support histogram. Edge-level peeling
+    (graph/truss.py) complements vertex-level k-core; convergence by
+    round 2 was verified at every sf tier."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("kt")) % 10000
+            < 400
+        )
+    )
+    tr = gtruss.ktruss(pairs, k=3, max_rounds=3)
+    return (
+        tr.groupBy("support")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("support")
+    )

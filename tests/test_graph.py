@@ -467,3 +467,39 @@ def test_feature_propagation_alpha_validation(spark):
     feats = spark.createDataFrame([(1, 1.0)], ["id", "f"])
     with _pytest.raises(ValueError):
         gp.propagate_features(e, feats, ["f"], alpha=1.5)
+
+
+def test_ktruss_clique_survives_path_peels(spark):
+    # K4 on {1,2,3,4} (every edge in 2 triangles) + pendant path 4-5-6
+    # (no triangles). 4-truss (support >= 2) keeps exactly the clique.
+    from social_link_prediction_spark.graph import truss as gt
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    e = spark.createDataFrame(k4 + [(4, 5), (5, 6)], ["src", "dst"])
+    out = gt.ktruss(e, k=4).collect()
+    assert sorted((r.src, r.dst) for r in out) == sorted(k4)
+    assert all(r.support == 2 for r in out)
+
+
+def test_ktruss_cascading_peel_needs_multiple_rounds(spark):
+    # Triangle {1,2,3} plus edge (3,4) closed by (2,4): dropping the
+    # weak edges cascades — (2,4)/(3,4) are in one triangle only, so a
+    # 5-truss (support >= 3) empties the graph over several rounds,
+    # while the 3-truss (support >= 1) keeps both triangles.
+    from social_link_prediction_spark.graph import truss as gt
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    assert gt.ktruss(e, k=5).count() == 0
+    keep3 = gt.ktruss(e, k=3).collect()
+    assert sorted((r.src, r.dst) for r in keep3) == [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+
+
+def test_ktruss_rejects_small_k(spark):
+    from social_link_prediction_spark.graph import truss as gt
+    import pytest as _pytest
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        gt.ktruss(e, k=2)
