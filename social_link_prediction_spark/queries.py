@@ -7381,3 +7381,58 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_edges"))
         .orderBy("support")
     )
+
+
+@query(
+    "source_quality_breakdown",
+    f"""
+    WITH t AS (SELECT doc_id, source, text, {_DUCK_TOKS} AS toks FROM documents),
+    st AS (
+        SELECT doc_id, source, text, len(toks) AS n_tokens,
+               round(len(list_distinct(toks)) / len(toks), 6) AS distinct_ratio,
+               round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 6) AS mean_token_len,
+               round(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]+$'))) / len(toks), 6) AS punct_ratio
+        FROM t
+    ),
+    v AS (
+        SELECT doc_id, source, text,
+               CAST(NOT (n_tokens < 10 OR n_tokens > 100000
+                         OR distinct_ratio < 0.1 OR punct_ratio > 0.3
+                         OR mean_token_len < 2.0 OR mean_token_len > 12.0)
+                    AS INT) AS keep
+        FROM st
+    ),
+    d AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+        FROM v GROUP BY source
+    )
+    SELECT source, n_docs, n_kept,
+           round(n_kept / CAST(n_docs AS DOUBLE), 6) AS keep_rate,
+           n_exact_dups
+    FROM d ORDER BY source
+    """,
+)
+def source_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus triage — the report that decides which crawl
+    feeds to keep, re-weight, or drop: document counts, quality-gate
+    keep rate (same pinned rule set as quality_filter_summary), and
+    within-source exact-duplicate mass. One scan + one groupBy; the
+    dup count is docs minus distinct text hashes, no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    out = ptx.quality_filter(docs)
+    d = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+    return d.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_docs").cast("double"), 6).alias(
+            "keep_rate"
+        ),
+        "n_exact_dups",
+    ).orderBy("source")
