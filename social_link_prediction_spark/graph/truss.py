@@ -76,6 +76,8 @@ def ktruss(
         raise ValueError(f"k-truss requires k >= 3, got {k}")
     e = _canonical(edges, src, dst).persist()
     n = e.count()
+    sup = None
+    converged = False
     for _ in range(max_rounds):
         sup = edge_support(e)
         kept = (
@@ -85,11 +87,18 @@ def ktruss(
             .localCheckpoint()
         )
         n2 = kept.count()
-        e = kept
         if n2 == n:
+            e = kept
+            converged = True
             break
+        e = kept
         n = n2
-    # final support recomputed within the settled truss
-    return e.join(edge_support(e), ["src", "dst"], "left").select(
+    # On the converged exit the last sup was computed over exactly the
+    # settled edge set (kept == e), so reuse it — the triangle join is
+    # the operator's cost driver. Recompute only when the round cap
+    # cut the peel short (e shrank after sup was taken).
+    if sup is None or not converged:
+        sup = edge_support(e)
+    return e.join(sup, ["src", "dst"], "left").select(
         "src", "dst", F.coalesce(F.col("support"), F.lit(0)).alias("support")
     )

@@ -185,8 +185,11 @@ def snapshot_diff(
     One full-outer join on the key; change detection compares an md5
     over the non-key columns (computed map-side on each branch, so the
     join carries one hash per side instead of every compared column —
-    at 100 TB the shuffle width is keys + 32 bytes). NULL and empty
-    string are kept distinct via a NUL sentinel prefix per value.
+    at 100 TB the shuffle width is keys + 32 bytes). Each value is
+    hashed INDIVIDUALLY before the row hash: per-value md5 output is
+    fixed-width hex, so no value can smuggle a field separator and
+    shift field boundaries, and NULL maps to a token no md5 can
+    produce — the row hash is injective over the compared tuple.
     """
     keys = [key] if isinstance(key, str) else list(key)
     cols = compare_cols or [c for c in new.columns if c not in keys]
@@ -194,12 +197,9 @@ def snapshot_diff(
     def _hashed(df: DataFrame, alias: str) -> DataFrame:
         h = F.md5(
             F.concat_ws(
-                "\x1f",
+                "|",
                 *[
-                    F.concat(
-                        F.lit("\x00"),
-                        F.coalesce(F.col(c).cast("string"), F.lit("\x01null")),
-                    )
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("<null>"))
                     for c in cols
                 ],
             )

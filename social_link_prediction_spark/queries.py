@@ -3353,7 +3353,12 @@ _PQ_CODEBOOKS = [
 ]
 
 
-def _duck_pq_sql() -> str:
+def _pq_dist_case_sql() -> tuple[str, list[str], list[str]]:
+    """Shared PQ-encode SQL fragments (per-subspace squared distances,
+    first-best-wins argmin CASEs, per-subspace min errors) — the ONE
+    definition behind every PQ oracle (_duck_pq_sql, _duck_pq_adc_sql,
+    _duck_ivf_pq_sql), so the encode arithmetic cannot desynchronize
+    between them."""
     subs = []
     for m in range(_PQ_M):
         cents = [
@@ -3362,13 +3367,12 @@ def _duck_pq_sql() -> str:
         ]
         lo = m * _PQ_SUBDIM + 1
         hi = (m + 1) * _PQ_SUBDIM
-        ds = ", ".join(
-            f"list_distance(v[{lo}:{hi}], {c}) ** 2 AS d{m}_{j}"
-            for j, c in enumerate(cents)
+        subs.append(
+            ", ".join(
+                f"list_distance(v[{lo}:{hi}], {c}) ** 2 AS d{m}_{j}"
+                for j, c in enumerate(cents)
+            )
         )
-        subs.append(ds)
-    dcols = ",\n           ".join(subs)
-    # first-best-wins argmin per subspace (<= chain)
     cases = []
     errs = []
     for m in range(_PQ_M):
@@ -3378,6 +3382,29 @@ def _duck_pq_sql() -> str:
             f"WHEN d{m}_2 <= d{m}_3 THEN 2 ELSE 3 END AS code{m}"
         )
         errs.append(f"least(d{m}_0, d{m}_1, d{m}_2, d{m}_3)")
+    return ",\n           ".join(subs), cases, errs
+
+
+def _pq_luts(query_vec: list[float]) -> list[list[float]]:
+    """Per-subspace query->centroid squared-L2 lookup tables — the one
+    ADC table construction shared by the Spark serving path's oracle
+    twins."""
+    luts = []
+    for m, book in enumerate(_PQ_CODEBOOKS):
+        sub = query_vec[m * _PQ_SUBDIM : (m + 1) * _PQ_SUBDIM]
+        luts.append([sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book])
+    return luts
+
+
+def _pq_adc_terms_sql(luts: list[list[float]]) -> str:
+    return " + ".join(
+        "([" + ",".join(repr(x) for x in luts[m]) + "]::DOUBLE[])[code%d + 1]" % m
+        for m in range(_PQ_M)
+    )
+
+
+def _duck_pq_sql() -> str:
+    dcols, cases, errs = _pq_dist_case_sql()
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     d AS (SELECT vec_id,
@@ -3487,19 +3514,9 @@ _PQ_QUERY_VEC = [0.5 if i % 3 == 0 else -0.25 for i in range(64)]
 
 
 def _duck_pq_adc_sql() -> str:
-    sub_dim = _PQ_SUBDIM
-    luts = []
-    for m, book in enumerate(_PQ_CODEBOOKS):
-        sub = _PQ_QUERY_VEC[m * sub_dim : (m + 1) * sub_dim]
-        luts.append(
-            [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
-        )
     # codes CTE identical to _duck_pq_sql's
     base = _duck_pq_sql().split("SELECT code0")[0]
-    terms = " + ".join(
-        "([" + ",".join(repr(x) for x in luts[m]) + "]::DOUBLE[])[code%d + 1]" % m
-        for m in range(_PQ_M)
-    )
+    terms = _pq_adc_terms_sql(_pq_luts(_PQ_QUERY_VEC))
     return (
         base
         + f"""SELECT vec_id AS id, round({terms}, 6) AS approx_sq_dist
@@ -7009,12 +7026,17 @@ def feature_propagation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("double").alias("f")
     )
     h = gprop.propagate_features(edges, deg, ["f"], layers=2, alpha=0.5)
+    # format BEFORE the top-k so the tie-break is the same STRING order
+    # the oracle's `ORDER BY ... id` uses (its `id` binds to the
+    # formatted output alias — the betweenness_sample convention)
     return (
         h.filter(F.col("id") >= 0)
-        .select("id", F.round("f", 6).alias("feature"))
+        .select(
+            _fmt_node(F.col("id")).alias("id"),
+            F.round("f", 6).alias("feature"),
+        )
         .orderBy(F.col("feature").desc(), "id")
         .limit(20)
-        .select(_fmt_node(F.col("id")).alias("id"), "feature")
     )
 
 
@@ -7046,37 +7068,11 @@ def _duck_ivf_pq_sql(n_probe: int = 2, shortlist: int = 50, k: int = 10) -> str:
         "WHEN s1 > s0 THEN 1 ELSE 0 END"
     )
     probes = ", ".join(str(p) for p in _ivf_probe_cells(_PQ_QUERY_VEC, n_probe))
-    # per-subspace encode over the candidate set (same expressions as
-    # _duck_pq_sql, restricted to the probed cells)
-    subs, cases = [], []
-    for m in range(_PQ_M):
-        cbs = [
-            "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]"
-            for c in _PQ_CODEBOOKS[m]
-        ]
-        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
-        subs.append(
-            ", ".join(
-                f"list_distance(v[{lo}:{hi}], {c}) ** 2 AS d{m}_{j}"
-                for j, c in enumerate(cbs)
-            )
-        )
-        cases.append(
-            f"CASE WHEN d{m}_0 <= least(d{m}_1, d{m}_2, d{m}_3) THEN 0 "
-            f"WHEN d{m}_1 <= least(d{m}_2, d{m}_3) THEN 1 "
-            f"WHEN d{m}_2 <= d{m}_3 THEN 2 ELSE 3 END AS code{m}"
-        )
-    sub_dim = _PQ_SUBDIM
-    luts = []
-    for m, book in enumerate(_PQ_CODEBOOKS):
-        sub = _PQ_QUERY_VEC[m * sub_dim : (m + 1) * sub_dim]
-        luts.append([sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book])
-    adc = " + ".join(
-        "([" + ",".join(repr(x) for x in luts[m]) + "]::DOUBLE[])[code%d + 1]" % m
-        for m in range(_PQ_M)
-    )
+    # per-subspace encode over the candidate set — the SAME shared
+    # fragments as _duck_pq_sql, restricted to the probed cells
+    dcols, cases, _errs = _pq_dist_case_sql()
+    adc = _pq_adc_terms_sql(_pq_luts(_PQ_QUERY_VEC))
     qv = "[" + ",".join(repr(float(x)) for x in _PQ_QUERY_VEC) + "]::DOUBLE[]"
-    dcols = ",\n           ".join(subs)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     s AS (SELECT vec_id, v, {scores} FROM e),

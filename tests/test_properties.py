@@ -4,9 +4,17 @@ Each test generates small relations driver-side and runs them through
 the real Spark operators (few examples — Spark's per-action latency
 dominates, the properties don't need volume)."""
 
+import os
+
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+_needs_testdata = pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.001"),
+    reason="driver testdata not present",
+)
 
 _ids = st.text(alphabet="abcdef", min_size=1, max_size=4)
 _edges = st.lists(st.tuples(_ids, _ids, st.sampled_from(["r1", "r2"])), min_size=1, max_size=30)
@@ -276,6 +284,7 @@ def test_scrub_pii_idempotent(spark, texts):
     assert rows1 == rows2  # placeholders contain nothing scrubbable
 
 
+@_needs_testdata
 def test_transition_matrix_rows_are_distributions(spark):
     # p_transition sums to ~1 for every from_type (round-off only),
     # and every count is positive.
@@ -290,6 +299,7 @@ def test_transition_matrix_rows_are_distributions(spark):
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values()), sums
 
 
+@_needs_testdata
 def test_rolling_wau_bounds_daily_actives(spark):
     # WAU(d) >= DAU(d) (the window contains the day itself) and WAU
     # never exceeds the total distinct-user population.
@@ -308,6 +318,7 @@ def test_rolling_wau_bounds_daily_actives(spark):
     assert all(dau[d] <= wau[d] <= total for d in dau)
 
 
+@_needs_testdata
 def test_gapfill_grid_is_dense_and_locf_consistent(spark):
     # Every (event_type, hour) cell between the global bounds exists
     # exactly once; non-gap rows carry their own hourly value; gap rows

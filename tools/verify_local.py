@@ -73,12 +73,14 @@ def main():
     hugeint = []
     for name, sql in oracles.items():
         try:
-            types = [str(t) for t in con.sql(sql).types]
+            rel = con.sql(sql)
+            types = [str(t) for t in rel.types]
+            cols = rel.columns
         except Exception:  # noqa: BLE001 — execution pass reports real errors
             continue
         bad = [
             c
-            for c, t in zip(con.sql(sql).columns, types)
+            for c, t in zip(cols, types)
             if t == "HUGEINT" or t.startswith("DECIMAL")
         ]
         if bad:
