@@ -356,3 +356,60 @@ def test_datasource_stream_to_parquet_e2e(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "edges")).collect()
     assert sorted(r.qid for r in out) == [f"Q{i}" for i in range(5)]
     assert all(r.rel == "spouse" for r in out)
+
+
+def test_read_jsonl_clean_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from social_link_prediction_spark.sources.delimited import read_jsonl_clean
+
+    p = tmp_path / "drop.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "a"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "b"}\n'
+        '{"id": "not-a-number", "name": "c"}\n'
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    clean, quarantine = read_jsonl_clean(spark, str(p), schema)
+    assert sorted((r.id, r.name) for r in clean.collect()) == [(1, "a"), (2, "b")]
+    bad = sorted(r.raw_line for r in quarantine.collect())
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert all(r._input_file.endswith("drop.jsonl") for r in quarantine.collect())
+
+
+def test_read_csv_clean_quarantines_untypable_rows(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    from social_link_prediction_spark.sources.delimited import read_csv_clean
+
+    p = tmp_path / "drop.csv"
+    p.write_text("id,name,score\n1,a,1.5\ntwo,b,2.5\n3,c,oops\n4,d,4.0\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    clean, quarantine = read_csv_clean(spark, str(p), schema)
+    assert sorted((r.id, r.name, r.score) for r in clean.collect()) == [
+        (1, "a", 1.5),
+        (4, "d", 4.0),
+    ]
+    assert quarantine.count() == 2
+
+
+def test_read_clean_rejects_reserved_column(spark):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from social_link_prediction_spark.sources.delimited import (
+        _with_capture,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _with_capture(StructType([StructField("_corrupt_record", StringType())]))
