@@ -73,6 +73,15 @@ HEADLINE = [
     "event_transition_matrix",
     "rolling_7d_active_users",
     "retention_cohorts",
+    # round-4 final additions: GNN propagation, two-stage ANN serving,
+    # RAG chunking, CDC diff, k-truss, inter-arrival, source triage
+    "feature_propagation_suppliers",
+    "ivf_pq_rerank_topk",
+    "doc_sliding_chunks",
+    "snapshot_diff_orders",
+    "ktruss_suppliers",
+    "order_interarrival_stats",
+    "source_quality_breakdown",
 ]
 
 

@@ -45,23 +45,34 @@ def propagate_features(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Run ``layers`` rounds of mean-aggregation message passing over
     the numeric feature columns ``cols`` of ``feats`` (one row per
     node, keyed by ``id_col``). Returns the final (id, *cols) frame.
+
+    The feature frame is |V| rows; under ``broadcast_max_rows`` it is
+    broadcast into both per-layer joins (the edge table never
+    shuffles), past the guard the layers run shuffle-based — on a
+    billion-node graph the features are no longer the small side.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     h = feats.select(F.col(id_col).alias("id"), *[F.col(c).cast("double") for c in cols])
+    small = feats.count() <= broadcast_max_rows
+
+    def _sm(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(layers):
         msg = (
-            h.join(e, h["id"] == e["src"])
+            _sm(h).join(e, h["id"] == e["src"])
             .groupBy(F.col("dst").alias("id"))
             .agg(*[F.avg(c).alias(f"nbr_{c}") for c in cols])
         )
         h = (
-            h.join(msg, "id", "left")
+            h.join(_sm(msg), "id", "left")
             .select(
                 "id",
                 *[

@@ -94,12 +94,21 @@ def main() -> None:
         "",
         "## Notes",
         "",
-        "- Iterative queries (pagerank, hits, betweenness, randomwalk,",
-        "  sssp, kcore) localCheckpoint per round, so the final explain",
-        "  shows only the last round's plan — per-round shape is",
-        "  documented in the operator docstrings (one keyed join + agg",
-        "  per round, edge partitioning reused, score frames broadcast",
-        "  under an explicit row guard).",
+        "- Iterative queries (pagerank, hits, randomwalk, sssp's",
+        "  frontier, kcore) localCheckpoint per round, so the final",
+        "  explain shows only the last round's plan — per-round shape",
+        "  is documented in the operator docstrings (one keyed join +",
+        "  agg per round, edge partitioning reused, score frames",
+        "  broadcast under an explicit row guard). Depth-bounded",
+        "  betweenness and k-truss use lazy persist, so their rows",
+        "  show the WHOLE multi-round DAG in one plan (hence the high",
+        "  join/exchange counts — that is 3+ rounds of triangle or",
+        "  BFS joins, not one bad join).",
+        "- gapfill_locf_hourly's BroadcastNestedLoopJoin is the 1-row",
+        "  bounds-frame cross join (grid synthesis);",
+        "  rolling_7d_active_users' BNLJ is the broadcast day-grid",
+        "  range join — range predicates cannot hash, and the",
+        "  broadcast side is one row per distinct day.",
         "- Per-query bench deltas vs the r2 anchor redistribute cold",
         "  costs, not plan quality: adjacent queries share persisted",
         "  frames (partsupp edge cache, document shingles, embedding",
