@@ -104,6 +104,13 @@ def main() -> None:
         "  show the WHOLE multi-round DAG in one plan (hence the high",
         "  join/exchange counts — that is 3+ rounds of triangle or",
         "  BFS joins, not one bad join).",
+        "- winnow_dedup_clusters at sf0.1 splits 30s pair generation /",
+        "  7s clustering (measured): the synthetic corpus is",
+        "  pathologically self-similar (907k true near-dup pairs among",
+        "  5000 docs, tiny 31-token vocabulary), so the fingerprint",
+        "  equi-join's quadratic OUTPUT is inherent to the data, not a",
+        "  plan defect; on real text fingerprint collisions are rare",
+        "  and the blocking join's cost tracks collisions, not |docs|².",
         "- gapfill_locf_hourly's BroadcastNestedLoopJoin is the 1-row",
         "  bounds-frame cross join (grid synthesis);",
         "  rolling_7d_active_users' BNLJ is the broadcast day-grid",
