@@ -364,3 +364,61 @@ def test_lsh_band_plan_scurve_laws():
         lo = lsh_collision_probability(max(threshold - 0.25, 0.01), b, r)
         hi = lsh_collision_probability(min(threshold + 0.25, 0.99), b, r)
         assert hi > lo
+
+
+@_needs_testdata
+def test_ktruss_support_law(spark):
+    # Every surviving edge of the registered 3-truss has support >= 1
+    # within the truss itself (the defining invariant at the fixed
+    # point), and the truss is a subset of the sampled input graph.
+    from social_link_prediction_spark import queries as q
+    from social_link_prediction_spark.graph import truss as gt
+    from social_link_prediction_spark.ml import linksplit as mls
+
+    sf = "/root/testdata/sf0.01"
+    sup = q._t(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("kt")) % 10000
+            < 400
+        )
+    )
+    tr = gt.ktruss(pairs, k=3, max_rounds=3)
+    rows = tr.collect()
+    assert rows, "3-truss unexpectedly empty at sf0.01"
+    assert all(r.support >= 1 for r in rows)
+    edge_set = {(r.src, r.dst) for r in pairs.collect()}
+    assert all((r.src, r.dst) in edge_set for r in rows)
+
+
+@_needs_testdata
+def test_sliding_chunks_cover_every_token_with_overlap(spark):
+    # Chunk starts advance by the stride; consecutive chunks overlap by
+    # size - stride tokens; the union of [start, start+n) intervals
+    # covers [0, len) for every document.
+    from social_link_prediction_spark import queries as q
+    from social_link_prediction_spark.queries import _CHUNK_SIZE, _CHUNK_STRIDE, _t
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["doc_sliding_chunks"](spark, sf).collect()
+    lens = {
+        r.doc_id: len(r.text.split(" "))
+        for r in _t(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        covered = 0
+        for i, r in enumerate(chunks):
+            assert r.start_token == i * _CHUNK_STRIDE
+            assert 1 <= r.n_tokens <= _CHUNK_SIZE
+            assert r.start_token <= covered  # no gap
+            covered = max(covered, r.start_token + r.n_tokens)
+        assert covered == lens[doc_id]
