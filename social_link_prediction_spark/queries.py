@@ -7432,3 +7432,38 @@ def source_quality_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_exact_dups",
     ).orderBy("source")
+
+
+@query(
+    "dense_rank_ties_parts",
+    """
+    WITH r AS (
+        SELECT p_brand, p_partkey, p_retailprice,
+               dense_rank() OVER (
+                   PARTITION BY p_brand ORDER BY p_retailprice DESC
+               ) AS price_rank
+        FROM part
+    )
+    SELECT p_brand, price_rank,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(min(p_retailprice), 2) AS price
+    FROM r WHERE price_rank <= 2
+    GROUP BY p_brand, price_rank
+    """,
+)
+def dense_rank_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ties-preserving per-group top-k: the two highest price POINTS
+    per brand with every part at those prices counted — dense_rank
+    keeps ties and does not skip ranks, unlike the catalog's
+    row_number top-k entries (top3_orders_per_customer) which pick
+    exactly k rows. The rank window and the rollup share the p_brand
+    shuffle."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    r = part.select(
+        "p_brand", "p_retailprice", F.dense_rank().over(w).alias("price_rank")
+    ).filter(F.col("price_rank") <= 2)
+    return r.groupBy("p_brand", "price_rank").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("p_retailprice"), 2).alias("price"),
+    )
