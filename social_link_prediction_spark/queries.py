@@ -7467,3 +7467,64 @@ def dense_rank_ties_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.min("p_retailprice"), 2).alias("price"),
     )
+
+
+@query(
+    "robust_outlier_days",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type,
+               quantile_cont(n_events, 0.5) AS med_n
+        FROM daily GROUP BY event_type
+    ),
+    dev AS (
+        SELECT daily.event_type, d, n_events, med_n,
+               abs(n_events - med_n) AS absdev
+        FROM daily JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad_n
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, d AS activity_date, n_events,
+           round(med_n, 6) AS median_daily,
+           round(mad_n, 6) AS mad_daily,
+           CAST(abs(n_events - med_n) > 3 * mad_n AS INT) AS is_outlier
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-volume outlier flags per event type —
+    the heavy-tail-safe twin of event_rate_anomalies' mean/stddev
+    z-scores: one bad day cannot drag the baseline the way it drags a
+    mean. Exact percentile for oracle parity (percentile_approx is
+    the 100 TB path); the per-type median/MAD frames are tiny and
+    broadcast back onto the daily counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("activity_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med_n")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("n_events") - F.col("med_n"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_n")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "activity_date",
+        "n_events",
+        F.round("med_n", 6).alias("median_daily"),
+        F.round("mad_n", 6).alias("mad_daily"),
+        (F.abs(F.col("n_events") - F.col("med_n")) > 3 * F.col("mad_n"))
+        .cast("int")
+        .alias("is_outlier"),
+    )
