@@ -51,6 +51,7 @@ EVENT_TIME_QUERIES = [
     "event_transition_matrix",
     "rolling_7d_active_users",
     "retention_cohorts",
+    "robust_outlier_days",
 ]
 
 needs_testdata = pytest.mark.skipif(
