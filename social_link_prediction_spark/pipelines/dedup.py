@@ -465,3 +465,29 @@ def lsh_band_plan(n_hashes: int, threshold: float) -> tuple[int, int]:
         if best is None or key < best[0]:
             best = (key, (bands, rows))
     return best[1]
+
+
+def minhash_dedup_auto(
+    df: DataFrame,
+    threshold: float,
+    n_hashes: int = 8,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Threshold-driven near-dup pairs: pick the LSH banding from
+    :func:`lsh_band_plan` (S-curve midpoint nearest ``threshold``)
+    and run the full MinHash → banded candidates → exact-Jaccard
+    flow. The one-knob entry point a pipeline author actually wants —
+    "dedup at 0.8" — with the bands/rows trade-off derived instead of
+    hand-tuned."""
+    _bands, rows_per_band = lsh_band_plan(n_hashes, threshold)
+    return minhash_dedup_pairs(
+        df,
+        id_col=id_col,
+        col=col,
+        k=n_hashes,
+        rows_per_band=rows_per_band,
+        n=n,
+        threshold=threshold,
+    )

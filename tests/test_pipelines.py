@@ -229,3 +229,18 @@ def test_jaccard_pairs_topk_values(spark):
     assert abs(by_pair[(1, 3)] - 1 / 3) < 1e-6  # rounded to 6 before ranking
     assert abs(by_pair[(2, 3)] - 1 / 3) < 1e-6
     assert top[0].id_a == 1 and top[0].id_b == 2  # ranked first
+
+
+def test_minhash_dedup_auto_finds_planted_neardup(spark):
+    from social_link_prediction_spark.pipelines.dedup import minhash_dedup_auto
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark catalyst tungsten optimizers"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = minhash_dedup_auto(docs, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
