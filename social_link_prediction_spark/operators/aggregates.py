@@ -273,3 +273,74 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch: the set-operation member
+# of the mergeable-sketch family (HLL = cardinality-union only,
+# fixed-grid histogram = quantiles, CMS = frequency, KMV = cardinality
+# WITH intersection). Bar-Yossef et al. 2002 (distinct elements in a
+# stream); Beyer et al. 2007 (set operations on KMV synopses).
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct 60-bit md5
+    hashes of ``key_col`` — returned as (group_cols..., h) rows. The
+    hash is the oracle-replayable ``hash60`` family, so sketches (and
+    every estimate derived from them) are identical across engines
+    and runs. Duplicates collapse BEFORE the rank (a distinct on
+    (group, h) with map-side partial aggregation), so the rank input
+    is one row per distinct key. The grouped path pays one per-group
+    window rank on the deduped hashes; the global path is a
+    TakeOrdered k-heap (no single-partition sort of the key space).
+
+    The sketch IS the mergeable state: ``kmv_union`` re-ranks the
+    union of hash sets, and membership of union-sketch hashes in the
+    per-set sketches is EXACT (h in the union sketch means h <=
+    kth-min(A ∪ B) <= kth-min(A), so any h ∈ A is inside A's
+    sketch) — which is what makes intersection estimation possible,
+    unlike HLL where only union merges losslessly."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    gcols = list(group_cols)
+    dh = df.select(
+        *gcols, hash60(F.col(key_col).cast("string"), F.lit("kmv")).alias("h")
+    ).dropDuplicates()
+    if not gcols:
+        return dh.orderBy("h").limit(k)
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        dh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(*gcols, "h")
+    )
+
+
+def kmv_union(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union-merge KMV sketches (hash frames with an ``h`` column):
+    distinct union of the hash sets, keep the k smallest. Associative
+    and lossless — sketch(A ∪ B) == union(sketch(A), sketch(B)) — the
+    property test pins this merge law."""
+    out = sketches[0].select("h")
+    for s in sketches[1:]:
+        out = out.unionAll(s.select("h"))
+    return out.dropDuplicates().orderBy("h").limit(k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: exact (= sketch
+    size) when the sketch is not full, else the unbiased estimator
+    (k-1) * 2^60 / kth_min. Returns (group_cols..., kmv_n, kmv_est):
+    the sketch size rides along because set-operation estimates
+    (intersection via Jaccard) need the denominator |K|."""
+    gcols = list(group_cols)
+    agg = [F.count(F.lit(1)).alias("kmv_n"), F.max("h").alias("__m")]
+    g = sketch.groupBy(*gcols).agg(*agg) if gcols else sketch.agg(*agg)
+    est = F.when(F.col("kmv_n") < k, F.col("kmv_n").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / F.col("__m")
+    )
+    return g.select(*gcols, "kmv_n", F.round(est, 4).alias("kmv_est"))

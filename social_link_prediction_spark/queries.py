@@ -7528,3 +7528,162 @@ def robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+# =====================================================================
+# KMV distinct sketch — the set-operation member of the mergeable-
+# sketch family (HLL unions, histogram quantiles, CMS frequencies,
+# KMV adds INTERSECTION estimates, which HLL cannot give losslessly).
+# =====================================================================
+_KMV_K = 64
+_KMV_H = _DUCK_H60.format(args="CAST(user_id AS VARCHAR), 'kmv'")
+
+
+@query(
+    "kmv_user_overlap",
+    f"""
+    WITH ev AS (
+        SELECT event_type, user_id FROM events
+        WHERE event_type IN ('view', 'purchase')
+    ),
+    dh AS (SELECT DISTINCT event_type, {_KMV_H} AS h FROM ev),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM dh
+        ) WHERE rn <= {_KMV_K}
+    ),
+    un AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM dh)
+        ) WHERE rn <= {_KMV_K}
+    ),
+    et AS (
+        SELECT event_type, count(*) AS n, max(h) AS m
+        FROM sk GROUP BY event_type
+    ),
+    eu AS (SELECT count(*) AS n, max(h) AS m FROM un),
+    ji AS (
+        SELECT CAST(count(*) AS BIGINT) AS j FROM un
+        WHERE h IN (SELECT h FROM sk WHERE event_type = 'view')
+          AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')
+    ),
+    est AS (
+        SELECT
+            (SELECT round(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                          ELSE {float((_KMV_K - 1) * (1 << 60))!r} / m END, 4)
+             FROM et WHERE event_type = 'view') AS est_view,
+            (SELECT round(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                          ELSE {float((_KMV_K - 1) * (1 << 60))!r} / m END, 4)
+             FROM et WHERE event_type = 'purchase') AS est_purchase,
+            (SELECT round(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+                          ELSE {float((_KMV_K - 1) * (1 << 60))!r} / m END, 4)
+             FROM eu) AS est_union,
+            (SELECT n FROM eu) AS union_n,
+            (SELECT j FROM ji) AS j
+    ),
+    ex AS (
+        SELECT
+            CAST(count(DISTINCT CASE WHEN event_type = 'view'
+                                     THEN user_id END) AS BIGINT) AS exact_view,
+            CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                     THEN user_id END) AS BIGINT) AS exact_purchase,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+        FROM ev
+    ),
+    exi AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (
+            SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'
+        )
+    )
+    SELECT {_KMV_K} AS k, est_view, est_purchase, est_union,
+           round(CAST(j AS DOUBLE) / union_n * est_union, 4) AS est_intersect,
+           exact_view, exact_purchase, exact_union, exact_intersect
+    FROM est, ex, exi
+    """,
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches: per-event-type
+    k-minimum-values sketches of the user set, union-merged, with the
+    view ∩ purchase intersection estimated as (|K ∩ S_v ∩ S_p| / |K|)
+    × est(union) — the Beyer et al. 2007 Jaccard route that HLL cannot
+    take (its union is lossless but intersection via inclusion-
+    exclusion compounds error). Exact distinct counts ride along as
+    the accuracy audit. At 100 TB the sketches are built per
+    partition/day and merged upward (64 longs of state per set);
+    only this audit query touches exact distincts. Hashes are the
+    oracle-replayable h60 family, so every estimate is deterministic
+    across engines."""
+    from social_link_prediction_spark.operators import aggregates as agg
+
+    k = _KMV_K
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    sk = agg.kmv_sketch(ev, "user_id", k=k, group_cols=["event_type"])
+    sk.persist()
+    un = agg.kmv_union(sk, k=k)
+    un.persist()
+    est_t = agg.kmv_estimate(sk, k, ["event_type"])
+    est_u = agg.kmv_estimate(un, k)
+    # intersection: union-sketch hashes present in BOTH per-type
+    # sketches (membership via sketches is exact — see kmv_sketch doc)
+    j = (
+        un.join(sk.filter(F.col("event_type") == "view").select("h"), "h", "semi")
+        .join(sk.filter(F.col("event_type") == "purchase").select("h"), "h", "semi")
+        .agg(F.count(F.lit(1)).alias("j"))
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_view"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    exact_i = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .join(
+            ev.filter(F.col("event_type") == "purchase").select("user_id"),
+            "user_id",
+            "semi",
+        )
+        .agg(F.countDistinct("user_id").alias("exact_intersect"))
+    )
+    ev_ = est_t.filter(F.col("event_type") == "view").select(
+        F.col("kmv_est").alias("est_view")
+    )
+    ep_ = est_t.filter(F.col("event_type") == "purchase").select(
+        F.col("kmv_est").alias("est_purchase")
+    )
+    eu_ = est_u.select(
+        F.col("kmv_n").alias("union_n"), F.col("kmv_est").alias("est_union")
+    )
+    # all six frames are 1-row: broadcast-anchor crossJoins, no shuffle
+    return (
+        ev_.crossJoin(ep_)
+        .crossJoin(eu_)
+        .crossJoin(j)
+        .crossJoin(exact)
+        .crossJoin(exact_i)
+        .select(
+            F.lit(k).alias("k"),
+            "est_view",
+            "est_purchase",
+            "est_union",
+            F.round(
+                F.col("j").cast("double") / F.col("union_n") * F.col("est_union"),
+                4,
+            ).alias("est_intersect"),
+            "exact_view",
+            "exact_purchase",
+            "exact_union",
+            "exact_intersect",
+        )
+    )

@@ -422,3 +422,78 @@ def test_sliding_chunks_cover_every_token_with_overlap(spark):
             assert r.start_token <= covered  # no gap
             covered = max(covered, r.start_token + r.n_tokens)
         assert covered == lens[doc_id]
+
+
+# ---------------------------------------------------------------------
+# KMV sketch laws (operators/aggregates.kmv_*)
+# ---------------------------------------------------------------------
+def test_kmv_merge_law_membership_and_accuracy(spark):
+    """Three laws that make KMV the set-operation sketch:
+    1. merge law — sketch(A ∪ B) == kmv_union(sketch(A), sketch(B));
+    2. membership exactness — every union-sketch hash that belongs to
+       set A appears in A's sketch (h <= kth-min(A∪B) <= kth-min(A));
+    3. accuracy — the estimator lands within 30% of the true distinct
+       count when the sketch is full, and is EXACT when not full."""
+    from social_link_prediction_spark.operators import aggregates as agg
+
+    a_keys = [f"a{i}" for i in range(3000)] + [f"c{i}" for i in range(1000)]
+    b_keys = [f"b{i}" for i in range(2000)] + [f"c{i}" for i in range(1000)]
+    a = spark.createDataFrame([(k,) for k in a_keys], "key string")
+    b = spark.createDataFrame([(k,) for k in b_keys], "key string")
+    both = a.unionAll(b)
+    k = 128
+
+    sk_a = agg.kmv_sketch(a, "key", k=k)
+    sk_b = agg.kmv_sketch(b, "key", k=k)
+    merged = sorted(r.h for r in agg.kmv_union(sk_a, sk_b, k=k).collect())
+    direct = sorted(r.h for r in agg.kmv_sketch(both, "key", k=k).collect())
+    assert merged == direct  # (1)
+
+    ha = {r.h for r in sk_a.collect()}
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    a_hashes = {
+        r.h
+        for r in a.select(
+            hash60(F.col("key").cast("string"), F.lit("kmv")).alias("h")
+        ).collect()
+    }
+    for h in merged:
+        if h in a_hashes:
+            assert h in ha  # (2)
+
+    est = agg.kmv_estimate(
+        agg.kmv_sketch(both, "key", k=k), k
+    ).collect()[0]
+    true_n = len(set(a_keys) | set(b_keys))
+    assert est.kmv_n == k
+    assert abs(est.kmv_est - true_n) / true_n < 0.30  # (3)
+
+    # not-full sketch is exact
+    small = spark.createDataFrame([(f"s{i}",) for i in range(50)], "key string")
+    est_s = agg.kmv_estimate(agg.kmv_sketch(small, "key", k=k), k).collect()[0]
+    assert est_s.kmv_n == 50 and est_s.kmv_est == 50.0
+
+
+def test_kmv_grouped_matches_global_per_group(spark):
+    """The grouped (window-rank) path and the global (TakeOrdered)
+    path produce identical sketches for each group."""
+    from social_link_prediction_spark.operators import aggregates as agg
+
+    rows = [("g1", f"x{i}") for i in range(500)] + [
+        ("g2", f"y{i}") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    k = 32
+    grouped = agg.kmv_sketch(df, "key", k=k, group_cols=["g"])
+    for gname in ("g1", "g2"):
+        via_group = sorted(
+            r.h for r in grouped.filter(F.col("g") == gname).collect()
+        )
+        via_global = sorted(
+            r.h
+            for r in agg.kmv_sketch(
+                df.filter(F.col("g") == gname), "key", k=k
+            ).collect()
+        )
+        assert via_group == via_global
