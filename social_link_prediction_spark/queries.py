@@ -7687,3 +7687,112 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+# =====================================================================
+# Strongly connected components (FW-BW coloring) over a deterministic
+# hash-sampled DIRECTED supplier graph — the directed twin of
+# connected_components_cnr; same replayable-sample device as ktruss.
+# =====================================================================
+_SCC_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(a.id AS VARCHAR) || '-' || CAST(b.id AS VARCHAR), 'scc'"
+)
+
+
+def _duck_scc_sql(rounds: int = 3, peels: int = 2) -> str:
+    """FW-BW coloring unrolled CTE-by-CTE: per peel, ``rounds`` color-
+    propagation rounds (max over ancestors flows along edges), the
+    class-restricted edge set, ``rounds`` backward-reach rounds to the
+    class root, then the peel of resolved nodes."""
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e1 AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id <> b.id
+        WHERE {_SCC_EDGE_SQL} % 10000 < 250),
+    n1 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (SELECT u AS id FROM e1 UNION ALL SELECT v FROM e1))"""
+    ]
+    finals = []
+    for p in range(1, peels + 1):
+        ctes.append(f"c{p}_0 AS (SELECT id, id AS c FROM n{p})")
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"""c{p}_{i} AS MATERIALIZED (
+                SELECT n.id, greatest(n.c, coalesce(m.cin, n.c)) AS c
+                FROM c{p}_{i - 1} n LEFT JOIN (
+                    SELECT e.v AS id, max(c.c) AS cin
+                    FROM e{p} e JOIN c{p}_{i - 1} c ON c.id = e.u GROUP BY e.v
+                ) m USING (id))"""
+            )
+        ctes.append(
+            f"""ce{p} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{p} e
+            JOIN c{p}_{rounds} cu ON cu.id = e.u
+            JOIN c{p}_{rounds} cv ON cv.id = e.v
+            WHERE cu.c = cv.c)"""
+        )
+        ctes.append(
+            f"r{p}_0 AS (SELECT id, c, CAST(id = c AS INT) AS r FROM c{p}_{rounds})"
+        )
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"""r{p}_{i} AS MATERIALIZED (
+                SELECT r.id, r.c, greatest(r.r, coalesce(m.rin, 0)) AS r
+                FROM r{p}_{i - 1} r LEFT JOIN (
+                    SELECT e.u AS id, 1 AS rin FROM ce{p} e
+                    JOIN r{p}_{i - 1} rr ON rr.id = e.v
+                    WHERE rr.r = 1 GROUP BY e.u
+                ) m USING (id))"""
+            )
+        finals.append(f"SELECT id, c AS scc FROM r{p}_{rounds} WHERE r = 1")
+        if p < peels:
+            ctes.append(
+                f"n{p + 1} AS MATERIALIZED (SELECT id FROM r{p}_{rounds} WHERE r = 0)"
+            )
+            ctes.append(
+                f"""e{p + 1} AS MATERIALIZED (
+                SELECT e.u, e.v FROM e{p} e
+                JOIN n{p + 1} a ON a.id = e.u
+                JOIN n{p + 1} b ON b.id = e.v)"""
+            )
+        else:
+            finals.append(
+                f"SELECT id, CAST(NULL AS BIGINT) AS scc FROM r{p}_{rounds} WHERE r = 0"
+            )
+    body = ",\n    ".join(ctes)
+    allrows = " UNION ALL ".join(finals)
+    return f"""WITH {body}
+    SELECT scc AS scc_root, CAST(count(*) AS BIGINT) AS n_members
+    FROM ({allrows}) GROUP BY scc ORDER BY n_members DESC, scc_root
+    """
+
+
+@query("scc_suppliers", _duck_scc_sql())
+def scc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of a 2.5%-sampled directed
+    supplier graph (h60 seed hash — replayable, same device as
+    ktruss): FW-BW coloring with a fixed (rounds=3, peels=2) budget,
+    reported as per-component member counts; nodes the budget could
+    not settle come back under scc_root NULL (the honest budget-
+    exhaustion contract). Tarjan/Kosaraju are sequential DFS and do
+    not distribute — coloring is the shared-nothing SCC algorithm,
+    and each peel round is one keyed join + one max-aggregate."""
+    from social_link_prediction_spark.graph import scc as gscc
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") != F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scc")) % 10000
+            < 250
+        )
+    )
+    comp = gscc.strongly_connected_components(pairs, rounds=3, peels=2)
+    return (
+        comp.groupBy(F.col("scc").alias("scc_root"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.col("n_members").desc(), "scc_root")
+    )

@@ -503,3 +503,55 @@ def test_ktruss_rejects_small_k(spark):
     e = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with _pytest.raises(ValueError):
         gt.ktruss(e, k=2)
+
+
+# ---------------------------------------------------------------------
+# Strongly connected components (graph/scc.py, FW-BW coloring)
+# ---------------------------------------------------------------------
+def _scc_map(rows):
+    return {r.id: r.scc for r in rows}
+
+
+def test_scc_cycle_with_tail(spark):
+    from social_link_prediction_spark.graph import scc as gscc
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    out = _scc_map(gscc.strongly_connected_components(e, rounds=3, peels=1).collect())
+    assert out == {1: 3, 2: 3, 3: 3, 4: 4}
+
+
+def test_scc_dag_all_singletons(spark):
+    from social_link_prediction_spark.graph import scc as gscc
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    out = _scc_map(gscc.strongly_connected_components(e, rounds=3, peels=1).collect())
+    assert out == {1: 1, 2: 2, 3: 3}
+
+
+def test_scc_two_components_one_class_needs_second_peel(spark):
+    from social_link_prediction_spark.graph import scc as gscc
+
+    # 5<->6 and 1<->2 with a bridge 6->1: color class of root 6 swallows
+    # {1,2,5,6}, but only {5,6} reaches 6 — {1,2} must wait for peel 2.
+    e = spark.createDataFrame(
+        [(5, 6), (6, 5), (1, 2), (2, 1), (6, 1)], "src long, dst long"
+    )
+    one = _scc_map(gscc.strongly_connected_components(e, rounds=3, peels=1).collect())
+    assert one[5] == 6 and one[6] == 6
+    assert one[1] is None and one[2] is None  # honest budget exhaustion
+    two = _scc_map(gscc.strongly_connected_components(e, rounds=3, peels=2).collect())
+    assert two == {1: 2, 2: 2, 5: 6, 6: 6}
+
+
+def test_scc_validates_budget(spark):
+    import pytest as _pytest
+
+    from social_link_prediction_spark.graph import scc as gscc
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        gscc.strongly_connected_components(e, rounds=0)
+    with _pytest.raises(ValueError):
+        gscc.strongly_connected_components(e, peels=0)
