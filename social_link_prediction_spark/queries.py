@@ -7796,3 +7796,155 @@ def scc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.col("n_members").desc(), "scc_root")
     )
+
+
+# =====================================================================
+# Warehouse data-quality audits: column profiling, functional-
+# dependency discovery, Benford first-digit screening.
+# =====================================================================
+def _duck_profile_col(col: str, rep: str) -> str:
+    return f"""
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+               '{col}' AS "column",
+               count(*) FILTER (WHERE {col} IS NULL) AS n_nulls,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               min({rep}) AS min_repr, max({rep}) AS max_repr,
+               round(avg(length({rep})), 6) AS avg_repr_len
+        FROM orders"""
+
+
+@query(
+    "column_profile_orders",
+    " UNION ALL ".join(
+        _duck_profile_col(c, r)
+        for c, r in [
+            ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+            ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+            ("o_orderstatus", "o_orderstatus"),
+            ("o_totalprice", "printf('%.2f', o_totalprice)"),
+            ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+            ("o_orderpriority", "o_orderpriority"),
+        ]
+    )
+    + " ORDER BY \"column\"",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of orders — null mass, cardinality, value
+    range, repr width — the scan every physical-layout decision
+    (bucket keys, z-order keys, dictionary candidates) starts from.
+    One table scan; doubles and timestamps get pinned formats
+    (printf %.2f / yyyy-MM-dd HH:mm:ss) because float-to-string is
+    the one repr engines render differently."""
+    from social_link_prediction_spark import warehouse
+
+    o = _t(spark, sf_dir, "orders")
+    return warehouse.column_profile(
+        o,
+        {
+            "o_orderkey": F.col("o_orderkey").cast("string"),
+            "o_custkey": F.col("o_custkey").cast("string"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_totalprice": F.format_string("%.2f", "o_totalprice"),
+            "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            "o_orderpriority": F.col("o_orderpriority"),
+        },
+    ).orderBy("column")
+
+
+_FD_CANDIDATES = [
+    ("p_partkey -> p_name", "p_partkey", "p_name"),
+    ("p_brand -> p_size", "p_brand", "p_size"),
+    ("p_name -> p_brand", "p_name", "p_brand"),
+    ("p_type -> p_retailprice", "p_type", "p_retailprice"),
+]
+
+
+@query(
+    "fd_discovery_part",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS fd,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               count(*) FILTER (WHERE nd > 1) AS n_violating_keys,
+               CAST(max(nd) AS BIGINT) AS max_dependents,
+               CAST(max(nd) = 1 AS INT) AS holds
+        FROM (SELECT {det}, count(DISTINCT {dep}) AS nd
+              FROM part GROUP BY {det})"""
+        for name, det, dep in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+)
+def fd_discovery_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery audit (the TANE/warehouse-
+    curation signal that complements fk_discovery_containment's
+    cross-table containment): for each candidate A → B, count
+    determinant keys whose dependent set exceeds one. Key FDs
+    (p_partkey → p_name) hold; content FDs over the synthetic corpus
+    (p_brand → p_size) violate and report their violation mass. One
+    groupBy per candidate — each is a single map-side-combinable
+    aggregation, unioned driver-side (4 one-row frames)."""
+    part = _t(spark, sf_dir, "part")
+    outs = []
+    for name, det, dep in _FD_CANDIDATES:
+        g = part.groupBy(det).agg(F.countDistinct(dep).alias("nd"))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.count(F.when(F.col("nd") > 1, 1)).alias("n_violating_keys"),
+                F.max("nd").alias("max_dependents"),
+                (F.max("nd") == 1).cast("int").alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fd")
+
+
+@query(
+    "benford_totalprice",
+    """
+    WITH d AS (
+        SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_share,
+           round(abs(CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit)), 6)
+               AS abs_deviation
+    FROM c, t ORDER BY digit
+    """,
+)
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screening of order totals —
+    the fraud/synthetic-data smell test: observed digit shares vs the
+    Benford expectation log10(1 + 1/d). (TPC-H-ish uniform pricing
+    deviates, and the report quantifies exactly how much.) First
+    digit via the string head (totalprice >= 1 guaranteed, so no
+    leading '0.'), dodging the floor(log10(x)) float-boundary trap at
+    exact powers of ten. One aggregation + a 1-row broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        c.join(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("observed_share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(F.abs(share - benford), 6).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )

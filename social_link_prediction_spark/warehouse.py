@@ -228,3 +228,48 @@ def skew_report(
         .orderBy(F.col("n_rows").desc(), *cols)
         .limit(k)
     )
+
+
+def column_profile(
+    df: DataFrame, reprs: dict[str, Column] | None = None
+) -> DataFrame:
+    """Per-column data profile in ONE table scan: (n_rows, column,
+    n_nulls, n_distinct, min_repr, max_repr, avg_repr_len). The
+    profile every layout decision in this file starts from — which
+    columns are high-cardinality (bucket/z-order keys), which are
+    null-heavy (sort nulls last, prune early), how wide values run
+    (dictionary-encoding candidates).
+
+    ``reprs`` maps column → canonical string representation; default
+    is CAST AS STRING. Pass explicit formats for doubles/timestamps
+    when cross-engine repr stability matters (float-to-string is the
+    one place engines disagree). All metrics fold into a single
+    aggregate (count_distinct per column expands it k-fold — one pass
+    over the table either way, exactly what a profiler costs), then
+    one inline() unpivots driver-side — the wide row is 6 values per
+    column, nowhere near data scale."""
+    reprs = reprs or {c: F.col(c).cast("string") for c in df.columns}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, r in reprs.items():
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(r).alias(f"{c}__mn"),
+            F.max(r).alias(f"{c}__mx"),
+            F.round(F.avg(F.length(r)), 6).alias(f"{c}__al"),
+        ]
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__nn").alias("n_nulls"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_repr"),
+                F.col(f"{c}__mx").alias("max_repr"),
+                F.col(f"{c}__al").alias("avg_repr_len"),
+            )
+            for c in reprs
+        ]
+    )
+    return wide.select(F.col("__n").alias("n_rows"), F.inline(entries))
