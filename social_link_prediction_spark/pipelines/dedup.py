@@ -491,3 +491,37 @@ def minhash_dedup_auto(
         n=n,
         threshold=threshold,
     )
+
+
+def quality_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware survivor selection: cluster near-duplicate pairs
+    (any detector's output) with :func:`neardup_clusters`, then keep
+    the HIGHEST-SCORING member of each cluster instead of the min-id
+    one — "keep the best copy, not the first copy", the C4/RefinedWeb-
+    style refinement of dedup (boilerplate-stripped or longer variants
+    of a duplicated page survive over truncated mirrors). Deterministic
+    tie-break on id. Returns one row per document: (id, cluster,
+    score, is_survivor).
+
+    The per-cluster argmax is a window rank over the cluster key —
+    cluster sizes are duplicate-family sizes (small by construction),
+    so the rank never sees a skewed partition; everything stays
+    distributed."""
+    from pyspark.sql import Window
+
+    cl = neardup_clusters(df, pairs, id_col)
+    scored = df.select(F.col(id_col).alias("id"), score.alias("score")).join(
+        cl.select("id", "cluster"), "id"
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("score").desc(), F.col("id"))
+    return (
+        scored.withColumn(
+            "is_survivor", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select("id", "cluster", "score", "is_survivor")
+    )

@@ -7948,3 +7948,222 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "quality_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_DUCK_WINNOW_FPS},
+    pr AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+    alldocs AS (SELECT doc_id AS id FROM documents),
+    reach(a, b) AS (
+        SELECT id, id FROM alldocs
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+    sc AS (
+        SELECT doc_id AS id,
+               CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT sc.id, cl.cluster, sc.score,
+           CAST(row_number() OVER (PARTITION BY cl.cluster
+                                   ORDER BY sc.score DESC, sc.id) = 1
+                AS INT) AS is_survivor
+    FROM sc JOIN cl ON cl.id = sc.id
+    """,
+)
+def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: winnowing near-dup clusters where the
+    survivor is the RICHEST member (distinct-token count, id
+    tie-break) instead of the min-id one — keep the best copy of a
+    duplicated page, not the first one crawled. Complements
+    winnow_dedup_clusters (same components, different keep rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ptx.winnow_neardup_pairs(
+        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
+    )
+    score = F.size(F.array_distinct(ptx.tokens("text"))).cast("long")
+    return pdd.quality_survivors(docs, pairs, score)
+
+
+@query(
+    "bigram_logprob_docs",
+    f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT doc_id, unnest(toks) AS w FROM t),
+    bg AS MATERIALIZED (
+        SELECT doc_id, unnest(toks[1:len(toks)-1]) AS v,
+               unnest(toks[2:len(toks)]) AS w
+        FROM t WHERE len(toks) >= 2
+    ),
+    uni AS MATERIALIZED (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uni),
+    bi AS MATERIALIZED (SELECT v, w, count(*) AS cvw FROM bg GROUP BY v, w),
+    cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv FROM bi GROUP BY v)
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(ln(0.7 * bi.cvw / cv.cv
+                        + 0.3 * uni.cw / (SELECT n FROM tot))) / count(*), 6)
+               AS mean_logprob
+    FROM bg JOIN bi USING (v, w) JOIN cv USING (v) JOIN uni USING (w)
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+)
+def bigram_logprob_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality signal — the KenLM-lite upgrade
+    of unigram_logprob_docs: mean log(0.7·P(w|v) + 0.3·P(w)) over a
+    document's bigrams, probabilities from the corpus's own counts.
+    Repetitive or template-y docs score high, shuffled-word salads
+    score low even when their unigram mix looks fine — exactly the
+    signal the unigram model cannot see. Both LM tables are
+    vocabulary-sized (|V| and observed |V|² bigrams), broadcast back
+    onto the exploded bigram stream; the per-doc rollup shares one
+    doc_id shuffle. P(w|v) context counts come from the bigram
+    table's own marginal (sum over w), so probabilities sum to 1 per
+    context by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = ptx.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.0").alias("v"), F.col("p.1").alias("w"))
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("n"))
+    bi = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    cv = bi.groupBy("v").agg(F.sum("cvw").alias("cv"))
+    prob = (
+        0.7 * F.col("cvw") / F.col("cv")
+        + 0.3 * F.col("cw") / F.col("n")
+    )
+    return (
+        bg.join(F.broadcast(bi), ["v", "w"])
+        .join(F.broadcast(cv), "v")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(F.log(prob)) / F.count(F.lit(1)), 6).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _duck_modularity_sql(rounds: int = _LPA_ROUNDS) -> str:
+    """LPA label evolution (same unrolled CTEs as _duck_lpa_sql) +
+    Newman modularity accounting over the final labels."""
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT u, v FROM (
+            SELECT DISTINCT -l_partkey - 1 AS u, l_suppkey::BIGINT AS v FROM lineitem
+            UNION SELECT DISTINCT l_suppkey::BIGINT, -l_partkey - 1 FROM lineitem
+        ) WHERE u <> v)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+                SELECT e.u AS id, l.label, count(*) AS c
+                FROM e JOIN l{p} l ON l.id = e.v
+                GROUP BY e.u, l.label),
+            l{i} AS MATERIALIZED (
+                SELECT id, label FROM (
+                    SELECT id, label,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY c DESC, label ASC) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1)"""
+        )
+    L = f"l{rounds}"
+    ctes.append(f"""mm AS (SELECT CAST(count(*) AS DOUBLE) / 2 AS m FROM e),
+    dc AS (SELECT l.label, CAST(count(*) AS BIGINT) AS degree_sum
+           FROM e JOIN {L} l ON l.id = e.u GROUP BY l.label),
+    ec AS (SELECT lu.label, CAST(count(*) / 2 AS BIGINT) AS internal_edges
+           FROM e JOIN {L} lu ON lu.id = e.u JOIN {L} lv ON lv.id = e.v
+           WHERE lu.label = lv.label GROUP BY lu.label),
+    sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+           FROM {L} GROUP BY label)""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+    SELECT CASE WHEN label < 0 THEN 'p:' || CAST(-label - 1 AS VARCHAR)
+                ELSE 's:' || CAST(label AS VARCHAR) END AS community,
+           n_members, coalesce(internal_edges, 0) AS internal_edges,
+           degree_sum,
+           round(coalesce(internal_edges, 0) / m
+                 - power(degree_sum / (2 * m), 2), 6) AS contribution
+    FROM sz JOIN dc USING (label) LEFT JOIN ec USING (label), mm
+    ORDER BY n_members DESC, community LIMIT 20
+    """
+    )
+
+
+@query("modularity_lpa", _duck_modularity_sql())
+def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity accounting of the LPA communities
+    (lpa_communities' labels): per community, internal-edge mass vs
+    the degree-sum null model — contribution = e_c/m − (d_c/2m)².
+    The quality score that says whether a partition is real structure
+    or noise (near-zero on this bipartite-ish graph — which is itself
+    the diagnostic: LPA on part↔supplier structure finds star
+    clumps, not dense modules). Label frames are |V|-sized; every
+    join is keyed on node id; m and the null model come from 1-row
+    broadcast anchors."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    labels = gcom.label_propagation(edges, rounds=_LPA_ROUNDS).persist()
+    e = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    m = e.agg((F.count(F.lit(1)).cast("double") / 2).alias("m"))
+    lu = labels.select(F.col("id").alias("u"), F.col("label"))
+    lv = labels.select(F.col("id").alias("v"), F.col("label").alias("label_v"))
+    dc = e.join(lu, "u").groupBy("label").agg(
+        F.count(F.lit(1)).alias("degree_sum")
+    )
+    ec = (
+        e.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("label") == F.col("label_v"))
+        .groupBy("label")
+        .agg((F.count(F.lit(1)) / 2).cast("long").alias("internal_edges"))
+    )
+    sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        sz.join(dc, "label")
+        .join(ec, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            _fmt_node(F.col("label")).alias("community"),
+            "n_members",
+            F.coalesce("internal_edges", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            F.round(
+                F.coalesce("internal_edges", F.lit(0)) / F.col("m")
+                - F.pow(F.col("degree_sum") / (2 * F.col("m")), 2),
+                6,
+            ).alias("contribution"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(20)
+    )

@@ -244,3 +244,32 @@ def test_minhash_dedup_auto_finds_planted_neardup(spark):
     found = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in found
     assert all(3 not in p for p in found)
+
+
+def test_quality_survivors_keeps_best_not_first(spark):
+    """Survivor = argmax score (id tie-break), NOT min id: a cluster
+    whose best copy has the larger id must keep the larger id."""
+    from pyspark.sql import functions as F
+
+    from social_link_prediction_spark.pipelines import dedup as pdd
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d e"), (3, "x y"), (5, "q"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    score = F.size(F.array_distinct(F.split("text", " ")))
+    out = {
+        r.id: (r.cluster, r.score, r.is_survivor)
+        for r in pdd.quality_survivors(docs, pairs, score).collect()
+    }
+    # cluster {1,2}: doc 2 is richer -> survives despite larger id
+    assert out[2][2] == 1 and out[1][2] == 0
+    # cluster {3,4}: doc 4 richer
+    assert out[4][2] == 1 and out[3][2] == 0
+    # singleton survives itself
+    assert out[5][2] == 1
+    # exactly one survivor per cluster
+    assert out[1][0] == out[2][0] and out[3][0] == out[4][0]
