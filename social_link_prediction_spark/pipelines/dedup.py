@@ -525,3 +525,84 @@ def quality_survivors(
         )
         .select("id", "cluster", "score", "is_survivor")
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    threshold: float = 0.8,
+    ngram: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (PPJoin family —
+    Chaudhuri et al. 2006 SSJoin; Vernica et al. 2010, the canonical
+    MapReduce/Spark formulation): all document pairs whose DISTINCT-
+    token Jaccard >= threshold, without the all-pairs join.
+
+    Every document orders its token set by ascending global document
+    frequency (rarest first, token tie-break) and indexes only its
+    PREFIX of length |x| - ceil(t*|x|) + 1. Two sets with J >= t must
+    overlap in >= t*|x| tokens, which cannot fit entirely in the
+    (shorter) suffix — so sharing a prefix token is a COMPLETE
+    candidate filter (no false negatives; the oracle computes exact
+    all-pairs Jaccard, so a green row is a machine-checked
+    completeness proof). Candidates are then verified exactly, with
+    the intersection join bounded to candidate pairs only.
+
+    Scale shape: the inverted index carries prefixes only (the
+    (1-t)-fraction rarest tokens of each set), so the join-key
+    frequency of a stop token never explodes — the df-ascending order
+    is precisely what keeps prefix buckets small. ``ngram`` switches
+    the set elements from unigram tokens to word n-gram shingles
+    (far more discriminative on small-vocabulary corpora). Returns
+    (id_a, id_b, inter, union_sz, jaccard) with id_a < id_b."""
+    from social_link_prediction_spark.pipelines.text import tokens
+
+    elems = tokens(col) if ngram is None else shingles(col, ngram)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(elems).alias("t"))
+        .dropDuplicates()
+    )
+    toks.persist()
+    dfg = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    sz = toks.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("t").asc())
+    ranked = (
+        toks.join(F.broadcast(dfg), "t")
+        .withColumn("pos", F.row_number().over(w))
+        .join(F.broadcast(sz), "id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "t")
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "t")
+        .join(prefix.select(F.col("id").alias("id_b"), "t"), "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    inter = (
+        cand.join(toks.select(F.col("id").alias("id_a"), "t"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "t"), ["id_b", "t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))),
+            "id_b",
+        )
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.round(F.col("inter") / F.col("union_sz"), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
+    )

@@ -7951,50 +7951,6 @@ def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quality_dedup_survivors",
-    f"""
-    WITH RECURSIVE {_DUCK_WINNOW_FPS},
-    pr AS (
-        SELECT a.id AS id_a, b.id AS id_b
-        FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
-        GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
-    ),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pr
-          UNION SELECT id_b, id_a FROM pr),
-    alldocs AS (SELECT doc_id AS id FROM documents),
-    reach(a, b) AS (
-        SELECT id, id FROM alldocs
-        UNION
-        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
-    ),
-    cl AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
-    sc AS (
-        SELECT doc_id AS id,
-               CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS score
-        FROM documents
-    )
-    SELECT sc.id, cl.cluster, sc.score,
-           CAST(row_number() OVER (PARTITION BY cl.cluster
-                                   ORDER BY sc.score DESC, sc.id) = 1
-                AS INT) AS is_survivor
-    FROM sc JOIN cl ON cl.id = sc.id
-    """,
-)
-def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware dedup: winnowing near-dup clusters where the
-    survivor is the RICHEST member (distinct-token count, id
-    tie-break) instead of the min-id one — keep the best copy of a
-    duplicated page, not the first one crawled. Complements
-    winnow_dedup_clusters (same components, different keep rule)."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = ptx.winnow_neardup_pairs(
-        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
-    )
-    score = F.size(F.array_distinct(ptx.tokens("text"))).cast("long")
-    return pdd.quality_survivors(docs, pairs, score)
-
-
-@query(
     "bigram_logprob_docs",
     f"""
     WITH t AS MATERIALIZED (
@@ -8167,3 +8123,94 @@ def modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_members").desc(), "community")
         .limit(20)
     )
+
+
+_PPJ_T = 0.7
+
+
+@query(
+    "ppjoin_neardup_docs",
+    f"""
+    WITH {_DUCK_SHINGLE1},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM i JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {_PPJ_T}
+    ORDER BY id_a, id_b
+    """,
+)
+def ppjoin_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (PPJoin/Vernica-style):
+    every document pair with trigram-shingle Jaccard >= 0.7, found by
+    indexing only each set's df-ascending PREFIX (|x| − ceil(t|x|) + 1
+    rarest shingles) instead of every shingle. The oracle computes the
+    exact ALL-PAIRS answer over the full inverted index — so a green
+    row is a machine-checked proof that the prefix filter lost no true
+    pair. Complements MinHash-LSH (probabilistic recall, fixed
+    signature cost) with the exact-recall branch of the same
+    candidate-pruning trade-off."""
+    docs = _t(spark, sf_dir, "documents")
+    return pdd.ppjoin_pairs(
+        docs, threshold=_PPJ_T, ngram=_MINHASH_N
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "quality_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLE1},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+    i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM toks a JOIN toks b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+    pr AS (
+        SELECT id_a, id_b
+        FROM i JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) >= {_PPJ_T}
+    ),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+    -- closure only over nodes that appear in a pair (the duplicate
+    -- families), NOT all docs: the pair-reach recursion is quadratic
+    -- in family size, so seeding it corpus-wide is the blowup the
+    -- r4 sf0.1 check caught. Singletons rejoin afterwards.
+    reach(a, b) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+    ),
+    cl0 AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a),
+    sc AS (
+        SELECT doc_id AS id,
+               CAST(len(list_distinct({_DUCK_TOKS})) AS BIGINT) AS score
+        FROM documents
+    ),
+    cl AS (
+        SELECT sc.id, coalesce(cl0.cluster, sc.id) AS cluster, sc.score
+        FROM sc LEFT JOIN cl0 ON cl0.id = sc.id
+    )
+    SELECT id, cluster, score,
+           CAST(row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, id) = 1
+                AS INT) AS is_survivor
+    FROM cl
+    """,
+)
+def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: prefix-filtered trigram-Jaccard near-dup
+    pairs (ppjoin_neardup_docs' exact pair set) collapsed into
+    clusters, where the survivor is the RICHEST member (distinct-token
+    count, id tie-break) instead of the min-id one — keep the best
+    copy of a duplicated page, not the first one crawled. Complements
+    winnow_dedup_clusters (same component machinery, different
+    detector and keep rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = pdd.ppjoin_pairs(docs, threshold=_PPJ_T, ngram=_MINHASH_N)
+    score = F.size(F.array_distinct(ptx.tokens("text"))).cast("long")
+    return pdd.quality_survivors(docs, pairs, score)

