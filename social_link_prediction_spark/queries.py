@@ -8214,3 +8214,88 @@ def quality_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pdd.ppjoin_pairs(docs, threshold=_PPJ_T, ngram=_MINHASH_N)
     score = F.size(F.array_distinct(ptx.tokens("text"))).cast("long")
     return pdd.quality_survivors(docs, pairs, score)
+
+
+# =====================================================================
+# Luby maximal independent set over the sampled supplier graph — the
+# distributed symmetry-breaking primitive (coloring seeds, parallel
+# scheduling, correlation-clustering pivots).
+# =====================================================================
+_MIS_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(a.id AS VARCHAR) || '-' || CAST(b.id AS VARCHAR), 'mis'"
+)
+
+
+def _duck_mis_sql(rounds: int = 3) -> str:
+    """Luby rounds unrolled: per round, hash priorities, active-
+    neighborhood max, strict-max winners, neighbor eviction."""
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e0 AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id < b.id
+        WHERE {_MIS_EDGE_SQL} % 10000 < 400),
+    ue AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue)"""
+    ]
+    finals = []
+    for r in range(rounds):
+        h = _DUCK_H60.format(args=f"CAST(id AS VARCHAR), 'mis{r}'")
+        ctes.append(f"p{r} AS MATERIALIZED (SELECT id, {h} AS p FROM a{r})")
+        ctes.append(
+            f"""ae{r} AS MATERIALIZED (
+            SELECT ue.u, ue.v FROM ue
+            JOIN a{r} au ON au.id = ue.u JOIN a{r} av ON av.id = ue.v)"""
+        )
+        ctes.append(
+            f"""nb{r} AS MATERIALIZED (
+            SELECT e.u AS id, max(p.p) AS pmax
+            FROM ae{r} e JOIN p{r} p ON p.id = e.v GROUP BY e.u)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+            SELECT p{r}.id FROM p{r} LEFT JOIN nb{r} USING (id)
+            WHERE pmax IS NULL OR p > pmax)"""
+        )
+        ctes.append(
+            f"""x{r} AS MATERIALIZED (
+            SELECT DISTINCT e.v AS id FROM ae{r} e
+            JOIN w{r} w ON w.id = e.u
+            WHERE e.v NOT IN (SELECT id FROM w{r}))"""
+        )
+        ctes.append(
+            f"""a{r + 1} AS MATERIALIZED (
+            SELECT id FROM a{r}
+            WHERE id NOT IN (SELECT id FROM w{r})
+              AND id NOT IN (SELECT id FROM x{r}))"""
+        )
+        finals.append(f"SELECT id, 'mis' AS status FROM w{r}")
+        finals.append(f"SELECT id, 'excluded' AS status FROM x{r}")
+    finals.append(f"SELECT id, 'unresolved' AS status FROM a{rounds}")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT id, status FROM ({" UNION ALL ".join(finals)}) ORDER BY id
+    """
+
+
+@query("mis_suppliers", _duck_mis_sql())
+def mis_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby MIS over the 4%-sampled undirected supplier graph
+    (replayable h60 sample + h60 per-round priorities): per node,
+    'mis' / 'excluded' / 'unresolved' under a 3-round budget. Strict-
+    max winners make hash ties a no-win round on both engines, so the
+    evolution replays exactly; leftover actives surface honestly."""
+    from social_link_prediction_spark.graph import mis as gmis
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
+            < 400
+        )
+    )
+    return gmis.maximal_independent_set(pairs, rounds=3).orderBy("id")

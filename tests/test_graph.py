@@ -555,3 +555,61 @@ def test_scc_validates_budget(spark):
         gscc.strongly_connected_components(e, rounds=0)
     with _pytest.raises(ValueError):
         gscc.strongly_connected_components(e, peels=0)
+
+
+# ---------------------------------------------------------------------
+# Maximal independent set (graph/mis.py, Luby)
+# ---------------------------------------------------------------------
+def test_mis_is_independent_and_maximal(spark):
+    """On a graph Luby clears within the round budget: the MIS is
+    independent (no edge inside) and maximal (every excluded node has
+    a MIS neighbor), and nothing is left unresolved."""
+    import random
+
+    from social_link_prediction_spark.graph import mis as gmis
+
+    rng = random.Random(3)
+    n = 40
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.1}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    rows = gmis.maximal_independent_set(e, rounds=8).collect()
+    status = {r.id: r.status for r in rows}
+    assert "unresolved" not in status.values()
+    mis = {i for i, s in status.items() if s == "mis"}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence
+    for a, b in edges:
+        assert not (a in mis and b in mis)
+    # maximality: every non-MIS node (with an edge) has a MIS neighbor
+    for v, s in status.items():
+        if s != "mis":
+            assert adj.get(v, set()) & mis, f"{v} excluded without MIS neighbor"
+
+
+def test_mis_star_and_clique(spark):
+    from social_link_prediction_spark.graph import mis as gmis
+
+    # star: either the hub alone, or all leaves — both are maximal
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    st = {r.id: r.status for r in gmis.maximal_independent_set(star, rounds=6).collect()}
+    mis = {i for i, s in st.items() if s == "mis"}
+    assert mis == {0} or mis == {1, 2, 3, 4, 5}
+    # clique: exactly one node wins
+    k = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)], "src long, dst long"
+    )
+    kt = {r.id: r.status for r in gmis.maximal_independent_set(k, rounds=6).collect()}
+    assert sum(1 for s in kt.values() if s == "mis") == 1
+
+
+def test_mis_round_budget_honesty(spark):
+    import pytest as _pytest
+
+    from social_link_prediction_spark.graph import mis as gmis
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with _pytest.raises(ValueError):
+        gmis.maximal_independent_set(e, rounds=0)
