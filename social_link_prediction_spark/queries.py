@@ -8299,3 +8299,41 @@ def mis_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gmis.maximal_independent_set(pairs, rounds=3).orderBy("id")
+
+
+@query(
+    "node2vec_visits",
+    f"""
+    SELECT CASE WHEN node < 0 THEN 'p:' || (-node - 1) ELSE 's:' || node END AS id,
+           count(*) AS visits,
+           count(DISTINCT walk_id) AS n_walks
+    FROM ({gwalks.duck_node2vec_sql(_DUCK_PS_EDGES_INT, _DUCK_WALK_SEEDS, 4, 2, 2.0, 0.5)}) corpus
+    GROUP BY 1 ORDER BY id
+    """,
+)
+def node2vec_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec corpus prep (Grover & Leskovec 2016): 2 deterministic
+    4-step SECOND-ORDER walks per supplier over the part-supplier
+    graph with (p=2, q=0.5) — return-averse, DFS-leaning — reported
+    as per-node visit counts. The bias weights are integer candidate
+    replicas under the portable mid-square hash, so the oracle
+    replays every biased choice exactly; the DeepWalk twin
+    (randomwalk_visits) is the unbiased first-order baseline."""
+    edges = _partsupp_edges_int(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .filter(F.col("id") >= 0)
+        .dropDuplicates()
+    )
+    corpus = gwalks.node2vec_walks(
+        edges, seeds, length=4, walks_per_seed=2, p=2.0, q=0.5
+    )
+    return (
+        corpus.groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("visits"),
+            F.countDistinct("walk_id").alias("n_walks"),
+        )
+        .select(_fmt_node(F.col("node")).alias("id"), "visits", "n_walks")
+        .orderBy("id")
+    )

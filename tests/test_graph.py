@@ -613,3 +613,68 @@ def test_mis_round_budget_honesty(spark):
     e = spark.createDataFrame([(1, 2)], "src long, dst long")
     with _pytest.raises(ValueError):
         gmis.maximal_independent_set(e, rounds=0)
+
+
+# ---------------------------------------------------------------------
+# node2vec biased walks (graph/walks.py)
+# ---------------------------------------------------------------------
+def _py_midsquare_key(walk, t, v):
+    P = 2_147_483_647
+    s = (1000003 * walk + 7919 * t + 104729 * v + 12345) % P
+    return (s * s) % P * 4294967296 + (v + 2147483648)
+
+
+def test_node2vec_matches_python_replay(spark):
+    """The Spark walk equals a step-by-step pure-Python replay of the
+    same hash/weighting arithmetic — edge validity and bias selection
+    in one check."""
+    from social_link_prediction_spark.graph import walks as gwalks
+
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3), (2, 0)]
+    und = sorted(set(pairs + [(b, a) for a, b in pairs]))
+    e = spark.createDataFrame(und, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    p, q, L, W = 2.0, 0.5, 4, 2
+    got = {
+        (r.walk_id, r.step): r.node
+        for r in gwalks.node2vec_walks(e, seeds, L, W, p, q).collect()
+    }
+
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+    wr, wb, wd = gwalks._n2v_weights(p, q)
+    exp = {}
+    for seed in (0, 2):
+        for rep in range(W):
+            wid = seed * W + rep
+            prev, cur = seed, seed
+            exp[(wid, 0)] = seed
+            for t in range(1, L + 1):
+                best = None
+                for v in adj[cur]:
+                    if t == 1:
+                        keys = [_py_midsquare_key(wid, t, v)]
+                    else:
+                        w = wr if v == prev else (wb if v in adj[prev] else wd)
+                        keys = [
+                            _py_midsquare_key(wid, t, v * 8 + j) for j in range(w)
+                        ]
+                    for k in keys:
+                        if best is None or k < best[0]:
+                            best = (k, v)
+                prev, cur = cur, best[1]
+                exp[(wid, t)] = cur
+    assert got == exp
+
+
+def test_node2vec_weight_validation(spark):
+    import pytest as _pytest
+
+    from social_link_prediction_spark.graph import walks as gwalks
+
+    with _pytest.raises(ValueError):
+        gwalks._n2v_weights(3.0, 0.5)  # 4/3 not integer
+    with _pytest.raises(ValueError):
+        gwalks._n2v_weights(1.0, 0.25)  # 16 > 8
+    assert gwalks._n2v_weights(2.0, 0.5) == (2, 4, 8)
