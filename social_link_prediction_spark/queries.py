@@ -8337,3 +8337,175 @@ def node2vec_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_fmt_node(F.col("node")).alias("id"), "visits", "n_walks")
         .orderBy("id")
     )
+
+
+@query(
+    "readability_docs",
+    f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lt, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lt, '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables,
+               CAST(greatest(len(regexp_extract_all(lt, '[.!?]+')), 1) AS BIGINT)
+                   AS n_sentences
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, n_words, n_syllables, n_sentences,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+               AS flesch
+    FROM m ORDER BY doc_id
+    """,
+)
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    screen in a corpus-quality stack (junk and keyword-stuffed pages
+    land far outside the human band). Syllables approximated as vowel
+    runs ([aeiouy]+ — a group never spans a space, so one regexp count
+    over the whole lowercased text equals the per-word sum); sentence
+    count floors at 1 (the synthetic corpus has no terminal
+    punctuation, which the formula then treats as one long sentence —
+    deterministic either way). Pure projection, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    m = docs.select(
+        "doc_id",
+        F.size(ptx.tokens("text")).cast("long").alias("n_words"),
+        F.regexp_count(lt, F.lit(r"[aeiouy]+")).cast("long").alias("n_syllables"),
+        F.greatest(
+            F.regexp_count(lt, F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_syllables",
+        "n_sentences",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+_BM25_TERMS = ["spark", "join", "fast"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "bm25_search_docs",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+        WHERE t IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+        GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / avgdl.avgdl))) AS s
+        FROM tf JOIN df USING (t) JOIN dl USING (doc_id), avgdl, n
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS bm25 FROM scored
+    ORDER BY round(s, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson-Spärck Jones idf, k1=1.2,
+    b=0.75) for the fixed query {{spark, join, fast}}: top-10
+    documents. The keyword twin of doc_retrieval_topk's embedding
+    route. The postings list is filtered to query terms AT THE SCAN
+    (tf table is |terms|×|matching docs|, never the full inverted
+    index); df/avgdl/N are 1-row or vocabulary-sized broadcast
+    anchors; ranking is a TakeOrdered heap on the rounded score."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ptx.tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "butterfly_census",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pr AS (
+        SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS w
+        FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_supplier_pairs,
+           CAST(sum(w * (w - 1) / 2) AS BIGINT) AS n_butterflies,
+           CAST(sum(w) AS BIGINT) AS n_wedges,
+           round(4.0 * sum(w * (w - 1) / 2)
+                 / nullif(sum(w * (w - 1) / 2) + sum(w), 0), 6)
+               AS butterfly_density
+    FROM pr
+    """,
+)
+def butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Butterfly (2×2-biclique) census of the part-supplier bipartite
+    graph — the bipartite analogue of triangle counting (Wang et al.,
+    butterfly counting; the clustering signal triangle_census cannot
+    give on a bipartite graph, which has none). Per supplier pair
+    with w co-supplied parts, C(w,2) butterflies; wedges = Σw. One
+    projection join + one global aggregate; the pair blowup bound is
+    the same Σ C(deg(part),2) wedge control as the projection query."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).dropDuplicates()
+    a, b = ps.alias("a"), ps.alias("b")
+    pr = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    bf = F.col("w") * (F.col("w") - 1) / 2
+    return pr.agg(
+        F.count(F.lit(1)).alias("n_supplier_pairs"),
+        F.sum(bf).cast("long").alias("n_butterflies"),
+        F.sum("w").cast("long").alias("n_wedges"),
+        F.round(
+            4.0 * F.sum(bf)
+            / F.nullif(F.sum(bf) + F.sum("w"), F.lit(0)),
+            6,
+        ).alias("butterfly_density"),
+    )
