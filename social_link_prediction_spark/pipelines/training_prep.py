@@ -358,3 +358,64 @@ def epoch_order(
             "__order"
         )
     return out.orderBy("__order")
+
+
+def greedy_max_coverage(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    col: str = "text",
+    ngram: int = 3,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic
+    (1 − 1/e)-approximate submodular greedy): k rounds, each picking
+    the document that covers the most NOT-yet-covered n-gram shingles
+    (marginal gain; ties broken by min doc id), then marking its
+    shingles covered. Coverage-based selection is the
+    facility-location family of data pruning — pick the prototype
+    subset that spans the corpus, the complement of dedup's
+    drop-the-redundant view.
+
+    Returns (round, doc_id, gain, covered_total): the pick sequence
+    with marginal gains and the cumulative distinct-shingle count.
+
+    Scale shape: each round is one anti-join against the covered-
+    shingle table + one per-doc count + a TakeOrdered(1) — the only
+    driver-side traffic is the single winning row per round (k rows
+    total), the same driver-sized-collect budget the PageRank probes
+    use. The covered table grows by at most one document's shingles
+    per round and stays shuffle-keyed on the shingle."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(col, ngram)).alias("s"))
+        .dropDuplicates()
+        .persist()
+    )
+    covered = sh.select("s").limit(0).localCheckpoint()
+    picked: list[tuple[int, int, int, int]] = []
+    picked_ids: list = []
+    total = 0
+    for r in range(1, k + 1):
+        gain = (
+            sh.join(covered, "s", "anti")
+            .filter(~F.col("id").isin(picked_ids) if picked_ids else F.lit(True))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        win = gain.orderBy(F.col("gain").desc(), F.col("id")).limit(1).collect()
+        if not win:
+            break
+        wid, wgain = win[0].id, win[0].gain
+        total += wgain
+        picked.append((r, wid, wgain, total))
+        picked_ids.append(wid)
+        covered = (
+            covered.unionAll(sh.filter(F.col("id") == wid).select("s"))
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+    return spark.createDataFrame(
+        picked, "round int, doc_id long, gain long, covered_total long"
+    )

@@ -8509,3 +8509,67 @@ def butterfly_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("butterfly_density"),
     )
+
+
+# =====================================================================
+# Greedy max-coverage corpus selection (submodular greedy, k rounds).
+# =====================================================================
+_COV_K = 5
+
+
+def _duck_coverage_sql(k: int = _COV_K) -> str:
+    """Greedy rounds unrolled: per round, marginal gains over the
+    uncovered shingles, (gain DESC, doc_id) argmax, covered-set
+    growth."""
+    ctes = [_DUCK_SHINGLE1.strip()]
+    finals = []
+    for r in range(1, k + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{i}" for i in range(1, r)
+        )
+        where = "WHERE 1 = 1"
+        if r > 1:
+            where += f" AND shingle NOT IN (SELECT shingle FROM c{r - 1})"
+        if prev_picks:
+            where += f" AND doc_id NOT IN ({prev_picks})"
+        ctes.append(
+            f"""g{r} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+            FROM toks {where} GROUP BY doc_id)"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+            SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1)"""
+        )
+        all_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM p{i}" for i in range(1, r + 1)
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+            SELECT DISTINCT shingle FROM toks
+            WHERE doc_id IN ({all_picks}))"""
+        )
+        finals.append(
+            f"SELECT {r} AS round, doc_id, gain,"
+            f" (SELECT CAST(count(*) AS BIGINT) FROM c{r}) AS covered_total"
+            f" FROM p{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(finals) + ") ORDER BY round"
+    )
+
+
+@query("greedy_coverage_docs", _duck_coverage_sql())
+def greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-based corpus selection: 5 greedy rounds picking the
+    document with the largest marginal trigram-shingle coverage (the
+    (1−1/e) submodular greedy — facility-location-style data pruning,
+    the keep-the-prototypes complement of dedup's drop-the-redundant).
+    Output = the pick sequence with marginal gains and cumulative
+    coverage. Each round: anti-join vs covered shingles, per-doc
+    count, TakeOrdered(1) — driver traffic is one winner row per
+    round."""
+    docs = _t(spark, sf_dir, "documents")
+    return tp.greedy_max_coverage(
+        docs, k=_COV_K, id_col="doc_id", col="text", ngram=_MINHASH_N
+    )

@@ -225,3 +225,35 @@ def test_mixture_plan_feasible_unchanged_by_left_join(spark):
     plan = {r.lang: r for r in tp.mixture_plan(df, "lang", {"en": 0.5, "vi": 0.5}).collect()}
     # limited by vi: total = floor(20/0.5) = 40 -> 20 rows each
     assert plan["en"].planned_rows == 20 and plan["vi"].planned_rows == 20
+
+
+def test_greedy_max_coverage_laws(spark):
+    """Greedy coverage: gains are non-increasing (submodularity of
+    marginal gains along the greedy sequence), covered_total is the
+    running sum of gains, picks are distinct, and round 1 picks the
+    doc with the most distinct shingles (min-id tie-break)."""
+    import pytest as _pytest
+
+    from social_link_prediction_spark.pipelines import training_prep as tp
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # 6 trigrams
+            (2, "a b c d e f g h"),          # duplicate of 1 -> gain 0 later
+            (3, "x y z w v u"),              # 4 fresh trigrams
+            (4, "a b c x y z"),              # mix, partially covered
+            (5, "p q r"),                    # 1 trigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = tp.greedy_max_coverage(docs, k=4, ngram=3).orderBy("round").collect()
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert rows[0].doc_id == 1  # most shingles, id 1 beats dup id 2
+    run = 0
+    for r in rows:
+        run += r.gain
+        assert r.covered_total == run
+    assert len({r.doc_id for r in rows}) == len(rows)
+    with _pytest.raises(ValueError):
+        tp.greedy_max_coverage(docs, k=0)
