@@ -94,3 +94,87 @@ def maximal_independent_set(
             .localCheckpoint()
         )
     return out.unionAll(active.withColumn("status", F.lit("unresolved")))
+
+
+def luby_coloring(
+    edges: DataFrame,
+    colors: int = 3,
+    rounds_per_color: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Distributed greedy graph coloring by iterated MIS (the
+    Jones-Plassmann route): color c = the MIS of the residual graph
+    after removing colors < c. Every node in color class c is
+    independent (no monochromatic edge — a proper partial coloring by
+    construction), and classes are maximal in their residual graph.
+    Returns (id, color) with color NULL for nodes the
+    (colors × rounds_per_color) budget did not reach — same honesty
+    contract as scc/mis. Δ+1 colors always suffice; expected
+    O(log n) Luby rounds per class.
+
+    Graph coloring is the scheduling primitive: a color class is a
+    set of conflict-free tasks (registers, channel slots, parallel
+    graph-mutation batches) that can run simultaneously."""
+    if colors < 1:
+        raise ValueError("colors must be >= 1")
+    pairs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    remaining = pairs
+    out: DataFrame | None = None
+    for c in range(colors):
+        # per-node priorities repeat across color rounds (same mis{r}
+        # salts) but neighborhoods shrink each round, so new strict-max
+        # winners emerge — deterministic and oracle-replayable.
+        mis_df = maximal_independent_set(
+            remaining.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            rounds=rounds_per_color,
+        )
+        cls = mis_df.filter(F.col("status") == "mis").select(
+            "id", F.lit(c).alias("color")
+        )
+        # isolated leftovers (all neighbors colored earlier) never
+        # reappear in the residual edge set — color them too: a node
+        # with no remaining edges conflicts with nothing.
+        out = cls if out is None else out.unionAll(cls)
+        out = out.localCheckpoint()
+        colored = out.select("id")
+        remaining = (
+            remaining.join(colored.select(F.col("id").alias("u")), "u", "anti")
+            .join(colored.select(F.col("id").alias("v")), "v", "anti")
+            .localCheckpoint()
+        )
+        isolated = (
+            pairs.select(F.col("u").alias("id"))
+            .unionAll(pairs.select(F.col("v").alias("id")))
+            .dropDuplicates()
+            .join(colored, "id", "anti")
+            .join(
+                remaining.select(F.col("u").alias("id"))
+                .unionAll(remaining.select(F.col("v").alias("id")))
+                .dropDuplicates(),
+                "id",
+                "anti",
+            )
+            .select("id", F.lit(c + 1).alias("color"))
+            .localCheckpoint()
+        )
+        # isolated nodes have no residual edges by definition, so the
+        # remaining edge set needs no further pruning for them. Safety
+        # of color c+1: all their neighbors are already colored <= c+1
+        # with same-iteration isolated nodes pairwise non-adjacent, and
+        # no UNCOLORED neighbor exists to receive c+1 later.
+        out = out.unionAll(isolated).localCheckpoint()
+    nodes = (
+        pairs.select(F.col("u").alias("id"))
+        .unionAll(pairs.select(F.col("v").alias("id")))
+        .dropDuplicates()
+    )
+    leftover = nodes.join(out.select("id"), "id", "anti").withColumn(
+        "color", F.lit(None).cast("int")
+    )
+    return out.unionAll(leftover)

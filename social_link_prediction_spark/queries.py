@@ -8573,3 +8573,121 @@ def greedy_coverage_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.greedy_max_coverage(
         docs, k=_COV_K, id_col="doc_id", col="text", ngram=_MINHASH_N
     )
+
+
+def _duck_coloring_sql(colors: int = 3, rounds: int = 3) -> str:
+    """luby_coloring unrolled: per color class, the full MIS round
+    chain (same CTE pattern as _duck_mis_sql) over the residual
+    graph, then colored-node removal and isolated-node promotion."""
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    rp0 AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id < b.id
+        WHERE {_MIS_EDGE_SQL} % 10000 < 400),
+    allnodes AS MATERIALIZED (
+        SELECT DISTINCT u AS id FROM (SELECT u FROM rp0 UNION ALL SELECT v FROM rp0))"""
+    ]
+    cls_names, iso_names = [], []
+    for c in range(colors):
+        ctes.append(
+            f"""ue{c} AS MATERIALIZED (
+            SELECT u, v FROM rp{c} UNION ALL SELECT v, u FROM rp{c})"""
+        )
+        ctes.append(
+            f"a{c}_0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue{c})"
+        )
+        wnames = []
+        for r in range(rounds):
+            h = _DUCK_H60.format(args=f"CAST(id AS VARCHAR), 'mis{r}'")
+            ctes.append(
+                f"p{c}_{r} AS MATERIALIZED (SELECT id, {h} AS p FROM a{c}_{r})"
+            )
+            ctes.append(
+                f"""ae{c}_{r} AS MATERIALIZED (
+                SELECT ue{c}.u, ue{c}.v FROM ue{c}
+                JOIN a{c}_{r} au ON au.id = ue{c}.u
+                JOIN a{c}_{r} av ON av.id = ue{c}.v)"""
+            )
+            ctes.append(
+                f"""nb{c}_{r} AS MATERIALIZED (
+                SELECT e.u AS id, max(p.p) AS pmax
+                FROM ae{c}_{r} e JOIN p{c}_{r} p ON p.id = e.v GROUP BY e.u)"""
+            )
+            ctes.append(
+                f"""w{c}_{r} AS MATERIALIZED (
+                SELECT p{c}_{r}.id FROM p{c}_{r} LEFT JOIN nb{c}_{r} USING (id)
+                WHERE pmax IS NULL OR p > pmax)"""
+            )
+            ctes.append(
+                f"""x{c}_{r} AS MATERIALIZED (
+                SELECT DISTINCT e.v AS id FROM ae{c}_{r} e
+                JOIN w{c}_{r} w ON w.id = e.u
+                WHERE e.v NOT IN (SELECT id FROM w{c}_{r}))"""
+            )
+            ctes.append(
+                f"""a{c}_{r + 1} AS MATERIALIZED (
+                SELECT id FROM a{c}_{r}
+                WHERE id NOT IN (SELECT id FROM w{c}_{r})
+                  AND id NOT IN (SELECT id FROM x{c}_{r}))"""
+            )
+            wnames.append(f"w{c}_{r}")
+        ctes.append(
+            f"""cls{c} AS MATERIALIZED (
+            SELECT id, {c} AS color FROM (
+                {" UNION ALL ".join(f"SELECT id FROM {w}" for w in wnames)}))"""
+        )
+        cls_names.append(f"cls{c}")
+        done = " UNION ALL ".join(
+            [f"SELECT id FROM {n} " for n in cls_names + iso_names]
+        )
+        ctes.append(
+            f"""rp{c + 1} AS MATERIALIZED (
+            SELECT u, v FROM rp{c}
+            WHERE u NOT IN ({done}) AND v NOT IN ({done}))"""
+        )
+        ctes.append(
+            f"""iso{c} AS MATERIALIZED (
+            SELECT id, {c + 1} AS color FROM allnodes
+            WHERE id NOT IN ({done})
+              AND id NOT IN (SELECT u FROM rp{c + 1}
+                             UNION ALL SELECT v FROM rp{c + 1}))"""
+        )
+        iso_names.append(f"iso{c}")
+    done = " UNION ALL ".join(
+        f"SELECT id FROM {n} " for n in cls_names + iso_names
+    )
+    colored = " UNION ALL ".join(
+        f"SELECT id, color FROM {n}" for n in cls_names + iso_names
+    )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT id, color FROM (
+        {colored}
+        UNION ALL
+        SELECT id, CAST(NULL AS INT) AS color FROM allnodes
+        WHERE id NOT IN ({done})
+    ) ORDER BY id
+    """
+
+
+@query("coloring_suppliers", _duck_coloring_sql())
+def coloring_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed greedy graph coloring (iterated Luby MIS, the
+    Jones-Plassmann route) over the same 4%-sampled supplier graph as
+    mis_suppliers: 3 color classes + isolated-node promotion, nodes
+    beyond the budget honestly NULL. A color class = a conflict-free
+    batch — the scheduling primitive for parallel graph mutation."""
+    from social_link_prediction_spark.graph import mis as gmis
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
+            < 400
+        )
+    )
+    return gmis.luby_coloring(pairs, colors=3, rounds_per_color=3).orderBy("id")

@@ -678,3 +678,34 @@ def test_node2vec_weight_validation(spark):
     with _pytest.raises(ValueError):
         gwalks._n2v_weights(1.0, 0.25)  # 16 > 8
     assert gwalks._n2v_weights(2.0, 0.5) == (2, 4, 8)
+
+
+def test_luby_coloring_is_proper_and_total(spark):
+    """Coloring: no monochromatic edge; with enough colors+rounds every
+    node is colored; color classes come out in MIS order."""
+    import random
+
+    from social_link_prediction_spark.graph import mis as gmis
+
+    rng = random.Random(9)
+    n = 30
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    rows = gmis.luby_coloring(e, colors=6, rounds_per_color=6).collect()
+    color = {r.id: r.color for r in rows}
+    assert None not in color.values()
+    for a, b in edges:
+        assert color[a] != color[b], f"monochromatic edge {a}-{b}"
+
+
+def test_luby_coloring_budget_honesty(spark):
+    import pytest as _pytest
+
+    from social_link_prediction_spark.graph import mis as gmis
+
+    # a triangle needs 3 colors; a 1-color budget must leave NULLs
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    rows = gmis.luby_coloring(e, colors=1, rounds_per_color=4).collect()
+    assert sum(1 for r in rows if r.color is None) >= 1
+    with _pytest.raises(ValueError):
+        gmis.luby_coloring(e, colors=0)
