@@ -86,3 +86,71 @@ def propagate_features(
             .persist()
         )
     return h
+
+
+def label_spreading(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    id_col: str = "id",
+    label_col: str = "label",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Semi-supervised harmonic label propagation (Zhu et al. 2003):
+    seed nodes carry a CLAMPED score in [0, 1] (their known label);
+    every other node iteratively takes the mean of its neighbors'
+    scores, initialized at 0.5 (maximal uncertainty). After ``rounds``
+    synchronous rounds, returns (id, score, is_seed) — score is the
+    diffused label affinity, monotone in proximity to positive seeds.
+
+    The transductive cousin of LPA: LPA hardens to the argmax label
+    each round (community detection); spreading keeps the soft
+    harmonic average (node scoring / weak supervision). Fixed rounds
+    for oracle replay. Per round: one keyed join + one mean-aggregate
+    over the undirected edge list, then the seed clamp — the same
+    loop discipline as pagerank, with the score frame |V|-sized."""
+    pairs = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates()
+    )
+    und = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    nodes = und.select(F.col("u").alias("id")).dropDuplicates()
+    sd = seeds.select(
+        F.col(id_col).alias("id"), F.col(label_col).cast("double").alias("seed")
+    )
+    state = (
+        nodes.join(sd, "id", "left")
+        .select(
+            "id",
+            F.coalesce("seed", F.lit(0.5)).alias("score"),
+            F.col("seed").isNotNull().cast("int").alias("is_seed"),
+            F.col("seed"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = (
+            und.join(
+                state.select(F.col("id").alias("v"), F.col("score").alias("sv")),
+                "v",
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.avg("sv").alias("mean_nbr"))
+        )
+        state = (
+            state.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("is_seed") == 1, F.col("seed"))
+                .otherwise(F.coalesce("mean_nbr", F.col("score")))
+                .alias("score"),
+                "is_seed",
+                "seed",
+            )
+            .localCheckpoint()
+        )
+    return state.select("id", "score", "is_seed")

@@ -8691,3 +8691,211 @@ def coloring_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gmis.luby_coloring(pairs, colors=3, rounds_per_color=3).orderBy("id")
+
+
+# =====================================================================
+# Semi-supervised label spreading + corpus drift audits (KL, PSI).
+# =====================================================================
+_LS_ROUNDS = 3
+
+
+def _duck_labelspread_sql(rounds: int = _LS_ROUNDS) -> str:
+    """Harmonic label spreading unrolled: per round, neighbor mean
+    then seed clamp, over the int-encoded part-supplier graph."""
+    ctes = [
+        _DUCK_PS_EDGES_INT,
+        """sd AS (
+        SELECT s_suppkey::BIGINT AS id,
+               CASE WHEN s_nationkey < 5 THEN 1.0
+                    WHEN s_nationkey >= 20 THEN 0.0 END AS seed
+        FROM supplier)""",
+        """st0 AS MATERIALIZED (
+        SELECT n.id, coalesce(sd.seed, 0.5) AS score,
+               CAST(sd.seed IS NOT NULL AS INT) AS is_seed, sd.seed
+        FROM (SELECT DISTINCT src AS id FROM e) n
+        LEFT JOIN sd ON sd.id = n.id)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""nb{r} AS MATERIALIZED (
+            SELECT e.src AS id, avg(s.score) AS mean_nbr
+            FROM e JOIN st{p} s ON s.id = e.dst GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""st{r} AS MATERIALIZED (
+            SELECT st{p}.id,
+                   CASE WHEN st{p}.is_seed = 1 THEN st{p}.seed
+                        ELSE coalesce(nb{r}.mean_nbr, st{p}.score) END AS score,
+                   st{p}.is_seed, st{p}.seed
+            FROM st{p} LEFT JOIN nb{r} USING (id))"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT 'p:' || CAST(-id - 1 AS VARCHAR) AS part,
+           round(score, 6) AS score
+    FROM st{rounds} WHERE id < 0
+    ORDER BY round(score, 6) DESC, part LIMIT 20
+    """
+    )
+
+
+@query("label_spreading_parts", _duck_labelspread_sql())
+def label_spreading_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised harmonic label spreading (Zhu et al. 2003):
+    suppliers in nations 0-4 are positive seeds (score 1), nations
+    20+ negative (0), every other node diffuses the neighbor mean —
+    parts ranked by their diffused affinity to the positive supplier
+    group. The soft-score transductive cousin of lpa_communities'
+    hard argmax; weak-supervision node scoring over the same graph
+    loop discipline as pagerank."""
+    from social_link_prediction_spark.graph import propagate as gprop
+
+    edges = _partsupp_edges_int(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    seeds = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.when(F.col("s_nationkey") < 5, 1.0)
+        .when(F.col("s_nationkey") >= 20, 0.0)
+        .alias("label"),
+    ).filter(F.col("label").isNotNull())
+    out = gprop.label_spreading(edges, seeds, rounds=_LS_ROUNDS)
+    return (
+        out.filter(F.col("id") < 0)
+        .select(
+            _fmt_node(F.col("id")).alias("part"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "part")
+        .limit(20)
+    )
+
+
+@query(
+    "token_drift_by_source",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT source, unnest({_DUCK_TOKS}) AS t FROM documents
+    ),
+    st AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY source, t),
+    stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM st GROUP BY source),
+    ct AS (SELECT t, CAST(count(*) AS BIGINT) AS nc FROM tok GROUP BY t),
+    ctot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok)
+    SELECT st.source, max(stot.ns) AS n_tokens,
+           round(sum((CAST(st.n AS DOUBLE) / stot.ns)
+                     * ln((CAST(st.n AS DOUBLE) / stot.ns)
+                          / (CAST(ct.nc AS DOUBLE) / ctot.nt))), 6) AS kl_vs_corpus
+    FROM st JOIN stot USING (source) JOIN ct USING (t), ctot
+    GROUP BY st.source ORDER BY st.source
+    """,
+)
+def token_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit for the training mixture: per-source
+    KL divergence of the token distribution against the whole-corpus
+    distribution — the signal that says WHICH crawl feed is shifting
+    the mixture (complements source_quality_breakdown's keep rates).
+    No smoothing needed: every source token is in the corpus by
+    construction, so the ratio is always finite. Two vocabulary-sized
+    aggregates + one broadcast-joined rollup per source."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ptx.tokens("text")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    stot = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    ct = tok.groupBy("t").agg(F.count(F.lit(1)).alias("nc"))
+    ctot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    p = F.col("n").cast("double") / F.col("ns")
+    q = F.col("nc").cast("double") / F.col("nt")
+    return (
+        st.join(F.broadcast(stot), "source")
+        .join(F.broadcast(ct), "t")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.max("ns").alias("n_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+_PSI_BINS, _PSI_LO, _PSI_HI = 10, 0.0, 500000.0
+_PSI_CUT = "1996-01-01"
+
+
+@query(
+    "psi_totalprice_drift",
+    f"""
+    WITH b AS (
+        SELECT least(greatest(CAST(floor((o_totalprice - {_PSI_LO})
+                   / (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS})) AS INT), 0),
+                   {_PSI_BINS - 1}) AS bin,
+               CAST(o_orderdate < TIMESTAMP '{_PSI_CUT}' AS INT) AS is_base
+        FROM orders
+    ),
+    c AS (
+        SELECT bin,
+               CAST(count(*) FILTER (WHERE is_base = 1) AS BIGINT) AS n_base,
+               CAST(count(*) FILTER (WHERE is_base = 0) AS BIGINT) AS n_new
+        FROM b GROUP BY bin
+    ),
+    t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                 CAST(sum(n_new) AS BIGINT) AS tn FROM c),
+    s AS (
+        SELECT bin, n_base, n_new,
+               (n_base + 0.5) / (tb + 0.5 * {_PSI_BINS}) AS p,
+               (n_new + 0.5) / (tn + 0.5 * {_PSI_BINS}) AS q
+        FROM c, t
+    )
+    SELECT bin, n_base, n_new,
+           round(p, 6) AS p_base, round(q, 6) AS p_new,
+           round((p - q) * ln(p / q), 6) AS psi_contrib,
+           round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+    FROM s ORDER BY bin
+    """,
+)
+def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report on order totals:
+    pre-1996 orders are the baseline population, later orders the
+    comparison; fixed equi-width bins (clamped to the price domain),
+    Laplace-smoothed shares, per-bin PSI contributions plus the
+    total (PSI > 0.2 is the classic retrain-the-model alarm). The
+    feature-drift monitor an ML warehouse runs nightly — one scan,
+    one aggregate, a 1-row total window."""
+    o = _t(spark, sf_dir, "orders")
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    b = o.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("o_totalprice") - _PSI_LO) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        (F.col("o_orderdate") < F.lit(_PSI_CUT).cast("timestamp")).cast("int").alias(
+            "is_base"
+        ),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("is_base") == 1, 1)).alias("n_base"),
+        F.count(F.when(F.col("is_base") == 0, 1)).alias("n_new"),
+    )
+    t = c.agg(F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn"))
+    s = c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n_base",
+        "n_new",
+        ((F.col("n_base") + 0.5) / (F.col("tb") + 0.5 * _PSI_BINS)).alias("p"),
+        ((F.col("n_new") + 0.5) / (F.col("tn") + 0.5 * _PSI_BINS)).alias("q"),
+    )
+    contrib = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    w = Window.partitionBy()
+    return s.select(
+        "bin",
+        "n_base",
+        "n_new",
+        F.round("p", 6).alias("p_base"),
+        F.round("q", 6).alias("p_new"),
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(F.sum(contrib).over(w), 6).alias("psi_total"),
+    ).orderBy("bin")

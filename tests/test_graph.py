@@ -709,3 +709,25 @@ def test_luby_coloring_budget_honesty(spark):
     assert sum(1 for r in rows if r.color is None) >= 1
     with _pytest.raises(ValueError):
         gmis.luby_coloring(e, colors=0)
+
+
+def test_label_spreading_harmonic_properties(spark):
+    """Seeds stay clamped; interior scores are strict averages lying
+    between the seed values (maximum principle of harmonic functions);
+    a node nearer the positive seed scores higher."""
+    from social_link_prediction_spark.graph import propagate as gprop
+
+    # path: 1(seed=1) - 2 - 3 - 4 - 5(seed=0)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1, 1.0), (5, 0.0)], "id long, label double")
+    out = {
+        r.id: (r.score, r.is_seed)
+        for r in gprop.label_spreading(e, seeds, rounds=20).collect()
+    }
+    assert out[1] == (1.0, 1)
+    assert out[5] == (0.0, 1)
+    for v in (2, 3, 4):
+        assert 0.0 < out[v][0] < 1.0 and out[v][1] == 0
+    assert out[2][0] > out[3][0] > out[4][0]
