@@ -82,6 +82,16 @@ HEADLINE = [
     "ktruss_suppliers",
     "order_interarrival_stats",
     "source_quality_breakdown",
+    # round-4 continuation: KMV sketch overlap, SCC (FW-BW coloring),
+    # PPJoin prefix-filtered similarity join, node2vec biased walks,
+    # Luby coloring, greedy max-coverage selection, bigram LM scoring
+    "kmv_user_overlap",
+    "scc_suppliers",
+    "ppjoin_neardup_docs",
+    "node2vec_visits",
+    "coloring_suppliers",
+    "greedy_coverage_docs",
+    "bigram_logprob_docs",
 ]
 
 

@@ -8967,3 +8967,79 @@ def matching_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return gmat.maximal_matching(pairs, rounds=3).orderBy("u", "v")
+
+
+_AQP_PCT = 10  # Bernoulli sampling rate, percent
+
+
+@query(
+    "sampled_groupby_ci",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag, l_quantity FROM lineitem
+        WHERE {_DUCK_H60.format(args="CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR), 'aqp'")} % 100 < {_AQP_PCT}
+    ),
+    est AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_sample,
+               round(count(*) * (100.0 / {_AQP_PCT}), 4) AS est_rows,
+               round(1.96 * sqrt(count(*) * (1 - {_AQP_PCT} / 100.0))
+                     * (100.0 / {_AQP_PCT}), 4) AS ci_rows,
+               round(sum(l_quantity) * (100.0 / {_AQP_PCT}), 4) AS est_sum_qty
+        FROM s GROUP BY l_returnflag
+    ),
+    ex AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact_rows
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT est.l_returnflag, n_sample, est_rows, ci_rows, est_sum_qty,
+           exact_rows,
+           CAST(abs(est_rows - exact_rows) <= ci_rows AS INT) AS within_ci
+    FROM est JOIN ex USING (l_returnflag) ORDER BY est.l_returnflag
+    """,
+)
+def sampled_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (online-aggregation style): a
+    deterministic {_AQP_PCT}%-Bernoulli hash sample of lineitem
+    answers the per-returnflag rollup with Horvitz-Thompson scale-up
+    and a 1.96-sigma CI half-width — the read-1%-instead-of-100%
+    pattern that turns a 100 TB exploratory scan into a 1 TB one.
+    The exact counts ride along as the audit (within_ci flags).
+    The sample predicate is scan-side (pushes to the row filter, no
+    shuffle added); the hash family is h60, so the sample — and
+    therefore every estimate — replays identically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _AQP_PCT / 100.0
+    s = li.filter(
+        mls.hash60(
+            F.format_string("%d-%d", "l_orderkey", "l_linenumber"), F.lit("aqp")
+        )
+        % 100
+        < _AQP_PCT
+    )
+    est = s.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        # scale = exact double 100/pct; MULTIPLY on both engines (x/p vs
+        # x*scale differ in the last ulp when p is not a power of two)
+        F.round(F.count(F.lit(1)) * (100.0 / _AQP_PCT), 4).alias("est_rows"),
+        F.round(
+            1.96 * F.sqrt(F.count(F.lit(1)) * (1 - p)) * (100.0 / _AQP_PCT), 4
+        ).alias("ci_rows"),
+        F.round(F.sum("l_quantity") * (100.0 / _AQP_PCT), 4).alias("est_sum_qty"),
+    )
+    ex = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_rows"))
+    return (
+        est.join(ex, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sample",
+            "est_rows",
+            "ci_rows",
+            "est_sum_qty",
+            "exact_rows",
+            (F.abs(F.col("est_rows") - F.col("exact_rows")) <= F.col("ci_rows"))
+            .cast("int")
+            .alias("within_ci"),
+        )
+        .orderBy("l_returnflag")
+    )
