@@ -138,3 +138,64 @@ def betweenness_sampled(
         .groupBy(F.col("node").alias("id"))
         .agg(F.sum("delta").alias("betweenness"))
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    alpha: float = 0.05,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Truncated Katz centrality by unrolled power iteration.
+
+    Katz (1953): x = sum_{k>=0} alpha^k (A^T)^k 1 — every walk into a
+    node contributes, damped by alpha^length. The fixed-round recursion
+
+        x_0(v) = 1;  x_{t+1}(v) = 1 + alpha * sum_{(u,v) in E} x_t(u)
+
+    computes the walk sum truncated at length ``rounds`` (exact Katz as
+    rounds→inf when alpha < 1/lambda_max). Unlike PageRank there is no
+    degree normalization, so the scores frame never needs out-degrees —
+    each round is ONE keyed join (scores onto edge sources) and ONE
+    keyed sum (by destination), the same two shuffles HITS pays per
+    side. Reference analog: the reference ranks people by raw
+    connection influence (core/analysis/graph_analysis.py degree/
+    pagerank family); Katz is the walk-damped member of that family.
+
+    Scale shape: ``edges`` is persisted once and every round's join
+    keys on its source column, so the edge shuffle partitioning is
+    reused across rounds; the score frame is |V| rows. With a fixed
+    small ``rounds`` the lineage stays shallow (no checkpoint needed —
+    contrast graph/pagerank.py's unbounded loop). Rows: (id, katz).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .dropDuplicates()
+        .persist()
+    )
+    vtx = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    x = vtx.select("id", F.lit(1.0).alias("x"))
+    for _ in range(rounds):
+        inflow = (
+            e.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        x = vtx.join(inflow, "id", "left").select(
+            "id",
+            (F.lit(1.0) + F.lit(alpha) * F.coalesce(F.col("s"), F.lit(0.0))).alias(
+                "x"
+            ),
+        )
+        x = x.persist()
+    return x.select("id", F.col("x").alias("katz"))

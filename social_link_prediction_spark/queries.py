@@ -9043,3 +9043,145 @@ def sampled_groupby_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# =====================================================================
+# Katz centrality (truncated walk sum) + DOULION sampled triangles —
+# the damped-influence ranking and the edge-sparsified estimator that
+# make exact graph stats affordable at 100 TB.
+# =====================================================================
+
+_KATZ_ALPHA = 0.05
+_KATZ_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(a.id AS VARCHAR) || '-' || CAST(b.id AS VARCHAR), 'katz'"
+)
+
+
+def _duck_katz_sql(rounds: int = 3) -> str:
+    """Katz power iteration unrolled: per round one inflow sum over
+    the symmetrized edge list, then x = 1 + alpha * inflow."""
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e0 AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id < b.id
+        WHERE {_KATZ_EDGE_SQL} % 10000 < 500),
+    ue AS MATERIALIZED (
+        SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+    vtx AS MATERIALIZED (SELECT DISTINCT u AS id FROM ue),
+    x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM vtx)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""i{r} AS MATERIALIZED (
+            SELECT e.v AS id, sum(x.x) AS s
+            FROM ue e JOIN x{r} x ON x.id = e.u GROUP BY e.v)"""
+        )
+        ctes.append(
+            f"""x{r + 1} AS MATERIALIZED (
+            SELECT vtx.id, 1.0 + {_KATZ_ALPHA} * coalesce(i.s, 0.0) AS x
+            FROM vtx LEFT JOIN i{r} i ON i.id = vtx.id)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT id, round(x, 6) AS katz FROM x{rounds} ORDER BY id
+    """
+
+
+@query("katz_suppliers", _duck_katz_sql())
+def katz_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz centrality (3 rounds, alpha=0.05) over a
+    5%-sampled undirected supplier graph (replayable h60 sample, salt
+    'katz'). Katz is the walk-damped member of the influence-ranking
+    family the reference's graph analysis exposes (degree / PageRank,
+    core/analysis/graph_analysis.py): every incoming walk contributes
+    alpha^length, no degree normalization — so each round is exactly
+    one keyed join + one keyed sum, and the unrolled recursion replays
+    verbatim in the oracle. Scores round to 6 dp on both engines."""
+    from social_link_prediction_spark.graph import centrality as gc
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    pairs = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("katz")) % 10000
+            < 500
+        )
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = gc.katz_centrality(und, alpha=_KATZ_ALPHA, rounds=3)
+    return out.select("id", F.round("katz", 6).alias("katz")).orderBy("id")
+
+
+_DUCK_TRI_BODY = """
+        SELECT ab.a, ab.b, bc.b AS c
+        FROM {e} ab
+        JOIN {e} bc ON bc.a = ab.b
+        WHERE EXISTS (SELECT 1 FROM {e} cl WHERE cl.a = ab.a AND cl.b = bc.b)
+"""
+
+_DLN_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(a AS VARCHAR) || '-' || CAST(b AS VARCHAR), 'dln'"
+)
+
+
+@query(
+    "triangle_doulion",
+    f"""
+    WITH {_DUCK_TRI_EDGES.strip()},
+    se AS MATERIALIZED (
+        SELECT a, b FROM te WHERE {_DLN_EDGE_SQL} % 100 < 50),
+    tri_s AS (SELECT count(*) AS c FROM ({_DUCK_TRI_BODY.format(e="se").strip()})),
+    tri_x AS (SELECT count(*) AS c FROM ({_DUCK_TRI_BODY.format(e="te").strip()}))
+    SELECT (SELECT count(*) FROM te) AS n_edges,
+           (SELECT count(*) FROM se) AS n_edges_sampled,
+           tri_s.c AS tri_sampled,
+           tri_x.c AS tri_exact,
+           round(CAST(tri_s.c AS DOUBLE) * 8.0, 4) AS tri_estimate,
+           round(abs(CAST(tri_s.c AS DOUBLE) * 8.0 - tri_x.c)
+                 / greatest(tri_x.c, 1), 6) AS rel_err
+    FROM tri_s, tri_x
+    """,
+)
+def triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD'09) sampled triangle count on
+    the folded lineitem graph: keep each distinct edge with p=1/2 via
+    the replayable h60 coin (salt 'dln'), count triangles on the
+    sparsified graph, scale by 1/p^3 = 8. At 100 TB the sparsified
+    wedge join touches ~p^2 of the pairs — this is the knob that turns
+    an infeasible exact census into a bounded estimate. The exact
+    count rides along as the audit (rel_err column); sampling is a
+    scan-side filter, so no extra shuffle before the wedge join."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    e = gm._oriented(_tri_edges(spark, sf_dir), "src", "dst").persist()
+    se = e.filter(
+        mls.hash60(F.format_string("%d-%d", "a", "b"), F.lit("dln")) % 100 < 50
+    )
+    cnt = F.count(F.lit(1))
+    ne = e.agg(cnt.alias("n_edges"))
+    ns = se.agg(cnt.alias("n_edges_sampled"))
+    tri_s = gm.triangles(se, "a", "b").agg(cnt.alias("tri_sampled"))
+    tri_x = gm.triangles(e, "a", "b").agg(cnt.alias("tri_exact"))
+    est = F.col("tri_sampled") * F.lit(8.0)
+    return (
+        ne.crossJoin(ns)
+        .crossJoin(tri_s)
+        .crossJoin(tri_x)
+        .select(
+            "n_edges",
+            "n_edges_sampled",
+            "tri_sampled",
+            "tri_exact",
+            F.round(est, 4).alias("tri_estimate"),
+            F.round(
+                F.abs(est - F.col("tri_exact"))
+                / F.greatest(F.col("tri_exact"), F.lit(1)),
+                6,
+            ).alias("rel_err"),
+        )
+    )

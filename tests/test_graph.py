@@ -765,3 +765,52 @@ def test_contraction_halves_path(spark):
     assert n_nodes <= 3  # 4 nodes shrank
     with __import__("pytest").raises(ValueError):
         gmat.maximal_matching(e, rounds=0)
+
+
+def test_katz_path_graph_hand_values(spark):
+    """Path 1-2-3, alpha=0.1, 2 rounds: x2 = (1.12, 1.22, 1.12) —
+    the truncated walk sums computed by hand."""
+    from social_link_prediction_spark.graph.centrality import katz_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    got = {
+        r["id"]: round(r["katz"], 9)
+        for r in katz_centrality(e, alpha=0.1, rounds=2).collect()
+    }
+    assert got == {1: 1.12, 2: 1.22, 3: 1.12}
+
+
+def test_katz_monotone_in_rounds_and_validation(spark):
+    """Walk sums only grow as the truncation depth increases; bad
+    parameters are rejected."""
+    import pytest as _pt
+
+    from social_link_prediction_spark.graph.centrality import katz_centrality
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1)], "src long, dst long"
+    )
+    r1 = {r["id"]: r["katz"] for r in katz_centrality(e, 0.1, rounds=1).collect()}
+    r3 = {r["id"]: r["katz"] for r in katz_centrality(e, 0.1, rounds=3).collect()}
+    assert all(r3[k] > r1[k] for k in r1)
+    with _pt.raises(ValueError):
+        katz_centrality(e, alpha=1.5)
+    with _pt.raises(ValueError):
+        katz_centrality(e, alpha=0.1, rounds=0)
+
+
+def test_doulion_sample_triangles_subset(spark):
+    """Triangles of an edge-sampled graph are a subset of the full
+    graph's triangles (sparsification never invents a triangle)."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    full = spark.createDataFrame(
+        [(a, b) for a in range(1, 8) for b in range(a + 1, 8)],
+        "src long, dst long",
+    )
+    sub = full.filter((F.col("src") + F.col("dst")) % 2 == 0)
+    t_full = {tuple(r) for r in gm.triangles(full).collect()}
+    t_sub = {tuple(r) for r in gm.triangles(sub).collect()}
+    assert t_sub and t_sub <= t_full
