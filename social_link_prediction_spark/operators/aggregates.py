@@ -344,3 +344,44 @@ def kmv_estimate(
         F.lit(float((k - 1) * (1 << 60))) / F.col("__m")
     )
     return g.select(*gcols, "kmv_n", F.round(est, 4).alias("kmv_est"))
+
+
+def concentration_stats(
+    df: DataFrame, value_col: str, key_col: str
+) -> DataFrame:
+    """Exact Gini coefficient + top-decile share of a per-key value
+    distribution: G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over x sorted
+    ascending (key tie-break makes the rank — and therefore the
+    statistic under ties — deterministic). The two row_number windows
+    are global but run over the per-key ROLLUP the caller passes in,
+    never the fact table; output is one row (n, total, gini,
+    top_decile_share). Negative values are rejected — the Lorenz
+    construction is undefined for them."""
+    w_asc = Window.orderBy(F.col(value_col).asc(), F.col(key_col).asc())
+    w_desc = Window.orderBy(F.col(value_col).desc(), F.col(key_col).asc())
+    ranked = df.select(
+        F.col(key_col).alias("k"),
+        F.col(value_col).alias("x"),
+        F.row_number().over(w_asc).alias("rk"),
+        F.row_number().over(w_desc).alias("rk_desc"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("x"), 2).alias("total"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("rk") * F.col("x"))
+            / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rk_desc") <= F.floor(F.col("n") / 10), F.col("x")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.sum("x"),
+            6,
+        ).alias("top_decile_share"),
+    )

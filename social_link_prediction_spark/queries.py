@@ -9185,3 +9185,212 @@ def triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# =====================================================================
+# Market-basket + distribution analytics: A-Priori frequent pairs,
+# Gini revenue concentration, categorical mutual information.
+# =====================================================================
+
+_FIS_MINSUP = 0.002  # singleton support threshold (fraction of baskets)
+
+
+@query(
+    "frequent_itemsets_pairs",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey % 500 AS item
+        FROM lineitem
+    ),
+    tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM baskets),
+    sing AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM baskets GROUP BY item
+    ),
+    freq AS (
+        SELECT item, cnt FROM sing, tot WHERE cnt >= {_FIS_MINSUP} * n_baskets
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM baskets a
+        JOIN baskets b ON b.basket = a.basket AND a.item < b.item
+        WHERE a.item IN (SELECT item FROM freq)
+          AND b.item IN (SELECT item FROM freq)
+        GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, pair_cnt,
+           round(CAST(pair_cnt AS DOUBLE) / n_baskets, 6) AS support,
+           round(CAST(pair_cnt AS DOUBLE) * n_baskets / (fa.cnt * fb.cnt), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.item = pairs.item_a
+    JOIN freq fb ON fb.item = pairs.item_b
+    CROSS JOIN tot
+    ORDER BY pair_cnt DESC, item_a, item_b LIMIT 25
+    """,
+)
+def frequent_itemsets_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-Priori frequent item pairs over order baskets (items = part
+    families, l_partkey % 500): frequent singletons first (support >=
+    0.2% of baskets), pairs enumerated ONLY within the pruned baskets
+    — the classic downward-closure cut that keeps the within-basket
+    self-join from exploding at 100 TB. The pair join keys on the
+    basket id (one shuffle both sides share); singleton counts come
+    back as broadcast joins for support/lift. Top 25 by (count, a, b)
+    deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 500).alias("item"),
+    ).dropDuplicates()
+    tot = baskets.agg(
+        F.count_distinct(F.col("basket")).alias("n_baskets")
+    )
+    sing = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        sing.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= _FIS_MINSUP * F.col("n_baskets"))
+        .select("item", "cnt")
+    )
+    pruned = baskets.join(F.broadcast(freq.select("item")), "item", "left_semi")
+    a = pruned.select("basket", F.col("item").alias("item_a"))
+    b = pruned.select("basket", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            F.round(
+                F.col("pair_cnt").cast("double") / F.col("n_baskets"), 6
+            ).alias("support"),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_baskets")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("pair_cnt").desc(), "item_a", "item_b")
+        .limit(25)
+    )
+
+
+@query(
+    "revenue_concentration_gini",
+    """
+    WITH rev AS (
+        SELECT o_custkey AS custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT custkey, revenue,
+               row_number() OVER (ORDER BY revenue ASC, custkey ASC) AS rk,
+               row_number() OVER (ORDER BY revenue DESC, custkey ASC) AS rk_desc,
+               count(*) OVER () AS n
+        FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(revenue), 2) AS total_revenue,
+           round(2.0 * sum(rk * revenue) / (count(*) * sum(revenue))
+                 - (count(*) + 1.0) / count(*), 6) AS gini,
+           round(sum(CASE WHEN rk_desc <= floor(n / 10.0)
+                          THEN revenue ELSE 0 END) / sum(revenue), 6)
+               AS top_decile_share
+    FROM ranked
+    """,
+)
+def revenue_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit over per-customer order revenue:
+    exact Gini coefficient via the sorted-rank identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n (x ascending, custkey
+    tie-break) plus the top-decile revenue share. One aggregation
+    shuffle on custkey, then two row_number windows over the |C|-row
+    rollup — the windows are global but run on the aggregate, not the
+    fact table (customers-with-orders only, stated scope). The shape
+    every mixture/curation dashboard needs to spot corpus skew."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    return agg.concentration_stats(rev, "revenue", "custkey").select(
+        F.col("n_keys").alias("n_customers"),
+        F.col("total").alias("total_revenue"),
+        "gini",
+        "top_decile_share",
+    )
+
+
+@query(
+    "mutual_information_priority_segment",
+    """
+    WITH joined AS (
+        SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cont AS (
+        SELECT priority, segment, CAST(count(*) AS BIGINT) AS n
+        FROM joined GROUP BY priority, segment
+    ),
+    tot AS (
+        SELECT priority, segment, n,
+               sum(n) OVER (PARTITION BY priority) AS n_x,
+               sum(n) OVER (PARTITION BY segment) AS n_y,
+               sum(n) OVER () AS n_all
+        FROM cont
+    )
+    SELECT priority, segment, n,
+           round(ln(CAST(n AS DOUBLE) * n_all / (n_x * n_y)), 6) AS pmi,
+           round(CAST(n AS DOUBLE) / n_all
+                 * ln(CAST(n AS DOUBLE) * n_all / (n_x * n_y)), 9) AS mi_contrib
+    FROM tot
+    ORDER BY priority, segment
+    """,
+)
+def mutual_information_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical dependence audit: pointwise mutual information and
+    per-cell MI contribution between order priority and customer
+    market segment. One fact-side join (customer dim broadcast), one
+    contingency aggregation; the marginals are window sums over the
+    25-row contingency table, so nothing after the first aggregation
+    touches fact-table volume. Summing mi_contrib gives the total MI
+    in nats — ~0 here, the null-hypothesis audit a feature-selection
+    pipeline runs before trusting a crossed feature."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    cont = joined.groupBy("priority", "segment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cont.select(
+        "priority",
+        "segment",
+        "n",
+        F.sum("n").over(Window.partitionBy("priority")).alias("n_x"),
+        F.sum("n").over(Window.partitionBy("segment")).alias("n_y"),
+        F.sum("n").over(Window.partitionBy()).alias("n_all"),
+    )
+    ratio = F.col("n").cast("double") * F.col("n_all") / (F.col("n_x") * F.col("n_y"))
+    return tot.select(
+        "priority",
+        "segment",
+        "n",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round((F.col("n").cast("double") / F.col("n_all")) * F.log(ratio), 9).alias(
+            "mi_contrib"
+        ),
+    ).orderBy("priority", "segment")

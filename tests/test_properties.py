@@ -497,3 +497,69 @@ def test_kmv_grouped_matches_global_per_group(spark):
             ).collect()
         )
         assert via_group == via_global
+
+
+def test_gini_pinned_distributions(spark):
+    """Equal values -> G = 0; one key owns everything -> G = (n-1)/n;
+    top-decile share of the single-owner case is 1 when n >= 10."""
+    from social_link_prediction_spark.operators.aggregates import (
+        concentration_stats,
+    )
+
+    equal = spark.createDataFrame(
+        [(i, 10.0) for i in range(20)], "k long, x double"
+    )
+    r = concentration_stats(equal, "x", "k").collect()[0]
+    assert r["gini"] == 0.0 and r["n_keys"] == 20 and r["total"] == 200.0
+
+    single = spark.createDataFrame(
+        [(i, 0.0) for i in range(19)] + [(19, 100.0)], "k long, x double"
+    )
+    s = concentration_stats(single, "x", "k").collect()[0]
+    assert s["gini"] == round(19 / 20, 6)
+    assert s["top_decile_share"] == 1.0
+
+
+def test_gini_hand_value(spark):
+    """x = (1, 2, 3, 4): G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25."""
+    from social_link_prediction_spark.operators.aggregates import (
+        concentration_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)], "k long, x double"
+    )
+    assert concentration_stats(df, "x", "k").collect()[0]["gini"] == 0.25
+
+
+@_needs_testdata
+def test_mutual_information_nonnegative_and_marginal_law(spark):
+    """Total MI (sum of contributions) is >= 0 up to rounding noise,
+    and cell counts sum to the orders row count."""
+    from social_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["mutual_information_priority_segment"](spark, sf).collect()
+    assert sum(r["mi_contrib"] for r in rows) >= -1e-6
+    n_orders = spark.read.parquet(f"{sf}/orders.parquet").count()
+    assert sum(r["n"] for r in rows) == n_orders
+
+
+@_needs_testdata
+def test_frequent_pairs_downward_closure(spark):
+    """A-Priori law: every emitted pair's support is <= the support of
+    each constituent singleton (checked against raw basket counts)."""
+    from social_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["frequent_itemsets_pairs"](spark, sf).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    baskets = li.selectExpr(
+        "l_orderkey AS basket", "l_partkey % 500 AS item"
+    ).dropDuplicates()
+    sing = {r["item"]: r["c"] for r in baskets.groupBy("item").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    for r in rows:
+        assert r["pair_cnt"] <= sing[r["item_a"]]
+        assert r["pair_cnt"] <= sing[r["item_b"]]
