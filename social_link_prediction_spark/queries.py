@@ -9394,3 +9394,326 @@ def mutual_information_priority_segment(spark: SparkSession, sf_dir: str) -> Dat
             "mi_contrib"
         ),
     ).orderBy("priority", "segment")
+
+
+# =====================================================================
+# ML-prep governance: feature scaling audit, Neyman-allocated
+# stratified sampling, l-diversity release audit, multi-touch
+# attribution.
+# =====================================================================
+
+
+@query(
+    "feature_scaling_audit",
+    """
+    WITH stats AS (
+        SELECT avg(c_acctbal) AS mu,
+               stddev_samp(c_acctbal) AS sd,
+               min(c_acctbal) AS lo,
+               max(c_acctbal) AS hi,
+               quantile_cont(c_acctbal, 0.25) AS q1,
+               quantile_cont(c_acctbal, 0.5)  AS med,
+               quantile_cont(c_acctbal, 0.75) AS q3
+        FROM customer
+    )
+    SELECT c_custkey AS custkey,
+           round(c_acctbal, 2) AS acctbal,
+           round((c_acctbal - mu) / sd, 6) AS z,
+           round((c_acctbal - lo) / (hi - lo), 6) AS minmax,
+           round((c_acctbal - med) / (q3 - q1), 6) AS robust
+    FROM customer, stats
+    WHERE c_custkey % 100 < 5
+    ORDER BY custkey
+    """,
+)
+def feature_scaling_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three standard feature scalings side by side — z-score,
+    min-max, and robust (median/IQR, the heavy-tail-safe one) — over
+    customer account balance. Stats come from ONE aggregation (exact
+    interpolated percentiles via F.percentile) broadcast back as a
+    1-row frame; the scaled projection is then scan-side arithmetic,
+    so the fact table is read once and never shuffled. Output limited
+    to the custkey%100<5 mod-slice to keep the audit frame small; the
+    scalings are computed from full-table stats."""
+    cust = _t(spark, sf_dir, "customer")
+    stats = cust.agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sd"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        F.percentile("c_acctbal", F.lit(0.25)).alias("q1"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("med"),
+        F.percentile("c_acctbal", F.lit(0.75)).alias("q3"),
+    )
+    x = F.col("c_acctbal")
+    return (
+        cust.filter(F.col("c_custkey") % 100 < 5)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.round(x, 2).alias("acctbal"),
+            F.round((x - F.col("mu")) / F.col("sd"), 6).alias("z"),
+            F.round((x - F.col("lo")) / (F.col("hi") - F.col("lo")), 6).alias(
+                "minmax"
+            ),
+            F.round((x - F.col("med")) / (F.col("q3") - F.col("q1")), 6).alias(
+                "robust"
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+_NEY_BUDGET = 1000
+_NEY_H = _DUCK_H60.format(args="CAST(o_orderkey AS VARCHAR), 'ney'")
+
+
+@query(
+    "neyman_allocation_sample",
+    f"""
+    WITH strata AS (
+        SELECT o_orderpriority AS stratum,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               round(stddev_samp(o_totalprice), 4) AS sd,
+               round(avg(o_totalprice), 4) AS exact_mean
+        FROM orders GROUP BY 1
+    ),
+    alloc AS (
+        SELECT stratum, n_rows, sd, exact_mean,
+               CAST(floor({_NEY_BUDGET} * (n_rows * sd)
+                          / sum(n_rows * sd) OVER () + 0.5) AS BIGINT) AS n_alloc
+        FROM strata
+    ),
+    ranked AS (
+        SELECT o_orderpriority AS stratum, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY {_NEY_H}, o_orderkey) AS rk
+        FROM orders
+    ),
+    sampled AS (
+        SELECT r.stratum, CAST(count(*) AS BIGINT) AS n_actual,
+               round(avg(r.o_totalprice), 4) AS est_mean
+        FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+        WHERE r.rk <= a.n_alloc
+        GROUP BY r.stratum
+    )
+    SELECT a.stratum, n_rows, sd, n_alloc, n_actual, est_mean, exact_mean
+    FROM alloc a JOIN sampled s ON s.stratum = a.stratum
+    ORDER BY a.stratum
+    """,
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated stratified sampling: the 1000-row budget is
+    split across order-priority strata proportional to N_h * S_h —
+    variance-optimal allocation (Neyman 1934), the sampler a 100 TB
+    profiling job runs instead of uniform sampling when strata have
+    unequal spread. Per-stratum stddevs are rounded to 4 dp BEFORE the
+    allocation arithmetic so both engines derive identical budgets;
+    rows are drawn by h60 rank within each stratum (deterministic,
+    replayable). The exact mean rides along as the audit. At full
+    scale the row_number rank becomes the hash-threshold filter
+    (rank<=n ~ hash<n/N * 2^60) — same sample law, no per-stratum
+    sort."""
+    o = _t(spark, sf_dir, "orders")
+    strata = o.groupBy(F.col("o_orderpriority").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.avg("o_totalprice"), 4).alias("exact_mean"),
+    )
+    w = F.col("n_rows") * F.col("sd")
+    alloc = strata.select(
+        "stratum",
+        "n_rows",
+        "sd",
+        "exact_mean",
+        F.floor(
+            _NEY_BUDGET * w / F.sum(w).over(Window.partitionBy()) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_totalprice",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                mls.hash60(F.col("o_orderkey").cast("string"), F.lit("ney")),
+                F.col("o_orderkey"),
+            )
+        )
+        .alias("rk"),
+    )
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("stratum", "n_alloc")), "stratum")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_actual"),
+            F.round(F.avg("o_totalprice"), 4).alias("est_mean"),
+        )
+    )
+    return (
+        alloc.join(sampled, "stratum")
+        .select(
+            "stratum", "n_rows", "sd", "n_alloc", "n_actual", "est_mean",
+            "exact_mean",
+        )
+        .orderBy("stratum")
+    )
+
+
+@query(
+    "l_diversity_audit",
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT floor(c_acctbal / 1000)) AS BIGINT) AS diversity
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN diversity < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_l,
+           CAST(coalesce(sum(CASE WHEN diversity < 3 THEN n ELSE 0 END), 0)
+                AS BIGINT) AS rows_at_risk,
+           min(diversity) AS min_diversity,
+           round(avg(diversity), 4) AS avg_diversity
+    FROM g
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) on the same (nation, market-segment)
+    quasi-identifier pair as k_anonymity_audit, with the
+    thousand-bucketed account balance as the sensitive attribute:
+    a group can be k-anonymous yet still leak if everyone in it
+    shares one sensitive value (Machanavajjhala et al., ICDE'06).
+    One aggregation keyed by the quasi-identifier computes group size
+    AND distinct-sensitive-value diversity; the rollup is group-count
+    sized. Together the two audits are the release gate."""
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.floor(F.col("c_acctbal") / 1000)).alias("diversity"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("diversity") < 3).cast("int")).alias("groups_below_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("diversity") < 3, F.col("n")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("rows_at_risk"),
+        F.min("diversity").alias("min_diversity"),
+        F.round(F.avg("diversity"), 4).alias("avg_diversity"),
+    )
+
+
+@query(
+    "multitouch_attribution",
+    """
+    WITH p AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type AS channel, event_id
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    pairs AS (
+        SELECT p.conv_id, t.channel, t.ts, t.event_id
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.ts < p.conv_ts
+         AND t.ts >= p.conv_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT conv_id, channel,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts ASC, event_id ASC) AS rk_first,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk_last,
+               count(*) OVER (PARTITION BY conv_id) AS n_touches
+        FROM pairs
+    ),
+    touched AS (
+        SELECT channel,
+               round(sum(CASE WHEN rk_first = 1 THEN 1.0 ELSE 0 END), 4)
+                   AS first_touch,
+               round(sum(CASE WHEN rk_last = 1 THEN 1.0 ELSE 0 END), 4)
+                   AS last_touch,
+               round(sum(1.0 / n_touches), 4) AS linear,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        FROM credited GROUP BY channel
+    ),
+    direct AS (
+        SELECT 'direct' AS channel,
+               round(CAST(count(*) AS DOUBLE), 4) AS first_touch,
+               round(CAST(count(*) AS DOUBLE), 4) AS last_touch,
+               round(CAST(count(*) AS DOUBLE), 4) AS linear,
+               CAST(count(*) AS BIGINT) AS n_conversions
+        FROM p WHERE conv_id NOT IN (SELECT conv_id FROM pairs)
+    )
+    SELECT * FROM touched UNION ALL SELECT * FROM direct
+    ORDER BY channel
+    """,
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: each purchase credits the
+    user's view/click/signup touches in the prior 7 days under three
+    models at once — first-touch, last-touch, and linear (1/k per
+    touch). Touchless purchases surface as the 'direct' channel so
+    credit mass always equals the conversion count. One user-keyed
+    join builds the (conversion, touch) pairs (per-user event lists
+    bound the fan-out; the 7-day predicate caps buffered state — the
+    same discipline as the stream-stream correlate), then the credit
+    windows key on conv_id. Deterministic tie-breaks on (ts,
+    event_id) both directions."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", "ts", F.col("event_type").alias("channel"), "event_id"
+    )
+    pairs = p.join(t, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wf = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wl = Window.partitionBy("conv_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    credited = pairs.select(
+        "conv_id",
+        "channel",
+        F.row_number().over(wf).alias("rk_first"),
+        F.row_number().over(wl).alias("rk_last"),
+        F.count(F.lit(1)).over(Window.partitionBy("conv_id")).alias("n_touches"),
+    )
+    touched = credited.groupBy("channel").agg(
+        F.round(
+            F.sum(F.when(F.col("rk_first") == 1, F.lit(1.0)).otherwise(F.lit(0.0))),
+            4,
+        ).alias("first_touch"),
+        F.round(
+            F.sum(F.when(F.col("rk_last") == 1, F.lit(1.0)).otherwise(F.lit(0.0))),
+            4,
+        ).alias("last_touch"),
+        F.round(F.sum(F.lit(1.0) / F.col("n_touches")), 4).alias("linear"),
+        F.count_distinct(F.col("conv_id")).alias("n_conversions"),
+    )
+    direct = (
+        p.join(pairs.select("conv_id"), "conv_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit("direct").alias("channel"),
+            F.round(F.col("c").cast("double"), 4).alias("first_touch"),
+            F.round(F.col("c").cast("double"), 4).alias("last_touch"),
+            F.round(F.col("c").cast("double"), 4).alias("linear"),
+            F.col("c").alias("n_conversions"),
+        )
+    )
+    return touched.unionByName(direct).orderBy("channel")

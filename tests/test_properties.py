@@ -563,3 +563,51 @@ def test_frequent_pairs_downward_closure(spark):
     for r in rows:
         assert r["pair_cnt"] <= sing[r["item_a"]]
         assert r["pair_cnt"] <= sing[r["item_b"]]
+
+
+@_needs_testdata
+def test_neyman_allocation_laws(spark):
+    """Rounded allocations sum to the budget within half a stratum
+    each way, and every stratum draws exactly min(alloc, available)."""
+    from social_link_prediction_spark import queries as q
+
+    rows = q.QUERIES["neyman_allocation_sample"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    budget_gap = abs(sum(r["n_alloc"] for r in rows) - 1000)
+    assert budget_gap <= (len(rows) + 1) // 2
+    for r in rows:
+        assert r["n_actual"] == min(r["n_alloc"], r["n_rows"])
+
+
+@_needs_testdata
+def test_attribution_credit_conservation(spark):
+    """Every model's total credit equals the purchase count — no
+    conversion is double-counted or dropped (the 'direct' channel
+    absorbs touchless purchases)."""
+    from social_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["multitouch_attribution"](spark, sf).collect()
+    n_purchases = (
+        q._t(spark, sf, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    for model in ("first_touch", "last_touch", "linear"):
+        assert abs(sum(r[model] for r in rows) - n_purchases) < 0.01
+
+
+@_needs_testdata
+def test_feature_scaling_ranges(spark):
+    """Min-max output lies in [0,1]; z and robust agree in sign for
+    every row (both are centered monotone transforms)."""
+    from social_link_prediction_spark import queries as q
+
+    rows = q.QUERIES["feature_scaling_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["minmax"] <= 1.0
+        if abs(r["z"]) > 0.2 and abs(r["robust"]) > 0.2:
+            assert (r["z"] > 0) == (r["robust"] > 0)
