@@ -9717,3 +9717,132 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touched.unionByName(direct).orderBy("channel")
+
+
+_MKV_CHANNELS = ("click", "signup", "view")
+_MKV_ROUNDS = 8
+
+
+def _duck_markov_sql(rounds: int = _MKV_ROUNDS) -> str:
+    """Absorbing-chain attribution unrolled: journey edges, transition
+    counts, then per scenario (base + one knockout per channel) the
+    row-normalized matrix and a fixed-round absorption recursion."""
+    ctes = [
+        """j AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS jid
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ),
+    e2 AS (
+        SELECT state,
+               lag(state) OVER (PARTITION BY user_id, jid
+                                ORDER BY ts, event_id) AS prev,
+               lead(state) OVER (PARTITION BY user_id, jid
+                                 ORDER BY ts, event_id) AS nxt
+        FROM j
+    ),
+    edges AS (
+        SELECT coalesce(prev, 'start') AS src, state AS dst FROM e2
+        UNION ALL
+        SELECT state, 'null' FROM e2 WHERE nxt IS NULL AND state <> 'conv'
+    ),
+    trans AS MATERIALIZED (SELECT src, dst, count(*) AS n FROM edges GROUP BY 1, 2),
+    nconv AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_conv
+              FROM trans WHERE dst = 'conv')"""
+    ]
+    scenarios = [("base", None)] + [(c, c) for c in _MKV_CHANNELS]
+    for name, rem in scenarios:
+        if rem is None:
+            mod = "SELECT src, dst, n FROM trans"
+        else:
+            mod = (
+                f"SELECT src, CASE WHEN dst = '{rem}' THEN 'null' ELSE dst END"
+                f" AS dst, n FROM trans WHERE src <> '{rem}'"
+            )
+        ctes.append(
+            f"t_{name} AS (SELECT src, dst, sum(n) AS n FROM ({mod}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"""pr_{name} AS MATERIALIZED (
+            SELECT src, dst,
+                   CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+            FROM t_{name})"""
+        )
+        ctes.append(
+            f"p_{name}_0 AS (SELECT DISTINCT src AS state, CAST(0 AS DOUBLE) AS p"
+            f" FROM pr_{name})"
+        )
+        for r in range(rounds):
+            ctes.append(
+                f"""p_{name}_{r + 1} AS (
+                SELECT pr.src AS state,
+                       sum(pr.p * CASE WHEN pr.dst = 'conv' THEN 1.0
+                                       WHEN pr.dst = 'null' THEN 0.0
+                                       ELSE coalesce(pp.p, 0.0) END) AS p
+                FROM pr_{name} pr
+                LEFT JOIN p_{name}_{r} pp ON pp.state = pr.dst
+                GROUP BY pr.src)"""
+            )
+        ctes.append(
+            f"f_{name} AS (SELECT coalesce((SELECT p FROM p_{name}_{rounds}"
+            f" WHERE state = 'start'), 0.0) AS p)"
+        )
+    re_rows = " UNION ALL ".join(
+        f"""SELECT '{c}' AS channel, b.p AS base,
+            CASE WHEN b.p > 0 THEN greatest(0.0, (b.p - x.p) / b.p)
+                 ELSE 0.0 END AS re
+            FROM f_base b, f_{c} x"""
+        for c in _MKV_CHANNELS
+    )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body},
+    re AS ({re_rows}),
+    tot AS (SELECT sum(re) AS t FROM re)
+    SELECT channel,
+           round(base, 6) AS p_conv_base,
+           round(re, 6) AS removal_effect,
+           round(CASE WHEN t > 0 THEN n_conv * re / t ELSE 0.0 END, 4)
+               AS attributed_conversions
+    FROM re, tot, nconv ORDER BY channel
+    """
+
+
+@query("markov_attribution", _duck_markov_sql())
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution over user journeys: the
+    counterfactual upgrade of multitouch_attribution — per channel,
+    how much does P(conversion | start) drop when every transition
+    into that channel is redirected to null? Journey construction and
+    transition counting are fully distributed (one user-keyed
+    shuffle, pipelines/attribution.journey_transitions); the
+    absorbing-chain power iteration runs driver-side on the
+    O(channels^2)-row count matrix — the same driver-sized-lookup
+    split as the PQ ADC tables. 8 truncated rounds, replayed verbatim
+    by the unrolled oracle."""
+    from social_link_prediction_spark.pipelines import attribution as attr
+
+    ev = _t(spark, sf_dir, "events")
+    trans = attr.journey_transitions(ev)
+    rows = [(r["src"], r["dst"], r["n"]) for r in trans.collect()]
+    out = attr.markov_removal_effects(
+        rows, channels=_MKV_CHANNELS, rounds=_MKV_ROUNDS
+    )
+    return spark.createDataFrame(
+        [
+            (
+                d["channel"],
+                d["p_conv_base"],
+                d["removal_effect"],
+                d["attributed_conversions"],
+            )
+            for d in out
+        ],
+        "channel string, p_conv_base double, removal_effect double,"
+        " attributed_conversions double",
+    ).orderBy("channel")

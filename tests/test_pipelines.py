@@ -321,3 +321,63 @@ def test_ppjoin_equals_brute_force_and_prunes(spark):
             if jac >= t:
                 brute.add((ids[i], ids[j], jac))
     assert pp == brute and len(brute) >= 5
+
+
+def test_markov_journey_construction(spark):
+    """Pinned edge semantics: purchase closes its journey, trailing
+    touches absorb to null, touchless purchase is start->conv."""
+    from social_link_prediction_spark.pipelines.attribution import (
+        journey_transitions,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 10, "view"), (1, 2, 11, "purchase"),
+            (2, 1, 20, "click"),
+            (3, 1, 30, "purchase"),
+            (4, 1, 40, "view"), (4, 2, 41, "view"),
+        ],
+        "user_id long, ts long, event_id long, event_type string",
+    )
+    got = {
+        (r["src"], r["dst"]): r["n"] for r in journey_transitions(ev).collect()
+    }
+    assert got == {
+        ("start", "view"): 2,
+        ("view", "conv"): 1,
+        ("start", "click"): 1,
+        ("click", "null"): 1,
+        ("start", "conv"): 1,
+        ("view", "view"): 1,
+        ("view", "null"): 1,
+    }
+
+
+def test_markov_removal_effect_pinned():
+    """view carries every conversion -> RE(view)=1 and all credit;
+    click never converts -> RE(click)=0."""
+    from social_link_prediction_spark.pipelines.attribution import (
+        markov_removal_effects,
+    )
+
+    trans = [
+        ("start", "view", 1), ("view", "conv", 1),
+        ("start", "click", 1), ("click", "null", 1),
+    ]
+    out = {d["channel"]: d for d in markov_removal_effects(trans)}
+    assert out["view"]["removal_effect"] == 1.0
+    assert out["click"]["removal_effect"] == 0.0
+    assert out["view"]["attributed_conversions"] == 1.0
+    assert out["click"]["attributed_conversions"] == 0.0
+    assert out["view"]["p_conv_base"] == 0.5
+
+
+def test_markov_no_conversions_is_all_zero():
+    from social_link_prediction_spark.pipelines.attribution import (
+        markov_removal_effects,
+    )
+
+    trans = [("start", "view", 3), ("view", "null", 3)]
+    for d in markov_removal_effects(trans):
+        assert d["removal_effect"] == 0.0
+        assert d["attributed_conversions"] == 0.0
