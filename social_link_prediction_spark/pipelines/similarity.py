@@ -271,3 +271,43 @@ def pq_adc_topk(
         "id", F.round(dist, 6).alias("approx_sq_dist")
     )
     return scored.orderBy(F.col("approx_sq_dist").asc(), F.col("id").asc()).limit(k)
+
+
+def ivf_assignment_margin(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Clustering-confidence audit for IVF assignments: per vector,
+    the cosine score of the OWN (nearest) centroid, the runner-up
+    score, and their margin — the simplified-silhouette signal that
+    tells a vector-store operator how many points sit on cell
+    boundaries (low margin ⇒ multi-probe search must visit neighbor
+    cells, and re-clustering may be due). Same broadcast-centroid
+    score array as ivf_assign, built once; own/next come from a
+    sorted copy, the cell from array_position on the original —
+    all codegen, no UDF. Output: (id, ivf_cell, s_own, s_next,
+    margin >= 0)."""
+    import math as _math
+
+    v = F.col(vec_col).cast("array<double>")
+    out = emb.withColumn("__vn", l2_norm(v))
+    scores = F.array(
+        *[
+            dot(v, F.array([F.lit(float(x)) for x in c]))
+            / (F.col("__vn") * F.lit(_math.sqrt(sum(x * x for x in c))))
+            for c in centroids
+        ]
+    )
+    out = out.withColumn("__s", scores)
+    srt = F.sort_array(F.col("__s"), asc=False)
+    return out.select(
+        F.col(id_col),
+        (F.array_position(F.col("__s"), F.array_max(F.col("__s"))) - 1)
+        .cast("int")
+        .alias("ivf_cell"),
+        srt[0].alias("s_own"),
+        srt[1].alias("s_next"),
+        (srt[0] - srt[1]).alias("margin"),
+    )

@@ -9846,3 +9846,216 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, p_conv_base double, removal_effect double,"
         " attributed_conversions double",
     ).orderBy("channel")
+
+
+# =====================================================================
+# Clustering QA, web-scale bootstrap, seasonal anomaly residuals.
+# =====================================================================
+
+
+def _duck_silhouette_sql() -> str:
+    cents = [
+        "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _IVF_CENTROIDS
+    ]
+    scores = ", ".join(
+        f"list_cosine_similarity(v, {c}) AS s{i}" for i, c in enumerate(cents)
+    )
+    ss = ", ".join(f"s{i}" for i in range(len(cents)))
+    case = (
+        "CASE WHEN s3 > greatest(s0, s1, s2) THEN 3 "
+        "WHEN s2 > greatest(s0, s1) THEN 2 "
+        "WHEN s1 > s0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, {scores} FROM e),
+    m AS (
+        SELECT {case} AS ivf_cell,
+               list_sort([{ss}], 'DESC')[1] AS s_own,
+               list_sort([{ss}], 'DESC')[2] AS s_next
+        FROM s
+    )
+    SELECT ivf_cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(s_own - s_next), 6) AS avg_margin,
+           round(min(s_own - s_next), 6) AS min_margin,
+           CAST(sum(CASE WHEN s_own - s_next < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary
+    FROM m GROUP BY ivf_cell ORDER BY ivf_cell
+    """
+
+
+@query("ivf_silhouette_audit", _duck_silhouette_sql())
+def ivf_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette audit of the IVF coarse quantizer: per
+    cell, how confidently do its members belong — average and minimum
+    own-vs-runner-up cosine margin, and the count of boundary points
+    (margin < 0.05) that force multi-probe searches to visit
+    neighboring cells. The score array is built once per vector in
+    codegen (broadcast centroids, no UDF); the rollup is cell-count
+    sized. This is the health metric that decides when a 100 TB
+    vector store re-trains its coarse centroids."""
+    emb = _t(spark, sf_dir, "embeddings")
+    m = sim.ivf_assignment_margin(emb, _IVF_CENTROIDS)
+    return (
+        m.groupBy("ivf_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("margin"), 6).alias("avg_margin"),
+            F.round(F.min("margin"), 6).alias("min_margin"),
+            F.sum((F.col("margin") < 0.05).cast("int")).alias("n_boundary"),
+        )
+        .orderBy("ivf_cell")
+    )
+
+
+_BOOT_B = 20
+# Integer cutoffs on h60 % 1e6: floor(1e6 * CDF_Poisson1(k)) for k=0..5.
+_POIS_CUTS = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _duck_bootstrap_sql() -> str:
+    h = _DUCK_H60.format(
+        args="CAST(o_orderkey AS VARCHAR), 'boot' || CAST(b AS VARCHAR)"
+    )
+    ladder = " ".join(
+        f"WHEN m < {c} THEN {k}" for k, c in enumerate(_POIS_CUTS)
+    )
+    return f"""
+    WITH r AS (
+        SELECT o_totalprice, b, {h} % 1000000 AS m
+        FROM orders, (SELECT unnest(range(1, {_BOOT_B + 1})) AS b)
+    ),
+    w AS (SELECT b, o_totalprice, CASE {ladder} ELSE 6 END AS w FROM r),
+    est AS (
+        SELECT b, sum(w * o_totalprice) / CAST(sum(w) AS DOUBLE) AS est_mean
+        FROM w GROUP BY b
+    ),
+    ex AS (SELECT avg(o_totalprice) AS exact_mean FROM orders)
+    SELECT round(exact_mean, 4) AS exact_mean,
+           round(avg(est_mean), 4) AS boot_mean,
+           round(stddev_samp(est_mean), 6) AS boot_se,
+           round(quantile_cont(est_mean, 0.025), 4) AS ci_lo,
+           round(quantile_cont(est_mean, 0.975), 4) AS ci_hi
+    FROM est, ex GROUP BY exact_mean
+    """
+
+
+@query("poisson_bootstrap_mean", _duck_bootstrap_sql())
+def poisson_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the web-scale bootstrap: resample weights
+    w ~ Poisson(1) drawn independently per row, so B resamples need
+    ONE scan and no global row count): 20 hash-deterministic
+    resamples of the order-price mean, summarized as bootstrap SE and
+    a 95% percentile CI around the exact mean. The Poisson draw is an
+    integer CASE ladder on h60 % 1e6 (replayable on both engines, no
+    RNG); the explode is a flat B-fold fan-out that partial-aggregates
+    map-side, so the shuffle carries B rows per partition, not B
+    copies of the data."""
+    o = _t(spark, sf_dir, "orders")
+    b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    r = o.crossJoin(F.broadcast(b)).select(
+        "o_totalprice",
+        "b",
+        (
+            mls.hash60(
+                F.col("o_orderkey").cast("string"),
+                F.concat(F.lit("boot"), F.col("b").cast("string")),
+            )
+            % 1000000
+        ).alias("m"),
+    )
+    w = F.lit(6)
+    for k in range(len(_POIS_CUTS) - 1, -1, -1):
+        w = F.when(F.col("m") < _POIS_CUTS[k], F.lit(k)).otherwise(w)
+    est = (
+        r.select("b", "o_totalprice", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("o_totalprice"))
+                / F.sum("w").cast("double")
+            ).alias("est_mean")
+        )
+    )
+    ex = o.agg(F.avg("o_totalprice").alias("exact_mean"))
+    return est.crossJoin(F.broadcast(ex)).groupBy("exact_mean").agg(
+        F.round(F.first("exact_mean"), 4).alias("exact_mean_r"),
+        F.round(F.avg("est_mean"), 4).alias("boot_mean"),
+        F.round(F.stddev_samp("est_mean"), 6).alias("boot_se"),
+        F.round(F.percentile("est_mean", F.lit(0.025)), 4).alias("ci_lo"),
+        F.round(F.percentile("est_mean", F.lit(0.975)), 4).alias("ci_hi"),
+    ).select(
+        F.col("exact_mean_r").alias("exact_mean"),
+        "boot_mean",
+        "boot_se",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+@query(
+    "seasonal_residual_anomalies",
+    """
+    WITH hourly AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, extract(hour FROM ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT event_type, day, hr, n,
+               avg(n) OVER (PARTITION BY event_type,
+                            datediff('day', DATE '1970-01-05', day) % 7, hr)
+                   AS baseline,
+               stddev_samp(n) OVER (PARTITION BY event_type,
+                            datediff('day', DATE '1970-01-05', day) % 7, hr)
+                   AS sd
+        FROM hourly
+    )
+    SELECT event_type, day, hr, n,
+           round(baseline, 4) AS baseline,
+           round((n - baseline) / greatest(sd, 0.0001), 4) AS z
+    FROM base
+    WHERE abs((n - baseline) / greatest(sd, 0.0001)) > 2
+    ORDER BY event_type, day, hr
+    """,
+)
+def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection on the event stream: hourly
+    volumes per type are compared against their OWN (type, day-of-
+    week, hour-of-day) baseline — the residual screen that doesn't
+    false-alarm on ordinary weekly rhythm, complementing
+    event_rate_anomalies' trailing-window z. Day-of-week comes from
+    epoch-day arithmetic (Monday anchor), not locale-dependent dow
+    functions, so both engines and any session TZ agree. One
+    aggregation shrinks the stream to hourly cells; the baseline
+    windows run on that rollup."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = F.datediff(F.col("day"), F.lit("1970-01-05").cast("date")) % 7
+    wspec = Window.partitionBy("event_type", dow, "hr")
+    base = hourly.select(
+        "event_type",
+        "day",
+        "hr",
+        "n",
+        F.avg("n").over(wspec).alias("baseline"),
+        F.stddev_samp("n").over(wspec).alias("sd"),
+    )
+    z = (F.col("n") - F.col("baseline")) / F.greatest(F.col("sd"), F.lit(0.0001))
+    return (
+        base.filter(F.abs(z) > 2)
+        .select(
+            "event_type",
+            "day",
+            "hr",
+            "n",
+            F.round("baseline", 4).alias("baseline"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_type", "day", "hr")
+    )

@@ -611,3 +611,37 @@ def test_feature_scaling_ranges(spark):
         assert 0.0 <= r["minmax"] <= 1.0
         if abs(r["z"]) > 0.2 and abs(r["robust"]) > 0.2:
             assert (r["z"] > 0) == (r["robust"] > 0)
+
+
+def test_ivf_margin_laws(spark):
+    """margin >= 0 by construction (own = argmax), and a vector that
+    IS a centroid has margin == 1 - next-best similarity with s_own
+    == 1."""
+    from social_link_prediction_spark.pipelines.similarity import (
+        ivf_assignment_margin,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.6, 0.8, 0.0]), (3, [0.5, 0.5, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in ivf_assignment_margin(emb, cents).collect()}
+    assert all(r["margin"] >= 0 for r in rows.values())
+    assert rows[1]["ivf_cell"] == 0 and abs(rows[1]["s_own"] - 1.0) < 1e-9
+    assert rows[2]["ivf_cell"] == 1
+    assert abs(rows[3]["margin"]) < 1e-9  # equidistant -> zero margin
+
+
+@_needs_testdata
+def test_poisson_bootstrap_brackets_exact_mean(spark):
+    """The 95% bootstrap CI must contain the exact mean (it is a CI
+    around the resampled estimator of that same mean), and the
+    bootstrap SE must be positive and small relative to the mean."""
+    from social_link_prediction_spark import queries as q
+
+    r = q.QUERIES["poisson_bootstrap_mean"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["ci_lo"] <= r["exact_mean"] <= r["ci_hi"]
+    assert 0 < r["boot_se"] < 0.1 * r["exact_mean"]

@@ -52,6 +52,10 @@ EVENT_TIME_QUERIES = [
     "rolling_7d_active_users",
     "retention_cohorts",
     "robust_outlier_days",
+    # round-4 continuation: attribution + seasonal residuals
+    "multitouch_attribution",
+    "markov_attribution",
+    "seasonal_residual_anomalies",
 ]
 
 needs_testdata = pytest.mark.skipif(
