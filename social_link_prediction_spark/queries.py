@@ -10059,3 +10059,122 @@ def seasonal_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day", "hr")
     )
+
+
+# =====================================================================
+# Recommender-system family: item-item cosine neighborhoods over
+# co-purchase baskets (the classic "customers who bought X" engine).
+# =====================================================================
+
+_III_HUB_CAP = 50  # drop baskets larger than this (hub-user guard)
+_III_TOPK = 5
+
+
+@query(
+    "item_item_cosine_topk",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey % 500 AS item
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    kept AS (
+        SELECT u, item FROM baskets
+        WHERE u IN (SELECT u FROM baskets GROUP BY u
+                    HAVING count(*) <= {_III_HUB_CAP})
+    ),
+    item_n AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS c
+        FROM kept a JOIN kept b ON b.u = a.u AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sym AS (
+        SELECT ia AS item, ib AS neighbor, c FROM pairs
+        UNION ALL
+        SELECT ib, ia, c FROM pairs
+    ),
+    scored AS (
+        SELECT s.item, s.neighbor, s.c,
+               round(s.c / sqrt(na.n * nb.n), 6) AS cosine
+        FROM sym s
+        JOIN item_n na ON na.item = s.item
+        JOIN item_n nb ON nb.item = s.neighbor
+    ),
+    ranked AS (
+        SELECT item, neighbor, c, cosine,
+               row_number() OVER (PARTITION BY item
+                                  ORDER BY cosine DESC, neighbor ASC) AS rk
+        FROM scored
+    )
+    SELECT item, neighbor, c AS n_cousers, cosine, rk
+    FROM ranked WHERE rk <= {_III_TOPK}
+    ORDER BY item, rk
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering neighborhoods: cosine
+    similarity over binary co-purchase vectors (part families x
+    customers), top-{_III_TOPK} neighbors per item. The scale
+    discipline is the classic one: baskets above {_III_HUB_CAP} items
+    are dropped (a hub user contributes O(deg^2) pairs but ~zero
+    signal — same cap family as the LSH max_bucket guard), pairs are
+    enumerated once as a<b within the user key and mirrored after
+    counting, and cosine is ROUNDED before ranking so float noise
+    cannot flip a rank-k boundary (the ranking_metrics lesson).
+    Reference analog: ml/predict.recommend_topk ranks by a learned
+    model; this is the memory-based twin on behavior alone."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 500).alias("item"),
+        )
+        .dropDuplicates()
+    )
+    sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("bn"))
+    kept = baskets.join(
+        F.broadcast(sizes.filter(F.col("bn") <= _III_HUB_CAP).select("u")), "u"
+    ).persist()
+    item_n = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select("u", F.col("item").alias("ia"))
+    b = kept.select("u", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = pairs.select(
+        F.col("ia").alias("item"), F.col("ib").alias("neighbor"), "c"
+    ).unionByName(
+        pairs.select(
+            F.col("ib").alias("item"), F.col("ia").alias("neighbor"), "c"
+        )
+    )
+    na = item_n.select(F.col("item"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("item").alias("neighbor"), F.col("n").alias("nb"))
+    scored = (
+        sym.join(F.broadcast(na), "item")
+        .join(F.broadcast(nb), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "c",
+            F.round(F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    wr = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _III_TOPK)
+        .select("item", "neighbor", F.col("c").alias("n_cousers"), "cosine", "rk")
+        .orderBy("item", "rk")
+    )

@@ -314,3 +314,40 @@ def test_link_model_auc_parity_with_reference(spark):
     metrics = mp.evaluate_link_model(model, val_lab, train_e)
     assert metrics["areaUnderROC"] >= 0.76, metrics
     assert metrics["areaUnderPR"] >= 0.84, metrics
+
+
+def _block_ratings(spark):
+    """Two disjoint taste communities: users 0-4 rate items 0-4 high
+    and 5-9 low; users 5-9 the reverse. Deterministic, no RNG."""
+    rows = []
+    for u in range(10):
+        for i in range(10):
+            same = (u < 5) == (i < 5)
+            rows.append((u, i, 5.0 if same else 1.0))
+    return spark.createDataFrame(rows, "user int, item int, rating float")
+
+
+def test_als_recommends_within_taste_community(spark):
+    from social_link_prediction_spark.ml import recsys
+
+    model = recsys.train_als(_block_ratings(spark), rank=4, max_iter=10, seed=7)
+    users = spark.createDataFrame([(0,), (7,)], "user int")
+    recs = recsys.recommend_items(model, users, k=3).collect()
+    by_user = {}
+    for r in recs:
+        by_user.setdefault(r["user"], []).append(r["item"])
+    assert all(i < 5 for i in by_user[0])
+    assert all(i >= 5 for i in by_user[7])
+    rks = sorted(r["rk"] for r in recs if r["user"] == 0)
+    assert rks == [1, 2, 3]
+
+
+def test_als_similar_items_respect_blocks(spark):
+    from social_link_prediction_spark.ml import recsys
+
+    model = recsys.train_als(_block_ratings(spark), rank=4, max_iter=10, seed=7)
+    sims = recsys.similar_items(model, k=3).collect()
+    for r in sims:
+        assert (r["item"] < 5) == (r["neighbor"] < 5), (
+            "nearest factor neighbors must stay inside the taste block"
+        )
