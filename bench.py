@@ -92,6 +92,12 @@ HEADLINE = [
     "coloring_suppliers",
     "greedy_coverage_docs",
     "bigram_logprob_docs",
+    # continuation-2: attribution, recsys, sampled-estimator families
+    "markov_attribution",
+    "item_item_cosine_topk",
+    "poisson_bootstrap_mean",
+    "katz_suppliers",
+    "triangle_doulion",
 ]
 
 

@@ -9155,13 +9155,18 @@ def triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join touches ~p^2 of the pairs — this is the knob that turns
     an infeasible exact census into a bounded estimate. The exact
     count rides along as the audit (rel_err column); sampling is a
-    scan-side filter, so no extra shuffle before the wedge join."""
+    scan-side filter, so no extra shuffle before the wedge join.
+    (Measured alternative, rejected: deriving the sampled count from
+    the exact triangle set — filter on all three edge coins — moves
+    the h60 evaluation from 0.5M edges to 3x23M triangle corners and
+    is ~60% SLOWER at sf0.1; the sparsified second join costs only
+    ~p^2 of the exact one.)"""
     from social_link_prediction_spark.graph import motifs as gm
 
     e = gm._oriented(_tri_edges(spark, sf_dir), "src", "dst").persist()
     se = e.filter(
         mls.hash60(F.format_string("%d-%d", "a", "b"), F.lit("dln")) % 100 < 50
-    )
+    ).persist()
     cnt = F.count(F.lit(1))
     ne = e.agg(cnt.alias("n_edges"))
     ns = se.agg(cnt.alias("n_edges_sampled"))
@@ -10177,4 +10182,266 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _III_TOPK)
         .select("item", "neighbor", F.col("c").alias("n_cousers"), "cosine", "rk")
         .orderBy("item", "rk")
+    )
+
+
+# =====================================================================
+# Optimizer-grade AQP: sketch-style join-size estimation; feature
+# selection: information gain; product analytics: conversion latency.
+# =====================================================================
+
+_JSE_PCT = 5  # key-sample rate, percent
+_JSE_H = _DUCK_H60.format(args="CAST(k AS VARCHAR), 'jse'")
+
+
+@query(
+    "join_size_estimate",
+    f"""
+    WITH ok AS (
+        SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS fa
+        FROM orders GROUP BY 1
+    ),
+    lk AS (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS fb
+        FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+        SELECT ok.k, fa, fb FROM ok JOIN lk ON lk.k = ok.k
+    ),
+    sampled AS (
+        SELECT CAST(coalesce(sum(fa * fb), 0) AS BIGINT) AS s_contrib,
+               CAST(count(*) AS BIGINT) AS n_sampled_keys
+        FROM joined WHERE {_JSE_H} % 100 < {_JSE_PCT}
+    ),
+    exact AS (
+        SELECT CAST(sum(fa * fb) AS BIGINT) AS exact_rows,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM joined
+    )
+    SELECT n_keys, n_sampled_keys, exact_rows,
+           round(s_contrib * (100.0 / {_JSE_PCT}), 4) AS est_rows,
+           round(abs(s_contrib * (100.0 / {_JSE_PCT}) - exact_rows)
+                 / exact_rows, 6) AS rel_err
+    FROM sampled, exact
+    """,
+)
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled join-cardinality estimation — the statistic a cost-
+    based optimizer (or a pre-flight guard on a 100 TB join) needs
+    BEFORE running the join: |A join B| = sum_k f_A(k)*f_B(k),
+    estimated from a {_JSE_PCT}% deterministic h60 KEY sample with
+    Horvitz-Thompson scale-up. Key-level (not row-level) sampling is
+    the part that matters: both sides agree on the sampled keys, so
+    per-key frequency products are observed exactly and heavy keys
+    are never torn. The per-key frequency frames are tiny relative to
+    the fact tables; the exact count rides along as the audit."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ok = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("fa")
+    )
+    lk = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("fb")
+    )
+    joined = ok.join(lk, "k").select("k", "fa", "fb").persist()
+    sampled = joined.filter(
+        mls.hash60(F.col("k").cast("string"), F.lit("jse")) % 100 < _JSE_PCT
+    ).agg(
+        F.coalesce(F.sum(F.col("fa") * F.col("fb")), F.lit(0)).alias("s_contrib"),
+        F.count(F.lit(1)).alias("n_sampled_keys"),
+    )
+    exact = joined.agg(
+        F.sum(F.col("fa") * F.col("fb")).alias("exact_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    est = F.col("s_contrib") * (100.0 / _JSE_PCT)
+    return sampled.crossJoin(exact).select(
+        "n_keys",
+        "n_sampled_keys",
+        "exact_rows",
+        F.round(est, 4).alias("est_rows"),
+        F.round(F.abs(est - F.col("exact_rows")) / F.col("exact_rows"), 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+_IG_FEATURES = ("o_orderpriority", "o_orderstatus", "c_mktsegment")
+
+
+def _duck_ig_sql() -> str:
+    """Information gain of each categorical feature against the
+    high-value-order label, each feature from the same joined scan."""
+    parts = []
+    for feat in _IG_FEATURES:
+        parts.append(
+            f"""
+    SELECT '{feat}' AS feature,
+           round(hy.h, 6) AS h_label,
+           round(hy.h - (
+               SELECT sum(cnt / t.n * h_cond) FROM (
+                   SELECT {feat} AS v, CAST(count(*) AS DOUBLE) AS cnt,
+                          -- conditional entropy within the feature value
+                          coalesce(sum(
+                              CASE WHEN y = 1 THEN 1.0 ELSE 0 END), 0) AS pos,
+                          count(*) AS nn
+                   FROM j GROUP BY {feat}
+               ) g, t,
+               LATERAL (
+                   SELECT CASE
+                       WHEN g.pos = 0 OR g.pos = g.nn THEN 0.0
+                       ELSE -(g.pos / g.cnt) * ln(g.pos / g.cnt)
+                            - ((g.cnt - g.pos) / g.cnt)
+                              * ln((g.cnt - g.pos) / g.cnt)
+                   END AS h_cond
+               )
+           ), 6) AS info_gain
+    FROM hy"""
+        )
+    return f"""
+    WITH j AS (
+        SELECT o.o_orderpriority, o.o_orderstatus, c.c_mktsegment,
+               CASE WHEN o.o_totalprice > 150000 THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+    hy AS (
+        SELECT CASE WHEN p = 0 OR p = 1 THEN 0.0
+                    ELSE -p * ln(p) - (1 - p) * ln(1 - p) END AS h
+        FROM (SELECT avg(CAST(y AS DOUBLE)) AS p FROM j)
+    )
+    SELECT * FROM ({" UNION ALL ".join(parts)}) ORDER BY feature
+    """
+
+
+@query("information_gain_features", _duck_ig_sql())
+def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature selection by information gain: H(label) - H(label |
+    feature) for each candidate categorical feature against the
+    high-value-order label (totalprice > 150k) — the decision-tree
+    split criterion run as a batch audit. ONE joined scan feeds every
+    feature's contingency aggregation; entropies are computed on the
+    per-value rollups (each at most a few rows). The feature-
+    selection twin of mutual_information_priority_segment (IG against
+    a LABEL; MI between two features)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderstatus",
+            "c_mktsegment",
+            (F.col("o_totalprice") > 150000).cast("int").alias("y"),
+        )
+        .persist()
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.col("y").cast("double")).alias("p"),
+    )
+    h_label = F.when(
+        (F.col("p") == 0) | (F.col("p") == 1), F.lit(0.0)
+    ).otherwise(
+        -F.col("p") * F.log(F.col("p"))
+        - (1 - F.col("p")) * F.log(1 - F.col("p"))
+    )
+    outs = []
+    for feat in _IG_FEATURES:
+        g = j.groupBy(F.col(feat).alias("v")).agg(
+            F.count(F.lit(1)).cast("double").alias("cnt"),
+            F.sum(F.when(F.col("y") == 1, F.lit(1.0)).otherwise(F.lit(0.0))).alias(
+                "pos"
+            ),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        pp = F.col("pos") / F.col("cnt")
+        h_cond = F.when(
+            (F.col("pos") == 0) | (F.col("pos") == F.col("nn")), F.lit(0.0)
+        ).otherwise(-pp * F.log(pp) - (1 - pp) * F.log(1 - pp))
+        cond = g.crossJoin(F.broadcast(tot)).agg(
+            F.sum(F.col("cnt") / F.col("n") * h_cond).alias("h_cond_total")
+        )
+        outs.append(
+            cond.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(feat).alias("feature"),
+                F.round(h_label, 6).alias("h_label"),
+                F.round(h_label - F.col("h_cond_total"), 6).alias("info_gain"),
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("feature")
+
+
+@query(
+    "conversion_latency_stats",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id,
+               CAST(datediff('second', first_view, first_buy) AS BIGINT)
+                   AS latency_s
+        FROM firsts
+        WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+          AND first_buy >= first_view
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           round(quantile_cont(latency_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(latency_s, 0.9), 4) AS p90_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s,
+           round(avg(latency_s), 4) AS mean_s
+    FROM lat
+    """,
+)
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from first
+    view to first purchase (users whose first purchase precedes any
+    view are excluded — they converted through another door), with
+    exact interpolated percentiles. One aggregation keyed by user
+    collapses the stream to two timestamps per user; the percentile
+    pass runs on the converted-user rollup. NTZ second-diff
+    arithmetic keeps the latencies session-TZ-independent."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_view"))
+    ).select(
+        # DuckDB datediff('second', ...) counts SECOND-BOUNDARY
+        # crossings, not whole elapsed seconds — match with per-
+        # timestamp epoch-second floors.
+        (
+            F.floor(win.epoch_us(F.col("first_buy")) / 1_000_000)
+            - F.floor(win.epoch_us(F.col("first_view")) / 1_000_000)
+        )
+        .cast("long")
+        .alias("latency_s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_s").alias("min_s"),
+        F.round(F.percentile("latency_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("latency_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+        F.round(F.avg("latency_s"), 4).alias("mean_s"),
     )

@@ -645,3 +645,47 @@ def test_poisson_bootstrap_brackets_exact_mean(spark):
     ).collect()[0]
     assert r["ci_lo"] <= r["exact_mean"] <= r["ci_hi"]
     assert 0 < r["boot_se"] < 0.1 * r["exact_mean"]
+
+
+@_needs_testdata
+def test_join_size_estimate_exactness_law(spark):
+    """The exact side must equal the materialized join's row count,
+    and the HT estimate must land within a loose 50% band at
+    sf0.001 (5% key sample of ~1.5k keys)."""
+    from social_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    r = q.QUERIES["join_size_estimate"](spark, sf).collect()[0]
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    true_rows = o.join(
+        li, o["o_orderkey"] == li["l_orderkey"]
+    ).count()
+    assert r["exact_rows"] == true_rows
+    assert abs(r["est_rows"] - true_rows) / true_rows < 0.5
+
+
+@_needs_testdata
+def test_information_gain_bounds(spark):
+    """0 <= IG(feature) <= H(label) for every feature (conditioning
+    never increases entropy; gain can't exceed the prior)."""
+    from social_link_prediction_spark import queries as q
+
+    rows = q.QUERIES["information_gain_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1e-9 <= r["info_gain"] <= r["h_label"] + 1e-9
+
+
+@_needs_testdata
+def test_conversion_latency_ordering(spark):
+    """min <= p50 <= p90 <= max and the mean lies inside [min, max]."""
+    from social_link_prediction_spark import queries as q
+
+    r = q.QUERIES["conversion_latency_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
+    assert r["min_s"] <= r["mean_s"] <= r["max_s"]

@@ -56,6 +56,7 @@ EVENT_TIME_QUERIES = [
     "multitouch_attribution",
     "markov_attribution",
     "seasonal_residual_anomalies",
+    "conversion_latency_stats",
 ]
 
 needs_testdata = pytest.mark.skipif(
