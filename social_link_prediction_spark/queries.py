@@ -10445,3 +10445,111 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("latency_s").alias("max_s"),
         F.round(F.avg("latency_s"), 4).alias("mean_s"),
     )
+
+
+_CF_TOP_SIM = 20
+_CF_TOPK = 10
+
+
+@query(
+    "cf_recommend_parts_c1",
+    f"""
+    WITH baskets AS (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey % 500 AS item
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    sizes AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY u),
+    anchor AS (SELECT min(u) AS au FROM baskets),
+    abasket AS (SELECT item FROM baskets, anchor WHERE u = au),
+    inter AS (
+        SELECT b.u, CAST(count(*) AS BIGINT) AS c
+        FROM baskets b JOIN abasket a ON a.item = b.item, anchor
+        WHERE b.u <> au GROUP BY b.u
+    ),
+    sims AS (
+        SELECT i.u,
+               round(CAST(i.c AS DOUBLE)
+                     / ((SELECT n FROM sizes, anchor WHERE u = au)
+                        + s.n - i.c), 6) AS jac
+        FROM inter i JOIN sizes s ON s.u = i.u
+    ),
+    top_sims AS (
+        SELECT u, jac FROM sims ORDER BY jac DESC, u ASC LIMIT {_CF_TOP_SIM}
+    ),
+    cand AS (
+        SELECT b.item, round(sum(t.jac), 6) AS score,
+               CAST(count(*) AS BIGINT) AS n_recommenders
+        FROM baskets b JOIN top_sims t ON t.u = b.u
+        WHERE b.item NOT IN (SELECT item FROM abasket)
+        GROUP BY b.item
+    )
+    SELECT item, score, n_recommenders FROM cand
+    ORDER BY score DESC, item ASC LIMIT {_CF_TOPK}
+    """,
+)
+def cf_recommend_parts_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-based collaborative filtering for the anchor customer
+    (min custkey with purchases): neighbors ranked by basket Jaccard,
+    candidate part families scored by summed neighbor similarity,
+    anchor's own items excluded — the memory-based twin of the
+    reference's recommend entry point (EP3, ml/predict.recommend_topk)
+    on behavior alone, completing the family with
+    item_item_cosine_topk (item-based) and ml/recsys (model-based).
+    The anchor basket and the top-{_CF_TOP_SIM} neighbor frame are
+    both tiny and broadcast, so the only data-scale shuffles are the
+    basket build and one intersection aggregation keyed by customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"),
+            (F.col("l_partkey") % 500).alias("item"),
+        )
+        .dropDuplicates()
+        .persist()
+    )
+    sizes = baskets.groupBy("u").agg(F.count(F.lit(1)).alias("n"))
+    anchor = baskets.agg(F.min("u").alias("au"))
+    abasket = (
+        baskets.crossJoin(F.broadcast(anchor))
+        .filter(F.col("u") == F.col("au"))
+        .select("item")
+    )
+    an = (
+        sizes.crossJoin(F.broadcast(anchor))
+        .filter(F.col("u") == F.col("au"))
+        .select(F.col("n").alias("an"))
+    )
+    inter = (
+        baskets.join(F.broadcast(abasket), "item")
+        .crossJoin(F.broadcast(anchor))
+        .filter(F.col("u") != F.col("au"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sims = (
+        inter.join(sizes, "u")
+        .crossJoin(F.broadcast(an))
+        .select(
+            "u",
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("an") + F.col("n") - F.col("c")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    top_sims = sims.orderBy(F.col("jac").desc(), F.col("u").asc()).limit(
+        _CF_TOP_SIM
+    )
+    cand = (
+        baskets.join(F.broadcast(top_sims), "u")
+        .join(F.broadcast(abasket), "item", "left_anti")
+        .groupBy("item")
+        .agg(
+            F.round(F.sum("jac"), 6).alias("score"),
+            F.count(F.lit(1)).alias("n_recommenders"),
+        )
+    )
+    return cand.orderBy(F.col("score").desc(), F.col("item").asc()).limit(_CF_TOPK)

@@ -1,0 +1,53 @@
+"""Plan-level regression guard for the continuation-session queries.
+
+Asserts the physical plans contain no CartesianProduct (the unbounded
+cross product — BroadcastNestedLoopJoin over 1-row literal anchors and
+tiny generator frames is the accepted pattern and is NOT flagged) and
+no row-at-a-time Python evaluation (BatchEvalPython) — the two plan
+shapes that do not survive a 100x scale-up. tools/plan_audit.py writes
+the full headline audit to PLANS.md; this test pins the invariant in
+CI for the queries added in this session.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from social_link_prediction_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "katz_suppliers",
+    "triangle_doulion",
+    "frequent_itemsets_pairs",
+    "revenue_concentration_gini",
+    "mutual_information_priority_segment",
+    "feature_scaling_audit",
+    "neyman_allocation_sample",
+    "l_diversity_audit",
+    "multitouch_attribution",
+    "ivf_silhouette_audit",
+    "poisson_bootstrap_mean",
+    "seasonal_residual_anomalies",
+    "item_item_cosine_topk",
+    "join_size_estimate",
+    "information_gain_features",
+    "conversion_latency_stats",
+    "cf_recommend_parts_c1",
+]
+
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_no_cartesian_or_python_rowloop(spark, name):
+    df = q.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unbounded cross product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"

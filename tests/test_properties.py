@@ -689,3 +689,29 @@ def test_conversion_latency_ordering(spark):
     ).collect()[0]
     assert r["min_s"] <= r["p50_s"] <= r["p90_s"] <= r["max_s"]
     assert r["min_s"] <= r["mean_s"] <= r["max_s"]
+
+
+@_needs_testdata
+def test_cf_recommend_excludes_anchor_items(spark):
+    """Recommendations never contain the anchor's own basket, and
+    scores are bounded by the neighbor count (each neighbor's
+    Jaccard <= 1)."""
+    from social_link_prediction_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.QUERIES["cf_recommend_parts_c1"](spark, sf).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    baskets = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .selectExpr("o_custkey AS u", "l_partkey % 500 AS item")
+        .dropDuplicates()
+    )
+    au = baskets.agg(F.min("u")).collect()[0][0]
+    own = {
+        r["item"] for r in baskets.filter(F.col("u") == au).collect()
+    }
+    for r in rows:
+        assert r["item"] not in own
+        assert 0 < r["score"] <= r["n_recommenders"]
