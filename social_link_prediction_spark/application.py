@@ -141,3 +141,99 @@ class AIService:
         return mlp.constrained_spouse_candidates(
             src, cand, self.edges, self.vertices, k=k
         )
+
+
+class RecsysService:
+    """Behavior-based recommendations over an interaction DataFrame
+    (user, item[, rating]) — the engine-extra counterpart of
+    ``AIService.recommend`` for deployments that have interactions but
+    no graph/features. Three strategies behind one facade:
+
+    - ``similar_items(k)`` — memory-based item-item cosine over
+      co-interaction vectors (the item_item_cosine_topk shape);
+    - ``fit_als(...)`` then ``recommend(users, k)`` /
+      ``similar_items_model(k)`` — MLlib ALS matrix factorization
+      (ml/recsys.py), for when sparsity defeats co-occurrence counts.
+
+    Interactions stay a lazy DataFrame; the hub-basket cap bounds the
+    pair enumeration exactly as in the catalog query.
+    """
+
+    def __init__(
+        self,
+        interactions: DataFrame,
+        user_col: str = "user",
+        item_col: str = "item",
+        hub_cap: int = 50,
+    ):
+        self.inter = interactions.select(
+            F.col(user_col).alias("user"), F.col(item_col).alias("item")
+        ).dropDuplicates()
+        self.hub_cap = hub_cap
+        self._model = None
+
+    def similar_items(self, k: int = 5) -> DataFrame:
+        from pyspark.sql import Window
+
+        sizes = self.inter.groupBy("user").agg(F.count(F.lit(1)).alias("bn"))
+        kept = self.inter.join(
+            F.broadcast(
+                sizes.filter(F.col("bn") <= self.hub_cap).select("user")
+            ),
+            "user",
+        )
+        item_n = kept.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+        a = kept.select("user", F.col("item").alias("ia"))
+        b = kept.select("user", F.col("item").alias("ib"))
+        pairs = (
+            a.join(b, "user")
+            .filter(F.col("ia") < F.col("ib"))
+            .groupBy("ia", "ib")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sym = pairs.selectExpr("ia AS item", "ib AS neighbor", "c").unionByName(
+            pairs.selectExpr("ib AS item", "ia AS neighbor", "c")
+        )
+        na = item_n.select("item", F.col("n").alias("na"))
+        nb = item_n.select(
+            F.col("item").alias("neighbor"), F.col("n").alias("nb")
+        )
+        scored = (
+            sym.join(F.broadcast(na), "item")
+            .join(F.broadcast(nb), "neighbor")
+            .select(
+                "item",
+                "neighbor",
+                "c",
+                F.round(
+                    F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 6
+                ).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("item").orderBy(
+            F.col("cosine").desc(), F.col("neighbor").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+
+    def fit_als(self, ratings: DataFrame, **kw) -> "RecsysService":
+        from social_link_prediction_spark.ml import recsys as rs
+
+        self._model = rs.train_als(ratings, **kw)
+        return self
+
+    def recommend(self, users: DataFrame, k: int = 5) -> DataFrame:
+        from social_link_prediction_spark.ml import recsys as rs
+
+        if self._model is None:
+            raise ValueError("call fit_als(ratings) before recommend()")
+        return rs.recommend_items(self._model, users, k=k)
+
+    def similar_items_model(self, k: int = 5) -> DataFrame:
+        from social_link_prediction_spark.ml import recsys as rs
+
+        if self._model is None:
+            raise ValueError("call fit_als(ratings) before similar_items_model()")
+        return rs.similar_items(self._model, k=k)

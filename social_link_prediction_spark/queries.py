@@ -10553,3 +10553,147 @@ def cf_recommend_parts_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.orderBy(F.col("score").desc(), F.col("item").asc()).limit(_CF_TOPK)
+
+
+# =====================================================================
+# Tokenizer-economics audits: fertility by language, packing waste.
+# =====================================================================
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH toks AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6) AS fertility,
+           round(avg(CAST(n_tokens AS DOUBLE)), 4) AS mean_tokens_per_doc
+    FROM toks GROUP BY lang ORDER BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (chars per token) by language — the
+    cost-model audit every multilingual training pipeline runs before
+    setting mixture weights, because a language with 2x fertility
+    buys half the documents per token budget (cf. the fertility
+    tables in the BLOOM/XLM-R tokenizer analyses). Whitespace
+    tokenization here (the same convention as token_count_bpe's
+    baseline column); one scan, one aggregation keyed by lang."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("fertility"),
+            F.round(F.avg(F.col("n_tokens").cast("double")), 4).alias(
+                "mean_tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_PACK_SEQ = 128  # tokens per training sequence
+
+
+@query(
+    "packing_efficiency_audit",
+    f"""
+    WITH toks AS (
+        SELECT CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(n, {_PACK_SEQ})) AS BIGINT) AS kept_truncate,
+               CAST(sum(n) AS BIGINT) AS total_tokens
+        FROM toks
+    )
+    SELECT 'truncate_one_per_seq' AS strategy,
+           n_docs AS n_sequences,
+           kept_truncate AS tokens_kept,
+           CAST(n_docs * {_PACK_SEQ} - kept_truncate AS BIGINT) AS pad_tokens,
+           round(1.0 - CAST(kept_truncate AS DOUBLE)
+                 / (n_docs * {_PACK_SEQ}), 6) AS waste_frac
+    FROM stats
+    UNION ALL
+    SELECT 'concat_and_chunk' AS strategy,
+           CAST(ceil(CAST(total_tokens AS DOUBLE) / {_PACK_SEQ}) AS BIGINT)
+               AS n_sequences,
+           total_tokens AS tokens_kept,
+           CAST(ceil(CAST(total_tokens AS DOUBLE) / {_PACK_SEQ})
+                * {_PACK_SEQ} - total_tokens AS BIGINT) AS pad_tokens,
+           round(1.0 - CAST(total_tokens AS DOUBLE)
+                 / (ceil(CAST(total_tokens AS DOUBLE) / {_PACK_SEQ})
+                    * {_PACK_SEQ}), 6) AS waste_frac
+    FROM stats
+    ORDER BY strategy
+    """,
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing economics at seq_len={_PACK_SEQ}: token waste
+    under the naive one-document-per-sequence strategy (pad or
+    truncate every doc) versus concat-and-chunk packing (the
+    pack_documents operator's strategy — only the final chunk pads).
+    The number that justifies running the packer at all: on mixed-
+    length corpora naive padding wastes 30-60% of compute. One scan,
+    one aggregation; both strategies derived from the same token
+    moments."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n")
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least(F.col("n"), F.lit(_PACK_SEQ))).alias("kept_truncate"),
+        F.sum("n").alias("total_tokens"),
+    )
+    trunc = stats.select(
+        F.lit("truncate_one_per_seq").alias("strategy"),
+        F.col("n_docs").alias("n_sequences"),
+        F.col("kept_truncate").alias("tokens_kept"),
+        (F.col("n_docs") * _PACK_SEQ - F.col("kept_truncate")).alias(
+            "pad_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("kept_truncate").cast("double")
+            / (F.col("n_docs") * _PACK_SEQ),
+            6,
+        ).alias("waste_frac"),
+    )
+    nseq = F.ceil(F.col("total_tokens").cast("double") / _PACK_SEQ)
+    packed = stats.select(
+        F.lit("concat_and_chunk").alias("strategy"),
+        nseq.cast("long").alias("n_sequences"),
+        F.col("total_tokens").alias("tokens_kept"),
+        (nseq * _PACK_SEQ - F.col("total_tokens")).cast("long").alias(
+            "pad_tokens"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double") / (nseq * _PACK_SEQ),
+            6,
+        ).alias("waste_frac"),
+    )
+    return trunc.unionByName(packed).orderBy("strategy")

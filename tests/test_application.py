@@ -64,3 +64,28 @@ def test_recommend_spouse_constraints(social_graph):
     # Q3 is Bob's sibling -> taboo anti-joined out
     assert all(r.dst != "Q3" for r in recs)
     assert all(r.dst != "Q2" for r in recs)
+
+
+def test_recsys_service_memory_and_model_paths(spark):
+    """Facade wires both strategies: co-occurrence neighbors respect
+    the taste blocks, and the unfitted model path raises."""
+    import pytest as _pt
+
+    from social_link_prediction_spark.application import RecsysService
+
+    rows = []
+    for u in range(10):
+        for i in range(10):
+            if (u < 5) == (i < 5):
+                rows.append((u, i, 5.0))
+    ratings = spark.createDataFrame(rows, "user int, item int, rating float")
+    svc = RecsysService(ratings.select("user", "item"))
+    sims = svc.similar_items(k=3).collect()
+    assert sims
+    for r in sims:
+        assert (r["item"] < 5) == (r["neighbor"] < 5)
+    with _pt.raises(ValueError):
+        svc.recommend(spark.createDataFrame([(0,)], "user int"))
+    svc.fit_als(ratings, rank=4, max_iter=5, seed=7)
+    recs = svc.recommend(spark.createDataFrame([(0,)], "user int"), k=3).collect()
+    assert recs and all(r["item"] < 5 for r in recs)
