@@ -165,9 +165,10 @@ def katz_centrality(
 
     Scale shape: ``edges`` is persisted once and every round's join
     keys on its source column, so the edge shuffle partitioning is
-    reused across rounds; the score frame is |V| rows. With a fixed
-    small ``rounds`` the lineage stays shallow (no checkpoint needed —
-    contrast graph/pagerank.py's unbounded loop). Rows: (id, katz).
+    reused across rounds; the score frame is |V| rows and is
+    localCheckpointed per round (eager lineage cut + GC-reclaimable
+    blocks — a persist per round would pin every round's frame in the
+    cache for the session's lifetime). Rows: (id, katz).
     """
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
@@ -197,5 +198,9 @@ def katz_centrality(
                 "x"
             ),
         )
-        x = x.persist()
+        # localCheckpoint (eager) instead of persist: it truncates the
+        # lineage AND lets the ContextCleaner reclaim the previous
+        # round's blocks on GC — a persist per round would pin `rounds`
+        # |V|-row frames in the cache for the life of the session.
+        x = x.localCheckpoint()
     return x.select("id", F.col("x").alias("katz"))

@@ -108,10 +108,13 @@ def luby_coloring(
     after removing colors < c. Every node in color class c is
     independent (no monochromatic edge — a proper partial coloring by
     construction), and classes are maximal in their residual graph.
-    Returns (id, color) with color NULL for nodes the
-    (colors × rounds_per_color) budget did not reach — same honesty
-    contract as scc/mis. Δ+1 colors always suffice; expected
-    O(log n) Luby rounds per class.
+    Returns (id, color) with color strictly in [0, colors-1] and
+    color NULL for nodes the (colors × rounds_per_color) budget did
+    not reach — same honesty contract as scc/mis. Isolated leftovers
+    (all residual neighbors already colored) are promoted to color
+    c+1 mid-run, but never past the requested palette: on the final
+    iteration they stay NULL instead. Δ+1 colors always suffice;
+    expected O(log n) Luby rounds per class.
 
     Graph coloring is the scheduling primitive: a color class is a
     set of conflict-free tasks (registers, channel slots, parallel
@@ -148,27 +151,32 @@ def luby_coloring(
             .join(colored.select(F.col("id").alias("v")), "v", "anti")
             .localCheckpoint()
         )
-        isolated = (
-            pairs.select(F.col("u").alias("id"))
-            .unionAll(pairs.select(F.col("v").alias("id")))
-            .dropDuplicates()
-            .join(colored, "id", "anti")
-            .join(
-                remaining.select(F.col("u").alias("id"))
-                .unionAll(remaining.select(F.col("v").alias("id")))
-                .dropDuplicates(),
-                "id",
-                "anti",
+        if c + 1 < colors:
+            isolated = (
+                pairs.select(F.col("u").alias("id"))
+                .unionAll(pairs.select(F.col("v").alias("id")))
+                .dropDuplicates()
+                .join(colored, "id", "anti")
+                .join(
+                    remaining.select(F.col("u").alias("id"))
+                    .unionAll(remaining.select(F.col("v").alias("id")))
+                    .dropDuplicates(),
+                    "id",
+                    "anti",
+                )
+                .select("id", F.lit(c + 1).alias("color"))
+                .localCheckpoint()
             )
-            .select("id", F.lit(c + 1).alias("color"))
-            .localCheckpoint()
-        )
-        # isolated nodes have no residual edges by definition, so the
-        # remaining edge set needs no further pruning for them. Safety
-        # of color c+1: all their neighbors are already colored <= c+1
-        # with same-iteration isolated nodes pairwise non-adjacent, and
-        # no UNCOLORED neighbor exists to receive c+1 later.
-        out = out.unionAll(isolated).localCheckpoint()
+            # isolated nodes have no residual edges by definition, so
+            # the remaining edge set needs no further pruning for them.
+            # Safety of color c+1: all their neighbors are colored <= c
+            # (MIS this round or earlier promotion), same-iteration
+            # isolated nodes are pairwise non-adjacent, and no
+            # UNCOLORED neighbor exists to receive c+1 later. On the
+            # FINAL iteration c+1 would exceed the requested palette
+            # [0, colors-1], so promotion is skipped and those nodes
+            # return color NULL with the other budget-exhausted nodes.
+            out = out.unionAll(isolated).localCheckpoint()
     nodes = (
         pairs.select(F.col("u").alias("id"))
         .unionAll(pairs.select(F.col("v").alias("id")))

@@ -413,6 +413,8 @@ def six_degrees_experiment(
 
     Returns a single-row DataFrame of the experiment summary.
     """
+    from social_link_prediction_spark.ml.linksplit import hash60
+
     ids = vertices.select("id")
     n_nodes = vertices.count()
     # Deterministic hash-threshold sampling (same pattern as the
@@ -426,13 +428,15 @@ def six_degrees_experiment(
     # negligible even for small n_pairs: target mean = n_pairs +
     # 4*sqrt(n_pairs) + 10 keeps P(survivors < n_pairs) < ~1e-4
     # (a flat 1.5x factor left ~8% shortfall odds at n_pairs=10).
+    # hash60 (md5-based), not xxhash64: DuckDB computes the identical
+    # value, so an oracle can replay the exact pair sample.
     K = 1 << 30
     target = n_pairs + 4.0 * (n_pairs ** 0.5) + 10.0
     thresh = int(min(1.0, target / max(n_nodes, 1)) * K)
 
     def _sample(s: int, out: str) -> DataFrame:
-        cand = ids.filter(F.pmod(F.xxhash64("id", F.lit(s)), F.lit(K)) < thresh)
-        w = Window.orderBy(F.xxhash64("id", F.lit(s + 1_000_003)), "id")
+        cand = ids.filter(F.pmod(hash60(F.col("id"), F.lit(s)), F.lit(K)) < thresh)
+        w = Window.orderBy(hash60(F.col("id"), F.lit(s + 1_000_003)), "id")
         return (
             cand.withColumn("k", F.row_number().over(w))
             .filter(F.col("k") <= n_pairs)
@@ -451,13 +455,20 @@ def six_degrees_experiment(
     l_theory = (
         _math.log(n_nodes) / _math.log(mean_k) if mean_k and mean_k > 1 else float("nan")
     )
+    # Exact percentile (not percentile_approx): the GK-sketch estimate
+    # is algorithm-specific, the exact interpolated median is a value
+    # any engine reproduces — this is what lets a SQL oracle check the
+    # whole summary row. mean/max of dist are unique-shortest-length
+    # audits (path CHOICE can vary; its length cannot).
     return deg.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("dist").isNull().cast("long")).alias("unreachable"),
-        F.avg("degree").alias("mean_degree_sep"),
-        F.expr("percentile_approx(degree, 0.5)").alias("median_degree_sep"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+        F.max("dist").alias("max_dist"),
+        F.round(F.avg("degree"), 6).alias("mean_degree_sep"),
+        F.expr("percentile(degree, 0.5)").alias("median_degree_sep"),
         F.max("degree").alias("max_degree_sep"),
-    ).withColumn("l_theory", F.lit(l_theory))
+    ).withColumn("l_theory", F.round(F.lit(l_theory), 6))
 
 
 def harmonic_centrality(

@@ -83,7 +83,10 @@ def propagate_features(
                     for c in cols
                 ],
             )
-            .persist()
+            # eager lineage truncation; previous layers' blocks are
+            # GC-reclaimable (persist would pin one |V|-row frame per
+            # layer in the cache for the life of the session).
+            .localCheckpoint()
         )
     return h
 

@@ -18,13 +18,23 @@ per peel round:
      cycle resolve as singletons — a DAG fully resolves in one peel).
   3. peel resolved nodes + incident edges, repeat.
 
-Both loops run a FIXED number of rounds (not convergence detection),
-so a SQL oracle can replay the exact evolution CTE-by-CTE; nodes
-still unresolved when the peel budget ends come back with scc NULL —
-callers see exactly what a bounded run could and could not settle
-(same honesty contract as k-truss' round cap). Per round: one keyed
-join + one max-aggregate — map-side-combinable, and at 100 TB the
-active set only shrinks as peels remove settled components.
+Both loops run a BOUNDED number of rounds with an explicit fixed-
+point check: a phase "converged" iff its last round changed no row
+(both phases are monotone, so last-two-frames-equal ⇔ fixed point,
+and an engine-side early exit at the first no-change round produces
+byte-identical frames to running the full budget). A peel's
+resolutions are only valid when BOTH phases converged — partially
+propagated colors mis-class nodes, and partially propagated
+backward reach would peel a strict subset of an SCC, splitting the
+remainder into wrongly-labeled sub-components in later peels. When
+either phase exhausts its budget mid-flight the peel resolves
+NOTHING and every still-active node comes back with scc NULL (the
+honest budget-exhaustion contract, same as k-truss' round cap). A
+SQL oracle replays the exact evolution CTE-by-CTE, including the
+convergence guard (compare the last two unrolled rounds). Per
+round: one keyed join + one max-aggregate — map-side-combinable,
+and at 100 TB the active set only shrinks as peels remove settled
+components.
 """
 
 from __future__ import annotations
@@ -44,7 +54,11 @@ def strongly_connected_components(
     MAX node id of the component (the coloring root), NULL when the
     (rounds, peels) budget did not settle the node. ``rounds`` bounds
     the propagation radius per phase — r rounds settle components
-    whose internal hop distances fit in r.
+    whose internal hop distances fit in r. A peel whose forward or
+    backward phase did NOT reach a fixed point within ``rounds``
+    resolves nothing (its labels would be wrong, and peeling a
+    partial SCC would mislabel the remainder next peel), so those
+    nodes return scc NULL rather than a confidently-wrong label.
     """
     if rounds < 1 or peels < 1:
         raise ValueError("rounds and peels must be >= 1")
@@ -64,7 +78,8 @@ def strongly_connected_components(
     active_n, active_e = nodes, e
     for _ in range(peels):
         # --- 1. forward color propagation (max over ancestors)
-        c = active_n.withColumn("c", F.col("id"))
+        c = active_n.withColumn("c", F.col("id")).localCheckpoint()
+        fwd_converged = False
         for _r in range(rounds):
             inc = (
                 active_e.join(
@@ -73,7 +88,7 @@ def strongly_connected_components(
                 .groupBy(F.col("v").alias("id"))
                 .agg(F.max("cu").alias("cin"))
             )
-            c = (
+            nxt = (
                 c.join(inc, "id", "left")
                 .select(
                     "id",
@@ -81,6 +96,25 @@ def strongly_connected_components(
                 )
                 .localCheckpoint()
             )
+            # Monotone ⇒ "no row rose" is exactly the fixed point; the
+            # early break leaves `c` byte-identical to running out the
+            # budget, so the unrolled SQL oracle (which always runs
+            # `rounds` rounds and compares the last two) replays this.
+            changed = (
+                nxt.join(c.withColumnRenamed("c", "c0"), "id")
+                .filter(F.col("c") != F.col("c0"))
+                .limit(1)
+                .count()
+            )
+            c = nxt
+            if changed == 0:
+                fwd_converged = True
+                break
+        if not fwd_converged:
+            # Budget exhausted mid-propagation: colors are partial ⇒
+            # classes are wrong ⇒ nothing this peel (or any later peel
+            # on the identical active set) may resolve.
+            break
         # --- 2. backward reach to the class root over same-class edges
         ce = (
             active_e.join(c.select(F.col("id").alias("u"), F.col("c").alias("cu")), "u")
@@ -89,7 +123,8 @@ def strongly_connected_components(
             .select("u", "v")
             .localCheckpoint()
         )
-        r = c.withColumn("r", (F.col("id") == F.col("c")).cast("int"))
+        r = c.withColumn("r", (F.col("id") == F.col("c")).cast("int")).localCheckpoint()
+        bwd_converged = False
         for _r in range(rounds):
             upd = (
                 ce.join(
@@ -99,7 +134,7 @@ def strongly_connected_components(
                 .groupBy(F.col("u").alias("id"))
                 .agg(F.lit(1).alias("rin"))
             )
-            r = (
+            nxt = (
                 r.join(upd, "id", "left")
                 .select(
                     "id",
@@ -108,7 +143,22 @@ def strongly_connected_components(
                 )
                 .localCheckpoint()
             )
-        # --- 3. peel
+            changed = (
+                nxt.join(r.select("id", F.col("r").alias("r0")), "id")
+                .filter(F.col("r") != F.col("r0"))
+                .limit(1)
+                .count()
+            )
+            r = nxt
+            if changed == 0:
+                bwd_converged = True
+                break
+        if not bwd_converged:
+            # Partial backward reach would peel a strict subset of an
+            # SCC — later peels would then mislabel the remainder as
+            # smaller components. Invalidate the whole peel instead.
+            break
+        # --- 3. peel (valid only because both phases hit a fixed point)
         done = r.filter(F.col("r") == 1).select("id", F.col("c").alias("scc"))
         resolved = done if resolved is None else resolved.unionAll(done)
         resolved = resolved.localCheckpoint()
@@ -120,4 +170,6 @@ def strongly_connected_components(
             .localCheckpoint()
         )
     leftover = active_n.withColumn("scc", F.lit(None).cast(nodes.schema["id"].dataType))
+    if resolved is None:
+        return leftover
     return resolved.unionAll(leftover)

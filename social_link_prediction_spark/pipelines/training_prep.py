@@ -416,6 +416,17 @@ def greedy_max_coverage(
             .dropDuplicates()
             .localCheckpoint()
         )
-    return spark.createDataFrame(
-        picked, "round int, doc_id long, gain long, covered_total long"
+    # doc_id keeps the caller's id type (string ids are as common as
+    # integer ones in document corpora) — a hardcoded `long` here would
+    # crash createDataFrame after an otherwise-successful k-round run.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType()),
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("gain", T.LongType()),
+            T.StructField("covered_total", T.LongType()),
+        ]
     )
+    return spark.createDataFrame(picked, schema)

@@ -2180,10 +2180,97 @@ ORACLES["ivf_cell_counts"] = _duck_ivf_sql()
 # SQL-reproducible -> rows-only check (the driver records the weaker
 # gate; invariants are pytest-covered).
 # =====================================================================
-@query("six_degrees_summary", None)
+def _duck_sixdeg_sql(n_pairs: int = 50, seed: int = 7, hops: int = 4) -> str:
+    """six_degrees_experiment replayed end-to-end: the hash60 pair
+    sampler (threshold + row_number window — identical arithmetic to
+    paths.py), ``hops`` unrolled per-pair BFS frontier levels for the
+    exact shortest-path LENGTH, and the closed-form humans-on-path
+    degree. The engine reconstructs an actual shortest path and counts
+    'human' (supplier) nodes on it; on the bipartite part-supplier
+    graph every shortest path of a given length between given endpoint
+    types crosses the same number of suppliers, so the closed form is
+    an INDEPENDENT check of the path-based computation:
+      p->p: dist/2 suppliers; s->s: dist/2 + 1; mixed: (dist+1)/2;
+      degree = max(suppliers - 1, 0)."""
+    k_mod = 1 << 30
+    ha = _DUCK_H60.format(args=f"id, '{seed}'")
+    ha2 = _DUCK_H60.format(args=f"id, '{seed + 1_000_003}'")
+    hb = _DUCK_H60.format(args=f"id, '{seed + 1}'")
+    hb2 = _DUCK_H60.format(args=f"id, '{seed + 1 + 1_000_003}'")
+    ctes = [
+        f"""pe AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS MATERIALIZED (
+        SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM pe
+        UNION ALL
+        SELECT 's:' || l_suppkey, 'p:' || l_partkey FROM pe),
+    v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+    nn AS (SELECT count(*) AS n FROM v),
+    th AS (SELECT CAST(floor(least(1.0,
+              ({n_pairs} + 4.0 * sqrt({n_pairs}.0) + 10.0) / n) * {k_mod}) AS BIGINT) AS t
+           FROM nn),
+    sa AS MATERIALIZED (
+        SELECT id, row_number() OVER (ORDER BY {ha2}, id) AS k
+        FROM v WHERE {ha} % {k_mod} < (SELECT t FROM th)),
+    sb AS MATERIALIZED (
+        SELECT id, row_number() OVER (ORDER BY {hb2}, id) AS k
+        FROM v WHERE {hb} % {k_mod} < (SELECT t FROM th)),
+    pairs AS MATERIALIZED (
+        SELECT a.k, a.id AS src, b.id AS dst FROM sa a JOIN sb b USING (k)
+        WHERE a.id <> b.id AND a.k <= {n_pairs} AND b.k <= {n_pairs}),
+    f0 AS (SELECT k, src AS node FROM pairs)"""
+    ]
+    for h in range(1, hops + 1):
+        ctes.append(
+            f"""f{h} AS MATERIALIZED (
+            SELECT DISTINCT f.k, e.dst AS node
+            FROM f{h - 1} f JOIN e ON e.src = f.node)"""
+        )
+    lvl_union = " UNION ALL ".join(
+        f"SELECT k, node, {h} AS lvl FROM f{h}" for h in range(hops + 1)
+    )
+    ctes.append(
+        f"""d AS MATERIALIZED (
+        SELECT x.k, min(x.lvl) AS dist
+        FROM ({lvl_union}) x JOIN pairs p ON p.k = x.k AND p.dst = x.node
+        GROUP BY x.k)"""
+    )
+    ctes.append(
+        """dg AS (
+        SELECT d.k,
+               CAST(greatest(
+                 CASE WHEN p.src LIKE 'p:%' AND p.dst LIKE 'p:%' THEN d.dist // 2
+                      WHEN p.src LIKE 's:%' AND p.dst LIKE 's:%' THEN d.dist // 2 + 1
+                      ELSE (d.dist + 1) // 2 END - 1, 0) AS BIGINT) AS degree
+        FROM d JOIN pairs p USING (k))"""
+    )
+    ctes.append(
+        """mk AS (SELECT avg(2.0 * c) AS m FROM (
+            SELECT src, count(*) AS c FROM e GROUP BY src))"""
+    )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN d.dist IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS unreachable,
+           round(avg(d.dist), 6) AS mean_dist,
+           max(d.dist) AS max_dist,
+           round(avg(dg.degree), 6) AS mean_degree_sep,
+           quantile_cont(CAST(dg.degree AS DOUBLE), 0.5) AS median_degree_sep,
+           max(dg.degree) AS max_degree_sep,
+           round(ln((SELECT n FROM nn)) / ln((SELECT m FROM mk)), 6) AS l_theory
+    FROM pairs p LEFT JOIN d USING (k) LEFT JOIN dg USING (k)
+    """
+
+
+@query("six_degrees_summary", _duck_sixdeg_sql())
 def six_degrees_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: sampled degrees-of-separation summary over the part-supplier
-    graph (suppliers as 'human' for the humans-on-path count)."""
+    graph (suppliers as 'human' for the humans-on-path count). Fully
+    deterministic — the pair sampler is the hash60 device and the
+    summary uses exact percentile — so the oracle replays the sample
+    and checks the shortest-path lengths against an unrolled BFS and
+    the humans-on-path degrees against the bipartite closed form
+    (previously rows-only; VERDICT r4 item 2)."""
     edges = _partsupp_edges(spark, sf_dir)
     vertices = (
         edges.select(F.col("src").alias("id"))
@@ -2841,24 +2928,54 @@ def multires_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lvl(hourly, "hour").unionAll(_lvl(daily, "day")).unionAll(_lvl(monthly, "month"))
 
 
-@query("hll_daily_users", None)
+@query(
+    "hll_daily_users",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_2pct
+    FROM events GROUP BY day ORDER BY day
+    """,
+)
 def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-merge rollup: per-hour HLL sketches of user_id, unioned
     to per-day distinct-user estimates (`hll_union_agg`). The exact
     rollup can't re-aggregate distinct counts from a finer level;
     sketches can — this is the mergeable-state pattern every
-    large-scale rollup pipeline relies on. Estimate-valued, so checked
-    rows-only by the driver; the pytest asserts the estimate against
-    the exact count and sketch-union associativity."""
+    large-scale rollup pipeline relies on. The HLL estimate itself is
+    deterministic but implementation-specific (DuckDB's HLL would give
+    a different value), so the driver-checkable contract is the exact
+    distinct-count twin plus a bounded-relative-error flag derived
+    from the merged sketch: lgConfigK=14 gives ~0.8% standard error,
+    so |est − exact| / exact ≤ 2% must hold — if sketch aggregation,
+    union, or estimation broke, the flag flips and the value hash
+    catches it. The pytest additionally pins sketch-union
+    associativity and the raw accuracy band."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.groupBy(_trunc_ntz("hour", "ts").alias("hour_start"))
         .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
     )
-    return (
-        hourly.groupBy(_trunc_ntz("day", "hour_start").alias("day_start"))
+    ev_daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = ev_daily.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_users_exact")
+    )
+    approx = (
+        hourly.groupBy(F.to_date("hour_start").alias("day"))
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
-        .orderBy("day_start")
+    )
+    return (
+        exact.join(approx, "day")
+        .select(
+            "day",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.02
+            ).alias("approx_within_2pct"),
+        )
+        .orderBy("day")
     )
 
 
@@ -7699,11 +7816,17 @@ _SCC_EDGE_SQL = _DUCK_H60.format(
 )
 
 
-def _duck_scc_sql(rounds: int = 3, peels: int = 2) -> str:
+def _duck_scc_sql(rounds: int = 12, peels: int = 2) -> str:
     """FW-BW coloring unrolled CTE-by-CTE: per peel, ``rounds`` color-
     propagation rounds (max over ancestors flows along edges), the
     class-restricted edge set, ``rounds`` backward-reach rounds to the
-    class root, then the peel of resolved nodes."""
+    class root, then the peel of resolved nodes. Mirrors the engine's
+    convergence guard (scc.py): a peel's resolutions only count when
+    BOTH phases reached a fixed point within the budget — checked here
+    by comparing the last two unrolled rounds (both phases are
+    monotone, so last-two-equal ⇔ converged; the engine's early break
+    at the first no-change round leaves identical frames). An invalid
+    peel resolves nothing and passes its full active set forward."""
     ctes = [
         f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
     e1 AS MATERIALIZED (
@@ -7744,10 +7867,22 @@ def _duck_scc_sql(rounds: int = 3, peels: int = 2) -> str:
                     WHERE rr.r = 1 GROUP BY e.u
                 ) m USING (id))"""
             )
-        finals.append(f"SELECT id, c AS scc FROM r{p}_{rounds} WHERE r = 1")
+        ctes.append(
+            f"""ok{p} AS MATERIALIZED (
+            SELECT (SELECT count(*) FROM c{p}_{rounds} a
+                    JOIN c{p}_{rounds - 1} b USING (id) WHERE a.c <> b.c) = 0
+               AND (SELECT count(*) FROM r{p}_{rounds} a
+                    JOIN r{p}_{rounds - 1} b USING (id) WHERE a.r <> b.r) = 0 AS v)"""
+        )
+        finals.append(
+            f"SELECT id, c AS scc FROM r{p}_{rounds} "
+            f"WHERE r = 1 AND (SELECT v FROM ok{p})"
+        )
         if p < peels:
             ctes.append(
-                f"n{p + 1} AS MATERIALIZED (SELECT id FROM r{p}_{rounds} WHERE r = 0)"
+                f"""n{p + 1} AS MATERIALIZED (
+                SELECT id FROM r{p}_{rounds}
+                WHERE r = 0 OR NOT (SELECT v FROM ok{p}))"""
             )
             ctes.append(
                 f"""e{p + 1} AS MATERIALIZED (
@@ -7757,7 +7892,8 @@ def _duck_scc_sql(rounds: int = 3, peels: int = 2) -> str:
             )
         else:
             finals.append(
-                f"SELECT id, CAST(NULL AS BIGINT) AS scc FROM r{p}_{rounds} WHERE r = 0"
+                f"""SELECT id, CAST(NULL AS BIGINT) AS scc FROM r{p}_{rounds}
+                WHERE r = 0 OR NOT (SELECT v FROM ok{p})"""
             )
     body = ",\n    ".join(ctes)
     allrows = " UNION ALL ".join(finals)
@@ -7771,12 +7907,16 @@ def _duck_scc_sql(rounds: int = 3, peels: int = 2) -> str:
 def scc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components of a 2.5%-sampled directed
     supplier graph (h60 seed hash — replayable, same device as
-    ktruss): FW-BW coloring with a fixed (rounds=3, peels=2) budget,
-    reported as per-component member counts; nodes the budget could
-    not settle come back under scc_root NULL (the honest budget-
-    exhaustion contract). Tarjan/Kosaraju are sequential DFS and do
-    not distribute — coloring is the shared-nothing SCC algorithm,
-    and each peel round is one keyed join + one max-aggregate."""
+    ktruss): FW-BW coloring with a bounded (rounds=12, peels=2) budget
+    and a fixed-point guard — a peel only resolves nodes when both
+    phases converged within the budget (partial propagation would
+    label components wrongly), reported as per-component member
+    counts; nodes the budget could not settle come back under
+    scc_root NULL (the honest budget-exhaustion contract).
+    Tarjan/Kosaraju are sequential DFS and do not distribute —
+    coloring is the shared-nothing SCC algorithm, and each peel round
+    is one keyed join + one max-aggregate (the engine early-exits
+    converged rounds, so the budget costs nothing once settled)."""
     from social_link_prediction_spark.graph import scc as gscc
 
     sup = _t(spark, sf_dir, "supplier").select(
@@ -7790,7 +7930,7 @@ def scc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 250
         )
     )
-    comp = gscc.strongly_connected_components(pairs, rounds=3, peels=2)
+    comp = gscc.strongly_connected_components(pairs, rounds=12, peels=2)
     return (
         comp.groupBy(F.col("scc").alias("scc_root"))
         .agg(F.count(F.lit(1)).alias("n_members"))
@@ -8645,14 +8785,18 @@ def _duck_coloring_sql(colors: int = 3, rounds: int = 3) -> str:
             SELECT u, v FROM rp{c}
             WHERE u NOT IN ({done}) AND v NOT IN ({done}))"""
         )
-        ctes.append(
-            f"""iso{c} AS MATERIALIZED (
-            SELECT id, {c + 1} AS color FROM allnodes
-            WHERE id NOT IN ({done})
-              AND id NOT IN (SELECT u FROM rp{c + 1}
-                             UNION ALL SELECT v FROM rp{c + 1}))"""
-        )
-        iso_names.append(f"iso{c}")
+        if c + 1 < colors:
+            # isolated promotion stays inside the palette: the final
+            # iteration would need color `colors`, so it is skipped and
+            # those nodes fall into the NULL leftover (mirrors mis.py).
+            ctes.append(
+                f"""iso{c} AS MATERIALIZED (
+                SELECT id, {c + 1} AS color FROM allnodes
+                WHERE id NOT IN ({done})
+                  AND id NOT IN (SELECT u FROM rp{c + 1}
+                                 UNION ALL SELECT v FROM rp{c + 1}))"""
+            )
+            iso_names.append(f"iso{c}")
     done = " UNION ALL ".join(
         f"SELECT id FROM {n} " for n in cls_names + iso_names
     )

@@ -147,7 +147,10 @@ def test_six_degrees_sampling_no_global_topk(social_graph):
     v, e = social_graph
     plan = gp.six_degrees_experiment(e, v, n_pairs=5, seed=1, max_hops=3)._jdf.queryExecution().executedPlan().toString()
     assert "rand(" not in plan
-    assert "pmod(xxhash64" in plan
+    # sampler is the oracle-replayable hash60 (md5) device under a pmod
+    # threshold filter — not xxhash64 (DuckDB can't replay it), and
+    # never a rand() sort.
+    assert "pmod(" in plan and "md5(" in plan
 
 
 def test_triangles_exact_once(spark):
@@ -545,6 +548,25 @@ def test_scc_two_components_one_class_needs_second_peel(spark):
     assert two == {1: 2, 2: 2, 5: 6, 6: 6}
 
 
+def test_scc_long_cycle_exceeding_budget_returns_null(spark):
+    """A 6-cycle is ONE SCC whose color propagation needs 5 rounds;
+    with rounds=3 the forward phase cannot reach a fixed point, so the
+    guard must refuse to resolve ANY node (scc NULL across the board)
+    rather than mislabel the cycle as six singletons. With rounds=8
+    the fixed point is reached and the full cycle resolves to root 6."""
+    from social_link_prediction_spark.graph import scc as gscc
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 1)], "src long, dst long"
+    )
+    starved = _scc_map(
+        gscc.strongly_connected_components(e, rounds=3, peels=2).collect()
+    )
+    assert starved == {i: None for i in range(1, 7)}
+    fed = _scc_map(gscc.strongly_connected_components(e, rounds=8, peels=2).collect())
+    assert fed == {i: 6 for i in range(1, 7)}
+
+
 def test_scc_validates_budget(spark):
     import pytest as _pytest
 
@@ -709,6 +731,21 @@ def test_luby_coloring_budget_honesty(spark):
     assert sum(1 for r in rows if r.color is None) >= 1
     with _pytest.raises(ValueError):
         gmis.luby_coloring(e, colors=0)
+
+
+def test_luby_coloring_never_exceeds_palette(spark):
+    """Isolated-node promotion must stay inside [0, colors-1]: on a
+    single edge with colors=1, the MIS winner takes color 0 and the
+    loser — isolated once its only neighbor is colored — must come
+    back NULL, not the out-of-palette color 1. With colors=2 the
+    promotion is legal and both nodes are colored within budget."""
+    from social_link_prediction_spark.graph import mis as gmis
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    one = {r.id: r.color for r in gmis.luby_coloring(e, colors=1).collect()}
+    assert sorted(one.values(), key=lambda v: (v is None, v)) == [0, None]
+    two = {r.id: r.color for r in gmis.luby_coloring(e, colors=2).collect()}
+    assert sorted(two.values()) == [0, 1]
 
 
 def test_label_spreading_harmonic_properties(spark):

@@ -257,3 +257,11 @@ def test_greedy_max_coverage_laws(spark):
     assert len({r.doc_id for r in rows}) == len(rows)
     with _pytest.raises(ValueError):
         tp.greedy_max_coverage(docs, k=0)
+    # string doc ids must round-trip: the result schema derives doc_id
+    # from the input id column's type instead of hardcoding long.
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    srows = tp.greedy_max_coverage(sdocs, k=2, ngram=3).orderBy("round").collect()
+    assert srows[0].doc_id == "doc-1"
+    assert [r.gain for r in srows] == gains[:2]
