@@ -16,13 +16,19 @@ from pyspark.sql import functions as F
 from social_link_prediction_spark.pipelines.text import tokens
 
 
-def year_features(df: DataFrame, col: str = "birth_year") -> DataFrame:
+def year_features(
+    df: DataFrame, col: str = "birth_year", exact_median: bool = False
+) -> DataFrame:
     """P12: min-max normalized year + median fill + is_missing flag.
-    Stats come from one tiny aggregate broadcast back — no collect."""
+    Stats come from one tiny aggregate broadcast back — no collect.
+    ``exact_median=True`` swaps percentile_approx for the exact
+    interpolated percentile (needed when a SQL oracle must reproduce
+    the fill value; the GK sketch's pick is algorithm-specific)."""
+    med_fn = "percentile" if exact_median else "percentile_approx"
     stats = df.agg(
         F.min(col).cast("double").alias("__ymin"),
         F.max(col).cast("double").alias("__ymax"),
-        F.expr(f"percentile_approx({col}, 0.5)").cast("double").alias("__ymed"),
+        F.expr(f"{med_fn}({col}, 0.5)").cast("double").alias("__ymed"),
     )
     out = df.crossJoin(F.broadcast(stats))
     filled = F.coalesce(F.col(col).cast("double"), F.col("__ymed"))

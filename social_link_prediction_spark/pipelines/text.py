@@ -7,7 +7,7 @@ whole-stage-codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword dictionaries for the n-gram/stopword
@@ -170,12 +170,31 @@ def winnow_neardup_pairs(
     window: int = 4,
     min_shared: int = 3,
     id_col: str = "doc_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by shared winnowing fingerprints (id_a <
     id_b, ≥ min_shared common fingerprints). The fingerprint equi-join
     is the blocking step: only docs sharing a fingerprint ever meet,
-    so cost tracks fingerprint collisions, not |docs|²."""
+    so cost tracks fingerprint collisions, not |docs|².
+
+    ``max_bucket`` is the skew guard (same device as
+    dedup.lsh_candidate_pairs): a fingerprint shared by more than
+    ``max_bucket`` documents — site boilerplate, license headers, the
+    empty-ish document class — would alone emit O(bucket²) pairs from
+    one task; such "stop fingerprints" are dropped before the
+    self-join, exactly as MinHash pipelines drop stop shingles. The
+    window count shuffles on ``fp``, pre-partitioning the frame on the
+    self-join key, so the guard costs no extra exchange. A true
+    near-dup pair sharing ≥ min_shared NON-degenerate fingerprints is
+    unaffected; pairs held together only by boilerplate are exactly
+    the ones a dedup pipeline should not flag."""
     fps = winnow_fingerprints(df, col, k=k, window=window, id_col=id_col)
+    bucket_w = Window.partitionBy("fp")
+    fps = (
+        fps.withColumn("__n", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))

@@ -744,6 +744,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in SQL is DOUBLE and loses integer precision past 2^53, so the
 # powers are spelled as literals computed in Python.
 _WINNOW_K, _WINNOW_W = 7, 4
+# stop-fingerprint cap for the pair queries (engine max_bucket twin).
+_WINNOW_MAX_BUCKET = 1000
 _WINNOW_HASH = " + ".join(
     f"ascii(substr(s, i::INT + {j}, 1)){'::BIGINT' if j == 0 else ''}"
     f" * {257 ** (_WINNOW_K - 1 - j)}"
@@ -767,7 +769,14 @@ _DUCK_WINNOW_FPS = f"""
                i, count(*) OVER (PARTITION BY doc_id) AS n
         FROM grams
     ),
-    fps AS (SELECT DISTINCT doc_id AS id, fp FROM mins WHERE i <= n - {_WINNOW_W - 1})
+    fps AS (SELECT DISTINCT doc_id AS id, fp FROM mins WHERE i <= n - {_WINNOW_W - 1}),
+    -- stop-fingerprint cap (mirrors text.winnow_neardup_pairs
+    -- max_bucket): a fingerprint shared by more docs than the cap is
+    -- boilerplate and is dropped before any pair generation. The raw
+    -- fingerprint query reads `fps`; the pair queries read `fpk`.
+    fpk AS (SELECT f.id, f.fp FROM fps f
+            JOIN (SELECT fp FROM fps GROUP BY fp
+                  HAVING count(*) <= {_WINNOW_MAX_BUCKET}) c USING (fp))
 """
 
 
@@ -791,14 +800,19 @@ _WINNOW_MIN_SHARED = 12
     f"""
     WITH {_DUCK_WINNOW_FPS}
     SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+    FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.id < b.id
     GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
     """,
 )
 def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ptx.winnow_neardup_pairs(
-        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
+        docs,
+        "text",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_bucket=_WINNOW_MAX_BUCKET,
     )
 
 
@@ -808,7 +822,7 @@ def winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {_DUCK_WINNOW_FPS},
     pr AS (
         SELECT a.id AS id_a, b.id AS id_b
-        FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+        FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.id < b.id
         GROUP BY id_a, id_b HAVING count(*) >= {_WINNOW_MIN_SHARED}
     ),
     e AS (SELECT id_a AS src, id_b AS dst FROM pr
@@ -831,7 +845,12 @@ def winnow_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop flag — the operation a corpus dedup actually ships."""
     docs = _t(spark, sf_dir, "documents")
     pairs = ptx.winnow_neardup_pairs(
-        docs, "text", k=_WINNOW_K, window=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED
+        docs,
+        "text",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_bucket=_WINNOW_MAX_BUCKET,
     )
     return pdd.neardup_clusters(docs, pairs)
 
@@ -5042,6 +5061,78 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = ptraj.sequence_trigrams(ev)
     return ptraj.jaccard_pairs_topk(grams, k=10)
+
+
+def _duck_traj_minhash_sql(
+    k_hashes: int = 8, max_bucket: int = 1000, k: int = 10
+) -> str:
+    """minhash_trajectory_topk replayed: enriched (type, log2-gap)
+    tokens, trigrams, salted-md5 MinHash signatures, banded LSH with
+    the stop-bucket cap, exact Jaccard on candidates, deterministic
+    top-k."""
+    sig_cols = ", ".join(
+        f"min(md5(concat('{i}|', tg))) AS mh{i}" for i in range(k_hashes)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, md5(concat_ws(chr(31), mh{2 * b}, mh{2 * b + 1}))"
+        f" AS bucket FROM sig"
+        for b in range(k_hashes // 2)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT user_id AS id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL THEN event_type || '#s'
+                    ELSE event_type || '#' || least(CAST(floor(log2(
+                         ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000)
+                         + 1)) AS INT), 9)
+               END AS tok
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g0 AS (
+        SELECT id,
+               tok || '|' || lead(tok, 1) OVER w2 || '|' || lead(tok, 2) OVER w2 AS tg,
+               lead(tok, 2) OVER w2 AS third
+        FROM tk WINDOW w2 AS (PARTITION BY id ORDER BY ts, event_id)
+    ),
+    tg AS (SELECT DISTINCT id, tg FROM g0 WHERE third IS NOT NULL),
+    sig AS (SELECT id, {sig_cols} FROM tg GROUP BY id),
+    bands AS ({band_union}),
+    bc AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+           HAVING count(*) <= {max_bucket}),
+    bk AS (SELECT b.id, b.band, b.bucket FROM bands b JOIN bc USING (band, bucket)),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+             WHERE a.id < b.id),
+    sizes AS (SELECT id, count(*) AS n FROM tg GROUP BY id),
+    inter AS (SELECT c.id_a, c.id_b, count(*) AS n_shared
+              FROM cand c
+              JOIN tg ta ON ta.id = c.id_a
+              JOIN tg tb ON tb.id = c.id_b AND tb.tg = ta.tg
+              GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b, i.n_shared,
+           round(i.n_shared / (sa.n + sb.n - i.n_shared), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT {k}
+    """
+
+
+@query("trajectory_minhash_topk", _duck_traj_minhash_sql())
+def trajectory_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-POPULATION trajectory-similarity path the sampled
+    query documents (VERDICT r4 item 5): every user, no sample —
+    (event_type, log2-inter-arrival-bucket) tokens widen the tiny
+    event-type alphabet so trigram sets discriminate, MinHash
+    signatures + banded LSH with the stop-bucket cap generate
+    candidates without ever forming all pairs, and exact Jaccard is
+    verified on candidates only. At 100 TB the per-user signature is
+    K hex strings of shuffle and every other stage is bounded by band
+    buckets — the same discipline as minhash_lsh_neardup."""
+    ev = _t(spark, sf_dir, "events")
+    toks = ptraj.enriched_tokens(ev)
+    grams = ptraj.sequence_trigrams(
+        toks, entity_col="id", token_col="tok", order_cols=("ts", "event_id")
+    )
+    return ptraj.minhash_trajectory_topk(grams, k_hashes=8, rows_per_band=2, k=10)
 
 
 # =====================================================================
@@ -10845,3 +10936,243 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("waste_frac"),
     )
     return trunc.unionByName(packed).orderBy("strategy")
+
+
+# =====================================================================
+# Round-5 promotions: the remaining oracle-expressible operators that
+# were pytest-only (VERDICT r4 item 6) — G1 graph construction, G2
+# hub/age/inf edge weights, J5 id-join endpoint drops, P12 year
+# normalization, M1(md5)/M2 feature assembly.
+# =====================================================================
+_GBW_H60 = _DUCK_H60.format(args="t")
+
+
+@query(
+    "graph_build_weights",
+    """
+    WITH sup AS (SELECT s_suppkey AS sk FROM supplier),
+    vh AS (SELECT 's:' || sk AS id, 'human' AS type,
+                  CASE WHEN sk % 10 = 0 THEN NULL
+                       ELSE 1920 + (sk * 13) % 80 END AS birth_year
+           FROM sup),
+    vp AS (SELECT 'p:' || p_partkey AS id, 'part' AS type,
+                  CAST(NULL AS INTEGER) AS birth_year FROM part),
+    v AS (SELECT * FROM vh UNION ALL SELECT * FROM vp),
+    e0 AS (
+        SELECT 's:' || sk AS src, 's:' || ((sk * 7) % 97 + 1) AS dst,
+               CASE WHEN sk % 11 = 0 THEN 'influenced_by'
+                    ELSE 'knows' END AS rel
+        FROM sup
+        UNION ALL
+        SELECT DISTINCT 'p:' || l_partkey, 's:' || l_suppkey, 'supplied_by'
+        FROM lineitem
+    ),
+    e AS (SELECT e0.* FROM e0
+          JOIN v a ON a.id = e0.src JOIN v b ON b.id = e0.dst),
+    deg AS (SELECT dst AS id, count(*) AS ind FROM e GROUP BY dst),
+    my AS (SELECT avg(birth_year) AS m FROM v),
+    w AS (
+        SELECT e.rel,
+               CASE WHEN e.rel = 'influenced_by' THEN CAST('infinity' AS DOUBLE)
+               ELSE 1.0 + ln(coalesce(d.ind, 0) + 1) +
+                    CASE WHEN sa.type = 'human' AND sb.type = 'human'
+                          AND abs(coalesce(sa.birth_year, (SELECT m FROM my))
+                                - coalesce(sb.birth_year, (SELECT m FROM my))) > 15
+                         THEN (abs(coalesce(sa.birth_year, (SELECT m FROM my))
+                                 - coalesce(sb.birth_year, (SELECT m FROM my)))
+                               - 15) / 5.0
+                         ELSE 0.0 END
+               END AS weight
+        FROM e JOIN v sa ON sa.id = e.src JOIN v sb ON sb.id = e.dst
+        LEFT JOIN deg d ON d.id = e.dst)
+    SELECT rel, CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN isinf(weight) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inf,
+           round(avg(CASE WHEN NOT isinf(weight) THEN weight END), 6) AS mean_w,
+           round(max(CASE WHEN NOT isinf(weight) THEN weight END), 6) AS max_w
+    FROM w GROUP BY rel ORDER BY rel
+    """,
+)
+def graph_build_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 + G2 + J5 promotion (VERDICT r4 item 6): build a typed graph
+    with graph.build.build_graph (inner id joins DROP edges whose
+    synthetic dst supplier doesn't exist at this SF — the reference's
+    dropna-after-map), weight every surviving edge with
+    graph.build.edge_weights (ln(in_degree+1) hub penalty, mean-filled
+    birth-year age gap beyond 15y/5 for human-human edges, +inf for
+    the blacklisted relation), and report the per-relation audit:
+    edge count, inf count, mean/max finite weight. Reference:
+    transformer.py:279-349 (construction), core/algorithms/
+    bfs.py:15-90 (weights)."""
+    from social_link_prediction_spark.graph import build as gbuild
+
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("sk"))
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    nodes = (
+        sup.select(
+            F.concat(F.lit("s:"), F.col("sk")).alias("id"),
+            F.lit("human").alias("type"),
+            F.when(F.col("sk") % 10 == 0, F.lit(None)).otherwise(
+                F.lit(1920) + (F.col("sk") * 13) % 80
+            ).cast("int").alias("birth_year"),
+        )
+        .unionByName(
+            part.select(
+                F.concat(F.lit("p:"), F.col("p_partkey")).alias("id"),
+                F.lit("part").alias("type"),
+                F.lit(None).cast("int").alias("birth_year"),
+            )
+        )
+    )
+    raw_edges = (
+        sup.select(
+            F.concat(F.lit("s:"), F.col("sk")).alias("person"),
+            F.concat(F.lit("s:"), (F.col("sk") * 7) % 97 + 1).alias("object"),
+            F.when(F.col("sk") % 11 == 0, F.lit("influenced_by"))
+            .otherwise(F.lit("knows"))
+            .alias("relationship_label"),
+        )
+        .unionByName(
+            li.select("l_partkey", "l_suppkey")
+            .dropDuplicates()
+            .select(
+                F.concat(F.lit("p:"), F.col("l_partkey")).alias("person"),
+                F.concat(F.lit("s:"), F.col("l_suppkey")).alias("object"),
+                F.lit("supplied_by").alias("relationship_label"),
+            )
+        )
+    )
+    v, e = gbuild.build_graph(nodes, raw_edges)
+    w = gbuild.edge_weights(v, e)
+    inf = F.lit(float("inf"))
+    finite_w = F.when(F.col("weight") != inf, F.col("weight"))
+    return (
+        w.groupBy("rel")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("weight") == inf).cast("long")).alias("n_inf"),
+            F.round(F.avg(finite_w), 6).alias("mean_w"),
+            F.round(F.max(finite_w), 6).alias("max_w"),
+        )
+        .orderBy("rel")
+    )
+
+
+@query(
+    "year_feature_audit",
+    """
+    WITH sup AS (SELECT s_suppkey AS sk FROM supplier),
+    yr AS (SELECT sk, CASE WHEN sk % 10 = 0 THEN NULL
+                           ELSE 1920 + (sk * 13) % 80 END AS birth_year
+           FROM sup),
+    st AS (SELECT CAST(min(birth_year) AS DOUBLE) AS ymin,
+                  CAST(max(birth_year) AS DOUBLE) AS ymax,
+                  quantile_cont(CAST(birth_year AS DOUBLE), 0.5) AS ymed
+           FROM yr),
+    f AS (SELECT CASE WHEN birth_year IS NULL THEN 1 ELSE 0 END AS year_is_missing,
+                 CASE WHEN st.ymax - st.ymin > 0
+                      THEN (coalesce(CAST(birth_year AS DOUBLE), st.ymed) - st.ymin)
+                           / (st.ymax - st.ymin)
+                      ELSE 0.0 END AS year_norm
+          FROM yr, st)
+    SELECT year_is_missing, CAST(count(*) AS BIGINT) AS n,
+           round(avg(year_norm), 6) AS mean_norm,
+           round(min(year_norm), 6) AS min_norm,
+           round(max(year_norm), 6) AS max_norm
+    FROM f GROUP BY year_is_missing ORDER BY year_is_missing
+    """,
+)
+def year_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 promotion (VERDICT r4 item 6): ml.features.year_features
+    (min-max normalization + exact-median fill + is_missing flag —
+    reference data_processor.py:140-146's year channel) over a
+    synthetic birth-year column on suppliers (every 10th missing),
+    audited per missing-flag group: count and mean/min/max of the
+    normalized value. The missing group's constant mean pins the
+    median fill; the present group's 0/1 extremes pin the min-max."""
+    from social_link_prediction_spark.ml import features as mlf
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        F.when(F.col("s_suppkey") % 10 == 0, F.lit(None))
+        .otherwise(F.lit(1920) + (F.col("s_suppkey") * 13) % 80)
+        .cast("int")
+        .alias("birth_year"),
+    )
+    f = mlf.year_features(sup, "birth_year", exact_median=True)
+    return (
+        f.groupBy("year_is_missing")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("year_norm"), 6).alias("mean_norm"),
+            F.round(F.min("year_norm"), 6).alias("min_norm"),
+            F.round(F.max("year_norm"), 6).alias("max_norm"),
+        )
+        .orderBy("year_is_missing")
+    )
+
+
+_FAA_DIM = 8  # md5-bucket embedding width for the assembly audit
+
+
+@query(
+    "feature_assembly_audit",
+    f"""
+    WITH d AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20),
+    tok AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM d),
+    bk AS (SELECT doc_id, {_GBW_H60} % {_FAA_DIM} AS bucket,
+                  CAST(count(*) AS DOUBLE) AS c
+           FROM tok GROUP BY doc_id, bucket),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM bk GROUP BY doc_id),
+    idx AS (SELECT doc_id, unnest(range(0, {_FAA_DIM})) AS i FROM d),
+    emb AS (SELECT idx.doc_id, idx.i,
+                   coalesce(bk.c, 0.0) / nrm.nn AS val
+            FROM idx JOIN nrm USING (doc_id)
+            LEFT JOIN bk ON bk.doc_id = idx.doc_id AND bk.bucket = idx.i),
+    scal AS (
+        SELECT doc_id, {_FAA_DIM} AS i,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS DOUBLE) AS val
+        FROM d
+        UNION ALL
+        SELECT doc_id, {_FAA_DIM + 1} AS i, 1.0 AS val FROM d
+    )
+    SELECT doc_id, CAST(i AS INT) AS idx, round(val, 6) AS val
+    FROM (SELECT * FROM emb UNION ALL SELECT * FROM scal)
+    ORDER BY doc_id, idx
+    """,
+)
+def feature_assembly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1(md5 twin) + M2 promotion (VERDICT r4 item 6): the hashed
+    text embedding with the oracle-replayable md5 bucket hash (L2-
+    normalized bucket counts — the norm is exact because counts are
+    integers, so sum-of-squares incurs no float rounding) assembled
+    with two scalar channels (token count, constant bias) via
+    ml.features.assemble_features, exploded to (doc_id, idx, val) for
+    the 20 smallest doc ids. Reference: data_processor.py:140-146's
+    [embedding | scalars] concat."""
+    from social_link_prediction_spark.ml import features as mlf
+    from social_link_prediction_spark.pipelines.text import tokens as _toks
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(20)
+        .select("doc_id", "text")
+    )
+    emb = mlf.hashed_text_embedding(
+        docs, "text", dim=_FAA_DIM, id_col="doc_id", hash_fn="md5"
+    )
+    assembled = mlf.assemble_features(
+        docs.join(emb, "doc_id")
+        .withColumn("n_tokens", F.size(_toks("text")).cast("double"))
+        .withColumn("bias", F.lit(1.0)),
+        array_cols=["embedding"],
+        scalar_cols=["n_tokens", "bias"],
+    )
+    return (
+        assembled.select("doc_id", F.posexplode("features").alias("idx", "v"))
+        .select("doc_id", "idx", F.round("v", 6).alias("val"))
+        .orderBy("doc_id", "idx")
+    )

@@ -174,6 +174,49 @@ def test_winnow_neardup_planted_copy(documents_df):
     assert (1, 101) in {(r.id_a, r.id_b) for r in pairs}
 
 
+def test_winnow_stop_fingerprint_cap_bounds_pairs(spark):
+    """Skew guard: a boilerplate substring shared by EVERY document
+    would alone emit O(n²) pairs from one degenerate fingerprint
+    bucket. With max_bucket below the corpus size, boilerplate-only
+    fingerprints are dropped: pairs held together only by boilerplate
+    vanish, while a pair sharing distinct non-boilerplate content
+    survives. With the default (large) cap behavior is unchanged."""
+    import hashlib
+
+    boiler = "standardlicenseheaderparagraphrepeatedeverywhere"
+    # per-doc filler = md5 hex (no shared >=k-gram between fillers), so
+    # the ONLY cross-filler signal is the boilerplate.
+    rows = [
+        (i, f"{boiler} {hashlib.md5(str(i).encode()).hexdigest()}")
+        for i in range(1, 21)
+    ]
+    # docs 100/101 share REAL content beyond the boilerplate
+    rows += [
+        (100, boiler + " the quick brown fox jumps over the lazy dog"),
+        (101, boiler + " the quick brown fox jumps over the lazy dog again"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ptx.winnow_neardup_pairs(
+            df, "text", k=7, window=4, min_shared=1, max_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in capped  # real shared content survives the cap
+    # boilerplate-only pairs are gone: nothing pairs the filler docs
+    assert not any(a <= 20 and b <= 20 for a, b in capped)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ptx.winnow_neardup_pairs(
+            df, "text", k=7, window=4, min_shared=1
+        ).collect()
+    }
+    # default cap (1000) >> corpus: every doc pairs with every other
+    # through the shared boilerplate — the quadratic blowup the guard
+    # exists to stop.
+    assert len(uncapped) == 22 * 21 // 2
+
+
 def test_neardup_clusters(spark):
     docs = spark.createDataFrame([(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
     # pair graph: 0-1, 1-2 chain; 4-5; 3 isolated
