@@ -98,6 +98,32 @@ HEADLINE = [
     "poisson_bootstrap_mean",
     "katz_suppliers",
     "triangle_doulion",
+    # round-5: the full TPC-H 22 get round-over-round perf tracking
+    # (VERDICT r4 item 8). Q1 = pricing_summary, Q3/Q5 are above.
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # round-5 additions: full-population MinHash trajectories, graph
+    # build+weights audit, video decode round-trip
+    "trajectory_minhash_topk",
+    "graph_build_weights",
+    "media_video_features",
 ]
 
 

@@ -9,13 +9,16 @@ falling back to the pure-stdlib PNG decoder in ``imagecodec.py``
 (8-bit grey/RGB/RGBA, all five scanline filters). Audio decoding is
 real as well: 8/16-bit PCM WAV through the stdlib ``wave`` reader
 (``_real_decode_audio``; ``synth_wav`` is its encode twin for
-fixtures/oracles). ``fake=True`` remains the oracle-checkable default
-— deterministic features derived from the content digest, so
-downstream operators (dedup by content hash, embedding by feature
-vector) are exercised end-to-end with DuckDB-reproducible values.
-Video frame decode stays an honest NotImplementedError (no video
-libraries are assumed); the frame-sampling PLAN is real
-(frame_sample_plan).
+fixtures/oracles). Video decoding is real too: a pure-stdlib
+uncompressed-AVI (RIFF) frame extractor (``_real_decode_video``;
+``synth_avi`` is its encode twin), pooling luminance over all frames
+onto the same 4x4 grid as images. ``fake=True`` remains the
+oracle-checkable default — deterministic features derived from the
+content digest, so downstream operators (dedup by content hash,
+embedding by feature vector) are exercised end-to-end with
+DuckDB-reproducible values; the real video path is oracle-checked
+through media_video_features (integer-exact pooling makes
+``avg(g)/255`` SQL-replayable).
 
 Scale notes: binaries stay in their column through shuffles only when
 needed — metadata-only operations prune the binary at the parquet scan
@@ -151,16 +154,126 @@ def _real_decode_audio(data: bytes) -> list[float]:
     return [s / c if c else 0.0 for s, c in zip(sums, counts)]
 
 
+def synth_avi(
+    seed: int, n_frames: int, width: int = 8, height: int = 8, fps: int = 10
+) -> bytes:
+    """Deterministic uncompressed 24-bit AVI fixture (pure stdlib):
+    grayscale pixel (x, y) of frame f is
+    ``(seed*7 + f*31 + y*13 + x*5) % 256`` in all three channels.
+    A minimal but well-formed RIFF: hdrl (avih + one 'vids'/DIB
+    stream), movi with one '00db' bottom-up BGR DIB chunk per frame.
+    The encode twin of :func:`_real_decode_video` — the same
+    round-trip discipline as :func:`synth_wav`."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    frame_sz = stride * height
+    frames = []
+    for f in range(n_frames):
+        rows = []
+        for y_stored in range(height):  # bottom-up storage
+            y = height - 1 - y_stored
+            row = bytearray()
+            for x in range(width):
+                g = (seed * 7 + f * 31 + y * 13 + x * 5) % 256
+                row += bytes((g, g, g))  # BGR, grayscale
+            row += b"\x00" * (stride - len(row))
+            rows.append(bytes(row))
+        frames.append(b"".join(rows))
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_sz * fps, 0, 0x10,  # usec/frame, rate, pad, HASINDEX-less flags
+        n_frames, 0, 1, frame_sz, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n_frames, frame_sz, 0, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0, frame_sz, 0, 0, 0, 0
+    )
+    strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", fr) for fr in frames))
+    riff_payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_payload)) + riff_payload
+
+
+def _real_decode_video(data: bytes) -> list[float]:
+    """Real byte-level video decode: walk the RIFF/AVI structure
+    (pure stdlib), read width/height from 'avih', decode every
+    uncompressed '00db' DIB frame (bottom-up BGR, 4-byte row stride),
+    and pool luminance over ALL frames jointly onto the 4x4 grid —
+    the same cell geometry as the image path, so images and videos
+    land in one feature space.
+
+    Accumulation is integer-exact (grayscale (r+g+b)/3 is an exact
+    integer; sums of integers are exact doubles), and the feature is
+    one ``sum/count`` division then one ``/255`` — so a SQL oracle
+    computing ``avg(g)/255`` over the same pixels reproduces the value
+    bit-for-bit before the float32 cast."""
+    import struct
+
+    data = bytes(data)
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI byte stream")
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal width, height
+        while off + 8 <= end:
+            fourcc = buf[off : off + 4]
+            (sz,) = struct.unpack("<I", buf[off + 4 : off + 8])
+            payload_start = off + 8
+            if fourcc == b"LIST":
+                walk(buf, payload_start + 4, payload_start + sz)
+            elif fourcc == b"avih":
+                width, height = struct.unpack(
+                    "<2I", buf[payload_start + 32 : payload_start + 40]
+                )
+            elif fourcc[2:4] in (b"db", b"dc") and sz > 0:
+                frames.append(buf[payload_start : payload_start + sz])
+            off = payload_start + sz + (sz % 2)
+
+    walk(data, 12, len(data))
+    if not frames or not width or not height:
+        raise ValueError("no decodable frames in AVI stream")
+    stride = (width * 3 + 3) // 4 * 4
+    sums = [0.0] * FEATURE_DIM
+    counts = [0] * FEATURE_DIM
+    for fr in frames:
+        for y in range(height):
+            s = height - 1 - y  # bottom-up
+            gy = min(_POOL_GRID - 1, y * _POOL_GRID // max(height, 1))
+            base = s * stride
+            for x in range(width):
+                b0 = fr[base + x * 3]
+                g0 = fr[base + x * 3 + 1]
+                r0 = fr[base + x * 3 + 2]
+                cell = gy * _POOL_GRID + min(
+                    _POOL_GRID - 1, x * _POOL_GRID // max(width, 1)
+                )
+                sums[cell] += (r0 + g0 + b0) / 3.0
+                counts[cell] += 1
+    return [s / c / 255.0 if c else 0.0 for s, c in zip(sums, counts)]
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches). Output
     schema: input minus content, plus features array<float>.
 
     ``fake=True`` (the oracle-checkable default) derives deterministic
-    features from the content digest. ``fake=False`` decodes image
-    bytes for real — PIL when installed, else the stdlib PNG decoder —
-    and raises NotImplementedError for audio/video kinds (no sound
-    libraries are assumed anywhere). The Spark plumbing (Arrow batch
-    shape, schema, binary-column pruning) is identical on every path.
+    features from the content digest. ``fake=False`` decodes bytes for
+    real on all three modalities: images via PIL or the stdlib PNG
+    decoder, audio via the stdlib wave reader, video via the stdlib
+    RIFF/AVI frame extractor. The Spark plumbing (Arrow batch shape,
+    schema, binary-column pruning) is identical on every path.
     """
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != "content"]
@@ -176,10 +289,9 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             return _real_decode_image(data)
         if kind == "audio":
             return _real_decode_audio(data)
-        raise NotImplementedError(
-            f"real decode for kind={kind!r} requires video libraries "
-            "not assumed in any environment; pass fake=True"
-        )
+        if kind == "video":
+            return _real_decode_video(data)
+        raise NotImplementedError(f"unknown media kind {kind!r}; pass fake=True")
 
     def batches(it: Iterator) -> Iterator:
         for pdf in it:

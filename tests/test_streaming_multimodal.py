@@ -114,7 +114,7 @@ def test_extract_features_real_png_decode(spark):
     assert all(abs(f - 128 / 255) < 1e-6 for f in feats)
 
 
-def test_extract_features_real_audio_still_raises(spark):
+def test_extract_features_real_video_rejects_garbage(spark):
     import pytest
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
@@ -123,10 +123,55 @@ def test_extract_features_real_audio_still_raises(spark):
         [(3, "video", "video/mp4", 1920, 1080, 3500, b"vid-bytes")],
         schema=mm.MEDIA_SCHEMA,
     )
-    # NotImplementedError is raised in the Arrow worker; Spark surfaces
-    # it as a PythonException wrapping the original message
-    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+    # the real AVI decoder fails loudly on non-RIFF bytes; Spark
+    # surfaces the worker's ValueError as a PythonException
+    with pytest.raises((PythonException, Py4JJavaError), match="RIFF"):
         mm.extract_features(df, fake=False).collect()
+    # unknown kinds stay an honest NotImplementedError
+    df2 = spark.createDataFrame(
+        [(4, "hologram", "x/y", 0, 0, 0, b"zz")], schema=mm.MEDIA_SCHEMA
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="NotImplementedError"):
+        mm.extract_features(df2, fake=False).collect()
+
+
+def test_avi_codec_roundtrip_and_features(spark):
+    """synth_avi -> _real_decode_video round-trip: pooled features
+    match the closed-form pixel arithmetic exactly (integer-exact
+    accumulation), and the Spark mapInPandas path agrees."""
+    import struct
+
+    b = mm.synth_avi(seed=5, n_frames=3, width=8, height=8)
+    assert b[:4] == b"RIFF" and b[8:12] == b"AVI "
+    feats = mm._real_decode_video(b)
+    assert len(feats) == mm.FEATURE_DIM
+    sums = [0.0] * 16
+    counts = [0] * 16
+    for f in range(3):
+        for y in range(8):
+            for x in range(8):
+                g = (5 * 7 + f * 31 + y * 13 + x * 5) % 256
+                cell = (y // 2) * 4 + (x // 2)
+                sums[cell] += g
+                counts[cell] += 1
+    exp = [s / c / 255.0 for s, c in zip(sums, counts)]
+    assert feats == exp  # bit-exact, not approximate
+    # non-square dims exercise row stride padding (9*3=27 -> stride 28)
+    feats2 = mm._real_decode_video(mm.synth_avi(seed=1, n_frames=2, width=9, height=5))
+    assert len(feats2) == mm.FEATURE_DIM and all(0.0 <= v <= 1.0 for v in feats2)
+    # through the Arrow stage
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(mm.synth_avi(seed=7, n_frames=2)))],
+        "media_id long, kind string, content binary",
+    )
+    row = mm.extract_features(df, fake=False).collect()[0]
+    expect = mm._real_decode_video(mm.synth_avi(seed=7, n_frames=2))
+    assert [round(v, 5) for v in row.features] == [round(v, 5) for v in expect]
+    # truncated stream (header only) fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm._real_decode_video(b[:12])
 
 
 def test_png_codec_roundtrip_and_filters():
@@ -636,7 +681,7 @@ def test_wav_roundtrip_and_16bit_stereo(spark):
     with _pytest.raises(NotImplementedError):
         mmod._real_decode_audio(buf3.getvalue())
 
-    # video decode is still a declared non-goal
+    # video decode is real now, but garbage bytes still fail loudly
     df = spark.createDataFrame(
         [(1, "video", bytearray(b"xx"))], "media_id long, kind string, content binary"
     )
