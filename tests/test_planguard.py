@@ -44,10 +44,33 @@ needs_testdata = pytest.mark.skipif(
 )
 
 
+# round-5 additions (non-mapInPandas paths only: media_video_features
+# is Arrow-batched by design and would trip neither assert anyway)
+R5_QUERIES = [
+    "trajectory_minhash_topk",
+    "graph_build_weights",
+    "year_feature_audit",
+    "feature_assembly_audit",
+    "six_degrees_summary",
+    "hll_daily_users",
+]
+
+
 @needs_testdata
-@pytest.mark.parametrize("name", NEW_QUERIES)
+@pytest.mark.parametrize("name", NEW_QUERIES + R5_QUERIES)
 def test_no_cartesian_or_python_rowloop(spark, name):
     df = q.QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: unbounded cross product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+@needs_testdata
+def test_mixture_rebalance_broadcasts_report_join(spark):
+    """VERDICT r4 item 3: the 5x5 plan-vs-kept report join must stay a
+    broadcast join — without the hint Spark planned it as a full
+    SortMergeJoin with two shuffles (the r4 bench regression)."""
+    df = q.QUERIES["mixture_rebalance_langs"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "mixture report join lost its broadcast"
+    assert "BroadcastHashJoin" in plan
