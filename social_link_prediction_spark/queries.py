@@ -11237,3 +11237,169 @@ def feature_assembly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "idx", F.round("v", 6).alias("val"))
         .orderBy("doc_id", "idx")
     )
+
+
+# =====================================================================
+# Round-5 new operator families: dominance (skyline), regression
+# aggregates (OLS closed form), and sequential drift detection (CUSUM).
+# =====================================================================
+@query(
+    "skyline_parts",
+    """
+    WITH pp AS (SELECT p_retailprice AS price, max(p_size) AS size,
+                       CAST(count(*) AS BIGINT) AS n_parts
+                FROM part GROUP BY p_retailprice),
+    sk AS (SELECT price, size, n_parts,
+                  max(size) OVER (ORDER BY price
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS prevmax
+           FROM pp)
+    SELECT round(price, 6) AS price, size, n_parts
+    FROM sk WHERE prevmax IS NULL OR size > prevmax
+    ORDER BY price
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — a part is on the frontier iff no part is both
+    cheaper-or-equal and larger (strict in one dim). The classic
+    dominance query (Börzsönyi et al., ICDE 2001), Spark-shaped:
+
+    1. per-price max size (one keyed shuffle — within equal price only
+       the largest size can survive);
+    2. GRID PRUNE: bucket the price axis (256 buckets from broadcast
+       min/max stats), compute each bucket's max size (256-row
+       aggregate), and drop every point whose size fails the running
+       max over strictly-cheaper buckets — sound because any such
+       point is dominated by a concrete cheaper-and-no-smaller point.
+       At 100 TB this is the step that matters: the global window
+       below then runs over ~frontier-sized survivors, never over
+       millions of distinct prices;
+    3. exact running-max window over the (tiny) survivor set.
+
+    The oracle computes the unpruned skyline directly — equality is a
+    machine check that the prune dropped only dominated points."""
+    part = _t(spark, sf_dir, "part")
+    pp = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("size"), F.count(F.lit(1)).alias("n_parts")
+    )
+    stats = pp.agg(
+        F.min("price").alias("lo"),
+        F.max("price").alias("hi"),
+    )
+    b = pp.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(255),
+            F.floor(
+                (F.col("price") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 256 + F.lit(1e-12))
+            ).cast("int"),
+        ),
+    )
+    bmax = (
+        b.groupBy("bucket")
+        .agg(F.max("size").alias("bs"))
+        .withColumn(
+            "runmax",
+            F.max("bs").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("bucket", "runmax")
+    )
+    survivors = (
+        b.join(F.broadcast(bmax), "bucket", "left")
+        .filter(F.col("runmax").isNull() | (F.col("size") > F.col("runmax")))
+        .select("price", "size", "n_parts")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        survivors.withColumn("prevmax", F.max("size").over(w))
+        .filter(F.col("prevmax").isNull() | (F.col("size") > F.col("prevmax")))
+        .select(F.round("price", 6).alias("price"), "size", "n_parts")
+        .orderBy("price")
+    )
+
+
+@query(
+    "ols_revenue_trend",
+    """
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS day_idx,
+                      sum(o_totalprice) AS revenue
+               FROM orders GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(regr_slope(revenue, day_idx), 6) AS slope,
+           round(regr_intercept(revenue, day_idx), 6) AS intercept,
+           round(regr_r2(revenue, day_idx), 6) AS r2,
+           round(corr(revenue, day_idx), 6) AS pearson_r
+    FROM d
+    """,
+)
+def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression of daily revenue on the
+    day index — the regression-aggregate family (regr_slope /
+    regr_intercept / regr_r2 / corr), all single-pass mergeable
+    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²), so the whole fit
+    is ONE map-side-combinable aggregation at any scale — no driver
+    math, no iteration. The trend test every metrics warehouse ships."""
+    orders = _t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day_idx"
+        )
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("revenue", "day_idx"), 6).alias("slope"),
+        F.round(F.regr_intercept("revenue", "day_idx"), 6).alias("intercept"),
+        F.round(F.regr_r2("revenue", "day_idx"), 6).alias("r2"),
+        F.round(F.corr("revenue", "day_idx"), 6).alias("pearson_r"),
+    )
+
+
+@query(
+    "cusum_changepoint",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+    st AS (SELECT avg(n) AS mu FROM x),
+    s AS (SELECT day, n,
+                 sum(n - (SELECT mu FROM st)) OVER (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+          FROM x)
+    SELECT day AS changepoint_day, round(abs(cs), 6) AS cusum_peak,
+           CAST((SELECT count(*) FROM x) AS BIGINT) AS n_days,
+           round((SELECT mu FROM st), 6) AS mean_daily
+    FROM s ORDER BY abs(cs) DESC, day LIMIT 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily event-count series: the
+    cumulative sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift point — Page's
+    classic sequential drift detector, reduced to one day-keyed
+    aggregation, one broadcast 1-row mean, and one ordered prefix sum
+    over the (days-sized, tiny) series. The prefix sum is evaluated in
+    the same day order by any engine, so the values are bit-identical
+    before rounding."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    st = x.agg(F.avg("n").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        x.crossJoin(F.broadcast(st))
+        .withColumn("cs", F.sum(F.col("n") - F.col("mu")).over(w))
+    )
+    nd = x.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs("cs"), 6).alias("cusum_peak"),
+            "n_days",
+            F.round("mu", 6).alias("mean_daily"),
+        )
+        .orderBy(F.col("cusum_peak").desc(), "changepoint_day")
+        .limit(1)
+    )
