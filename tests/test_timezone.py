@@ -57,6 +57,10 @@ EVENT_TIME_QUERIES = [
     "markov_attribution",
     "seasonal_residual_anomalies",
     "conversion_latency_stats",
+    # round-5: inter-arrival-bucketed trajectories (epoch_us gaps),
+    # daily CUSUM series (to_date over NTZ)
+    "trajectory_minhash_topk",
+    "cusum_changepoint",
 ]
 
 needs_testdata = pytest.mark.skipif(
