@@ -11403,3 +11403,168 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cusum_peak").desc(), "changepoint_day")
         .limit(1)
     )
+
+
+@query(
+    "table_fingerprint_audit",
+    f"""
+    WITH o AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({_DUCK_H60.format(args="CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus")} % 1000000007) AS BIGINT) AS fp
+        FROM orders),
+    l AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({_DUCK_H60.format(args="CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), l_returnflag")} % 1000000007) AS BIGINT) AS fp
+        FROM lineitem)
+    SELECT 'lineitem' AS tbl, n_rows, fp FROM l
+    UNION ALL SELECT 'orders', n_rows, fp FROM o
+    ORDER BY tbl
+    """,
+)
+def table_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content fingerprints — the
+    replication/CDC verification primitive: per table, row count plus
+    the sum of per-row 60-bit key-column hashes (mod a prime so the
+    sum stays in BIGINT). Commutative-monoid state, so the whole
+    check is one map-side-combinable aggregation per table at any
+    scale, comparable across engines, snapshots, and replicas without
+    moving a row. The same device incremental pipelines use to prove
+    a backfill reproduced the source. The int64 sum is exact to ~9e9
+    rows per table (each term < 1e9); past that, fold the partial
+    sums through the modulus hierarchically (two-level agg) — the
+    monoid is unchanged."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    P = 1_000_000_007
+
+    def fp(df, *cols):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                mls.hash60(*[F.col(c).cast("string") for c in cols]) % P
+            ).alias("fp"),
+        )
+
+    o = fp(orders, "o_orderkey", "o_custkey", "o_orderstatus").withColumn(
+        "tbl", F.lit("orders")
+    )
+    l = fp(li, "l_orderkey", "l_linenumber", "l_returnflag").withColumn(
+        "tbl", F.lit("lineitem")
+    )
+    return l.unionByName(o).select("tbl", "n_rows", "fp").orderBy("tbl")
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH x AS (SELECT l_extendedprice AS p, l_quantity AS q FROM lineitem),
+    c AS (SELECT p, sum(q) AS w FROM x GROUP BY p),
+    s AS (SELECT p, w,
+                 sum(w) OVER (ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 (SELECT sum(w) FROM c) AS tw
+          FROM c)
+    SELECT round(min(p), 6) AS weighted_median_price,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_distinct_prices,
+           round(max(tw), 6) AS total_weight
+    FROM s WHERE cw >= tw / 2
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (50th weighted percentile) of extended
+    price weighted by quantity: collapse to per-price weight (one
+    keyed shuffle — the heavy step), cumulative weight over the
+    ordered distinct prices, first price whose cumulative weight
+    crosses half the total. percentile_approx can't take weights and
+    sampling breaks exactness; the per-price pre-aggregation is what
+    keeps the ordered scan frontier-sized at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_extendedprice").alias("p")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    tot = c.agg(
+        F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n_distinct_prices")
+    )
+    win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    s = c.withColumn("cw", F.sum("w").over(win)).crossJoin(F.broadcast(tot))
+    return (
+        s.filter(F.col("cw") >= F.col("tw") / 2)
+        .agg(
+            F.round(F.min("p"), 6).alias("weighted_median_price"),
+            F.max("n_distinct_prices").alias("n_distinct_prices"),
+            F.round(F.max("tw"), 6).alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "ab_test_zscore",
+    """
+    WITH u AS (
+        SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id),
+    a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM u GROUP BY arm),
+    w AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+                 max(CASE WHEN arm = 0 THEN conv END) AS c0,
+                 max(CASE WHEN arm = 1 THEN n END) AS n1,
+                 max(CASE WHEN arm = 1 THEN conv END) AS c1
+          FROM a)
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_a,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_b,
+           round(CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+                 (CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+                 sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)) END, 6) AS z_score
+    FROM w
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic user split (arm =
+    user_id parity, conversion = 15+ purchase events, a threshold that splits the
+    synthetic corpus non-degenerately; degenerate 0%/100% pools yield
+    z NULL instead of a divide-by-zero): per-user
+    conversion flags (one keyed aggregation — the only pass over the
+    events), per-arm counts, pooled-variance z statistic. The
+    experiment-readout shape every product warehouse runs daily;
+    everything after the per-user rollup is driver-sized arithmetic
+    expressed as a 1-row frame, not a collect."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).cast("int").alias("converted")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    a = u.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p_pool = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    rate_a = F.col("c0").cast("double") / F.col("n0")
+    rate_b = F.col("c1").cast("double") / F.col("n1")
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(
+            F.when(
+                (F.col("c0") + F.col("c1") > 0)
+                & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+                (rate_b - rate_a)
+                / F.sqrt(
+                    p_pool * (1 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                ),
+            ),
+            6,
+        ).alias("z_score"),
+    )
