@@ -11568,3 +11568,55 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "join_ivm_nation_orders",
+    """
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY nation ORDER BY nation
+    """,
+)
+def join_ivm_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a join-aggregate: the view
+    V = orders ⋈ customer ⋈ nation → (nation, count, revenue) is
+    maintained as BASE (orders with o_orderkey % 10 != 0) plus the
+    DELTA batch (the remaining tenth) via the IVM algebra
+    ΔV = Δorders ⋈ customer ⋈ nation — the delta never rescans the
+    base fact table, only the (broadcast-sized) dimensions — and the
+    two partial aggregates are merged by summing their mergeable
+    states (count, sum). The oracle computes the full three-way join
+    from scratch, so the green row is a machine proof that the
+    incremental path reproduces the full recompute. At 100 TB this is
+    THE nightly-pipeline shape: the base aggregate is a stored
+    materialized view; only ΔV's cost recurs."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def view_agg(o):
+        return (
+            o.join(F.broadcast(cust), o["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_totalprice").alias("revenue"),
+            )
+        )
+
+    base = view_agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = view_agg(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+    )
+    return merged.orderBy("nation")
