@@ -304,6 +304,50 @@ def mixture_plan(
     return plan
 
 
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    temperature: float = 0.7,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture planning (the multilingual-LM
+    sampling curve, cf. mBERT / XLM-R exponential smoothing): group g
+    with mass n_g gets sampling weight w_g ∝ n_g^(1/T). T=1 is
+    proportional sampling; T→∞ is uniform; 0<T<1 sharpens toward the
+    head. Planned mass = budget × w_g, capped at n_g (a group cannot
+    be upsampled without repetition — the cap is reported, not
+    silently redistributed, so the caller sees which groups are
+    repetition-bound at this temperature).
+
+    Output per group: mass, weight (round 6), planned (floor), capped
+    flag. One aggregation + G-row arithmetic against a broadcast
+    1-row total — the data is touched once for the count."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    g = df.groupBy(group_col).agg(F.sum(weight_col).alias("mass"))
+    pw = F.pow(F.col("mass").cast("double"), 1.0 / temperature)
+    gw = g.withColumn("pw", pw)
+    tot = gw.agg(
+        F.sum("pw").alias("pw_sum"), F.sum("mass").alias("mass_sum")
+    )
+    # plan from the ROUNDED weight: pw_sum is an order-dependent float
+    # sum, so raw-share floors could flip on an ulp across engines;
+    # quantizing the share to 6 decimals first makes the integer plan
+    # reproducible everywhere (the same round-before-rank discipline
+    # the top-k queries use).
+    w6 = F.round(F.col("pw") / F.col("pw_sum"), 6)
+    raw = F.floor(F.lit(budget_frac) * F.col("mass_sum") * w6).cast("long")
+    out = gw.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "mass",
+        w6.alias("weight"),
+        F.least(raw, F.col("mass")).alias("planned"),
+        (raw > F.col("mass")).alias("capped"),
+    )
+    return out
+
+
 def apply_mixture(
     df: DataFrame,
     plan: DataFrame,

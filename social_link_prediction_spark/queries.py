@@ -11620,3 +11620,40 @@ def join_ivm_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("nation")
+
+
+@query(
+    "temperature_mixture_langs",
+    """
+    WITH m AS (SELECT lang,
+                      CAST(sum(len(list_filter(string_split(text, ' '),
+                                               x -> x <> ''))) AS BIGINT) AS mass
+               FROM documents GROUP BY lang),
+    t AS (SELECT sum(pow(CAST(mass AS DOUBLE), 1.0 / 0.7)) AS pw_sum,
+                 CAST(sum(mass) AS BIGINT) AS mass_sum FROM m),
+    w AS (SELECT lang, mass,
+                 round(pow(CAST(mass AS DOUBLE), 1.0 / 0.7) / t.pw_sum, 6) AS weight,
+                 t.mass_sum
+          FROM m, t)
+    SELECT lang, mass, weight,
+           CAST(least(CAST(floor(0.5 * mass_sum * weight) AS BIGINT), mass)
+                AS BIGINT) AS planned,
+           floor(0.5 * mass_sum * weight) > mass AS capped
+    FROM w ORDER BY lang
+    """,
+)
+def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (T=0.7, the mBERT/XLM-R
+    exponential-smoothing curve) over per-language token mass, with a
+    50%-of-corpus token budget: w_g ∝ mass_g^(1/T), planned mass
+    capped at availability with the cap REPORTED (a capped group is
+    repetition-bound at this temperature — the signal that decides
+    whether to lower T or accept repetition). Complements the
+    fixed-share mixture_rebalance_langs: that one pins target
+    proportions, this one derives them from the corpus shape."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(ptx.tokens("text")).cast("long")
+    )
+    return tp.temperature_mixture_plan(
+        docs, "lang", "n_tokens", temperature=0.7, budget_frac=0.5
+    ).orderBy("lang")

@@ -53,6 +53,13 @@ R5_QUERIES = [
     "feature_assembly_audit",
     "six_degrees_summary",
     "hll_daily_users",
+    "skyline_parts",
+    "ols_revenue_trend",
+    "cusum_changepoint",
+    "table_fingerprint_audit",
+    "weighted_median_price",
+    "ab_test_zscore",
+    "join_ivm_nation_orders",
 ]
 
 
