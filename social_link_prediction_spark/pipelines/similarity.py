@@ -14,7 +14,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -311,3 +311,74 @@ def ivf_assignment_margin(
         srt[1].alias("s_next"),
         (srt[0] - srt[1]).alias("margin"),
     )
+
+
+def lloyd_kmeans(
+    embs: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Lloyd's k-means with a FIXED round budget and hash-deterministic
+    seeding, fully replayable by a SQL oracle:
+
+    - init: centroids = the vectors of the k ids with the smallest
+      hash60(id, 'km') (ties by id) — no RNG, no kmeans||;
+    - per round: assign each vector to the nearest centroid by squared
+      L2 (ties broken by the LOWER cluster index), then recompute each
+      centroid as the element-wise mean of its members;
+    - empty clusters keep their previous centroid (join preserves it
+      via coalesce), matching the standard Lloyd fallback.
+
+    Scale shape per round: the k-row centroid frame broadcasts into
+    the assignment cross join (the corpus never shuffles for it), the
+    element-wise mean is ONE (cluster, dim) keyed aggregation —
+    map-side combinable, k×dim output rows. No collect anywhere; the
+    centroid frame stays a DataFrame. MLlib's KMeans is the
+    random-init production alternative; this one exists for exact
+    cross-engine replay.
+
+    Returns (id, cluster, sqdist) for the final assignment."""
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    w0 = Window.orderBy(hash60(F.col("id").cast("string"), F.lit("km")), "id")
+    cent = (
+        e.withColumn("__r", F.row_number().over(w0))
+        .filter(F.col("__r") <= k)
+        .select((F.col("__r") - 1).alias("cluster"), F.col("v").alias("c"))
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assign = None
+    for _ in range(rounds):
+        scored = e.crossJoin(F.broadcast(cent)).withColumn("sqdist", sqd)
+        wa = Window.partitionBy("id").orderBy("sqdist", "cluster")
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(wa))
+            .filter(F.col("__rn") == 1)
+            .select("id", "v", "cluster", "sqdist")
+            .localCheckpoint()
+        )
+        dims = (
+            assign.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.avg("x").alias("m"))
+        )
+        newc = dims.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+        # empty clusters keep their previous centroid
+        cent = (
+            cent.select("cluster", F.col("c").alias("c_old"))
+            .join(newc, "cluster", "left")
+            .select("cluster", F.coalesce("c", "c_old").alias("c"))
+            .localCheckpoint()
+        )
+    return assign.select("id", "cluster", "sqdist")

@@ -11657,3 +11657,69 @@ def temperature_mixture_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tp.temperature_mixture_plan(
         docs, "lang", "n_tokens", temperature=0.7, budget_frac=0.5
     ).orderBy("lang")
+
+
+def _duck_kmeans_sql(k: int = 4, rounds: int = 3, dim: int = 64) -> str:
+    """lloyd_kmeans unrolled: hash60-seeded init, per round an argmin
+    assignment (QUALIFY row_number over (sqdist, cluster)) and an
+    element-wise mean recompute (parallel unnest zips value with
+    position), empty clusters inheriting the previous centroid."""
+    h = _DUCK_H60.format(args="CAST(vec_id AS VARCHAR), 'km'")
+    sqd = f"list_sum(list_transform(range(1, {dim + 1}), i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i])))"
+    ctes = [
+        f"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster, v AS c
+        FROM e QUALIFY row_number() OVER (ORDER BY {h}, vec_id) <= {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+            SELECT e.vec_id, e.v, c.cluster, {sqd} AS sqdist
+            FROM e CROSS JOIN c{r - 1} c
+            QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                                       ORDER BY {sqd}, c.cluster) = 1)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""n{r} AS MATERIALIZED (
+                SELECT cluster, list(m ORDER BY i) AS c FROM (
+                    SELECT cluster, i, avg(x) AS m FROM (
+                        SELECT cluster, unnest(v) AS x,
+                               unnest(range(1, {dim + 1})) AS i FROM a{r})
+                    GROUP BY cluster, i)
+                GROUP BY cluster)"""
+            )
+            ctes.append(
+                f"""c{r} AS MATERIALIZED (
+                SELECT p.cluster, coalesce(n.c, p.c) AS c
+                FROM c{r - 1} p LEFT JOIN n{r} n USING (cluster))"""
+            )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           round(sqdist, 6) AS sqdist
+    FROM a{rounds} ORDER BY vec_id
+    """
+
+
+@query("kmeans_embeddings", _duck_kmeans_sql())
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 3 fixed rounds, hash-deterministic
+    seeding) over the embeddings table — true iterative clustering
+    with exact cross-engine replay (contrast ivf_cell_counts' fixed
+    centroids and MLlib's random init). Per round the k-row centroid
+    frame broadcasts into the assignment join and the recompute is one
+    (cluster, dim)-keyed mean — the corpus shuffles only for the
+    k×dim-row aggregation, never for the centroids."""
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    from social_link_prediction_spark.pipelines import similarity as psim
+
+    out = psim.lloyd_kmeans(embs, k=4, rounds=3, id_col="vec_id", vec_col="v")
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.round("sqdist", 6).alias("sqdist"),
+    ).orderBy("vec_id")
