@@ -11723,3 +11723,137 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.round("sqdist", 6).alias("sqdist"),
     ).orderBy("vec_id")
+
+
+@query(
+    "kaplan_meier_conversion",
+    """
+    WITH ends AS (SELECT max(ts) AS obs_end FROM events),
+    u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS s
+        FROM events GROUP BY user_id),
+    p AS (
+        SELECT u.user_id, u.s, min(e.ts) AS p
+        FROM u JOIN events e ON e.user_id = u.user_id
+             AND e.event_type = 'purchase' AND e.ts >= u.s
+        WHERE u.s IS NOT NULL GROUP BY u.user_id, u.s),
+    d AS (
+        SELECT u.user_id,
+               CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS event,
+               CASE WHEN p.p IS NOT NULL
+                    THEN (epoch_us(p.p) - epoch_us(u.s)) // 86400000000
+                    ELSE (epoch_us((SELECT obs_end FROM ends)) - epoch_us(u.s))
+                         // 86400000000 END AS dur
+        FROM u LEFT JOIN p ON p.user_id = u.user_id
+        WHERE u.s IS NOT NULL),
+    g AS (SELECT dur, CAST(count(*) AS BIGINT) AS all_n,
+                 CAST(sum(event) AS BIGINT) AS d_n
+          FROM d GROUP BY dur),
+    r AS (SELECT dur, all_n, d_n,
+                 (SELECT count(*) FROM d) -
+                 coalesce(sum(all_n) OVER (ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n_risk
+          FROM g),
+    km AS (SELECT dur, n_risk, d_n,
+                  CASE WHEN max(CASE WHEN d_n >= n_risk THEN 1 ELSE 0 END)
+                            OVER wc = 1 THEN 0.0
+                       ELSE exp(sum(CASE WHEN d_n < n_risk
+                                    THEN ln(1 - CAST(d_n AS DOUBLE) / n_risk)
+                                    END) OVER wc) END AS surv
+           FROM r WHERE d_n > 0
+           WINDOW wc AS (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW))
+    SELECT CAST(dur AS BIGINT) AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+           d_n AS n_events, round(surv, 6) AS survival
+    FROM km ORDER BY dur_days
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of signup -> first subsequent
+    purchase with right-censoring at the corpus observation end: the
+    product-limit estimator S(t) = prod over death times t_i <= t of
+    (1 - d_i / n_i), computed as exp of a cumulative sum of logs over
+    the (days-sized, tiny) ordered duration table. The per-user rollup
+    is the only pass over the events; censored users enter the at-risk
+    denominators but never the numerators — the survival-analysis
+    shape (churn, time-to-convert, hardware lifetime) that naive
+    conversion rates get wrong by ignoring censoring."""
+    from social_link_prediction_spark.operators.windows import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    ends = ev.agg(F.max("ts").alias("obs_end"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    p = (
+        u.join(ev, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("s")))
+        .groupBy("user_id", "s")
+        .agg(F.min("ts").alias("p"))
+    )
+    d = (
+        u.join(p.select("user_id", "p"), "user_id", "left")
+        .crossJoin(F.broadcast(ends))
+        .select(
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("event"),
+            F.floor(
+                (
+                    epoch_us(F.coalesce(F.col("p"), F.col("obs_end")))
+                    - epoch_us(F.col("s"))
+                )
+                / 86_400_000_000
+            ).alias("dur"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    g = d.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("all_n"), F.sum("event").alias("d_n")
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("total") - F.coalesce(F.sum("all_n").over(wprev), F.lit(0)),
+        )
+    )
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    # a death time where d == n_at_risk drives S(t) to exactly 0; ln(0)
+    # is an error (DuckDB) / NULL (Spark), so the zero is carried as an
+    # explicit cumulative flag and only positive terms enter the
+    # log-sum (the exp-of-summed-logs cumulative product).
+    km = (
+        r.filter(F.col("d_n") > 0)
+        .withColumn(
+            "surv",
+            F.when(
+                F.max(
+                    (F.col("d_n") >= F.col("n_risk")).cast("int")
+                ).over(wcum)
+                == 1,
+                F.lit(0.0),
+            ).otherwise(
+                F.exp(
+                    F.sum(
+                        F.when(
+                            F.col("d_n") < F.col("n_risk"),
+                            F.log(
+                                F.lit(1)
+                                - F.col("d_n").cast("double") / F.col("n_risk")
+                            ),
+                        )
+                    ).over(wcum)
+                )
+            ),
+        )
+    )
+    return km.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_n").alias("n_events"),
+        F.round("surv", 6).alias("survival"),
+    ).orderBy("dur_days")
