@@ -120,10 +120,21 @@ HEADLINE = [
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     # round-5 additions: full-population MinHash trajectories, graph
-    # build+weights audit, video decode round-trip
+    # build+weights audit, video decode round-trip, dominance /
+    # regression / survival / clustering / IVM families
     "trajectory_minhash_topk",
     "graph_build_weights",
     "media_video_features",
+    "skyline_parts",
+    "ols_revenue_trend",
+    "cusum_changepoint",
+    "weighted_median_price",
+    "ab_test_zscore",
+    "join_ivm_nation_orders",
+    "temperature_mixture_langs",
+    "kaplan_meier_conversion",
+    "kmeans_embeddings",
+    "table_fingerprint_audit",
 ]
 
 

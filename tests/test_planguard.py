@@ -60,6 +60,9 @@ R5_QUERIES = [
     "weighted_median_price",
     "ab_test_zscore",
     "join_ivm_nation_orders",
+    "temperature_mixture_langs",
+    "kaplan_meier_conversion",
+    "kmeans_embeddings",
 ]
 
 
