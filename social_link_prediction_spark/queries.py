@@ -11857,3 +11857,72 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d_n").alias("n_events"),
         F.round("surv", 6).alias("survival"),
     ).orderBy("dur_days")
+
+
+def _duck_stationary_sql(rounds: int = 8) -> str:
+    """Markov stationary distribution unrolled: empirical transition
+    probabilities from consecutive same-user events, then ``rounds``
+    power-iteration steps v <- vP from the uniform start."""
+    ctes = [
+        """pairs AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events),
+    tr AS (SELECT cur, nxt, count(*) AS n FROM pairs
+           WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tp AS (SELECT cur, nxt,
+                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY cur) AS p
+           FROM tr),
+    states AS (SELECT DISTINCT cur AS s FROM tr),
+    v0 AS (SELECT s, 1.0 / (SELECT count(*) FROM states) AS w FROM states)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""v{r} AS (
+            SELECT tp.nxt AS s, sum(v.w * tp.p) AS w
+            FROM v{r - 1} v JOIN tp ON tp.cur = v.s
+            GROUP BY tp.nxt)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT s AS event_type, round(w, 6) AS stationary_prob
+    FROM v{rounds} ORDER BY s
+    """
+
+
+@query("markov_stationary_events", _duck_stationary_sql())
+def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain: the
+    long-run fraction of time a user's event stream spends in each
+    state, via 8 power-iteration rounds v <- vP from uniform over the
+    empirical transition matrix (consecutive same-user events).
+    Completes the Markov family next to event_transition_matrix (the
+    matrix itself) and markov_attribution (absorbing chains). The
+    transition frame is |types|²-sized — broadcast into every round;
+    the only corpus-sized work is the one windowed pair extraction."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tr = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wc = Window.partitionBy("cur")
+    tp_ = tr.withColumn("p", F.col("n").cast("double") / F.sum("n").over(wc)).select(
+        "cur", "nxt", "p"
+    )
+    states = tr.select(F.col("cur").alias("s")).dropDuplicates()
+    n_states = states.agg(F.count(F.lit(1)).alias("k"))
+    v = states.crossJoin(F.broadcast(n_states)).select(
+        "s", (F.lit(1.0) / F.col("k")).alias("w")
+    )
+    for _ in range(8):
+        v = (
+            v.join(F.broadcast(tp_), v["s"] == tp_["cur"])
+            .groupBy(F.col("nxt").alias("s"))
+            .agg(F.sum(F.col("w") * F.col("p")).alias("w"))
+        )
+    return v.select(
+        F.col("s").alias("event_type"), F.round("w", 6).alias("stationary_prob")
+    ).orderBy("event_type")
