@@ -1,0 +1,227 @@
+"""Statistical monitoring and hypothesis-test operators.
+
+The process-control / inference family next to the anomaly screens in
+``queries.py`` (CUSUM, seasonal residuals) and the privacy audits
+(k-anonymity, l-diversity): an EWMA control chart, the two-sample
+Kolmogorov-Smirnov test, Pearson's chi-square independence test, and
+the t-closeness release audit. Reference analog: the reference's
+quality checks are ad-hoc notebook cells around the degree
+distribution (NB cells 86-106); these are the productionized
+engine-side equivalents.
+
+Every operator is pure DataFrame algebra (no UDFs, no collect): one
+corpus-sized grouped aggregation, then marginal-sized broadcast math,
+so each survives a 100x scale-up unchanged. Formulas are written so a
+SQL oracle can replay them term-for-term (closed forms, not
+recursions; 6-dp rounding before any threshold compare).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma_chart(
+    series: DataFrame,
+    order_col: str = "day",
+    value_col: str = "n",
+    lam: float = 0.2,
+    span: int = 20,
+    nsigma: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart over an already-aggregated series.
+
+    The textbook recursion Z_t = lam*x_t + (1-lam)*Z_{t-1} with
+    Z_0 = mean is evaluated in CLOSED FORM as a ``span``-term
+    truncated geometric sum: Z_t = lam * sum_{j<min(t,span)}
+    (1-lam)^j x_{t-j} + (1-lam)^min(t,span) * mean. Truncation makes
+    the formula a bounded-range self-join on the row index — no
+    sequential scan, engine-portable, and numerically safe (no
+    (1-lam)^-t blowup). The control limit uses the asymptotic EWMA
+    sigma sqrt(lam/(2-lam)); the breach compare happens on
+    6-dp-rounded values so float drift cannot flip the flag.
+
+    ``series`` must be one row per ``order_col`` value (pre-aggregate
+    first — the self-join is series-sized, not corpus-sized).
+    Returns (order_col, n_events, ewma, deviation, breach) unordered.
+    """
+    if not 0 < lam < 1:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    decay = 1.0 - lam
+    ix = series.select(
+        F.col(order_col),
+        F.col(value_col).alias("n"),
+        F.row_number().over(Window.orderBy(order_col)).cast("long").alias("t"),
+    )
+    st = ix.agg(F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma"))
+    b = ix.select(F.col("n").alias("bn"), F.col("t").alias("bt"))
+    z = (
+        ix.join(b, (F.col("bt") <= F.col("t")) & (F.col("bt") > F.col("t") - span))
+        .groupBy(order_col, "n", "t")
+        .agg(
+            F.sum(F.pow(F.lit(decay), F.col("t") - F.col("bt")) * F.col("bn")).alias(
+                "gsum"
+            )
+        )
+        .crossJoin(F.broadcast(st))
+        .withColumn(
+            "ewma",
+            F.lit(lam) * F.col("gsum")
+            + F.pow(F.lit(decay), F.least(F.col("t"), F.lit(span))) * F.col("mu"),
+        )
+    )
+    limit = F.lit(nsigma) * F.col("sigma") * F.sqrt(F.lit(lam / (2.0 - lam)))
+    return z.select(
+        order_col,
+        F.col("n").alias("n_events"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round(F.col("ewma") - F.col("mu"), 6).alias("deviation"),
+        F.when(F.round(F.abs(F.col("ewma") - F.col("mu")), 6) > F.round(limit, 6), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("breach"),
+        F.abs(F.col("ewma") - F.col("mu")).alias("_ord"),
+    )
+
+
+def ks_two_sample(
+    values: DataFrame, group_col: str = "g", value_col: str = "x"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic.
+
+    ``values``: rows (group_col in {1, 2}, value_col numeric).
+    D = max_x |F1(x) - F2(x)| evaluated at the pooled DISTINCT values
+    (grouping by value first means ties never expose an intermediate
+    CDF state), with both groups' cumulative counts sharing ONE
+    ordered window. ks_scaled = sqrt(n1*n2/(n1+n2)) * D is what the
+    asymptotic Kolmogorov distribution consumes.
+
+    Scale shape: the global window runs over distinct values only;
+    the 100 TB variant buckets the value axis first (histogram shape)
+    and bounds D within one bucket width. Returns one row
+    (ks_d, n1, n2, ks_scaled).
+    """
+    n = values.agg(
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = values.groupBy(F.col(value_col).alias("x")).agg(
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        F.sum("c1").over(w).cast("double").alias("a1"),
+        F.sum("c2").over(w).cast("double").alias("a2"),
+    )
+    dmax = (
+        c.crossJoin(F.broadcast(n))
+        .agg(
+            F.max(F.abs(F.col("a1") / F.col("n1") - F.col("a2") / F.col("n2"))).alias(
+                "d_raw"
+            )
+        )
+    )
+    return dmax.crossJoin(F.broadcast(n)).select(
+        F.round("d_raw", 6).alias("ks_d"),
+        "n1",
+        "n2",
+        F.round(
+            F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2")).cast("double")
+            )
+            * F.col("d_raw"),
+            6,
+        ).alias("ks_scaled"),
+    )
+
+
+def chi2_independence(
+    obs_rows: DataFrame, a_col: str = "pri", b_col: str = "seg"
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns. Expected counts come from the row/column marginals (two
+    tiny grouped frames, broadcast); the cell grid is their CROSS
+    JOIN LEFT-joined onto observed counts so EMPTY cells still
+    contribute their full (0-E)^2/E term — the mistake ad-hoc
+    versions make. One corpus-sized groupBy; everything after is
+    marginal-sized. Returns one row (chi2, dof, n_obs)."""
+    obs = obs_rows.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("obs"))
+    r = obs_rows.groupBy(a_col).agg(F.count(F.lit(1)).alias("rn"))
+    c = obs_rows.groupBy(b_col).agg(F.count(F.lit(1)).alias("cn"))
+    t = obs_rows.agg(F.count(F.lit(1)).alias("n"))
+    nr = r.agg(F.count(F.lit(1)).alias("n_a"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_b"))
+    cells = (
+        F.broadcast(r)
+        .crossJoin(F.broadcast(c))
+        .join(obs, [a_col, b_col], "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.coalesce(F.col("obs"), F.lit(0)).alias("o"),
+            (F.col("rn") * F.col("cn") / F.col("n").cast("double")).alias("e"),
+        )
+    )
+    return (
+        cells.agg(
+            F.round(
+                F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+                6,
+            ).alias("chi2")
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "chi2",
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+            F.col("n").alias("n_obs"),
+        )
+    )
+
+
+def t_closeness(
+    rows: DataFrame, qi_cols: list[str], bucket: Column, threshold: float = 0.35
+) -> DataFrame:
+    """t-closeness audit: per quasi-identifier group, the total-
+    variation distance (categorical EMD) between the group's
+    sensitive-bucket distribution and the global one. The grid CROSS
+    JOIN of (QI groups x global buckets) guarantees buckets a group
+    never hits still contribute their |0 - p| mass. Returns
+    (*qi_cols, group_n, tvd, breach) unordered; all frames after the
+    first groupBy are marginal-sized and broadcast."""
+    c0 = rows.select(*qi_cols, bucket.alias("bkt"))
+    g = c0.groupBy(*qi_cols, "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    gt = c0.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("gn"))
+    gl = c0.groupBy("bkt").agg(F.count(F.lit(1)).alias("gcnt"))
+    t = c0.agg(F.count(F.lit(1)).alias("n"))
+    tv = (
+        gt.crossJoin(F.broadcast(gl))
+        .join(g, [*qi_cols, "bkt"], "left")
+        .crossJoin(F.broadcast(t))
+        .groupBy(*qi_cols, "gn")
+        .agg(
+            (
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.coalesce(F.col("cnt"), F.lit(0)) / F.col("gn").cast("double")
+                        - F.col("gcnt") / F.col("n").cast("double")
+                    )
+                )
+            ).alias("tvd")
+        )
+    )
+    return tv.select(
+        *qi_cols,
+        F.col("gn").alias("group_n"),
+        F.round("tvd", 6).alias("tvd"),
+        F.when(F.round("tvd", 6) > threshold, 1).otherwise(0).cast("long").alias(
+            "breach"
+        ),
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from social_link_prediction_spark.operators import aggregates as agg
 from social_link_prediction_spark.operators import dedup as dd
 from social_link_prediction_spark.operators import joins as jn
+from social_link_prediction_spark.operators import stats as st
 from social_link_prediction_spark.operators import windows as win
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -11926,3 +11927,200 @@ def markov_stationary_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("s").alias("event_type"), F.round("w", 6).alias("stationary_prob")
     ).orderBy("event_type")
+
+
+# =====================================================================
+# Statistical monitoring / hypothesis-test family (round 5 cont.):
+# EWMA control chart, two-sample KS test, chi-square independence,
+# t-closeness release audit. Reference analog: the reference's quality
+# monitoring is ad-hoc notebook checks (NB cells around the degree
+# distribution); these are the productionized equivalents every
+# metrics warehouse ships next to CUSUM / seasonal-residual screens.
+# =====================================================================
+@query(
+    "ewma_control_chart",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+    ix AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+           FROM x),
+    st AS (SELECT avg(n) AS mu, stddev_pop(n) AS sigma FROM ix),
+    z AS (SELECT a.day, a.n, a.t,
+                 0.2 * sum(power(0.8, a.t - b.t) * b.n)
+                 + power(0.8, least(a.t, 20)) * (SELECT mu FROM st) AS ewma
+          FROM ix a JOIN ix b ON b.t <= a.t AND b.t > a.t - 20
+          GROUP BY a.day, a.n, a.t)
+    SELECT day, n AS n_events, round(ewma, 6) AS ewma,
+           round(ewma - (SELECT mu FROM st), 6) AS deviation,
+           CAST(CASE WHEN round(abs(ewma - (SELECT mu FROM st)), 6)
+                          > round(3.0 * (SELECT sigma FROM st) * sqrt(0.2 / 1.8), 6)
+                     THEN 1 ELSE 0 END AS BIGINT) AS breach
+    FROM z
+    ORDER BY abs(ewma - (SELECT mu FROM st)) DESC, day
+    LIMIT 5
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the daily event-count series (lambda =
+    0.2, L = 3): the drift detector that reacts faster than Shewhart
+    and smoother than CUSUM — completing the monitoring trio next to
+    cusum_changepoint and seasonal_residual_anomalies. The recursion
+    Z_t = l*x_t + (1-l)*Z_{t-1} (Z_0 = mu) is evaluated in CLOSED FORM
+    as a 20-term truncated geometric sum — a bounded-range self-join
+    on the day index over the already-aggregated (days-sized) series,
+    so the formula is engine-portable and the corpus-sized work stays
+    one day-keyed count. Both engines compute the identical truncated
+    sum, so values match before rounding; the breach compare happens
+    on 6-dp-rounded values so a boundary case cannot flip the flag.
+    Control limit uses the asymptotic EWMA sigma sqrt(l/(2-l))."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    z = st.ewma_chart(x, "day", "n", lam=0.2, span=20, nsigma=3.0)
+    return z.orderBy(F.col("_ord").desc(), "day").limit(5).drop("_ord")
+
+
+@query(
+    "ks_test_price_segments",
+    """
+    WITH v AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g,
+               o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM v),
+    d AS (SELECT x,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM v GROUP BY x),
+    c AS (SELECT
+            CAST(sum(c1) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS a1,
+            CAST(sum(c2) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS a2
+          FROM d)
+    SELECT round(max(abs(a1 / (SELECT n1 FROM n) - a2 / (SELECT n2 FROM n))), 6)
+               AS ks_d,
+           (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+           round(sqrt((SELECT n1 FROM n) * (SELECT n2 FROM n)
+                      / CAST((SELECT n1 FROM n) + (SELECT n2 FROM n) AS DOUBLE))
+                 * max(abs(a1 / (SELECT n1 FROM n) - a2 / (SELECT n2 FROM n))), 6)
+               AS ks_scaled
+    FROM c
+    """,
+)
+def ks_test_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does order value distribute
+    the same for BUILDING vs MACHINERY customers? D = max |F1 - F2|
+    over the pooled value axis, evaluated exactly: group by distinct
+    value (so ties never expose an intermediate CDF state), one
+    ordered cumulative window for both groups' counts sharing a
+    single sort, then a max-aggregate. ks_scaled = sqrt(n1*n2/(n1+n2))
+    * D is the statistic the asymptotic Kolmogorov distribution
+    consumes. Scale shape: the only global-ordered window runs over
+    DISTINCT values; the 100 TB variant buckets the axis first (same
+    shape as histogram/sketch_quantiles) and bounds D within one
+    bucket width — documented, not needed at these tiers."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    v = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+    return st.ks_two_sample(v, "g", "x")
+
+
+@query(
+    "chi2_priority_segment",
+    """
+    WITH j AS (SELECT o.o_orderpriority AS pri, c.c_mktsegment AS seg
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    o AS (SELECT pri, seg, CAST(count(*) AS BIGINT) AS obs FROM j GROUP BY pri, seg),
+    r AS (SELECT pri, CAST(count(*) AS BIGINT) AS rn FROM j GROUP BY pri),
+    c AS (SELECT seg, CAST(count(*) AS BIGINT) AS cn FROM j GROUP BY seg),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    cells AS (SELECT r.pri, c.seg, r.rn, c.cn,
+                     COALESCE(o.obs, 0) AS obs,
+                     r.rn * c.cn / CAST((SELECT n FROM t) AS DOUBLE) AS exp
+              FROM r CROSS JOIN c
+              LEFT JOIN o ON o.pri = r.pri AND o.seg = c.seg)
+    SELECT round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2,
+           CAST(((SELECT count(*) FROM r) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+           (SELECT n FROM t) AS n_obs
+    FROM cells
+    """,
+)
+def chi2_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and customer market segment. Expected counts come from the
+    row/column marginals (two tiny grouped frames, broadcast); the
+    cell grid is their CROSS JOIN (|priorities| x |segments| = 25
+    rows) LEFT-joined onto observed counts so empty cells contribute
+    their full (0-E)^2/E term — the mistake most ad-hoc versions
+    make. One corpus-sized join+groupBy; everything after is
+    marginal-sized. Completes the dependence family next to
+    mutual_information_priority_segment (effect size) with the
+    significance-test statistic."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    j = o.join(cst, o["o_custkey"] == cst["c_custkey"]).select(
+        F.col("o_orderpriority").alias("pri"), F.col("c_mktsegment").alias("seg")
+    )
+    return st.chi2_independence(j, "pri", "seg")
+
+
+@query(
+    "t_closeness_audit",
+    """
+    WITH c0 AS (SELECT c_nationkey, c_mktsegment,
+                       CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bkt
+                FROM customer),
+    g AS (SELECT c_nationkey, c_mktsegment, bkt, CAST(count(*) AS BIGINT) AS cnt
+          FROM c0 GROUP BY c_nationkey, c_mktsegment, bkt),
+    gt AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS gn
+           FROM c0 GROUP BY c_nationkey, c_mktsegment),
+    gl AS (SELECT bkt, CAST(count(*) AS BIGINT) AS gcnt FROM c0 GROUP BY bkt),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c0),
+    grid AS (SELECT gt.c_nationkey, gt.c_mktsegment, gt.gn, gl.bkt, gl.gcnt
+             FROM gt CROSS JOIN gl),
+    tv AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.gn,
+                  0.5 * sum(abs(COALESCE(g.cnt, 0) / CAST(grid.gn AS DOUBLE)
+                                - grid.gcnt / CAST((SELECT n FROM t) AS DOUBLE)))
+                      AS tvd
+           FROM grid LEFT JOIN g
+             ON g.c_nationkey = grid.c_nationkey
+            AND g.c_mktsegment = grid.c_mktsegment AND g.bkt = grid.bkt
+           GROUP BY grid.c_nationkey, grid.c_mktsegment, grid.gn)
+    SELECT c_nationkey, c_mktsegment, gn AS group_n, round(tvd, 6) AS tvd,
+           CAST(CASE WHEN round(tvd, 6) > 0.35 THEN 1 ELSE 0 END AS BIGINT)
+               AS breach
+    FROM tv
+    ORDER BY round(tvd, 6) DESC, c_nationkey, c_mktsegment
+    LIMIT 5
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release audit — completes the privacy triple next
+    to k_anonymity_audit and l_diversity_audit: for each
+    quasi-identifier group (nation x segment), the total-variation
+    distance (the categorical EMD) between the group's sensitive-
+    attribute distribution (account-balance 1000-bucket) and the
+    global one; a group whose TVD exceeds t leaks attribute
+    information even when k-anonymous. The grid CROSS JOIN of
+    (QI groups x global buckets) guarantees buckets the group never
+    hits still contribute |0 - p| mass. All frames after the first
+    groupBy are marginal-sized and broadcast."""
+    cst = _t(spark, sf_dir, "customer")
+    tv = st.t_closeness(
+        cst,
+        ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long"),
+        threshold=0.35,
+    )
+    return tv.orderBy(F.col("tvd").desc(), "c_nationkey", "c_mktsegment").limit(5)

@@ -1,0 +1,142 @@
+"""Law tests for operators/stats.py — the monitoring / inference
+family: EWMA closed form, KS extremes, chi-square exactness on a
+product distribution, t-closeness TVD laws."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark.operators import stats as st
+
+
+# ---------------------------------------------------------------------
+# EWMA: constant series sits on the center line; a spike dominates
+# ---------------------------------------------------------------------
+def test_ewma_constant_series_is_flat(spark):
+    rows = [(i, 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "day int, n long")
+    out = st.ewma_chart(df, "day", "n").collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.ewma == pytest.approx(100.0, abs=1e-6)
+        assert r.deviation == pytest.approx(0.0, abs=1e-6)
+        assert r.breach == 0
+
+
+def test_ewma_matches_recursion_and_flags_shift(spark):
+    # EWMA's design case: a small SUSTAINED level shift (a lone spike
+    # inflates sigma faster than the smoothed statistic can chase it)
+    xs = [100] * 25 + [160] * 5
+    df = spark.createDataFrame(list(enumerate(xs)), "day int, n long")
+    out = {r.day: r for r in st.ewma_chart(df, "day", "n", lam=0.2, span=20).collect()}
+    # replay the truncated closed form in pure Python
+    mu = sum(xs) / len(xs)
+    for t0 in range(len(xs)):
+        k = min(t0 + 1, 20)
+        z = 0.2 * sum(0.8**j * xs[t0 - j] for j in range(k)) + 0.8**k * mu
+        assert out[t0].ewma == pytest.approx(round(z, 6), abs=1e-6)
+    # the shift's last day carries the largest |deviation| and breaches
+    peak = max(out.values(), key=lambda r: abs(r.deviation))
+    assert peak.day == 29
+    assert peak.breach == 1
+
+
+def test_ewma_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 1)], "day int, n long")
+    with pytest.raises(ValueError):
+        st.ewma_chart(df, lam=0.0)
+    with pytest.raises(ValueError):
+        st.ewma_chart(df, span=0)
+
+
+# ---------------------------------------------------------------------
+# KS: identical samples -> D=0; disjoint supports -> D=1
+# ---------------------------------------------------------------------
+def test_ks_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [(g, float(x)) for g in (1, 2) for x in range(50)], "g int, x double"
+    )
+    r = st.ks_two_sample(same).first()
+    assert r.ks_d == 0.0 and r.n1 == 50 and r.n2 == 50
+
+    disjoint = spark.createDataFrame(
+        [(1, float(x)) for x in range(50)] + [(2, float(x + 100)) for x in range(50)],
+        "g int, x double",
+    )
+    r = st.ks_two_sample(disjoint).first()
+    assert r.ks_d == 1.0
+    assert r.ks_scaled == pytest.approx(round(math.sqrt(50 * 50 / 100), 6), abs=1e-6)
+
+
+def test_ks_shifted_half(spark):
+    # group 2 = group 1 shifted by half the support: D = 0.5 exactly
+    g1 = [(1, float(x)) for x in range(100)]
+    g2 = [(2, float(x + 50)) for x in range(100)]
+    r = st.ks_two_sample(spark.createDataFrame(g1 + g2, "g int, x double")).first()
+    assert r.ks_d == 0.5
+
+
+# ---------------------------------------------------------------------
+# chi2: exact product distribution -> chi2 = 0; dof from marginals;
+# empty cells contribute their full expected mass
+# ---------------------------------------------------------------------
+def test_chi2_independent_grid_is_zero(spark):
+    rows = []
+    for a, na in (("x", 2), ("y", 3)):
+        for b, nb in (("u", 4), ("v", 8)):
+            rows += [(a, b)] * (na * nb)
+    r = st.chi2_independence(
+        spark.createDataFrame(rows, "pri string, seg string")
+    ).first()
+    assert r.chi2 == 0.0
+    assert r.dof == 1
+    assert r.n_obs == len(rows)
+
+
+def test_chi2_empty_cell_counts(spark):
+    # diagonal-only 2x2: chi2 = n exactly (perfect association)
+    rows = [("a", "u")] * 30 + [("b", "v")] * 30
+    r = st.chi2_independence(
+        spark.createDataFrame(rows, "pri string, seg string")
+    ).first()
+    assert r.chi2 == pytest.approx(60.0, abs=1e-6)
+    assert r.dof == 1
+
+
+# ---------------------------------------------------------------------
+# t-closeness: group == global -> tvd 0; concentrated group -> 1 - p
+# ---------------------------------------------------------------------
+def test_t_closeness_laws(spark):
+    # global buckets: 0 with mass 60, 1 with mass 40 (p0=0.6, p1=0.4).
+    # group "mirror" replicates the global mix -> tvd = 0.
+    # group "point" sits entirely in bucket 0 -> tvd = 1 - 0.6 = 0.4.
+    rows = [("mirror", 0)] * 30 + [("mirror", 1)] * 20
+    rows += [("point", 0)] * 30 + [("point", 1)] * 20  # second mirror half
+    # reshape: make "point" all-bucket-0 while keeping global 60/40
+    rows = (
+        [("mirror", 0)] * 36 + [("mirror", 1)] * 24  # 60/40 inside the group
+        + [("point", 0)] * 24 + [("point", 1)] * 16
+    )
+    df = spark.createDataFrame(rows, "qi string, bkt int")
+    out = {
+        r.qi: r
+        for r in st.t_closeness(df, ["qi"], F.col("bkt"), threshold=0.35).collect()
+    }
+    assert out["mirror"].tvd == 0.0 and out["mirror"].breach == 0
+    assert out["point"].tvd == 0.0  # both groups mirror the global mix
+
+    rows2 = [("mix", 0)] * 60 + [("mix", 1)] * 40 + [("conc", 0)] * 100
+    df2 = spark.createDataFrame(rows2, "qi string, bkt int")
+    out2 = {
+        r.qi: r
+        for r in st.t_closeness(df2, ["qi"], F.col("bkt"), threshold=0.2).collect()
+    }
+    # global: p0 = 160/200 = 0.8, p1 = 0.2
+    # conc: (1.0, 0.0) -> tvd = 0.5*(|1-0.8| + |0-0.2|) = 0.2
+    assert out2["conc"].tvd == pytest.approx(0.2, abs=1e-6)
+    assert out2["conc"].breach == 0  # compare is strict >
+    # mix: (0.6, 0.4) -> tvd = 0.5*(0.2 + 0.2) = 0.2
+    assert out2["mix"].tvd == pytest.approx(0.2, abs=1e-6)

@@ -61,6 +61,9 @@ EVENT_TIME_QUERIES = [
     # daily CUSUM series (to_date over NTZ)
     "trajectory_minhash_topk",
     "cusum_changepoint",
+    # round-5 continuation: EWMA chart + stationary chain over event time
+    "ewma_control_chart",
+    "markov_stationary_events",
 ]
 
 needs_testdata = pytest.mark.skipif(
