@@ -225,3 +225,55 @@ def t_closeness(
             "breach"
         ),
     )
+
+
+def theil_sen(
+    series: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Theil-Sen robust trend estimator: the MEDIAN of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i), x_j > x_i — up to ~29% outlier
+    contamination leaves the fit unmoved, where OLS chases every
+    spike. Median is the exact LOWER median (element ceil(n/2) of the
+    sorted multiset) so both engines pick the identical value with no
+    interpolation. Intercept = lower median of (y - slope * x).
+
+    ``series`` must already be aggregated to one row per x (pre-group
+    first): the pair join is series-sized squared, which is why the
+    caller aggregates to a bounded series (months, days) before
+    calling — the 100 TB shape. Returns one row
+    (slope, intercept, n_points, n_pairs)."""
+    m = series.select(F.col(x_col).alias("xi"), F.col(y_col).alias("yi"))
+    b = m.select(F.col("xi").alias("xj"), F.col("yi").alias("yj"))
+    p = m.join(b, F.col("xj") > F.col("xi")).select(
+        ((F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))).alias("s")
+    )
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    ws = Window.orderBy("s")
+    ms = (
+        p.withColumn("rk", F.row_number().over(ws))
+        .crossJoin(F.broadcast(np_))
+        .filter(F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+        .select(F.col("s").alias("slope_raw"))
+    )
+    nm = m.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    res = m.crossJoin(F.broadcast(ms)).select(
+        (F.col("yi") - F.col("slope_raw") * F.col("xi")).alias("r")
+    )
+    wr = Window.orderBy("r")
+    mr = (
+        res.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(nm))
+        .filter(F.col("rk") == F.floor((F.col("n_points") + 1) / 2))
+        .select(F.col("r").alias("intercept_raw"))
+    )
+    return (
+        ms.crossJoin(F.broadcast(mr))
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.round("slope_raw", 6).alias("slope"),
+            F.round("intercept_raw", 6).alias("intercept"),
+            "n_points",
+            "n_pairs",
+        )
+    )

@@ -12124,3 +12124,307 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35,
     )
     return tv.orderBy(F.col("tvd").desc(), "c_nationkey", "c_mktsegment").limit(5)
+
+
+# =====================================================================
+# Corpus / trend analytics family (round 5 cont.): association rules,
+# PMI collocations, Heaps'-law vocabulary growth, Theil-Sen trend.
+# =====================================================================
+@query(
+    "association_rules_items",
+    f"""
+    WITH baskets AS (SELECT DISTINCT l_orderkey AS basket,
+                                     l_partkey % 500 AS item FROM lineitem),
+    tot AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM baskets),
+    sing AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+             FROM baskets GROUP BY item),
+    freq AS (SELECT item, cnt FROM sing, tot WHERE cnt >= {_FIS_MINSUP} * n),
+    pruned AS (SELECT b.basket, b.item
+               FROM baskets b JOIN freq f ON b.item = f.item),
+    pairs AS (SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS pc
+              FROM pruned a JOIN pruned b
+                ON a.basket = b.basket AND a.item < b.item
+              GROUP BY ia, ib),
+    rules AS (SELECT ia AS ante, ib AS cons, pc FROM pairs
+              UNION ALL SELECT ib, ia, pc FROM pairs),
+    r2 AS (SELECT ante, cons, pc, fa.cnt AS ca, fc.cnt AS cc
+           FROM rules JOIN freq fa ON fa.item = ante
+                      JOIN freq fc ON fc.item = cons)
+    SELECT ante, cons, pc AS pair_cnt,
+           round(pc * 1.0 / ca, 6) AS confidence,
+           round(pc * 1.0 * (SELECT n FROM tot) / (ca * cc), 6) AS lift,
+           round((1.0 - cc * 1.0 / (SELECT n FROM tot))
+                 / NULLIF(1.0 - pc * 1.0 / ca, 0), 6) AS conviction
+    FROM r2
+    WHERE pc >= 3
+    ORDER BY round(pc * 1.0 / ca, 6) DESC, ante, cons
+    LIMIT 20
+    """,
+)
+def association_rules_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules on top of the A-Priori pair
+    counts (frequent_itemsets_pairs finds the sets; this ranks the
+    RULES): confidence P(cons|ante), lift, and conviction
+    (1-supp(cons))/(1-conf) — the implication-strength measure that,
+    unlike lift, is asymmetric. Same downward-closure prune as the
+    itemset query (pairs enumerated only within frequent-singleton
+    baskets, one basket-keyed shuffle both sides share); each pair
+    emits both rule directions, singleton counts come back as
+    broadcast joins. NULLIF guards the conviction pole at
+    confidence = 1. Top 20 by 6-dp confidence, key tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 500).alias("item"),
+    ).dropDuplicates()
+    tot = baskets.agg(F.count_distinct(F.col("basket")).alias("n"))
+    sing = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = (
+        sing.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= _FIS_MINSUP * F.col("n"))
+        .select("item", "cnt")
+    )
+    pruned = baskets.join(F.broadcast(freq.select("item")), "item", "left_semi")
+    a = pruned.select("basket", F.col("item").alias("ia"))
+    b = pruned.select("basket", F.col("item").alias("ib"))
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    rules = pairs.select(
+        F.col("ia").alias("ante"), F.col("ib").alias("cons"), "pc"
+    ).unionByName(
+        pairs.select(F.col("ib").alias("ante"), F.col("ia").alias("cons"), "pc")
+    )
+    fa = freq.select(F.col("item").alias("ante"), F.col("cnt").alias("ca"))
+    fc = freq.select(F.col("item").alias("cons"), F.col("cnt").alias("cc"))
+    conf = F.col("pc").cast("double") / F.col("ca")
+    return (
+        rules.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fc), "cons")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("pc") >= 3)
+        .select(
+            "ante",
+            "cons",
+            F.col("pc").alias("pair_cnt"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                F.col("pc").cast("double") * F.col("n") / (F.col("ca") * F.col("cc")),
+                6,
+            ).alias("lift"),
+            F.round(
+                (F.lit(1.0) - F.col("cc").cast("double") / F.col("n"))
+                / F.nullif(F.lit(1.0) - conf, F.lit(0.0)),
+                6,
+            ).alias("conviction"),
+        )
+        .orderBy(F.col("confidence").desc(), "ante", "cons")
+        .limit(20)
+    )
+
+
+@query(
+    "collocation_pmi_bigrams",
+    f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    tok AS MATERIALIZED (SELECT unnest(toks) AS w FROM t),
+    bg AS MATERIALIZED (
+        SELECT unnest(toks[1:len(toks)-1]) AS v,
+               unnest(toks[2:len(toks)]) AS w
+        FROM t WHERE len(toks) >= 2
+    ),
+    uni AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cw
+                         FROM tok GROUP BY w),
+    n AS (SELECT CAST(sum(cw) AS BIGINT) AS nt FROM uni),
+    bi AS (SELECT v, w, CAST(count(*) AS BIGINT) AS cvw FROM bg GROUP BY v, w),
+    nb AS (SELECT CAST(sum(cvw) AS BIGINT) AS nbg FROM bi)
+    SELECT bi.v, bi.w, bi.cvw AS pair_cnt,
+           round(ln((bi.cvw * 1.0 / (SELECT nbg FROM nb))
+                    / ((uv.cw * 1.0 / (SELECT nt FROM n))
+                       * (uw.cw * 1.0 / (SELECT nt FROM n)))), 6) AS pmi
+    FROM bi JOIN uni uv ON uv.w = bi.v JOIN uni uw ON uw.w = bi.w
+    WHERE bi.cvw >= 5
+    ORDER BY pmi DESC, bi.v, bi.w
+    LIMIT 20
+    """,
+)
+def collocation_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked collocations: adjacent bigrams whose joint
+    probability beats the independence product — the classic
+    keyphrase/multiword-expression extractor (Church & Hanks 1990)
+    and the signal token_cooccurrence (document-level) cannot see.
+    PMI = ln(P(v,w) / (P(v)P(w))) with bigram probability over the
+    bigram total and unigram probabilities over the token total; a
+    count floor (>= 5) suppresses the low-frequency PMI explosion.
+    Both LM tables are vocabulary-sized broadcasts; the corpus-sized
+    work is one explode + two groupBys."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = ptx.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"))
+    tok = t.select(F.explode("toks").alias("w"))
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("v"), F.col("p.1").alias("w"))
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    n = uni.agg(F.sum("cw").cast("long").alias("nt"))
+    bi = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("cvw"))
+    nb = bi.agg(F.sum("cvw").cast("long").alias("nbg"))
+    uv = uni.select(F.col("w").alias("v"), F.col("cw").alias("cv_"))
+    uw = uni.select("w", F.col("cw").alias("cw_"))
+    return (
+        bi.filter(F.col("cvw") >= 5)
+        .join(F.broadcast(uv), "v")
+        .join(F.broadcast(uw), "w")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "v",
+            "w",
+            F.col("cvw").alias("pair_cnt"),
+            F.round(
+                F.log(
+                    (F.col("cvw").cast("double") / F.col("nbg"))
+                    / (
+                        (F.col("cv_").cast("double") / F.col("nt"))
+                        * (F.col("cw_").cast("double") / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "v", "w")
+        .limit(20)
+    )
+
+
+@query(
+    "heaps_law_vocab",
+    f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+                  CAST(ntile(10) OVER (ORDER BY doc_id) AS BIGINT) AS dec
+           FROM t),
+    cps AS (SELECT dec, max(doc_id) AS cp FROM dl GROUP BY dec),
+    fd AS (SELECT w, min(doc_id) AS first_doc
+           FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY w),
+    vc AS (SELECT cps.dec, cps.cp,
+                  CAST(count(*) AS BIGINT) AS vocab
+           FROM cps JOIN fd ON fd.first_doc <= cps.cp
+           GROUP BY cps.dec, cps.cp),
+    tc AS (SELECT cps.dec, CAST(sum(dl.ntok) AS BIGINT) AS tokens
+           FROM cps JOIN dl ON dl.doc_id <= cps.cp GROUP BY cps.dec),
+    pts AS (SELECT vc.dec, vc.cp, tc.tokens, vc.vocab
+            FROM vc JOIN tc ON tc.dec = vc.dec),
+    beta AS (SELECT regr_slope(ln(vocab), ln(tokens)) AS b FROM pts)
+    SELECT dec AS decile, cp AS checkpoint_doc, tokens, vocab,
+           round((SELECT b FROM beta), 6) AS heaps_beta
+    FROM pts ORDER BY dec
+    """,
+)
+def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: V(N) ~ K * N^beta measured at 10
+    corpus-prefix checkpoints (doc-id deciles), beta fitted by the
+    regression-aggregate slope of ln V on ln N. The companion of
+    powerlaw_gamma (Zipf exponent) for corpus planning: beta tells
+    you how fast the vocabulary — and your tokenizer's OOV rate —
+    grows as you scale the crawl. The only corpus-sized work is one
+    explode + a (token, first_doc) min-aggregate; checkpoints are 10
+    rows, so the prefix counts are broadcast range-joins against
+    marginal-sized frames."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = ptx.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"))
+    dl = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("ntok"),
+        F.ntile(10).over(Window.orderBy("doc_id")).cast("long").alias("dec"),
+    )
+    cps = dl.groupBy(F.col("dec").alias("cdec")).agg(F.max("doc_id").alias("cp"))
+    fd = (
+        t.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vc = (
+        fd.crossJoin(F.broadcast(cps))
+        .filter(F.col("first_doc") <= F.col("cp"))
+        .groupBy("cdec", "cp")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    tc = (
+        dl.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") <= F.col("cp"))
+        .groupBy("cdec")
+        .agg(F.sum("ntok").alias("tokens"))
+    )
+    pts = vc.join(tc, "cdec")
+    beta = pts.agg(
+        F.regr_slope(F.log("vocab"), F.log("tokens")).alias("b")
+    )
+    return (
+        pts.crossJoin(F.broadcast(beta))
+        .select(
+            F.col("cdec").alias("decile"),
+            F.col("cp").alias("checkpoint_doc"),
+            "tokens",
+            "vocab",
+            F.round("b", 6).alias("heaps_beta"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "theil_sen_revenue_trend",
+    """
+    WITH m AS (SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+                          AS mi,
+                      sum(o_totalprice) AS rev
+               FROM orders GROUP BY mi),
+    p AS (SELECT (b.rev - a.rev) / (b.mi - a.mi) AS s
+          FROM m a JOIN m b ON b.mi > a.mi),
+    cnt AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
+    ms AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY s) AS rk FROM p)
+           WHERE rk = CAST(floor(((SELECT np FROM cnt) + 1) / 2.0) AS BIGINT)),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+    res AS (SELECT rev - (SELECT s FROM ms) * mi AS r FROM m),
+    mr AS (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r) AS rk FROM res)
+           WHERE rk = CAST(floor(((SELECT n FROM nm) + 1) / 2.0) AS BIGINT))
+    SELECT round((SELECT s FROM ms), 6) AS slope,
+           round((SELECT r FROM mr), 6) AS intercept,
+           (SELECT n FROM nm) AS n_points,
+           (SELECT np FROM cnt) AS n_pairs
+    """,
+)
+def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust monthly revenue trend — the median of all
+    pairwise slopes, immune to up to ~29% outlier months where
+    ols_revenue_trend chases every spike; reading both is the
+    standard robustness check. The corpus-sized work is one monthly
+    rollup; the pairwise frame is months² (bounded by construction —
+    the aggregate-to-a-bounded-series-first discipline is exactly the
+    100 TB shape). Lower-median (ceil(n/2)-th sorted element) on both
+    slope and intercept so engines agree with no interpolation."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("mi")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return st.theil_sen(m, "mi", "rev")

@@ -140,3 +140,20 @@ def test_t_closeness_laws(spark):
     assert out2["conc"].breach == 0  # compare is strict >
     # mix: (0.6, 0.4) -> tvd = 0.5*(0.2 + 0.2) = 0.2
     assert out2["mix"].tvd == pytest.approx(0.2, abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Theil-Sen: exact on a clean line; unmoved by a gross outlier
+# ---------------------------------------------------------------------
+def test_theil_sen_robust_to_outlier(spark):
+    clean = [(x, 3.0 * x + 7.0) for x in range(20)]
+    r = st.theil_sen(spark.createDataFrame(clean, "x int, y double")).first()
+    assert r.slope == pytest.approx(3.0, abs=1e-6)
+    assert r.intercept == pytest.approx(7.0, abs=1e-6)
+    assert r.n_points == 20 and r.n_pairs == 190
+
+    # poison one point by 1000x: median slope stays 3.0 (OLS would not)
+    dirty = clean[:10] + [(10, 30000.0)] + clean[11:]
+    r2 = st.theil_sen(spark.createDataFrame(dirty, "x int, y double")).first()
+    assert r2.slope == pytest.approx(3.0, abs=1e-6)
+    assert r2.intercept == pytest.approx(7.0, abs=1e-6)
