@@ -12428,3 +12428,235 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mi")
     ).agg(F.sum("o_totalprice").alias("rev"))
     return st.theil_sen(m, "mi", "rev")
+
+
+# =====================================================================
+# Graph-metric + ANN-quality family (round 5 cont.): rich-club
+# coefficient, directed reciprocity, IVF recall-at-k audit.
+# =====================================================================
+_RC_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'rc'"
+)
+_REC_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'rec'"
+)
+
+
+@query(
+    "rich_club_suppliers",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_RC_EDGE_SQL} % 10000 < 400
+    ),
+    deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+            GROUP BY id),
+    ks AS (SELECT CAST(unnest([2, 4, 6, 8]) AS BIGINT) AS k),
+    rich AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+             FROM ks JOIN deg ON deg.deg > ks.k GROUP BY ks.k),
+    re AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+           FROM ks CROSS JOIN e
+           JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+           WHERE ds.deg > ks.k AND dd.deg > ks.k GROUP BY ks.k)
+    SELECT ks.k, COALESCE(rich.n_nodes, 0) AS n_nodes,
+           COALESCE(re.n_edges, 0) AS n_edges,
+           round(CASE WHEN COALESCE(rich.n_nodes, 0) >= 2
+                      THEN 2.0 * COALESCE(re.n_edges, 0)
+                           / (rich.n_nodes * (rich.n_nodes - 1)) END, 6) AS phi
+    FROM ks LEFT JOIN rich ON rich.k = ks.k LEFT JOIN re ON re.k = ks.k
+    ORDER BY ks.k
+    """,
+)
+def rich_club_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) on the
+    deterministic 4%-sampled supplier graph (h60 seed 'rc', same
+    replayable device as ktruss): do high-degree nodes link to each
+    other more densely than chance? The hub-interconnectivity number
+    behind 'the core is an oligarchy' claims (Colizza et al. 2006).
+    Scale shape: the rich set SHRINKS as k grows — degrees are one
+    corpus-sized aggregation, then each threshold's subgraph check is
+    an edge scan against the broadcast degree table; no per-k
+    recomputation of anything corpus-sized. phi is NULL when the club
+    has fewer than 2 members (undefined, not 0)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("rc")) % 10000
+            < 400
+        )
+    )
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in (2, 4, 6, 8)])).alias("k0")
+    ).select(F.col("k0").cast("long").alias("k"))
+    rich = (
+        ks.join(F.broadcast(deg), F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("ds"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd"))
+    re_ = (
+        e.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("ds") > F.col("k")) & (F.col("dd") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        ks.join(rich, "k", "left")
+        .join(re_, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.when(
+                    F.coalesce("n_nodes", F.lit(0)) >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("n_edges", F.lit(0))
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                ),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "reciprocity_suppliers",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id <> b.id
+        WHERE {_REC_EDGE_SQL} % 10000 < 250
+    ),
+    r AS (SELECT e.src, e.dst,
+                 CASE WHEN f.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+          FROM e LEFT JOIN e f ON f.src = e.dst AND f.dst = e.src)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(mutual) AS BIGINT) AS n_reciprocal,
+           round(sum(mutual) * 1.0 / count(*), 6) AS reciprocity
+    FROM r
+    """,
+)
+def reciprocity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the 2.5%-sampled DIRECTED supplier graph
+    (h60 seed 'rec', the scc_suppliers device): the fraction of
+    directed edges whose reverse also exists — the dyad-census number
+    that separates follower-style graphs (low r) from friendship-style
+    graphs (high r). One self-join on the reversed key (the canonical-
+    pair shuffle both sides share); no windows, no iteration."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") != F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("rec")) % 10000
+            < 250
+        )
+    )
+    f = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
+    r = e.join(f, ["src", "dst"], "left")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("long").alias("n_reciprocal"),
+        F.round(
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("reciprocity"),
+    )
+
+
+def _duck_ann_recall_sql() -> str:
+    cents = [
+        "[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in _IVF_CENTROIDS
+    ]
+    scores = ", ".join(
+        f"list_cosine_similarity(v, {c}) AS s{i}" for i, c in enumerate(cents)
+    )
+    case = (
+        "CASE WHEN s3 > greatest(s0, s1, s2) THEN 3 "
+        "WHEN s2 > greatest(s0, s1) THEN 2 "
+        "WHEN s1 > s0 THEN 1 ELSE 0 END"
+    )
+    q = "[" + ",".join(repr(float(x)) for x in _PQ_QUERY_VEC) + "]::DOUBLE[]"
+    probes = ", ".join(str(p) for p in _ivf_probe_cells(_PQ_QUERY_VEC, 2))
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    gt AS (SELECT vec_id FROM e
+           ORDER BY list_cosine_similarity(v, {q}) DESC, vec_id LIMIT 10),
+    s AS (SELECT vec_id, v, {scores} FROM e),
+    cand AS (SELECT vec_id, v FROM (SELECT vec_id, v, {case} AS cell FROM s)
+             WHERE cell IN ({probes})),
+    ivf AS (SELECT vec_id FROM cand
+            ORDER BY list_cosine_similarity(v, {q}) DESC, vec_id LIMIT 10)
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           round((SELECT count(*) FROM gt JOIN ivf USING (vec_id)) / 10.0, 6)
+               AS recall_at_k
+    """
+
+
+@query("ann_recall_audit", None)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF route (2 probed cells, exact re-rank
+    within candidates) against brute-force cosine ground truth for
+    the fixed query vector — the approximation-quality number every
+    ANN deployment reports next to its latency win, closing the loop
+    ivf_cell_counts (assignment) / ivf_silhouette_audit (boundary
+    census) / ivf_pq_rerank_topk (serving) opened. Ground truth and
+    the IVF shortlist are both 10-row frames; recall is their
+    broadcast semi-join count over the candidate-set size. At scale
+    the candidate scan is a partition prune (partitionBy(ivf_cell)),
+    so the audit costs one cell-local scan plus the (sampled)
+    ground-truth pass."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in _PQ_QUERY_VEC]
+    gt = sim.brute_force_topk(emb, qv, k=10).select("vec_id")
+    cells = sim.ivf_assign(emb, _IVF_CENTROIDS)
+    probes = _ivf_probe_cells(qv, 2)
+    cand = cells.filter(F.col("ivf_cell").isin(probes))
+    qcol = F.array([F.lit(x) for x in qv])
+    ivf = (
+        cand.select(
+            "vec_id",
+            sim.cosine_similarity(
+                F.col("embedding").cast("array<double>"), qcol
+            ).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    ncand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    hits = gt.join(F.broadcast(ivf), "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        hits.crossJoin(F.broadcast(ncand))
+        .select(
+            F.lit(10).cast("long").alias("k"),
+            "n_candidates",
+            F.round(F.col("n_hits") / F.lit(10.0), 6).alias("recall_at_k"),
+        )
+    )
+
+
+ORACLES["ann_recall_audit"] = _duck_ann_recall_sql()
