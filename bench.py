@@ -135,6 +135,23 @@ HEADLINE = [
     "kaplan_meier_conversion",
     "kmeans_embeddings",
     "table_fingerprint_audit",
+    # round-5 continuation: monitoring/inference, corpus analytics,
+    # graph metrics, ANN recall
+    "ewma_control_chart",
+    "ks_test_price_segments",
+    "chi2_priority_segment",
+    "t_closeness_audit",
+    "association_rules_items",
+    "collocation_pmi_bigrams",
+    "heaps_law_vocab",
+    "theil_sen_revenue_trend",
+    "rich_club_suppliers",
+    "reciprocity_suppliers",
+    "ann_recall_audit",
+    "markov_stationary_events",
+    "calibration_reliability_bins",
+    "fdr_bh_nation_anomalies",
+    "forecast_backtest_daily",
 ]
 
 

@@ -12660,3 +12660,273 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ann_recall_audit"] = _duck_ann_recall_sql()
+
+
+# =====================================================================
+# ML-evaluation / multiple-testing family (round 5 cont.): calibration
+# reliability bins, BH-FDR screening, forecast backtest scoring.
+# =====================================================================
+@query(
+    "calibration_reliability_bins",
+    """
+    WITH scored AS (
+        SELECT c.c_custkey,
+               1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON o.o_custkey = c.c_custkey),
+    b AS (SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+                 score, label FROM scored),
+    bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                    avg(score) AS mean_score, avg(label) AS frac_pos
+             FROM b GROUP BY bin),
+    g AS (SELECT sum(n * abs(mean_score - frac_pos)) / sum(n) AS ece FROM bins),
+    br AS (SELECT avg((score - label) * (score - label)) AS brier FROM b)
+    SELECT bin, n, round(mean_score, 6) AS mean_score,
+           round(frac_pos, 6) AS frac_pos,
+           round((SELECT ece FROM g), 6) AS ece,
+           round((SELECT brier FROM br), 6) AS brier
+    FROM bins ORDER BY bin
+    """,
+)
+def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for a deterministic scoring rule (logistic of
+    account balance) against the has-orders label: 10 reliability
+    bins (mean predicted vs empirical positive rate), expected
+    calibration error, and the Brier score — the evaluation the ML
+    family (AUC/AP in test_ml) doesn't cover: a model can rank
+    perfectly and still be miscalibrated. One corpus-sized left
+    semi-style join + one bin groupBy; ECE/Brier are 1-row broadcast
+    constants on every output row."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = (
+        cst.join(o, cst["c_custkey"] == o["o_custkey"], "left")
+        .select(
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+                "score"
+            ),
+            F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("label"),
+        )
+    )
+    b = scored.select(
+        F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin"),
+        "score",
+        "label",
+    )
+    bins = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("mean_score"),
+        F.avg("label").alias("frac_pos"),
+    )
+    g = bins.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("mean_score") - F.col("frac_pos")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    br = b.agg(
+        F.avg(
+            (F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))
+        ).alias("brier")
+    )
+    return (
+        bins.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(br))
+        .select(
+            "bin",
+            "n",
+            F.round("mean_score", 6).alias("mean_score"),
+            F.round("frac_pos", 6).alias("frac_pos"),
+            F.round("ece", 6).alias("ece"),
+            F.round("brier", 6).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+# Abramowitz & Stegun 7.1.26 erf approximation — plain arithmetic, so
+# both engines evaluate the identical expression (neither ships erf).
+_AS_ERF = (
+    "(1.0 - (((((1.061405429 * (1.0 / (1.0 + 0.3275911 * {x})) - 1.453152027)"
+    " * (1.0 / (1.0 + 0.3275911 * {x})) + 1.421413741)"
+    " * (1.0 / (1.0 + 0.3275911 * {x})) - 0.284496736)"
+    " * (1.0 / (1.0 + 0.3275911 * {x})) + 0.254829592)"
+    " * (1.0 / (1.0 + 0.3275911 * {x}))) * exp(-({x}) * ({x})))"
+)
+
+
+@query(
+    "fdr_bh_nation_anomalies",
+    f"""
+    WITH g AS (SELECT c.c_nationkey AS nation,
+                      CAST(count(*) AS BIGINT) AS n,
+                      avg(o.o_totalprice) AS mu_g
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+               GROUP BY nation),
+    gstats AS (SELECT avg(o_totalprice) AS mu, stddev_pop(o_totalprice) AS sd
+             FROM orders),
+    z AS (SELECT nation, n,
+                 (mu_g - (SELECT mu FROM gstats))
+                     / ((SELECT sd FROM gstats) / sqrt(n)) AS zval
+          FROM g),
+    p AS (SELECT nation, n, zval,
+                 1.0 - {_AS_ERF.format(x="(abs(zval) / sqrt(2.0))")} AS pval
+          FROM z),
+    rk AS (SELECT nation, n, zval, pval,
+                  CAST(row_number() OVER (ORDER BY pval, nation) AS BIGINT) AS rnk,
+                  CAST(count(*) OVER () AS BIGINT) AS m
+           FROM p),
+    thr AS (SELECT COALESCE(max(rnk), 0) AS kmax FROM rk
+            WHERE pval <= 0.1 * rnk / m)
+    SELECT nation, n, round(zval, 6) AS z, round(pval, 6) AS p,
+           CAST(CASE WHEN rnk <= (SELECT kmax FROM thr) THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM rk ORDER BY rnk
+    """,
+)
+def fdr_bh_nation_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screening over per-nation mean order
+    values: one z-test per nation against the global mean, p-values
+    via the Abramowitz-Stegun erf polynomial (identical arithmetic on
+    both engines — neither ships erf), then the BH step-up: reject
+    every hypothesis ranked at or below the LARGEST k with
+    p_(k) <= q*k/m (q = 0.1). The multiple-testing discipline the
+    per-group anomaly screens (event_rate_anomalies,
+    seasonal_residual_anomalies) skip — 25 simultaneous tests at
+    alpha 0.1 would expect 2.5 false alarms. Group stats are one
+    corpus-sized aggregation; the BH pass runs on the 25-row frame."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    g = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("o_totalprice").alias("mu_g"))
+    )
+    glob = o.agg(
+        F.avg("o_totalprice").alias("mu"), F.stddev_pop("o_totalprice").alias("sd")
+    )
+    z = g.crossJoin(F.broadcast(glob)).select(
+        "nation",
+        "n",
+        ((F.col("mu_g") - F.col("mu")) / (F.col("sd") / F.sqrt("n"))).alias("zval"),
+    )
+    x = F.abs(F.col("zval")) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    erf = F.lit(1.0) - (
+        (
+            (
+                (
+                    (F.lit(1.061405429) * t - F.lit(1.453152027)) * t
+                    + F.lit(1.421413741)
+                )
+                * t
+                - F.lit(0.284496736)
+            )
+            * t
+            + F.lit(0.254829592)
+        )
+        * t
+    ) * F.exp(-x * x)
+    p = z.select("nation", "n", "zval", (F.lit(1.0) - erf).alias("pval"))
+    w = Window.orderBy("pval", "nation")
+    rk = p.select(
+        "nation",
+        "n",
+        "zval",
+        "pval",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    thr = rk.filter(
+        F.col("pval") <= F.lit(0.1) * F.col("rnk") / F.col("m")
+    ).agg(F.coalesce(F.max("rnk"), F.lit(0)).alias("kmax"))
+    return (
+        rk.crossJoin(F.broadcast(thr))
+        .select(
+            "nation",
+            "n",
+            F.round("zval", 6).alias("z"),
+            F.round("pval", 6).alias("p"),
+            F.when(F.col("rnk") <= F.col("kmax"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected"),
+            "rnk",
+        )
+        .orderBy("rnk")
+        .drop("rnk")
+    )
+
+
+@query(
+    "forecast_backtest_daily",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+    e AS (SELECT a.day, a.n AS actual, f.n AS fc, m.n AS prev
+          FROM x a JOIN x f ON f.day = a.day - INTERVAL 7 DAY
+                   JOIN x m ON m.day = a.day - INTERVAL 1 DAY),
+    base AS (SELECT avg(CAST(abs(a.n - b.n) AS DOUBLE)) AS mae1
+             FROM x a JOIN x b ON b.day = a.day - INTERVAL 1 DAY)
+    SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+           round(avg(abs(actual - fc) * 1.0 / actual), 6) AS mape,
+           round(avg(2.0 * abs(actual - fc) / (abs(actual) + abs(fc))), 6)
+               AS smape,
+           round(avg(CAST(abs(actual - fc) AS DOUBLE))
+                 / (SELECT mae1 FROM base), 6) AS mase
+    FROM e
+    """,
+)
+def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict day t with
+    day t-7) on the daily event-count series: MAPE, sMAPE, and MASE
+    (error scaled by the one-step-naive MAE — the scale-free metric
+    that stays defined when actuals touch zero). The accuracy
+    scorecard for the same baseline seasonal_residual_anomalies uses
+    for alerting. Date-keyed self-joins (not row lags) so calendar
+    gaps never misalign the horizon; everything after the day rollup
+    is series-sized."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    f = x.select(F.col("day").alias("fday"), F.col("n").alias("fc"))
+    m = x.select(F.col("day").alias("mday"), F.col("n").alias("prev"))
+    e = (
+        x.join(f, F.col("fday") == F.date_sub(F.col("day"), 7))
+        .join(m, F.col("mday") == F.date_sub(F.col("day"), 1))
+        .select("day", F.col("n").alias("actual"), "fc", "prev")
+    )
+    base = (
+        x.join(m, F.col("mday") == F.date_sub(F.col("day"), 1))
+        .agg(
+            F.avg(F.abs(F.col("n") - F.col("prev")).cast("double")).alias("mae1")
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(base))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("actual") - F.col("fc"))
+                    * F.lit(1.0)
+                    / F.col("actual")
+                ),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.avg(
+                    F.lit(2.0)
+                    * F.abs(F.col("actual") - F.col("fc"))
+                    / (F.abs("actual") + F.abs("fc"))
+                ),
+                6,
+            ).alias("smape"),
+            F.round(
+                F.avg(F.abs(F.col("actual") - F.col("fc")).cast("double"))
+                / F.first("mae1"),
+                6,
+            ).alias("mase"),
+        )
+    )

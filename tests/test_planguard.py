@@ -63,6 +63,22 @@ R5_QUERIES = [
     "temperature_mixture_langs",
     "kaplan_meier_conversion",
     "kmeans_embeddings",
+    "markov_stationary_events",
+    # r5 continuation: stats/corpus/graph/ANN batches
+    "ewma_control_chart",
+    "ks_test_price_segments",
+    "chi2_priority_segment",
+    "t_closeness_audit",
+    "association_rules_items",
+    "collocation_pmi_bigrams",
+    "heaps_law_vocab",
+    "theil_sen_revenue_trend",
+    "rich_club_suppliers",
+    "reciprocity_suppliers",
+    "ann_recall_audit",
+    "calibration_reliability_bins",
+    "fdr_bh_nation_anomalies",
+    "forecast_backtest_daily",
 ]
 
 

@@ -64,6 +64,7 @@ EVENT_TIME_QUERIES = [
     # round-5 continuation: EWMA chart + stationary chain over event time
     "ewma_control_chart",
     "markov_stationary_events",
+    "forecast_backtest_daily",
 ]
 
 needs_testdata = pytest.mark.skipif(
