@@ -12930,3 +12930,191 @@ def forecast_backtest_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase"),
         )
     )
+
+
+# =====================================================================
+# Embedding-space operators (round 5 cont.): PCA top component via
+# power iteration, int8 quantization error audit.
+# =====================================================================
+_PCA_DIM, _PCA_ROUNDS = 64, 8
+
+
+def _duck_pca_sql(dim: int = _PCA_DIM, rounds: int = _PCA_ROUNDS) -> str:
+    """Unrolled power iteration over the per-dim covariance matrix —
+    the same chained-CTE replay device as the k-means/Markov oracles."""
+    parts = [
+        f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ix AS (SELECT CAST(unnest(range(0, {dim})) AS BIGINT) AS i),
+    x AS MATERIALIZED (SELECT vec_id, i, v[i + 1] AS val FROM e, ix),
+    mu AS MATERIALIZED (SELECT i, avg(val) AS m FROM x GROUP BY i),
+    cx AS MATERIALIZED (
+        SELECT x.vec_id, x.i, x.val - mu.m AS c FROM x JOIN mu USING (i)),
+    nv AS (SELECT count(*) AS n FROM e),
+    cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, sum(a.c * b.c) / (SELECT n FROM nv) AS cij
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+    v0 AS (SELECT i, 1.0 / sqrt({dim}) AS w FROM ix)"""
+    ]
+    # Every per-round CTE is MATERIALIZED: v{k} references u{k} twice,
+    # so inlined CTEs would re-expand the whole chain 2^rounds times
+    # (the planner blowup that stalls DuckDB even on tiny inputs).
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""u{k} AS MATERIALIZED (SELECT cov.i, sum(cov.cij * v{k - 1}.w) AS u
+        FROM cov JOIN v{k - 1} ON v{k - 1}.i = cov.j GROUP BY cov.i)"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+        SELECT i, u / (SELECT sqrt(sum(u * u)) FROM u{k}) AS w
+        FROM u{k})"""
+        )
+    parts.append(
+        f"""lam AS (SELECT sqrt(sum(u * u)) AS l FROM u{rounds})"""
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT i AS dim, round(w, 6) AS loading,
+           round((SELECT l FROM lam), 6) AS eigenvalue
+    FROM v{rounds} ORDER BY dim"""
+    )
+
+
+@query("pca_top_component", None)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by power
+    iteration: per-dim means, the dim x dim covariance via the
+    outer-product aggregation (one (i,j)-keyed shuffle with map-side
+    combine — dim² cells regardless of corpus size, THE distributed
+    PCA shape), then 8 rounds of v <- C v / ||C v|| from the fixed
+    uniform start vector. Eigenvalue = ||C v|| at the last round
+    (Rayleigh norm). C is dim²-sized and broadcast into every round;
+    no corpus-sized work after the covariance pass. The anisotropy
+    diagnostic behind embedding whitening (Mu et al. 2018) and the
+    first step of PCA compression for ANN. Oracle unrolls the
+    identical iteration round by round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    )
+    mu = x.groupBy("i").agg(F.avg("val").alias("m"))
+    cx = x.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("val") - F.col("m")).alias("c")
+    )
+    nv = emb.agg(F.count(F.lit(1)).alias("n"))
+    a = cx.select("vec_id", F.col("i").alias("ai"), F.col("c").alias("ac"))
+    b = cx.select("vec_id", F.col("i").alias("bj"), F.col("c").alias("bc"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("s"))
+        .crossJoin(F.broadcast(nv))
+        .select("i", "j", (F.col("s") / F.col("n")).alias("cij"))
+        .persist()
+    )
+    v = spark.range(_PCA_DIM).select(
+        F.col("id").alias("i"), F.lit(1.0 / _PCA_DIM**0.5).alias("w")
+    )
+    lam = None
+    for _ in range(_PCA_ROUNDS):
+        u = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "w")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("cij") * F.col("w")).alias("u"))
+        )
+        lam = u.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("l"))
+        v = u.crossJoin(F.broadcast(lam)).select(
+            "i", (F.col("u") / F.col("l")).alias("w")
+        )
+        v = v.localCheckpoint()
+    out = (
+        v.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("i").alias("dim"),
+            F.round("w", 6).alias("loading"),
+            F.round("l", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+    return out
+
+
+ORACLES["pca_top_component"] = _duck_pca_sql()
+
+
+@query(
+    "int8_quant_error_audit",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ix AS (SELECT CAST(unnest(range(0, {_PCA_DIM})) AS BIGINT) AS i),
+    x AS MATERIALIZED (SELECT vec_id, i, v[i + 1] AS val FROM e, ix),
+    rng AS MATERIALIZED (
+        SELECT i, min(val) AS lo, max(val) AS hi,
+               (max(val) - min(val)) / 255.0 AS scale
+        FROM x GROUP BY i),
+    q AS (SELECT x.i, x.val, rng.lo, rng.scale,
+                 least(greatest(floor((x.val - rng.lo) / rng.scale + 0.5),
+                                0), 255) AS code
+          FROM x JOIN rng USING (i) WHERE rng.scale > 0),
+    d AS (SELECT val - (code * scale + lo) AS err FROM q)
+    SELECT CAST(count(*) AS BIGINT) AS n_values,
+           round(sqrt(avg(err * err)), 6) AS rmse,
+           round(max(abs(err)), 6) AS max_abs_err,
+           round((SELECT avg(scale) FROM rng), 6) AS mean_scale
+    FROM d
+    """,
+)
+def int8_quant_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension asymmetric int8 quantization audit: min/max
+    calibration per dim (one corpus aggregation, broadcast back),
+    code = clamp(floor((x-lo)/scale + 0.5), 0, 255) — floor(x+0.5)
+    instead of round() because the two engines' round() tie rules
+    differ and this formula is identical arithmetic everywhere —
+    then reconstruction RMSE, worst-case error, and mean step size.
+    The go/no-go number for 4x-compressing an embedding corpus before
+    ANN serving (error should sit near scale/sqrt(12)); the
+    quantization twin of the PQ codebook family."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "val"),
+    )
+    rng = x.groupBy("i").agg(
+        F.min("val").alias("lo"),
+        F.max("val").alias("hi"),
+        ((F.max("val") - F.min("val")) / 255.0).alias("scale"),
+    )
+    q = (
+        x.join(F.broadcast(rng), "i")
+        .filter(F.col("scale") > 0)
+        .select(
+            "val",
+            "lo",
+            "scale",
+            F.least(
+                F.greatest(
+                    F.floor((F.col("val") - F.col("lo")) / F.col("scale") + 0.5),
+                    F.lit(0),
+                ),
+                F.lit(255),
+            ).alias("code"),
+        )
+    )
+    d = q.select(
+        (F.col("val") - (F.col("code") * F.col("scale") + F.col("lo"))).alias("err")
+    )
+    ms = rng.agg(F.avg("scale").alias("mean_scale"))
+    return (
+        d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.round(F.sqrt(F.avg(F.col("err") * F.col("err"))), 6).alias("rmse"),
+            F.round(F.max(F.abs("err")), 6).alias("max_abs_err"),
+        )
+        .crossJoin(F.broadcast(ms))
+        .select(
+            "n_values", "rmse", "max_abs_err", F.round("mean_scale", 6).alias("mean_scale")
+        )
+    )
