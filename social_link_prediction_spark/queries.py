@@ -13118,3 +13118,379 @@ def int8_quant_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_values", "rmse", "max_abs_err", F.round("mean_scale", 6).alias("mean_scale")
         )
     )
+
+
+# =====================================================================
+# Round-5 continuation: time-series ACF, delete-one-group jackknife,
+# z-order layout audit (promotes warehouse.zorder_key into the gated
+# catalog), grid-density clustering (DBSCAN via dense-cell CC).
+# =====================================================================
+@query(
+    "acf_daily_events",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+    ix AS MATERIALIZED (
+        SELECT n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM x),
+    st AS (SELECT avg(n) AS mu FROM ix),
+    d AS MATERIALIZED (SELECT t, n - (SELECT mu FROM st) AS c FROM ix),
+    den AS (SELECT sum(c * c) AS den FROM d),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+    r AS (SELECT l.lag, sum(a.c * b.c) AS num
+          FROM d a JOIN lags l ON true JOIN d b ON b.t = a.t - l.lag
+          GROUP BY l.lag)
+    SELECT lag, round(num / (SELECT den FROM den), 6) AS acf
+    FROM r ORDER BY lag
+    """,
+)
+def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7 — the weekly-seasonality detector that tells the monitoring
+    family (EWMA / CUSUM / seasonal-residual) which period to
+    deseasonalize by, and the model-identification first step of any
+    ARIMA-style forecast. Estimator r_k = sum_t c_t c_{t-k} / sum c²
+    (demeaned, biased denominator — the standard plug-in). The
+    corpus-sized work is ONE day-keyed count; everything after runs on
+    the days-sized series (lag self-join on the row index), so the
+    shape is identical at 100 TB — the series length is bounded by the
+    calendar, not the data."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    ix = x.select(
+        "n", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    mu = ix.agg(F.avg("n").alias("mu"))
+    d = ix.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("n") - F.col("mu")).alias("c")
+    )
+    den = d.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.select(F.col("t").alias("at"), F.col("c").alias("ac"))
+    b = d.select(F.col("t").alias("bt"), F.col("c").alias("bc"))
+    r = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("bt") == F.col("at") - F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("num"))
+    )
+    return (
+        r.crossJoin(F.broadcast(den))
+        .select("lag", F.round(F.col("num") / F.col("den"), 6).alias("acf"))
+        .orderBy("lag")
+    )
+
+
+@query(
+    "jackknife_nation_ratio",
+    """
+    WITH g AS MATERIALIZED (
+        SELECT c.c_nationkey AS nk,
+               sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN o.o_totalprice ELSE 0 END) AS su,
+               sum(o.o_totalprice) AS st
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey),
+    tot AS (SELECT sum(su) AS su, sum(st) AS st,
+                   CAST(count(*) AS BIGINT) AS ng FROM g),
+    th AS MATERIALIZED (
+        SELECT ((SELECT su FROM tot) - g.su)
+               / ((SELECT st FROM tot) - g.st) AS ti
+        FROM g),
+    jd AS (SELECT avg(ti) AS tdot FROM th)
+    SELECT (SELECT ng FROM tot) AS n_groups,
+           round((SELECT su FROM tot) / (SELECT st FROM tot), 6) AS theta,
+           round((SELECT tdot FROM jd), 6) AS jk_mean,
+           round(sqrt((SELECT ng FROM tot) - 1.0)
+                 / sqrt(CAST((SELECT ng FROM tot) AS DOUBLE))
+                 * sqrt(sum((ti - (SELECT tdot FROM jd))
+                            * (ti - (SELECT tdot FROM jd)))), 6) AS jk_se
+    FROM th
+    """,
+)
+def jackknife_nation_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error for a ratio statistic
+    (urgent-order revenue share), groups = customer nations — the
+    variance estimator for non-linear statistics where a plain CLT
+    doesn't apply, and the deterministic sibling of the Poisson
+    bootstrap (poisson_bootstrap_mean). The g leave-one-out replicas
+    theta_(i) are computed from ONE per-group partial-aggregate pass
+    (totals minus the group's partials, broadcast totals) — never g
+    re-scans — so at 100 TB the cost is a single nation-keyed shuffle.
+    SE = sqrt((g-1)/g * sum (theta_i - theta_.)²)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("su"),
+            F.sum("o_totalprice").alias("st"),
+        )
+        .persist()
+    )
+    tot = g.agg(
+        F.sum("su").alias("tsu"),
+        F.sum("st").alias("tst"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    th = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "tsu",
+            "tst",
+            "ng",
+            ((F.col("tsu") - F.col("su")) / (F.col("tst") - F.col("st"))).alias(
+                "ti"
+            ),
+        )
+        .persist()
+    )
+    # Two-pass sum((ti - tdot)^2) — the same direct algebra as the
+    # oracle; the one-pass E[x^2] - n*mean^2 form cancels catastrophically
+    # on tightly-clustered leave-one-out replicas.
+    jd = th.agg(F.avg("ti").alias("tdot"))
+    return (
+        th.crossJoin(F.broadcast(jd))
+        .groupBy("tsu", "tst", "ng", "tdot")
+        .agg(
+            F.sum(
+                (F.col("ti") - F.col("tdot")) * (F.col("ti") - F.col("tdot"))
+            ).alias("ssq")
+        )
+        .select(
+            F.col("ng").alias("n_groups"),
+            F.round(F.col("tsu") / F.col("tst"), 6).alias("theta"),
+            F.round("tdot", 6).alias("jk_mean"),
+            F.round(
+                F.sqrt(F.col("ng") - F.lit(1.0))
+                / F.sqrt(F.col("ng").cast("double"))
+                * F.sqrt("ssq"),
+                6,
+            ).alias("jk_se"),
+        )
+    )
+
+
+def _duck_zexpr(xcol: str, ycol: str, bits: int = 6) -> str:
+    """The oracle twin of warehouse.zorder_key for two columns:
+    disjoint shifted bits summed (+ == | on disjoint bits)."""
+    # Each term fully parenthesized: in DuckDB `+` binds TIGHTER than
+    # `<<`, so a bare `a << 0 + b << 1` parses as `(a << (0+b)) << 1`.
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_FILE_ROWS = 32
+
+
+def _duck_zorder_sql() -> str:
+    z = _duck_zexpr("s", "pb")
+    return f"""
+    WITH p AS MATERIALIZED (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS s,
+               CAST(least(greatest(floor(p_retailprice - 900.0), 0), 63)
+                    AS BIGINT) AS pb
+        FROM part),
+    k AS MATERIALIZED (SELECT p_partkey, s, pb, {z} AS z FROM p),
+    fz AS MATERIALIZED (
+        SELECT CAST(floor((row_number() OVER (ORDER BY z, p_partkey) - 1)
+                    / {_Z_FILE_ROWS}.0) AS BIGINT) AS f, s, pb FROM k),
+    fl AS MATERIALIZED (
+        SELECT CAST(floor((row_number() OVER (ORDER BY p_partkey) - 1)
+                    / {_Z_FILE_ROWS}.0) AS BIGINT) AS f, s, pb FROM k),
+    sz AS (SELECT 'zorder' AS layout, f, min(s) AS lo_s, max(s) AS hi_s,
+                  min(pb) AS lo_pb, max(pb) AS hi_pb FROM fz GROUP BY f),
+    sl AS (SELECT 'linear' AS layout, f, min(s) AS lo_s, max(s) AS hi_s,
+                  min(pb) AS lo_pb, max(pb) AS hi_pb FROM fl GROUP BY f),
+    st AS MATERIALIZED (SELECT * FROM sz UNION ALL SELECT * FROM sl)
+    SELECT layout, pred, CAST(count(*) AS BIGINT) AS files_total,
+           CAST(sum(hit) AS BIGINT) AS files_read,
+           round(sum(hit) * 1.0 / count(*), 6) AS read_frac
+    FROM (
+        SELECT layout, 'size_10_15' AS pred,
+               CASE WHEN lo_s <= 15 AND hi_s >= 10 THEN 1 ELSE 0 END AS hit
+        FROM st
+        UNION ALL
+        SELECT layout, 'price_5_15' AS pred,
+               CASE WHEN lo_pb <= 15 AND hi_pb >= 5 THEN 1 ELSE 0 END AS hit
+        FROM st)
+    GROUP BY layout, pred
+    ORDER BY layout, pred
+    """
+
+
+@query("zorder_layout_audit", None)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit for the Z-order (Morton) clustering layout
+    (warehouse.zorder_key — the OPTIMIZE ZORDER BY primitive): lay the
+    part table out in 32-row files sorted by z(p_size, price_bucket)
+    vs by ingest key, collect per-file min/max column statistics (what
+    parquet row groups carry), and count the files a range predicate
+    on EACH dimension would have to read. Z-order reads a small
+    fraction for BOTH predicates from one layout; the linear layout
+    prunes neither. This simulation uses a global row_number to assign
+    files (audit-sized device); the production write path is
+    repartitionByRange(z).sortWithinPartitions(z) — no global window
+    (warehouse.write_bucketed / compact_parquet)."""
+    from social_link_prediction_spark.warehouse import zorder_key
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("s"),
+        F.least(
+            F.greatest(F.floor(F.col("p_retailprice") - 900.0), F.lit(0)),
+            F.lit(63),
+        )
+        .cast("long")
+        .alias("pb"),
+    )
+    k = p.withColumn("z", zorder_key("s", "pb", bits=6)).persist()
+    stats = None
+    for layout, order in (
+        ("zorder", [F.col("z"), F.col("p_partkey")]),
+        ("linear", [F.col("p_partkey")]),
+    ):
+        f = k.select(
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order)) - 1) / _Z_FILE_ROWS
+            ).alias("f"),
+            "s",
+            "pb",
+        )
+        s = f.groupBy("f").agg(
+            F.min("s").alias("lo_s"),
+            F.max("s").alias("hi_s"),
+            F.min("pb").alias("lo_pb"),
+            F.max("pb").alias("hi_pb"),
+        ).select(F.lit(layout).alias("layout"), "f", "lo_s", "hi_s", "lo_pb", "hi_pb")
+        stats = s if stats is None else stats.unionByName(s)
+    hits = stats.select(
+        "layout",
+        F.lit("size_10_15").alias("pred"),
+        F.when((F.col("lo_s") <= 15) & (F.col("hi_s") >= 10), 1)
+        .otherwise(0)
+        .alias("hit"),
+    ).unionByName(
+        stats.select(
+            "layout",
+            F.lit("price_5_15").alias("pred"),
+            F.when((F.col("lo_pb") <= 15) & (F.col("hi_pb") >= 5), 1)
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    return (
+        hits.groupBy("layout", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.sum("hit").cast("long").alias("files_read"),
+            F.round(F.sum("hit") / F.count(F.lit(1)), 6).alias("read_frac"),
+        )
+        .orderBy("layout", "pred")
+    )
+
+
+ORACLES["zorder_layout_audit"] = _duck_zorder_sql()
+
+
+_DBSCAN_MINPTS, _DBSCAN_ROUNDS = 12, 24
+
+
+def _duck_grid_dbscan_sql(minpts: int = _DBSCAN_MINPTS,
+                          rounds: int = _DBSCAN_ROUNDS) -> str:
+    ctes = [
+        f"""cells AS MATERIALIZED (
+        SELECT CAST(floor((p_size - 1) / 5.0) AS BIGINT) AS cx,
+               CAST(floor((p_retailprice - 900.0) / 10.0) AS BIGINT) AS cy,
+               CAST(count(*) AS BIGINT) AS pts
+        FROM part GROUP BY 1, 2),
+    dense AS MATERIALIZED (
+        SELECT cx * 100 + cy AS id, cx, cy, pts FROM cells
+        WHERE pts >= {minpts}),
+    e AS MATERIALIZED (
+        SELECT a.id AS a, b.id AS b FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+    l0 AS MATERIALIZED (SELECT id, id AS lbl FROM dense)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+        SELECT e.a AS id, min(l.lbl) AS lbl
+        FROM e JOIN l{k - 1} l ON l.id = e.b GROUP BY e.a)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT l.lbl AS cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(d.pts) AS BIGINT) AS n_points
+    FROM l{rounds} l JOIN dense d ON d.id = l.id
+    GROUP BY l.lbl ORDER BY cluster_id
+    """
+
+
+@query("grid_dbscan_parts", None)
+def grid_dbscan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (the distributed DBSCAN formulation):
+    snap points to grid cells — (p_size, p_retailprice) here — keep
+    cells with >= minpts points as core cells, and union 8-adjacent
+    core cells into clusters via min-label propagation. The ONLY
+    corpus-sized work is the cell-count aggregation; the cluster
+    merge runs on the cells-sized frame (bounded by the grid, ~110
+    cells), so at 100 TB this is one shuffle plus control-plane-sized
+    iteration — the same cell-blocking idea as ivf_cell_counts and
+    the standard MR-DBSCAN decomposition. 24 propagation rounds cover
+    the grid's worst-case Manhattan diameter (10+11 cells) with
+    margin; both engines run the identical fixed unroll, and the
+    min-label lattice is monotone so extra rounds past convergence
+    are no-ops (no SCC-style budget hazard). Clusters are keyed by
+    their minimum cell id (cx*100+cy)."""
+    p = _t(spark, sf_dir, "part")
+    cells = (
+        p.groupBy(
+            F.floor((F.col("p_size") - 1) / 5.0).alias("cx"),
+            F.floor((F.col("p_retailprice") - 900.0) / 10.0).alias("cy"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pts"))
+    )
+    dense = (
+        cells.filter(F.col("pts") >= _DBSCAN_MINPTS)
+        .select((F.col("cx") * 100 + F.col("cy")).alias("id"), "cx", "cy", "pts")
+        .persist()
+    )
+    a = dense.select(F.col("id").alias("a"), F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = dense.select(F.col("id").alias("b"), F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    e = (
+        a.join(
+            F.broadcast(b),
+            (F.abs(F.col("ax") - F.col("bx")) <= 1)
+            & (F.abs(F.col("ay") - F.col("by")) <= 1),
+        )
+        .select("a", "b")
+        .persist()
+    )
+    lbl = dense.select("id", F.col("id").alias("lbl"))
+    for _ in range(_DBSCAN_ROUNDS):
+        lbl = (
+            e.join(F.broadcast(lbl.select(F.col("id").alias("b"), "lbl")), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        lbl = lbl.localCheckpoint()
+    return (
+        lbl.join(dense.select("id", "pts"), "id")
+        .groupBy(F.col("lbl").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("pts").cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLES["grid_dbscan_parts"] = _duck_grid_dbscan_sql()
