@@ -277,3 +277,171 @@ def theil_sen(
             "n_pairs",
         )
     )
+
+
+def mann_whitney_u(
+    values: DataFrame, group_col: str = "g", value_col: str = "x"
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction —
+    the nonparametric two-sample location test next to ks_two_sample
+    (distribution shape) and the z/t family (means): robust to
+    heavy-tailed metrics like revenue where a mean test is dominated
+    by outliers.
+
+    ``values``: rows (group_col in {1, 2}, value_col numeric). Ranks
+    are AVERAGE ranks computed on the pooled DISTINCT values: a value
+    seen c times at cumulative-count-before ``cb`` has average rank
+    cb + (c+1)/2, so the corpus-sized work is ONE value-keyed groupBy
+    and the ordered window runs over distinct values only (the same
+    100 TB shape as ks_two_sample). U1 = R1 - n1(n1+1)/2; the normal
+    approximation uses the tie-corrected variance
+    n1*n2/12 * ((n+1) - sum(c^3-c)/(n(n-1))). Returns one row
+    (n1, n2, u1, u2, z)."""
+    n = values.agg(
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = values.groupBy(F.col(value_col).alias("x")).agg(
+        F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = d.select(
+        "c1",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)).alias("cb"),
+    )
+    s = r.agg(
+        F.sum(
+            F.col("c1")
+            * (F.col("cb") + (F.col("c") + 1) / F.lit(2.0))
+        ).alias("r1"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).cast("double").alias("ties"),
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0), 6
+        ).alias("u1"),
+        F.round(
+            F.col("n1").cast("double") * F.col("n2")
+            - (F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)),
+            6,
+        ).alias("u2"),
+        F.round(
+            (
+                F.col("r1")
+                - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+                - F.col("n1").cast("double") * F.col("n2") / F.lit(2.0)
+            )
+            / F.sqrt(
+                F.col("n1").cast("double") * F.col("n2") / F.lit(12.0)
+                * (
+                    (F.col("n1") + F.col("n2") + 1).cast("double")
+                    - F.col("ties")
+                    / (
+                        (F.col("n1") + F.col("n2")).cast("double")
+                        * (F.col("n1") + F.col("n2") - 1)
+                    )
+                )
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+def _avg_rank(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Distinct-value average-rank frame for ``col``: (value, avg rank).
+
+    Average rank = cumulative count of strictly-smaller values +
+    (count+1)/2 — the tie convention Spearman/Mann-Whitney need. The
+    window runs over DISTINCT values only; callers join this back to
+    the corpus on the value column (broadcast when the domain is
+    small), so no corpus-sized global sort ever happens."""
+    d = df.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    return d.select(
+        F.col("v").alias(col),
+        (
+            F.coalesce(F.sum("c").over(wb), F.lit(0))
+            + (F.col("c") + 1) / F.lit(2.0)
+        ).alias(out),
+    )
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation: Pearson correlation over AVERAGE
+    ranks (the tie-correct definition, not the 6*sum(d^2) shortcut
+    which is only valid tie-free). Monotone-association measure that
+    Pearson misses on nonlinear-but-monotone relations and that
+    outliers can't dominate. Two distinct-value rank frames (window
+    over distinct values only) joined back on the value columns, then
+    one corr() aggregate. Returns one row (n_rows, rho)."""
+    rx = _avg_rank(df, x_col, "rx")
+    ry = _avg_rank(df, y_col, "ry")
+    j = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.corr("rx", "ry"), 6).alias("rho"),
+    )
+
+
+def stl_decompose(
+    series: DataFrame,
+    day_col: str = "day",
+    value_col: str = "n",
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-lite, one pass of
+    the classical method): trend = centered ``period``-term moving
+    average (NULL at the edges where the window is short), seasonal =
+    mean detrended value per day-of-week recentred to sum ~0,
+    remainder = value - trend - seasonal. The decomposition every
+    forecast/anomaly operator implicitly assumes (seasonal_residual
+    _anomalies, forecast_backtest_daily) made explicit and reusable.
+
+    ``series`` is the already-aggregated daily frame — the ONLY
+    corpus-sized work happens before this call; every window here
+    runs on the days-sized series. Day-of-week is epoch-day
+    arithmetic (Monday anchor), session-TZ-proof. Returns per-day
+    rows (day, n, trend, seasonal, remainder)."""
+    half = period // 2
+    w7 = Window.orderBy(day_col).rowsBetween(-half, half)
+    t = series.select(
+        day_col,
+        F.col(value_col).alias("n"),
+        F.when(
+            F.count(value_col).over(w7) == period,
+            F.avg(value_col).over(w7),
+        ).alias("trend"),
+        (
+            F.datediff(F.col(day_col), F.lit("1970-01-05").cast("date")) % period
+        ).alias("dow"),
+    )
+    sm = (
+        t.filter(F.col("trend").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg(F.col("n") - F.col("trend")).alias("s_raw"))
+    )
+    sc = sm.agg(F.avg("s_raw").alias("s_mean"))
+    s = sm.crossJoin(F.broadcast(sc)).select(
+        "dow", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(s), "dow")
+        .select(
+            day_col,
+            "n",
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "remainder"
+            ),
+        )
+        .orderBy(day_col)
+    )

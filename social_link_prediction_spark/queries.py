@@ -13494,3 +13494,141 @@ def grid_dbscan_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["grid_dbscan_parts"] = _duck_grid_dbscan_sql()
+
+
+# =====================================================================
+# Round-5 continuation: Mann-Whitney rank-sum test, Spearman rank
+# correlation, STL-lite seasonal decomposition (operators/stats.py).
+# =====================================================================
+@query(
+    "mann_whitney_price_segments",
+    """
+    WITH v AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g,
+               o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM v),
+    d AS (SELECT x,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY x),
+    r AS (SELECT c1, c,
+                 coalesce(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM d),
+    s AS (SELECT sum(c1 * (cb + (c + 1) / 2.0)) AS r1,
+                 CAST(sum(c * c * c - c) AS DOUBLE) AS ties
+          FROM r)
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round(CAST(n1 AS DOUBLE) * n2 - (r1 - n1 * (n1 + 1) / 2.0), 6) AS u2,
+           round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - ties / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+                 6) AS z
+    FROM s, n
+    """,
+)
+def mann_whitney_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test on order totals, BUILDING vs
+    MACHINERY customers — the nonparametric location test completing
+    the two-sample family (ks_test_price_segments tests distribution
+    shape; ab_test_zscore tests proportions; this tests a location
+    shift without assuming normality, the right tool for heavy-tailed
+    revenue). Tie-corrected normal approximation; average ranks come
+    from one value-keyed groupBy so the ordered window runs over
+    distinct values only (operators/stats.mann_whitney_u)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+    return st.mann_whitney_u(v, "g", "x")
+
+
+@query(
+    "spearman_size_price",
+    """
+    WITH dx AS (SELECT p_size AS v, CAST(count(*) AS BIGINT) AS c
+                FROM part GROUP BY 1),
+    rx AS (SELECT v,
+                  coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (c + 1) / 2.0 AS rx
+           FROM dx),
+    dy AS (SELECT p_retailprice AS v, CAST(count(*) AS BIGINT) AS c
+           FROM part GROUP BY 1),
+    ry AS (SELECT v,
+                  coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + (c + 1) / 2.0 AS ry
+           FROM dy),
+    j AS (SELECT rx.rx, ry.ry FROM part p
+          JOIN rx ON rx.v = p.p_size
+          JOIN ry ON ry.v = p.p_retailprice)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, round(corr(rx, ry), 6) AS rho
+    FROM j
+    """,
+)
+def spearman_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between part size and retail price —
+    the monotone-association measure next to feature_correlations'
+    Pearson matrix: rank-based, so outliers can't dominate and any
+    monotone (not just linear) relation registers. Average ranks with
+    the tie-correct convention via two distinct-value rank frames
+    (window over distinct values only — the 50-value size domain
+    broadcasts); rho = Pearson corr of the joined ranks
+    (operators/stats.spearman_rho)."""
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_size").alias("x"), F.col("p_retailprice").alias("y")
+    )
+    out = st.spearman_rho(p, "x", "y")
+    return out
+
+
+@query(
+    "stl_decompose_daily",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT day, n,
+                 CASE WHEN count(n) OVER w = 7 THEN avg(n) OVER w END AS trend,
+                 datediff('day', DATE '1970-01-05', day) % 7 AS dow
+          FROM x
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    sm AS (SELECT dow, avg(n - trend) AS s_raw
+           FROM t WHERE trend IS NOT NULL GROUP BY dow),
+    sc AS (SELECT avg(s_raw) AS s_mean FROM sm),
+    s AS (SELECT dow, s_raw - (SELECT s_mean FROM sc) AS seasonal FROM sm)
+    SELECT t.day, t.n, round(t.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(t.n - t.trend - s.seasonal, 6) AS remainder
+    FROM t JOIN s ON s.dow = t.dow
+    ORDER BY t.day
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the daily event-count
+    series (classical STL-lite: centered 7-day moving-average trend,
+    recentred day-of-week seasonal means, residual remainder) — makes
+    the weekly structure that seasonal_residual_anomalies and
+    forecast_backtest_daily implicitly model a first-class reusable
+    output, and pairs with acf_daily_events (which DETECTS the
+    period this DECOMPOSES by). The corpus-sized work is one
+    day-keyed count; all windows run on the days-sized series
+    (operators/stats.stl_decompose). Day-of-week is epoch-day
+    arithmetic, session-TZ-proof."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return st.stl_decompose(daily, "day", "n", period=7)

@@ -157,3 +157,100 @@ def test_theil_sen_robust_to_outlier(spark):
     r2 = st.theil_sen(spark.createDataFrame(dirty, "x int, y double")).first()
     assert r2.slope == pytest.approx(3.0, abs=1e-6)
     assert r2.intercept == pytest.approx(7.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Mann-Whitney: symmetry, scipy-free closed cases, tie correction
+# ---------------------------------------------------------------------
+def test_mann_whitney_identical_groups(spark):
+    # identical samples: U1 = U2 = n^2/2, z = 0 (full ties)
+    df = spark.createDataFrame(
+        [(g, float(x)) for g in (1, 2) for x in range(1, 21)], "g int, x double"
+    )
+    r = st.mann_whitney_u(df).collect()[0]
+    assert r.n1 == r.n2 == 20
+    assert r.u1 == pytest.approx(200.0)
+    assert r.u2 == pytest.approx(200.0)
+    assert r.z == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mann_whitney_disjoint_supports(spark):
+    # group 2 strictly above group 1: U1 = 0, z at its minimum
+    rows = [(1, float(x)) for x in range(10)] + [(2, float(x + 100)) for x in range(10)]
+    df = spark.createDataFrame(rows, "g int, x double")
+    r = st.mann_whitney_u(df).collect()[0]
+    assert r.u1 == pytest.approx(0.0)
+    assert r.u2 == pytest.approx(100.0)
+    # no ties: var = n1*n2*(n+1)/12 = 10*10*21/12 = 175
+    assert r.z == pytest.approx(round(-50.0 / math.sqrt(175.0), 6), abs=1e-6)
+
+
+def test_mann_whitney_hand_computed_ties(spark):
+    # pooled [1,2,2,3] g1={1,2} g2={2,3}: ranks 1, 2.5, 2.5, 4
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 2.0), (2, 3.0)], "g int, x double"
+    )
+    r = st.mann_whitney_u(df).collect()[0]
+    # R1 = 1 + 2.5 = 3.5; U1 = 3.5 - 3 = 0.5; U2 = 4 - 0.5 = 3.5
+    assert r.u1 == pytest.approx(0.5)
+    assert r.u2 == pytest.approx(3.5)
+    # ties term: one group of 2 -> sum(c^3-c) = 6
+    # var = (4/12) * (5 - 6/(4*3)) = 1.5; z = (0.5 - 2)/sqrt(1.5)
+    assert r.z == pytest.approx(round(-1.5 / math.sqrt(1.5), 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Spearman: monotone nonlinear -> rho=1; reversal -> -1; ties average
+# ---------------------------------------------------------------------
+def test_spearman_monotone_and_reverse(spark):
+    rows = [(float(i), float(i * i * i)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert st.spearman_rho(df, "x", "y").collect()[0].rho == pytest.approx(1.0)
+    rev = spark.createDataFrame(
+        [(float(i), float(-i) ** 3) for i in range(1, 30)], "x double, y double"
+    )
+    assert st.spearman_rho(rev, "x", "y").collect()[0].rho == pytest.approx(-1.0)
+
+
+def test_spearman_ties_average_rank(spark):
+    # x has ties; hand-check vs scipy's published value for this case:
+    # x=[1,2,2,3], y=[1,2,3,4] -> rank_x=[1,2.5,2.5,4], rank_y=[1,2,3,4]
+    # rho = 4.5/sqrt(4.5*5) = 0.9486832...
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (2.0, 3.0), (3.0, 4.0)], "x double, y double"
+    )
+    r = st.spearman_rho(df, "x", "y").collect()[0]
+    assert r.n_rows == 4
+    assert r.rho == pytest.approx(0.948683, abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# STL: trend + seasonal + remainder == n; pure-seasonal series is
+# recovered exactly; edges carry NULL trend
+# ---------------------------------------------------------------------
+def test_stl_reconstruction_and_pure_seasonal(spark):
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)  # a Monday -> dow 0
+    season = [10, -5, 0, 5, -10, 3, -3]  # sums to 0
+    rows = [
+        (base + dt.timedelta(days=i), 100 + season[i % 7]) for i in range(35)
+    ]
+    df = spark.createDataFrame(rows, "day date, n long")
+    out = st.stl_decompose(df, "day", "n").collect()
+    assert len(out) == 35
+    by_day = {r.day: r for r in out}
+    for i, (d, n) in enumerate(rows):
+        r = by_day[d]
+        if 3 <= i <= 31:  # full 7-day window
+            # flat trend, exact seasonal recovery, zero remainder
+            assert r.trend == pytest.approx(100.0, abs=1e-6)
+            assert r.seasonal == pytest.approx(season[i % 7], abs=1e-6)
+            assert r.remainder == pytest.approx(0.0, abs=1e-6)
+        else:
+            assert r.trend is None and r.remainder is None
+        # reconstruction law wherever trend exists
+        if r.trend is not None:
+            assert r.trend + r.seasonal + r.remainder == pytest.approx(
+                float(n), abs=1e-5
+            )
