@@ -445,3 +445,54 @@ def stl_decompose(
         )
         .orderBy(day_col)
     )
+
+
+def mann_kendall(
+    series: DataFrame, x_col: str = "x", y_col: str = "y"
+) -> DataFrame:
+    """Mann-Kendall trend test: S = sum over ordered pairs of
+    sign(y_j - y_i) with the tie-corrected normal approximation —
+    the SIGNIFICANCE companion of theil_sen (which estimates the
+    slope magnitude; this says whether a monotone trend exists at
+    all, with no linearity or normality assumption). Variance
+    var = (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18 over tie groups t;
+    z uses the standard continuity correction (S-1 / S+1).
+
+    ``series`` must already be aggregated to one row per x (the
+    pairwise frame is series-sized squared — callers aggregate to a
+    bounded series first, the same 100 TB discipline as theil_sen).
+    Returns one row (n_points, s_stat, z)."""
+    m = series.select(F.col(x_col).alias("xi"), F.col(y_col).alias("yi"))
+    b = m.select(F.col("xi").alias("xj"), F.col("yi").alias("yj"))
+    s = (
+        m.join(b, F.col("xj") > F.col("xi"))
+        .agg(
+            F.sum(F.signum(F.col("yj") - F.col("yi")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    t = (
+        m.groupBy("yi")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("double").alias("ties")
+        )
+    )
+    var = (
+        F.col("n_points").cast("double")
+        * (F.col("n_points") - 1)
+        * (2 * F.col("n_points") + 5)
+        - F.col("ties")
+    ) / F.lit(18.0)
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var)).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t))
+        .select("n_points", "s_stat", F.round(z, 6).alias("z"))
+    )

@@ -13632,3 +13632,255 @@ def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     return st.stl_decompose(daily, "day", "n", period=7)
+
+
+# =====================================================================
+# Round-5 continuation: Mann-Kendall trend significance, split-
+# conformal forecast intervals, RFM customer segmentation.
+# =====================================================================
+@query(
+    "mann_kendall_revenue_trend",
+    """
+    WITH m AS MATERIALIZED (
+        SELECT (extract(year FROM o_orderdate) - 1995) * 12
+               + extract(month FROM o_orderdate) - 1 AS mi,
+               sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1),
+    s AS (SELECT CAST(sum(sign(b.rev - a.rev)) AS BIGINT) AS s_stat
+          FROM m a JOIN m b ON b.mi > a.mi),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM m),
+    t AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS DOUBLE)
+                 AS ties
+          FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM m GROUP BY rev)),
+    v AS (SELECT (CAST((SELECT n_points FROM n) AS DOUBLE)
+                  * ((SELECT n_points FROM n) - 1)
+                  * (2 * (SELECT n_points FROM n) + 5)
+                  - (SELECT ties FROM t)) / 18.0 AS var)
+    SELECT (SELECT n_points FROM n) AS n_points,
+           s_stat,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt((SELECT var FROM v))
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt((SELECT var FROM v))
+                      ELSE 0.0 END, 6) AS z
+    FROM s
+    """,
+)
+def mann_kendall_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend significance test on the monthly
+    revenue series — the hypothesis-test companion of
+    theil_sen_revenue_trend (same bounded series, same pairwise
+    frame): Theil-Sen says HOW STEEP, Mann-Kendall says WHETHER the
+    monotone trend is statistically real (tie-corrected normal
+    approximation with continuity correction). One corpus-sized
+    monthly rollup; pairs are months² (operators/stats.mann_kendall)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("mi")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    return st.mann_kendall(m, "mi", "rev")
+
+
+@query(
+    "conformal_forecast_intervals",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    j AS MATERIALIZED (
+        SELECT a.day, a.n, b.n AS fc, abs(a.n - b.n) AS ar
+        FROM x a JOIN x b ON b.day = a.day - INTERVAL 7 DAY),
+    o AS MATERIALIZED (
+        SELECT day, ar,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+               CAST(count(*) OVER () AS BIGINT) AS nt
+        FROM j),
+    sp AS (SELECT CAST(floor(0.7 * nt) AS BIGINT) AS n_cal,
+                  nt - CAST(floor(0.7 * nt) AS BIGINT) AS n_test
+           FROM o LIMIT 1),
+    q AS (SELECT ar AS q_hat FROM (
+              SELECT ar, row_number() OVER (ORDER BY ar, day) AS rk
+              FROM o WHERE t <= (SELECT n_cal FROM sp))
+          WHERE rk = least(CAST(ceil(0.9 * ((SELECT n_cal FROM sp) + 1))
+                                AS BIGINT),
+                           (SELECT n_cal FROM sp))),
+    tst AS (SELECT CAST(sum(CASE WHEN ar <= (SELECT q_hat FROM q)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM o WHERE t > (SELECT n_cal FROM sp))
+    SELECT sp.n_cal, sp.n_test,
+           round(CAST((SELECT q_hat FROM q) AS DOUBLE), 6) AS q_hat,
+           tst.n_covered,
+           round(tst.n_covered * 1.0 / sp.n_test, 6) AS coverage
+    FROM sp, tst
+    """,
+)
+def conformal_forecast_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive
+    daily-events forecast (forecast = value 7 days earlier, calendar
+    join so date gaps can't shift the season): the first 70% of
+    scored days calibrate q_hat = the ceil(0.9*(n+1))-th smallest
+    absolute residual (the distribution-free 90% quantile with
+    finite-sample guarantee, Vovk/Angelopoulos), and the held-out 30%
+    reports empirical coverage of |residual| <= q_hat. This is the
+    UNCERTAINTY layer for forecast_backtest_daily — same backbone,
+    but with a guarantee instead of a point score. All windows run on
+    the days-sized series; order statistics are exact (integer
+    residuals, day tie-break), so both engines pick the identical
+    q_hat."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    fc = x.select(F.date_add("day", 7).alias("day"), F.col("n").alias("fc"))
+    j = x.join(fc, "day").select(
+        "day", F.abs(F.col("n") - F.col("fc")).alias("ar")
+    )
+    o = j.select(
+        "day",
+        "ar",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    nt = o.agg(F.max("t").alias("nt"))
+    sp = nt.select(
+        F.floor(0.7 * F.col("nt")).cast("long").alias("n_cal"),
+        (F.col("nt") - F.floor(0.7 * F.col("nt"))).cast("long").alias("n_test"),
+    )
+    ob = o.crossJoin(F.broadcast(sp)).persist()
+    cal = ob.filter(F.col("t") <= F.col("n_cal"))
+    q = (
+        cal.select(
+            "ar",
+            "n_cal",
+            F.row_number().over(Window.orderBy("ar", "day")).alias("rk"),
+        )
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long"), F.col("n_cal")
+            )
+        )
+        .select(F.col("ar").alias("q_hat"))
+    )
+    tst = (
+        ob.filter(F.col("t") > F.col("n_cal"))
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.sum(F.when(F.col("ar") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered")
+        )
+    )
+    return (
+        sp.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(tst))
+        .select(
+            "n_cal",
+            "n_test",
+            F.round(F.col("q_hat").cast("double"), 6).alias("q_hat"),
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_test"), 6).alias("coverage"),
+        )
+    )
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mday FROM orders),
+    rfm AS MATERIALIZED (
+        SELECT o_custkey,
+               datediff('day', max(CAST(o_orderdate AS DATE)),
+                        (SELECT mday FROM mx)) AS recency,
+               CAST(count(*) AS BIGINT) AS freq,
+               -- integer cents: round() pulls the ~1e-10 double-sum
+               -- drift back to the exact cent, so every downstream
+               -- value is integer arithmetic (no .005 display-rounding
+               -- boundary can flip between engines)
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    scored AS (
+        SELECT cents,
+               ntile(5) OVER (ORDER BY recency DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY freq ASC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY cents ASC, o_custkey) AS m_score
+        FROM rfm)
+    SELECT r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions'
+                WHEN r_score >= 4 THEN 'recent'
+                WHEN f_score >= 4 THEN 'loyal_at_risk'
+                ELSE 'other' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6)
+               AS avg_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the canonical CRM scoring grid: per-customer last-order age,
+    order count, and lifetime spend, each bucketed into quintiles
+    (5 = best), rolled up to the 125-cell score grid with a named
+    segment label for the classic quadrants. Three ntile windows
+    with c_custkey tie-breaks make bucket assignment deterministic
+    in both engines (the ntile_decile_spend discipline); the
+    corpus-sized work is one custkey-keyed rollup. At 100 TB the
+    per-customer frame still fits a shuffle (customers ≪ orders) and
+    the quintile boundaries could swap to approx percentiles — the
+    exact ntile is the oracle-checkable tier."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("mday"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            # integer cents (see oracle note): exact downstream math
+            F.round(F.sum("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mday"), F.col("lastd")).alias("recency"),
+            "freq",
+            "cents",
+        )
+    )
+    scored = rfm.select(
+        "cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency").desc(), "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("freq").asc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("cents").asc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champions"
+        )
+        .when(F.col("r_score") >= 4, "recent")
+        .when(F.col("f_score") >= 4, "loyal_at_risk")
+        .otherwise("other")
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 6
+            ).alias("avg_monetary"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            seg.alias("segment"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -254,3 +254,32 @@ def test_stl_reconstruction_and_pure_seasonal(spark):
             assert r.trend + r.seasonal + r.remainder == pytest.approx(
                 float(n), abs=1e-5
             )
+
+
+# ---------------------------------------------------------------------
+# Mann-Kendall: strict monotone -> S = n(n-1)/2; constant -> S=0, z=0;
+# tie-corrected variance on a hand case
+# ---------------------------------------------------------------------
+def test_mann_kendall_extremes_and_ties(spark):
+    up = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "x double, y double"
+    )
+    r = st.mann_kendall(up).collect()[0]
+    assert r.s_stat == 45  # all 45 pairs increasing
+    # no ties: var = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert r.z == pytest.approx(round(44.0 / math.sqrt(125.0), 6), abs=1e-6)
+
+    flat = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(10)], "x double, y double"
+    )
+    rf = st.mann_kendall(flat).collect()[0]
+    assert rf.s_stat == 0 and rf.z == pytest.approx(0.0)
+
+    # y = [1,2,2,3]: pairs (1,2)+ (1,2)+ (1,3)+ (2,2)0 (2,3)+ (2,3)+ -> S=5
+    t = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (3.0, 2.0), (4.0, 3.0)], "x double, y double"
+    )
+    rt = st.mann_kendall(t).collect()[0]
+    assert rt.s_stat == 5
+    # var = (4*3*13 - 2*1*9)/18 = (156-18)/18 = 7.6667; z = 4/sqrt(var)
+    assert rt.z == pytest.approx(round(4.0 / math.sqrt(138.0 / 18.0), 6), abs=1e-6)
