@@ -13884,3 +13884,238 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# =====================================================================
+# Round-5 continuation: isotonic (PAV) calibration over score bins,
+# exact Shapley-value channel attribution on the subset lattice.
+# =====================================================================
+@query(
+    "isotonic_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    bins AS MATERIALIZED (
+        SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+    cum AS MATERIALIZED (
+        SELECT bin, n, pos,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM bins),
+    iv AS MATERIALIZED (
+        SELECT a.bin AS j, b.bin AS k,
+               (b.cp - a.cp + a.pos) * 1.0 / (b.cn - a.cn + a.n) AS avg_jk
+        FROM cum a JOIN cum b ON b.bin >= a.bin),
+    mins AS (
+        SELECT c.bin AS i, iv.j, min(iv.avg_jk) AS mn
+        FROM cum c JOIN iv ON iv.j <= c.bin AND iv.k >= c.bin
+        GROUP BY c.bin, iv.j),
+    fit AS (SELECT i AS bin, max(mn) AS iso FROM mins GROUP BY i)
+    SELECT b.bin, b.n,
+           round(b.pos * 1.0 / b.n, 6) AS frac_pos,
+           round(f.iso, 6) AS iso_rate
+    FROM bins b JOIN fit f ON f.bin = b.bin
+    ORDER BY b.bin
+    """,
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (pool-adjacent-violators) calibration of the same
+    scoring rule calibration_reliability_bins audits: the PAV fit is
+    evaluated in the MINIMAX CLOSED FORM fitted(i) = max_{j<=i}
+    min_{k>=i} avg(pos[j..k] / n[j..k]) — mathematically identical to
+    the sequential pooling algorithm but expressed as bounded-lattice
+    joins over the 10 score bins, so there is no sequential scan and
+    a SQL oracle replays it term-for-term. The output is the
+    monotone-nondecreasing calibrated rate per bin — what you'd
+    actually deploy to remap scores, where the reliability bins only
+    MEASURE miscalibration. Corpus-sized work: one scored join + one
+    bin rollup; everything after runs on <=55 interval rows. Interval
+    averages are exact-integer ratios, so both engines derive
+    identical doubles."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("label").cast("long").alias("pos"),
+        )
+        .persist()
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("pos").over(w).cast("long").alias("cp"),
+    )
+    a = cum.select(
+        F.col("bin").alias("j"),
+        F.col("n").alias("an"),
+        F.col("pos").alias("ap"),
+        F.col("cn").alias("acn"),
+        F.col("cp").alias("acp"),
+    )
+    b = cum.select(
+        F.col("bin").alias("k"), F.col("cn").alias("bcn"), F.col("cp").alias("bcp")
+    )
+    iv = a.join(F.broadcast(b), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("bcp") - F.col("acp") + F.col("ap"))
+            / (F.col("bcn") - F.col("acn") + F.col("an"))
+        ).alias("avg_jk"),
+    )
+    i_frame = cum.select(F.col("bin").alias("i"))
+    mins = (
+        i_frame.join(
+            F.broadcast(iv), (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = mins.groupBy(F.col("i").alias("bin")).agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("pos") / F.col("n"), 6).alias("frac_pos"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+_SHAP_W = "CASE WHEN {s} = 0 THEN 0.25 WHEN {s} = 1 THEN 2.0/24 WHEN {s} = 2 THEN 2.0/24 ELSE 0.25 END"
+
+
+@query(
+    "shapley_attribution_channels",
+    f"""
+    WITH jw AS (
+        SELECT user_id,
+               CAST(floor(datediff('day', DATE '1970-01-05', CAST(ts AS DATE))
+                          / 7.0) AS BIGINT) AS wk,
+               CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mask,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id, 2),
+    bym AS MATERIALIZED (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n_j,
+               CAST(sum(conv) AS BIGINT) AS n_c
+        FROM jw GROUP BY mask),
+    lat AS MATERIALIZED (
+        SELECT s.s, sum(m.n_j) AS vj, sum(m.n_c) AS vc,
+               CASE WHEN sum(m.n_j) > 0
+                    THEN sum(m.n_c) * 1.0 / sum(m.n_j) ELSE 0.0 END AS v
+        FROM (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS s) s
+        LEFT JOIN bym m ON (m.mask & s.s) = m.mask
+        GROUP BY s.s),
+    ch AS (SELECT * FROM (VALUES ('view', CAST(1 AS BIGINT)),
+                                 ('click', CAST(2 AS BIGINT)),
+                                 ('signup', CAST(4 AS BIGINT)),
+                                 ('error', CAST(8 AS BIGINT)))
+                        AS t(channel, bit)),
+    marg AS (
+        SELECT c.channel,
+               ({_SHAP_W.format(s='bit_count(l.s)')})
+               * (lu.v - l.v) AS term
+        FROM ch c
+        JOIN lat l ON (l.s & c.bit) = 0
+        JOIN lat lu ON lu.s = l.s + c.bit)
+    SELECT channel, round(sum(term), 6) AS shapley
+    FROM marg GROUP BY channel ORDER BY channel
+    """,
+)
+def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution — the third leg of the
+    attribution family (multitouch = positional, markov = removal
+    effect, this = cooperative-game marginal contribution). Journeys
+    are user-weeks; the characteristic function v(S) = conversion
+    RATE of journeys whose touched-channel set is contained in S
+    (exposure-limited reach), evaluated over the FULL 16-subset
+    lattice of the 4 touch channels, so the Shapley sum is exact —
+    no sampling, no permutation Monte Carlo. The corpus-sized work
+    is ONE user-week rollup; the lattice (16 rows), containment join
+    (<=16x16), and factorial-weighted marginals are control-plane
+    sized — at 100 TB nothing after the first groupBy grows. Week =
+    epoch-day arithmetic (Monday anchor), session-TZ-proof; v values
+    are exact-integer ratios so both engines agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    jw = ev.groupBy(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05").cast("date")) / 7.0
+        ).cast("long").alias("wk"),
+    ).agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        ).cast("long").alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    bym = jw.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("conv").cast("long").alias("n_c"),
+    )
+    lat = (
+        spark.range(16)
+        .select(F.col("id").alias("s"))
+        .join(F.broadcast(bym), F.expr("(mask & s) = mask"), "left")
+        .groupBy("s")
+        .agg(F.sum("n_j").alias("vj"), F.sum("n_c").alias("vc"))
+        .select(
+            "s",
+            F.when(F.col("vj") > 0, F.col("vc") / F.col("vj"))
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+    )
+    ch = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "channel string, bit long",
+    )
+    l = lat.select(F.col("s").alias("ls"), F.col("v").alias("lv"))
+    lu = lat.select(F.col("s").alias("us"), F.col("v").alias("uv"))
+    wgt = (
+        F.when(F.bit_count("ls") == 0, F.lit(0.25))
+        .when(F.bit_count("ls") == 1, F.lit(2.0 / 24))
+        .when(F.bit_count("ls") == 2, F.lit(2.0 / 24))
+        .otherwise(F.lit(0.25))
+    )
+    marg = (
+        F.broadcast(ch)
+        .join(F.broadcast(l), F.expr("(ls & bit) = 0"))
+        .join(F.broadcast(lu), F.col("us") == F.col("ls") + F.col("bit"))
+        .select("channel", (wgt * (F.col("uv") - F.col("lv"))).alias("term"))
+    )
+    return (
+        marg.groupBy("channel")
+        .agg(F.round(F.sum("term"), 6).alias("shapley"))
+        .orderBy("channel")
+    )
