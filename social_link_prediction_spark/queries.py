@@ -14119,3 +14119,343 @@ def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term"), 6).alias("shapley"))
         .orderBy("channel")
     )
+
+
+# =====================================================================
+# Round-5 continuation: experimentation / causal-inference family —
+# one-way ANOVA, covariate balance (SMD), CUPED variance reduction,
+# difference-in-differences.
+# =====================================================================
+@query(
+    "anova_price_segments",
+    """
+    WITH v AS (
+        SELECT c.c_mktsegment AS g, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    pg AS MATERIALIZED (
+        SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+        FROM v GROUP BY g),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
+                   CAST(count(*) AS BIGINT) AS k FROM pg),
+    parts AS (
+        SELECT sum(n * (s / n - (SELECT s FROM tot) / (SELECT n FROM tot))
+                     * (s / n - (SELECT s FROM tot) / (SELECT n FROM tot))) AS ssb,
+               sum(ss - s * s / n) AS ssw
+        FROM pg)
+    SELECT (SELECT k FROM tot) AS k_groups,
+           (SELECT n FROM tot) AS n_obs,
+           round(ssb, 2) AS ss_between,
+           round(ssw, 2) AS ss_within,
+           round((ssb / ((SELECT k FROM tot) - 1))
+                 / (ssw / ((SELECT n FROM tot) - (SELECT k FROM tot))), 6) AS f_stat
+    FROM parts
+    """,
+)
+def anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of order totals across the five market
+    segments — the k-group generalization of the two-sample family
+    (z / Mann-Whitney / KS test two groups; this tests all five at
+    once, the screen you run BEFORE pairwise tests to control the
+    first-look error). Computed from per-group (n, sum, sumsq)
+    partials — one corpus-sized groupBy, then 5-row broadcast math:
+    SSB = sum n_g(m_g - m)^2, SSW = sum(ss_g - s_g^2/n_g). Sums
+    round to 2dp (the big-money convention), F to 6dp."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("g"), F.col("o_totalprice").alias("x")
+    )
+    pg = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    tot = pg.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    parts = (
+        pg.crossJoin(F.broadcast(tot))
+        .select(
+            "tn",
+            "k",
+            (
+                F.col("n")
+                * (F.col("s") / F.col("n") - F.col("ts") / F.col("tn"))
+                * (F.col("s") / F.col("n") - F.col("ts") / F.col("tn"))
+            ).alias("b"),
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("w"),
+        )
+        .groupBy("tn", "k")
+        .agg(F.sum("b").alias("ssb"), F.sum("w").alias("ssw"))
+    )
+    return parts.select(
+        F.col("k").alias("k_groups"),
+        F.col("tn").alias("n_obs"),
+        F.round("ssb", 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("tn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@query(
+    "covariate_balance_smd",
+    """
+    WITH f AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               c.c_acctbal AS acctbal,
+               CAST(coalesce(o.cnt, 0) AS DOUBLE) AS n_orders
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+                   GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey),
+    u AS (SELECT t, 'acctbal' AS covariate, acctbal AS x FROM f
+          UNION ALL
+          SELECT t, 'n_orders' AS covariate, n_orders AS x FROM f),
+    g AS MATERIALIZED (
+        SELECT covariate, t, CAST(count(*) AS BIGINT) AS n,
+               avg(x) AS m, var_samp(x) AS v
+        FROM u GROUP BY covariate, t)
+    SELECT a.covariate,
+           a.n AS n_treat, b.n AS n_control,
+           round(a.m, 6) AS mean_treat,
+           round(b.m, 6) AS mean_control,
+           round((a.m - b.m) / sqrt((a.v + b.v) / 2.0), 6) AS smd,
+           CASE WHEN abs((a.m - b.m) / sqrt((a.v + b.v) / 2.0)) > 0.1
+                THEN 1 ELSE 0 END AS imbalanced
+    FROM g a JOIN g b ON b.covariate = a.covariate AND a.t = 1 AND b.t = 0
+    ORDER BY a.covariate
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference covariate balance audit (the
+    causal-inference table-one): treatment = BUILDING-segment
+    customers, covariates = account balance and order count, SMD =
+    (mean_t - mean_c) / sqrt((var_t + var_c)/2), flagged at the
+    conventional |SMD| > 0.1 imbalance threshold — the check run
+    before any observational comparison (and after matching /
+    weighting) to see whether groups are comparable. One unpivoted
+    groupBy produces all per-(covariate, arm) moments; the compare
+    is a 2-row self-join per covariate."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    f = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("n_orders"),
+    )
+    u = f.select("t", F.lit("acctbal").alias("covariate"), F.col("acctbal").alias("x")).unionByName(
+        f.select("t", F.lit("n_orders").alias("covariate"), F.col("n_orders").alias("x"))
+    )
+    g = u.groupBy("covariate", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("x").alias("m"),
+        F.var_samp("x").alias("v"),
+    )
+    a = g.filter(F.col("t") == 1).select(
+        "covariate",
+        F.col("n").alias("n_treat"),
+        F.col("m").alias("mt"),
+        F.col("v").alias("vt"),
+    )
+    b = g.filter(F.col("t") == 0).select(
+        "covariate",
+        F.col("n").alias("n_control"),
+        F.col("m").alias("mc"),
+        F.col("v").alias("vc"),
+    )
+    smd = (F.col("mt") - F.col("mc")) / F.sqrt((F.col("vt") + F.col("vc")) / 2.0)
+    return (
+        a.join(b, "covariate")
+        .select(
+            "covariate",
+            "n_treat",
+            "n_control",
+            F.round("mt", 6).alias("mean_treat"),
+            F.round("mc", 6).alias("mean_control"),
+            F.round(smd, 6).alias("smd"),
+            F.when(F.abs(smd) > 0.1, 1).otherwise(0).alias("imbalanced"),
+        )
+        .orderBy("covariate")
+    )
+
+
+@query(
+    "cuped_variance_reduction",
+    """
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events),
+    mid AS (SELECT lo + to_days(CAST(floor(datediff('day', lo, hi) / 2.0)
+                            AS INTEGER)) AS m FROM span),
+    pu AS MATERIALIZED (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) <= (SELECT m FROM mid)
+                        THEN value ELSE 0 END) AS x,
+               sum(CASE WHEN event_type = 'purchase'
+                        AND CAST(ts AS DATE) > (SELECT m FROM mid)
+                        THEN value ELSE 0 END) AS y
+        FROM events GROUP BY user_id),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 covar_samp(x, y) AS cxy, var_samp(x) AS vx,
+                 var_samp(y) AS vy
+          FROM pu)
+    SELECT n_users,
+           round(cxy / vx, 6) AS theta,
+           round(vy, 2) AS var_y,
+           round(vy - cxy * cxy / vx, 2) AS var_cuped,
+           round((cxy * cxy / vx) / vy, 6) AS reduction
+    FROM s
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled pre-experiment data) variance reduction — the
+    standard A/B-test sensitivity booster: per-user post-period
+    purchase revenue adjusted by the pre-period covariate,
+    theta = cov(x,y)/var(x), residual variance var(y) - cov^2/var(x),
+    and the fraction of metric variance the adjustment removes (=
+    rho^2 — the factor by which the experiment needs less traffic).
+    The calendar split is the event span's midpoint (broadcast 1-row
+    frame); the corpus-sized work is ONE user-keyed conditional
+    rollup, then a single moments pass over the per-user frame —
+    both fully mergeable, the 100 TB shape."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    mid = span.select(
+        F.date_add(
+            "lo", F.floor(F.datediff("hi", "lo") / 2.0).cast("int")
+        ).alias("m")
+    )
+    pu = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") <= F.col("m")),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.to_date("ts") > F.col("m")),
+                    F.col("value"),
+                ).otherwise(0.0)
+            ).alias("y"),
+        )
+    )
+    s = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.covar_samp("x", "y").alias("cxy"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+    )
+    return s.select(
+        "n_users",
+        F.round(F.col("cxy") / F.col("vx"), 6).alias("theta"),
+        F.round("vy", 2).alias("var_y"),
+        F.round(
+            F.col("vy") - F.col("cxy") * F.col("cxy") / F.col("vx"), 2
+        ).alias("var_cuped"),
+        F.round(
+            (F.col("cxy") * F.col("cxy") / F.col("vx")) / F.col("vy"), 6
+        ).alias("reduction"),
+    )
+
+
+@query(
+    "diff_in_diff_event_rates",
+    """
+    WITH span AS (
+        SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        FROM events),
+    mid AS (SELECT lo + to_days(CAST(floor(datediff('day', lo, hi) / 2.0)
+                            AS INTEGER)) AS m FROM span),
+    d AS MATERIALIZED (
+        SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS treated,
+               CASE WHEN CAST(ts AS DATE) > (SELECT m FROM mid)
+                    THEN 1 ELSE 0 END AS post,
+               CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('click', 'view')
+        GROUP BY 1, 2, 3),
+    cell AS MATERIALIZED (
+        SELECT treated, post,
+               CAST(sum(n) AS BIGINT) AS events,
+               CAST(count(*) AS BIGINT) AS days,
+               sum(n) * 1.0 / count(*) AS daily_mean
+        FROM d GROUP BY treated, post)
+    SELECT max(CASE WHEN treated = 1 AND post = 0 THEN round(daily_mean, 6) END)
+               AS treat_pre,
+           max(CASE WHEN treated = 1 AND post = 1 THEN round(daily_mean, 6) END)
+               AS treat_post,
+           max(CASE WHEN treated = 0 AND post = 0 THEN round(daily_mean, 6) END)
+               AS control_pre,
+           max(CASE WHEN treated = 0 AND post = 1 THEN round(daily_mean, 6) END)
+               AS control_post,
+           round(max(CASE WHEN treated = 1 AND post = 1 THEN daily_mean END)
+                 - max(CASE WHEN treated = 1 AND post = 0 THEN daily_mean END)
+                 - max(CASE WHEN treated = 0 AND post = 1 THEN daily_mean END)
+                 + max(CASE WHEN treated = 0 AND post = 0 THEN daily_mean END),
+                 6) AS did
+    FROM cell
+    """,
+)
+def diff_in_diff_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate on daily event rates: click
+    volume (treated series) vs view volume (parallel-trends control)
+    across the span-midpoint cutoff — the workhorse quasi-
+    experimental estimator when there is no randomized assignment,
+    completing the causal family (balance check = covariate_balance
+    _smd, sensitivity = cuped_variance_reduction). DiD = (T_post -
+    T_pre) - (C_post - C_pre) on per-cell daily means. One day-keyed
+    rollup is the only corpus-sized work; the 2x2 cell frame is
+    control-plane sized. Daily means are exact-integer ratios, so
+    both engines agree bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    mid = span.select(
+        F.date_add(
+            "lo", F.floor(F.datediff("hi", "lo") / 2.0).cast("int")
+        ).alias("m")
+    )
+    d = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("treated"),
+            F.when(F.to_date("ts") > F.col("m"), 1).otherwise(0).alias("post"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    cell = d.groupBy("treated", "post").agg(
+        (F.sum("n") / F.count(F.lit(1))).alias("daily_mean")
+    )
+    def _m(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("daily_mean"),
+            )
+        )
+    return cell.agg(
+        F.round(_m(1, 0), 6).alias("treat_pre"),
+        F.round(_m(1, 1), 6).alias("treat_post"),
+        F.round(_m(0, 0), 6).alias("control_pre"),
+        F.round(_m(0, 1), 6).alias("control_post"),
+        F.round(_m(1, 1) - _m(1, 0) - _m(0, 1) + _m(0, 0), 6).alias("did"),
+    )
