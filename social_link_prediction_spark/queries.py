@@ -14459,3 +14459,237 @@ def diff_in_diff_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_m(0, 1), 6).alias("control_post"),
         F.round(_m(1, 1) - _m(1, 0) - _m(0, 1) + _m(0, 0), 6).alias("did"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: LLM-corpus curation completions — DSIR
+# importance weights, CCNet perplexity bucketing — and A/B power/MDE.
+# =====================================================================
+@query(
+    "dsir_importance_weights",
+    """
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                                t -> t <> '')) AS t
+        FROM documents),
+    tgt AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok
+        WHERE lang = 'en' GROUP BY t),
+    src AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    nv AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM tgt) AS nt,
+                  (SELECT CAST(sum(c) AS BIGINT) FROM src) AS ns,
+                  (SELECT CAST(count(*) AS BIGINT) FROM src) AS v),
+    dw AS (
+        SELECT tok.doc_id, tok.lang,
+               avg(ln((coalesce(tg.c, 0) + 1.0)
+                      / ((SELECT nt FROM nv) + (SELECT v FROM nv)))
+                   - ln((sr.c + 1.0)
+                        / ((SELECT ns FROM nv) + (SELECT v FROM nv))))
+                   AS w
+        FROM tok
+        JOIN src sr ON sr.t = tok.t
+        LEFT JOIN tgt tg ON tg.t = tok.t
+        GROUP BY tok.doc_id, tok.lang)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(w), 6) AS mean_weight,
+           round(min(w), 6) AS min_weight,
+           round(max(w), 6) AS max_weight
+    FROM dw GROUP BY lang ORDER BY lang
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (data-selection-with-importance-resampling, Xie et al.
+    2023) importance weights: per-document mean log-likelihood ratio
+    between a TARGET unigram LM (English docs — the domain you want
+    more of) and the SOURCE LM (the whole corpus), add-1 smoothed
+    over the joint vocabulary. Documents distributionally close to
+    the target score high; feeding these weights to weighted_sample
+    /mixture_rebalance is exactly the published DSIR pipeline — this
+    completes it next to the quality (Gopher), dedup (MinHash), and
+    contamination gates. Both LMs are vocabulary-sized broadcast
+    frames; the corpus-sized work is one token explode + one
+    doc-keyed mean — the 100 TB shape (DSIR's hashed-ngram variant
+    drops in by replacing t with hash(t) % B). Reported per-language
+    so the weight separation (en highest) is the oracle-checked
+    signal."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(ptx.tokens("text")).alias("t")
+    )
+    tgt = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    src = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("cs"))
+    nv = (
+        src.agg(
+            F.sum("cs").cast("long").alias("ns"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .crossJoin(F.broadcast(tgt.agg(F.sum("ct").cast("long").alias("nt"))))
+    )
+    scored = (
+        tok.join(F.broadcast(src), "t")
+        .join(F.broadcast(tgt), "t", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    w = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v")))
+    dw = scored.groupBy("doc_id", "lang").agg(F.avg(w).alias("w"))
+    return (
+        dw.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("w"), 6).alias("mean_weight"),
+            F.round(F.min("w"), 6).alias("min_weight"),
+            F.round(F.max("w"), 6).alias("max_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    """
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+                                                t -> t <> '')) AS t
+        FROM documents),
+    lm AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lm),
+    d AS MATERIALIZED (
+        SELECT tok.doc_id, tok.lang,
+               round(avg(ln(lm.c * 1.0 / (SELECT n FROM n))), 6) AS ml
+        FROM tok JOIN lm ON lm.t = tok.t
+        GROUP BY tok.doc_id, tok.lang),
+    b AS (
+        SELECT lang, ml,
+               ntile(3) OVER (PARTITION BY lang ORDER BY ml DESC, doc_id)
+                   AS tercile
+        FROM d)
+    SELECT lang,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ml), 6) AS avg_logprob
+    FROM b GROUP BY lang, tercile ORDER BY lang, bucket
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing: per-language
+    terciles of the per-document unigram mean log-probability (head
+    = most fluent third — what CCNet keeps for LM training; tail =
+    junk). Composes the unigram_logprob signal into the published
+    curation decision. Per-doc scores are rounded to 6dp BEFORE the
+    tercile window with a doc_id tie-break (round-before-rank: a
+    1e-13 cross-engine float wobble can never flip a bucket
+    boundary). The LM is vocabulary-sized and broadcast; ntile
+    partitions by language, so no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(ptx.tokens("text")).alias("t")
+    )
+    lm = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = lm.agg(F.sum("c").cast("long").alias("n"))
+    d = (
+        tok.join(F.broadcast(lm), "t")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias("ml"))
+    )
+    b = d.select(
+        "lang",
+        "ml",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy(F.col("ml").desc(), "doc_id")
+        )
+        .alias("tercile"),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        b.groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("ml"), 6).alias("avg_logprob"),
+        )
+        .select("lang", bucket.alias("bucket"), "n_docs", "avg_logprob")
+        .orderBy("lang", "bucket")
+    )
+
+
+@query(
+    "ab_test_power_mde",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) >= 15
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY user_id),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv,
+                 CAST(user_id % 2 AS INTEGER) AS arm
+          FROM u GROUP BY 3),
+    w AS (SELECT min(n) AS n_min, CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(conv) * 1.0 / sum(n) AS p
+          FROM a)
+    SELECT n_total, round(p, 6) AS pooled_rate,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * p * (1.0 - p) / n_min), 6) AS mde_abs,
+           round((1.959964 + 0.841621)
+                 * sqrt(2.0 * p * (1.0 - p) / n_min) / p, 6) AS mde_rel,
+           CAST(ceil(2.0 * p * (1.0 - p)
+                     * power((1.959964 + 0.841621) / (0.05 * p), 2))
+                AS BIGINT) AS n_per_arm_for_5pct_lift
+    FROM w
+    """,
+)
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing readout for the ab_test_zscore design: the
+    minimum detectable effect at alpha=0.05 two-sided / 80% power
+    given the CURRENT per-arm sample ((z_a + z_b) * sqrt(2p(1-p)/n)),
+    and the per-arm sample a 5%-relative lift would need — the
+    question asked BEFORE the test that ab_test_zscore answers after.
+    Same deterministic parity split and 15-purchase conversion rule;
+    z constants are literals so no erf dependency; one user rollup is
+    the only corpus-sized work."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 15
+        ).cast("int").alias("converted")
+    )
+    a = u.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    w = a.agg(
+        F.min("n").alias("n_min"),
+        F.sum("n").cast("long").alias("n_total"),
+        (F.sum("conv") / F.sum("n")).alias("p"),
+    )
+    zsum = F.lit(1.959964 + 0.841621)
+    mde = zsum * F.sqrt(2.0 * F.col("p") * (1.0 - F.col("p")) / F.col("n_min"))
+    return w.select(
+        "n_total",
+        F.round("p", 6).alias("pooled_rate"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / F.col("p"), 6).alias("mde_rel"),
+        F.ceil(
+            2.0
+            * F.col("p")
+            * (1.0 - F.col("p"))
+            * F.pow(zsum / (0.05 * F.col("p")), 2)
+        )
+        .cast("long")
+        .alias("n_per_arm_for_5pct_lift"),
+    )
