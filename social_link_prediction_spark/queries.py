@@ -14693,3 +14693,228 @@ def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_per_arm_for_5pct_lift"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: ANF neighborhood function (hop-growth curve)
+# and SCAN structural similarity / core census, both on replayable
+# h60-sampled supplier graphs.
+# =====================================================================
+_ANF_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'anf'"
+)
+_SCAN_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'scan'"
+)
+
+
+@query(
+    "anf_neighborhood_function",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_ANF_EDGE_SQL} % 10000 < 60
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    r1 AS MATERIALIZED (SELECT src, dst FROM sym),
+    r2 AS MATERIALIZED (
+        SELECT src, dst FROM r1
+        UNION
+        SELECT r.src, s.dst FROM r1 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    r3 AS MATERIALIZED (
+        SELECT src, dst FROM r2
+        UNION
+        SELECT r.src, s.dst FROM r2 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    c AS (SELECT 1 AS hop, CAST(count(*) AS BIGINT) AS n_pairs FROM r1
+          UNION ALL
+          SELECT 2, CAST(count(*) AS BIGINT) FROM r2
+          UNION ALL
+          SELECT 3, CAST(count(*) AS BIGINT) FROM r3)
+    SELECT CAST(hop AS BIGINT) AS hop, n_pairs,
+           round(n_pairs * 1.0 / ((SELECT n FROM n)
+                                  * ((SELECT n FROM n) - 1)), 6)
+               AS frac_pairs
+    FROM c ORDER BY hop
+    """,
+)
+def anf_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF / neighborhood function N(h) (Palmer et al. 2002): how many
+    ordered node pairs are within h hops, for h = 1..3, on the
+    deterministic 0.6%-sampled supplier graph — the hop-growth curve
+    behind effective-diameter claims (the h where the curve flattens)
+    and the global companion of six_degrees_summary's per-pair view.
+    Exact frontier expansion (distinct pair closure per hop) is the
+    oracle-checkable tier; the 100 TB path replaces the pair set with
+    a per-node HLL register OR-merged along edges (HyperBall, Boldi
+    2011 — the same hop loop, sketch-valued), which our mergeable-HLL
+    aggregate already provides. Each hop is one dst-keyed shuffle +
+    distinct; the sample keeps the closure bounded (~N*avg_deg^h)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    nn = sup.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("anf")) % 10000
+            < 60
+        )
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    r = sym
+    counts = None
+    for h in (1, 2, 3):
+        if h > 1:
+            step = (
+                r.alias("r")
+                .join(sym.alias("s"), F.col("r.dst") == F.col("s.src"))
+                .select(
+                    F.col("r.src").alias("src"), F.col("s.dst").alias("dst")
+                )
+                .filter(F.col("src") != F.col("dst"))
+            )
+            r = r.unionByName(step).distinct().localCheckpoint()
+        c = r.agg(F.count(F.lit(1)).cast("long").alias("n_pairs")).select(
+            F.lit(h).cast("long").alias("hop"), "n_pairs"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return (
+        counts.crossJoin(F.broadcast(nn))
+        .select(
+            "hop",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs") / (F.col("n") * (F.col("n") - 1)), 6
+            ).alias("frac_pairs"),
+        )
+        .orderBy("hop")
+    )
+
+
+@query(
+    "scan_structural_similarity",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_SCAN_EDGE_SQL} % 10000 < 400
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+    cn AS (
+        SELECT e.src, e.dst, CAST(count(*) AS BIGINT) AS common
+        FROM e JOIN sym na ON na.src = e.src
+               JOIN sym nb ON nb.src = e.dst AND nb.dst = na.dst
+        GROUP BY e.src, e.dst),
+    sig AS MATERIALIZED (
+        SELECT e.src, e.dst,
+               (coalesce(cn.common, 0) + 2.0)
+               / sqrt((ds.deg + 1.0) * (dd.deg + 1.0)) AS sigma
+        FROM e
+        LEFT JOIN cn ON cn.src = e.src AND cn.dst = e.dst
+        JOIN deg ds ON ds.id = e.src
+        JOIN deg dd ON dd.id = e.dst),
+    core AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS eps_neighbors
+        FROM (SELECT src AS id, sigma FROM sig
+              UNION ALL SELECT dst, sigma FROM sig)
+        WHERE sigma >= 0.5 GROUP BY id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM sig) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM core
+            WHERE eps_neighbors >= 3) AS n_core,
+           (SELECT round(avg(sigma), 6) FROM sig) AS mean_sigma
+    """,
+)
+def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN structural similarity census (Xu et al. 2007): per-edge
+    sigma(u,v) = (|N(u) ∩ N(v)| + 2) / sqrt((d(u)+1)(d(v)+1)) (closed
+    neighborhoods) on the deterministic 4%-sampled supplier graph,
+    plus the eps=0.5 / mu=3 CORE census — the density-based community
+    primitive that, unlike LPA/modularity, explicitly separates hubs
+    and outliers from community cores. The wedge join is the same
+    compact-forward shape as triangle counting (skew-safe: per-edge
+    fan-out is bounded by the smaller endpoint neighborhood); sigma
+    values are exact-integer expressions so the 0.5 threshold can
+    never flip between engines."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
+            % 10000
+            < 400
+        )
+        .persist()
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    na = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    nb = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        e.join(na, F.col("src") == F.col("u"))
+        .join(nb, (F.col("dst") == F.col("v")) & (na["w"] == nb["w"]))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("ds"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd"))
+    sig = (
+        e.join(cn, ["src", "dst"], "left")
+        .join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                (F.coalesce(F.col("common"), F.lit(0)) + 2.0)
+                / F.sqrt((F.col("ds") + 1.0) * (F.col("dd") + 1.0))
+            ).alias("sigma"),
+        )
+        .persist()
+    )
+    core = (
+        sig.select(F.col("src").alias("id"), "sigma")
+        .unionByName(sig.select(F.col("dst").alias("id"), "sigma"))
+        .filter(F.col("sigma") >= 0.5)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("eps_neighbors"))
+        .filter(F.col("eps_neighbors") >= 3)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_core"))
+    )
+    stats = sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.round(F.avg("sigma"), 6).alias("mean_sigma"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        nn.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(core))
+        .select("n_nodes", "n_edges", "n_core", "mean_sigma")
+    )
