@@ -79,6 +79,29 @@ R5_QUERIES = [
     "calibration_reliability_bins",
     "fdr_bh_nation_anomalies",
     "forecast_backtest_daily",
+    # r5 second continuation: time-series, inference, causal,
+    # LLM-curation, graph batches
+    "acf_daily_events",
+    "jackknife_nation_ratio",
+    "zorder_layout_audit",
+    "grid_dbscan_parts",
+    "mann_whitney_price_segments",
+    "spearman_size_price",
+    "stl_decompose_daily",
+    "mann_kendall_revenue_trend",
+    "conformal_forecast_intervals",
+    "rfm_segments",
+    "isotonic_calibration_bins",
+    "shapley_attribution_channels",
+    "anova_price_segments",
+    "covariate_balance_smd",
+    "cuped_variance_reduction",
+    "diff_in_diff_event_rates",
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "ab_test_power_mde",
+    "anf_neighborhood_function",
+    "scan_structural_similarity",
 ]
 
 

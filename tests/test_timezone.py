@@ -65,6 +65,15 @@ EVENT_TIME_QUERIES = [
     "ewma_control_chart",
     "markov_stationary_events",
     "forecast_backtest_daily",
+    # round-5 second continuation: ACF / STL / conformal day series,
+    # experimentation family over user-weeks and calendar halves
+    "acf_daily_events",
+    "stl_decompose_daily",
+    "conformal_forecast_intervals",
+    "cuped_variance_reduction",
+    "diff_in_diff_event_rates",
+    "shapley_attribution_channels",
+    "ab_test_power_mde",
 ]
 
 needs_testdata = pytest.mark.skipif(
