@@ -152,6 +152,24 @@ HEADLINE = [
     "calibration_reliability_bins",
     "fdr_bh_nation_anomalies",
     "forecast_backtest_daily",
+    # round-5 second continuation: one per new family — time-series
+    # (ACF), resampling (jackknife), layout (z-order), clustering
+    # (grid DBSCAN), rank stats (Mann-Whitney), causal (CUPED),
+    # LLM curation (DSIR), cooperative-game attribution (Shapley),
+    # graph hop-growth (ANF) + density cores (SCAN)
+    "acf_daily_events",
+    "jackknife_nation_ratio",
+    "zorder_layout_audit",
+    "grid_dbscan_parts",
+    "mann_whitney_price_segments",
+    "rfm_segments",
+    "isotonic_calibration_bins",
+    "cuped_variance_reduction",
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "shapley_attribution_channels",
+    "anf_neighborhood_function",
+    "scan_structural_similarity",
 ]
 
 
