@@ -14918,3 +14918,227 @@ def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(core))
         .select("n_nodes", "n_edges", "n_core", "mean_sigma")
     )
+
+
+# =====================================================================
+# Round-5 continuation: robust-location family — exact order-statistic
+# median CI, trimmed/winsorized means — and top session paths.
+# =====================================================================
+@query(
+    "median_ci_binomial",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    d AS (SELECT o_totalprice AS x, CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+    cum AS MATERIALIZED (
+        SELECT x, CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cum FROM d),
+    ks AS (SELECT CAST(floor((n + 1) / 2.0) AS BIGINT) AS k_med,
+                  greatest(CAST(floor((n - 1.959964 * sqrt(n)) / 2.0)
+                                AS BIGINT), 1) AS k_lo,
+                  least(CAST(ceil(1 + (n + 1.959964 * sqrt(n)) / 2.0)
+                             AS BIGINT), n) AS k_hi,
+                  n
+           FROM n)
+    SELECT ks.n,
+           (SELECT min(x) FROM cum WHERE cum >= ks.k_med) AS median,
+           (SELECT min(x) FROM cum WHERE cum >= ks.k_lo) AS ci_lo,
+           (SELECT min(x) FROM cum WHERE cum >= ks.k_hi) AS ci_hi
+    FROM ks
+    """,
+)
+def median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution-free confidence interval for the median of
+    order totals via the binomial order-statistic argument: the 95%
+    CI is [x_(k_lo), x_(k_hi)] with k = (n ∓ z*sqrt(n))/2 — no
+    resampling, no normality, exact for ANY continuous distribution
+    (the CI the bootstrap approximates). All three order statistics
+    are read off ONE distinct-value cumulative frame ('min value
+    whose cumulative count reaches k'), so there is no corpus-sized
+    global sort — the same 100 TB shape as weighted_median_price.
+    Integer ranks mean both engines select identical values."""
+    o = _t(spark, sf_dir, "orders")
+    n = o.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select("x", F.sum("c").over(w).cast("long").alias("cum"))
+    ks = n.select(
+        "n",
+        F.floor((F.col("n") + 1) / 2.0).cast("long").alias("k_med"),
+        F.greatest(
+            F.floor((F.col("n") - 1.959964 * F.sqrt("n")) / 2.0).cast("long"),
+            F.lit(1),
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(1 + (F.col("n") + 1.959964 * F.sqrt("n")) / 2.0).cast("long"),
+            F.col("n"),
+        ).alias("k_hi"),
+    )
+    sel = cum.crossJoin(F.broadcast(ks)).agg(
+        F.min(F.when(F.col("cum") >= F.col("k_med"), F.col("x"))).alias("median"),
+        F.min(F.when(F.col("cum") >= F.col("k_lo"), F.col("x"))).alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= F.col("k_hi"), F.col("x"))).alias("ci_hi"),
+    )
+    return n.crossJoin(F.broadcast(sel)).select("n", "median", "ci_lo", "ci_hi")
+
+
+@query(
+    "trimmed_winsorized_price",
+    """
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(floor(count(*) * 0.05) AS BIGINT) AS k
+               FROM orders),
+    d AS (SELECT o_totalprice AS x, CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+    cum AS MATERIALIZED (
+        SELECT x, c,
+               CAST(sum(c) OVER (ORDER BY x) AS BIGINT) - c AS cb
+        FROM d),
+    wts AS (
+        SELECT x, c, cb,
+               greatest(least(cb + c, (SELECT n - k FROM n))
+                        - greatest(cb + 1, (SELECT k + 1 FROM n)) + 1,
+                        0) AS w
+        FROM cum),
+    bounds AS (
+        SELECT (SELECT min(x) FROM cum
+                WHERE cb + c >= (SELECT k + 1 FROM n)) AS lo_val,
+               (SELECT min(x) FROM cum
+                WHERE cb + c >= (SELECT n - k FROM n)) AS hi_val),
+    s AS (SELECT sum(x * c) AS sx, sum(x * w) AS sw FROM wts)
+    SELECT (SELECT n FROM n) AS n, (SELECT k FROM n) AS k_trim,
+           round(s.sx / (SELECT n FROM n), 6) AS mean,
+           round(s.sw / ((SELECT n FROM n) - 2 * (SELECT k FROM n)), 6)
+               AS trimmed_mean,
+           round((s.sw + (SELECT k FROM n) * b.lo_val
+                       + (SELECT k FROM n) * b.hi_val)
+                 / (SELECT n FROM n), 6) AS winsorized_mean
+    FROM s, bounds b
+    """,
+)
+def trimmed_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized means of order totals — the robust
+    location estimates between the outlier-chasing mean and the
+    information-discarding median (trimmed drops each 5% tail;
+    winsorized clamps tails to the cut values x_(k+1) / x_(n-k)).
+    Rank arithmetic runs entirely on the distinct-value cumulative
+    frame: each value's kept weight is the integer overlap of its
+    rank span [cb+1, cb+c] with [k+1, n-k] — one groupBy + one
+    distinct-values window, no per-row global sort, exact in both
+    engines."""
+    o = _t(spark, sf_dir, "orders")
+    n = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.count(F.lit(1)) * 0.05).cast("long").alias("k"),
+    )
+    d = o.groupBy(F.col("o_totalprice").alias("x")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "x", "c", (F.sum("c").over(w).cast("long") - F.col("c")).alias("cb")
+    ).crossJoin(F.broadcast(n)).persist()
+    wts = cum.select(
+        "x",
+        "c",
+        F.greatest(
+            F.least(F.col("cb") + F.col("c"), F.col("n") - F.col("k"))
+            - F.greatest(F.col("cb") + 1, F.col("k") + 1)
+            + 1,
+            F.lit(0),
+        ).alias("w"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(F.col("cb") + F.col("c") >= F.col("k") + 1, F.col("x"))
+        ).alias("lo_val"),
+        F.min(
+            F.when(F.col("cb") + F.col("c") >= F.col("n") - F.col("k"), F.col("x"))
+        ).alias("hi_val"),
+    )
+    s = wts.agg(
+        F.sum(F.col("x") * F.col("c")).alias("sx"),
+        F.sum(F.col("x") * F.col("w")).alias("sw"),
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "n",
+            F.col("k").alias("k_trim"),
+            F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+            F.round(F.col("sw") / (F.col("n") - 2 * F.col("k")), 6).alias(
+                "trimmed_mean"
+            ),
+            F.round(
+                (
+                    F.col("sw")
+                    + F.col("k") * F.col("lo_val")
+                    + F.col("k") * F.col("hi_val")
+                )
+                / F.col("n"),
+                6,
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
+@query(
+    "frequent_event_paths",
+    """
+    WITH o AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events),
+    p AS (
+        SELECT user_id, day,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM o WHERE rn <= 3 GROUP BY user_id, day),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+          FROM p GROUP BY path)
+    SELECT path, n_sessions FROM c
+    ORDER BY n_sessions DESC, path LIMIT 10
+    """,
+)
+def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journey openings: the first three event types of each
+    user-day (deterministic (ts, event_id) order), concatenated into
+    a path string and ranked by frequency — the sunburst/sankey
+    behavioral-flow query next to event_transition_matrix (which sees
+    only single steps; paths expose ORDER effects like view>click>
+    purchase vs click>view>purchase). The window partitions by
+    (user, day) so no global sort; path counting is one hash
+    aggregation; integer counts with a path tie-break make the top-10
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+                "ts", "event_id"
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") <= 3)
+    p = o.groupBy("user_id", "day").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        p.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
