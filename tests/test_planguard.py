@@ -102,6 +102,9 @@ R5_QUERIES = [
     "ab_test_power_mde",
     "anf_neighborhood_function",
     "scan_structural_similarity",
+    "median_ci_binomial",
+    "trimmed_winsorized_price",
+    "frequent_event_paths",
 ]
 
 

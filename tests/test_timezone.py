@@ -74,6 +74,7 @@ EVENT_TIME_QUERIES = [
     "diff_in_diff_event_rates",
     "shapley_attribution_channels",
     "ab_test_power_mde",
+    "frequent_event_paths",
 ]
 
 needs_testdata = pytest.mark.skipif(
