@@ -15142,3 +15142,328 @@ def frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+# =====================================================================
+# Round-5 continuation: CMH stratified test, overdispersion screen,
+# Hurst exponent (R/S), entropy rate of the event chain.
+# =====================================================================
+@query(
+    "cmh_test_priority_status",
+    """
+    WITH cells AS MATERIALIZED (
+        SELECT c.c_nationkey AS stratum,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                              AND o.o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+               CAST(sum(CASE WHEN o.o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k_strata FROM cells
+          WHERE n > 1),
+    s AS (SELECT sum(n11) AS obs,
+                 sum(r1 * c1 * 1.0 / n) AS exp,
+                 sum(r1 * (n - r1) * c1 * (n - c1) * 1.0
+                     / (n * n * (n - 1.0))) AS var
+          FROM cells WHERE n > 1)
+    SELECT (SELECT k_strata FROM k) AS k_strata,
+           CAST(obs AS BIGINT) AS sum_obs,
+           round(exp, 6) AS sum_exp,
+           round((obs - exp) * (obs - exp) / var, 6) AS cmh
+    FROM s
+    """,
+)
+def cmh_test_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel test of urgent-priority x finished-
+    status association STRATIFIED by customer nation — the
+    confounder-adjusted 2x2 test (chi2_priority_segment pools
+    everything and is Simpson's-paradox-prone; CMH combines
+    per-stratum evidence instead): CMH = (sum(n11 - E))^2 / sum(V),
+    E and hypergeometric V per stratum (no continuity correction —
+    documented, oracle-identical). One join + one stratum rollup is
+    the corpus-sized work; the test statistic is 25-row broadcast
+    arithmetic on exact integer ratios."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("stratum"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("o_orderpriority") == "1-URGENT")
+                    & (F.col("o_orderstatus") == "F"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n11"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("r1"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            ).cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+        .persist()
+    )
+    k = cells.agg(F.count(F.lit(1)).cast("long").alias("k_strata"))
+    s = cells.agg(
+        F.sum("n11").alias("obs"),
+        F.sum(F.col("r1") * F.col("c1") / F.col("n")).alias("exp"),
+        F.sum(
+            F.col("r1")
+            * (F.col("n") - F.col("r1"))
+            * F.col("c1")
+            * (F.col("n") - F.col("c1"))
+            / (F.col("n") * F.col("n") * (F.col("n") - 1.0))
+        ).alias("var"),
+    )
+    return s.crossJoin(F.broadcast(k)).select(
+        "k_strata",
+        F.col("obs").cast("long").alias("sum_obs"),
+        F.round("exp", 6).alias("sum_exp"),
+        F.round(
+            (F.col("obs") - F.col("exp")) * (F.col("obs") - F.col("exp"))
+            / F.col("var"),
+            6,
+        ).alias("cmh"),
+    )
+
+
+@query(
+    "overdispersion_event_counts",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(n), 6) AS mean_daily,
+           round(var_samp(n), 4) AS var_daily,
+           round(var_samp(n) / avg(n), 4) AS dispersion,
+           CASE WHEN var_samp(n) / avg(n) > 1.5 THEN 1 ELSE 0 END
+               AS overdispersed
+    FROM daily GROUP BY event_type ORDER BY event_type
+    """,
+)
+def overdispersion_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen on daily event counts per type: the
+    variance-to-mean ratio (= 1 under Poisson) that decides whether
+    count models/alerts should assume Poisson or negative-binomial
+    noise — the assumption check BEHIND event_rate_anomalies' z
+    thresholds (an overdispersed series false-alarms under Poisson
+    limits). One day-keyed rollup; moments per type on the days-sized
+    series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    disp = F.var_samp("n") / F.avg("n")
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("n"), 6).alias("mean_daily"),
+            F.round(F.var_samp("n"), 4).alias("var_daily"),
+            F.round(disp, 4).alias("dispersion"),
+            F.when(disp > 1.5, 1).otherwise(0).alias("overdispersed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "hurst_exponent_daily",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    ix AS MATERIALIZED (
+        SELECT n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t
+        FROM x),
+    ms AS (SELECT CAST(unnest([7, 14, 28]) AS BIGINT) AS m),
+    blk AS MATERIALIZED (
+        SELECT ms.m, CAST(floor(ix.t / ms.m) AS BIGINT) AS b, ix.t, ix.n
+        FROM ix JOIN ms ON true),
+    fb AS MATERIALIZED (
+        SELECT m, b, avg(n) AS mu FROM blk
+        GROUP BY m, b HAVING CAST(count(*) AS BIGINT) = m),
+    sd_b AS MATERIALIZED (
+        SELECT blk.m, blk.b,
+               sqrt(sum((blk.n - fb.mu) * (blk.n - fb.mu)) / blk.m) AS sd
+        FROM blk JOIN fb ON fb.m = blk.m AND fb.b = blk.b
+        GROUP BY blk.m, blk.b),
+    dev AS (
+        SELECT blk.m, blk.b,
+               sum(blk.n - fb.mu) OVER (PARTITION BY blk.m, blk.b
+                                        ORDER BY blk.t) AS cd
+        FROM blk JOIN fb ON fb.m = blk.m AND fb.b = blk.b),
+    rs AS (
+        SELECT d.m, d.b, (max(d.cd) - min(d.cd)) / min(s.sd) AS rs
+        FROM dev d JOIN sd_b s ON s.m = d.m AND s.b = d.b
+        WHERE s.sd > 0 GROUP BY d.m, d.b),
+    pts AS MATERIALIZED (
+        SELECT ln(m * 1.0) AS lx, ln(avg(rs)) AS ly,
+               CAST(count(*) AS BIGINT) AS n_blocks
+        FROM rs GROUP BY m),
+    fit AS (SELECT sum((lx - (SELECT avg(lx) FROM pts))
+                       * (ly - (SELECT avg(ly) FROM pts)))
+                   / sum((lx - (SELECT avg(lx) FROM pts))
+                         * (lx - (SELECT avg(lx) FROM pts))) AS h
+            FROM pts)
+    SELECT (SELECT CAST(sum(n_blocks) AS BIGINT) FROM pts) AS n_blocks,
+           round((SELECT h FROM fit), 6) AS hurst
+    """,
+)
+def hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by rescaled-
+    range (R/S) analysis at block sizes 7/14/28: H > 0.5 means
+    long-range dependence (trending / bursty days cluster), H < 0.5
+    anti-persistence — the memory diagnostic that says whether
+    trailing-window anomaly baselines (event_rate_anomalies) decay
+    realistically. Per block: R = range of cumulative deviations
+    from the block mean, S = population sd; H = OLS slope of
+    ln(mean R/S) on ln(m). Every window is (m, block)-partitioned on
+    the days-sized series — nothing global, nothing corpus-sized
+    after the day rollup."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ix = x.select(
+        "n",
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+    )
+    ms = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(7), F.lit(14), F.lit(28))).alias("m0"))
+        .select(F.col("m0").cast("long").alias("m"))
+    )
+    blk = ix.crossJoin(F.broadcast(ms)).select(
+        "m", F.floor(F.col("t") / F.col("m")).cast("long").alias("b"), "t", "n"
+    ).persist()
+    wb = Window.partitionBy("m", "b")
+    stats = (
+        blk.select(
+            "m", "b", "t", "n",
+            F.avg("n").over(wb).alias("mu"),
+            F.count("n").over(wb).alias("cnt"),
+        )
+        .filter(F.col("cnt") == F.col("m"))
+    )
+    sd = (
+        stats.groupBy("m", "b")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("n") - F.col("mu")) * (F.col("n") - F.col("mu")))
+                / F.first("m")
+            ).alias("sd"),
+            F.first("mu").alias("mu"),
+        )
+    )
+    wcd = Window.partitionBy("m", "b").orderBy("t")
+    dev = (
+        stats.select("m", "b", "t", "n", "mu")
+        .withColumn("cd", F.sum(F.col("n") - F.col("mu")).over(wcd))
+    )
+    rs = (
+        dev.groupBy("m", "b")
+        .agg((F.max("cd") - F.min("cd")).alias("r"))
+        .join(sd.select("m", "b", "sd"), ["m", "b"])
+        .filter(F.col("sd") > 0)
+        .select("m", (F.col("r") / F.col("sd")).alias("rs"))
+    )
+    pts = rs.groupBy("m").agg(
+        F.log(F.avg("rs")).alias("ly"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    ).select(F.log(F.col("m").cast("double")).alias("lx"), "ly", "n_blocks").persist()
+    mean_pts = pts.agg(F.avg("lx").alias("mx"), F.avg("ly").alias("my"))
+    fit = (
+        pts.crossJoin(F.broadcast(mean_pts))
+        .agg(
+            (
+                F.sum((F.col("lx") - F.col("mx")) * (F.col("ly") - F.col("my")))
+                / F.sum((F.col("lx") - F.col("mx")) * (F.col("lx") - F.col("mx")))
+            ).alias("h"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+        )
+    )
+    return fit.select("n_blocks", F.round("h", 6).alias("hurst"))
+
+
+@query(
+    "entropy_rate_events",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events),
+    trans AS MATERIALIZED (
+        SELECT event_type AS a, next_type AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    row_t AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM trans GROUP BY a),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(count(DISTINCT a) AS BIGINT) AS k FROM trans),
+    h AS (SELECT sum((t.n * 1.0 / (SELECT nt FROM tot))
+                     * ln(t.n * 1.0 / r.na)) AS neg_h
+          FROM trans t JOIN row_t r ON r.a = t.a)
+    SELECT (SELECT nt FROM tot) AS n_transitions,
+           (SELECT k FROM tot) AS k_states,
+           round(-neg_h, 6) AS entropy_rate,
+           round(ln((SELECT k FROM tot) * 1.0), 6) AS max_entropy,
+           round(-neg_h / ln((SELECT k FROM tot) * 1.0), 6) AS randomness
+    FROM h
+    """,
+)
+def entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event chain: H = -sum_ij pi_i P(j|i)
+    ln P(j|i) with the empirical visit distribution as pi — the
+    predictability ceiling of user behavior (randomness = H/ln(k):
+    1.0 = uniformly random next-action, 0 = deterministic), the
+    scalar summary the transition matrix (event_transition_matrix)
+    and stationary distribution (markov_stationary_events) expand.
+    Same deterministic (ts, event_id) sequence windows; the H sum
+    runs over the <= k^2 transition cells with exact-integer
+    probabilities."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("a"), F.col("next_type").alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    row_t = trans.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    tot = trans.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.countDistinct("a").cast("long").alias("k"),
+    )
+    h = (
+        trans.join(F.broadcast(row_t), "a")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n") / F.col("nt")) * F.log(F.col("n") / F.col("na"))
+            ).alias("neg_h"),
+            F.first("nt").alias("nt"),
+            F.first("k").alias("k"),
+        )
+    )
+    return h.select(
+        F.col("nt").alias("n_transitions"),
+        F.col("k").alias("k_states"),
+        F.round(-F.col("neg_h"), 6).alias("entropy_rate"),
+        F.round(F.log(F.col("k").cast("double")), 6).alias("max_entropy"),
+        F.round(
+            -F.col("neg_h") / F.log(F.col("k").cast("double")), 6
+        ).alias("randomness"),
+    )

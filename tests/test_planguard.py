@@ -105,6 +105,10 @@ R5_QUERIES = [
     "median_ci_binomial",
     "trimmed_winsorized_price",
     "frequent_event_paths",
+    "cmh_test_priority_status",
+    "overdispersion_event_counts",
+    "hurst_exponent_daily",
+    "entropy_rate_events",
 ]
 
 

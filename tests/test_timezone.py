@@ -75,6 +75,9 @@ EVENT_TIME_QUERIES = [
     "shapley_attribution_channels",
     "ab_test_power_mde",
     "frequent_event_paths",
+    "overdispersion_event_counts",
+    "hurst_exponent_daily",
+    "entropy_rate_events",
 ]
 
 needs_testdata = pytest.mark.skipif(
