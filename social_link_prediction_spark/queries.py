@@ -15467,3 +15467,341 @@ def entropy_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.col("neg_h") / F.log(F.col("k").cast("double")), 6
         ).alias("randomness"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: link-prediction heuristic evaluation (the
+# repo's namesake task), nation homophily, triangle significance.
+# =====================================================================
+_LP_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'lp'"
+)
+_LP_SPLIT_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'lpsplit'"
+)
+_AS_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'as'"
+)
+_LP_K = 50
+
+
+@query(
+    "linkpred_heuristic_eval",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_LP_EDGE_SQL} % 10000 < 400
+    ),
+    tr AS MATERIALIZED (
+        SELECT src, dst FROM e WHERE {_LP_SPLIT_SQL} % 10 < 8),
+    te AS MATERIALIZED (
+        SELECT src, dst FROM e WHERE {_LP_SPLIT_SQL} % 10 >= 8),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM tr UNION SELECT dst, src FROM tr),
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        FROM sym GROUP BY src),
+    cand AS MATERIALIZED (
+        SELECT na.src AS u, nb.src AS v, na.dst AS w
+        FROM sym na JOIN sym nb ON nb.dst = na.dst AND na.src < nb.src
+        WHERE NOT EXISTS (SELECT 1 FROM tr
+                          WHERE tr.src = na.src AND tr.dst = nb.src)),
+    sc AS MATERIALIZED (
+        SELECT c.u, c.v,
+               CAST(count(*) AS BIGINT) AS cn,
+               round(sum(1.0 / ln(d.deg)), 6) AS aa,
+               round(CAST(count(*) AS DOUBLE)
+                     / (min(du.deg) + min(dv.deg) - count(*)), 6) AS jac
+        FROM cand c
+        JOIN deg d ON d.id = c.w
+        JOIN deg du ON du.id = c.u
+        JOIN deg dv ON dv.id = c.v
+        GROUP BY c.u, c.v),
+    ranked AS (
+        SELECT 'common_neighbors' AS heuristic, u, v,
+               row_number() OVER (ORDER BY cn DESC, u, v) AS rk FROM sc
+        UNION ALL
+        SELECT 'adamic_adar', u, v,
+               row_number() OVER (ORDER BY aa DESC, u, v) FROM sc
+        UNION ALL
+        SELECT 'jaccard', u, v,
+               row_number() OVER (ORDER BY jac DESC, u, v) FROM sc),
+    hits AS (
+        SELECT heuristic, CAST(count(te.src) AS BIGINT) AS hits
+        FROM ranked LEFT JOIN te ON te.src = ranked.u AND te.dst = ranked.v
+        WHERE ranked.rk <= {_LP_K}
+        GROUP BY heuristic)
+    SELECT h.heuristic, {_LP_K} AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_test_edges,
+           h.hits, round(h.hits / {_LP_K}.0, 6) AS precision_at_k
+    FROM hits h ORDER BY heuristic
+    """,
+)
+def linkpred_heuristic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE namesake evaluation: hold out 20% of the sampled supplier
+    graph's edges (hash-deterministic split, seed 'lpsplit'), score
+    every non-train candidate pair by the three classic link-
+    prediction heuristics — common neighbors, Adamic-Adar, Jaccard —
+    computed on the TRAIN graph only, and report precision@50 against
+    the held-out edges. This machine-checks end-to-end what the ML
+    family (pair_features -> MLlib model, AUC pinned in test_ml) does
+    with learned weights: the leakage-safe split + wedge scoring +
+    round-before-rank top-k, all engine-exact (integer CN ties broken
+    by (u, v)). Scale shape: candidates come from the wedge join
+    (only pairs with >= 1 common neighbor — never all pairs), the
+    same compact-forward shape as triangle counting."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("lp")) % 10000
+            < 400
+        )
+        .persist()
+    )
+    split = mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("lpsplit")) % 10
+    tr = e.filter(split < 8).persist()
+    te = e.filter(split >= 8).persist()
+    sym = (
+        tr.unionByName(
+            tr.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    na = sym.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    nb = sym.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cand = (
+        na.join(nb, ["w"])
+        .filter(F.col("u") < F.col("v"))
+        .join(
+            tr.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    dw = deg.select(F.col("id").alias("w"), F.col("deg").alias("dw"))
+    du = deg.select(F.col("id").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("deg").alias("dv"))
+    sc = (
+        cand.join(F.broadcast(dw), "w")
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.round(F.sum(1.0 / F.log(F.col("dw"))), 6).alias("aa"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / (F.min("du") + F.min("dv") - F.count(F.lit(1))),
+                6,
+            ).alias("jac"),
+        )
+        .persist()
+    )
+    ranked = None
+    for name, col in (
+        ("common_neighbors", F.col("cn")),
+        ("adamic_adar", F.col("aa")),
+        ("jaccard", F.col("jac")),
+    ):
+        r = sc.select(
+            F.lit(name).alias("heuristic"),
+            "u",
+            "v",
+            F.row_number().over(Window.orderBy(col.desc(), "u", "v")).alias("rk"),
+        ).filter(F.col("rk") <= _LP_K)
+        ranked = r if ranked is None else ranked.unionByName(r)
+    hits = (
+        ranked.join(
+            te.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.lit(1).alias("hit")),
+            ["u", "v"],
+            "left",
+        )
+        .groupBy("heuristic")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("hits"))
+    )
+    nte = te.agg(F.count(F.lit(1)).cast("long").alias("n_test_edges"))
+    return (
+        hits.crossJoin(F.broadcast(nte))
+        .select(
+            "heuristic",
+            F.lit(_LP_K).cast("int").alias("k"),
+            "n_test_edges",
+            "hits",
+            F.round(F.col("hits") / float(_LP_K), 6).alias("precision_at_k"),
+        )
+        .orderBy("heuristic")
+    )
+
+
+@query(
+    "attribute_assortativity_nation",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id,
+                      s_nationkey::BIGINT AS nat FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_AS_EDGE_SQL} % 10000 < 400
+    ),
+    sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    mix AS MATERIALIZED (
+        SELECT sa.nat AS ni, sb.nat AS nj, CAST(count(*) AS BIGINT) AS c
+        FROM sym JOIN s sa ON sa.id = sym.src JOIN s sb ON sb.id = sym.dst
+        GROUP BY 1, 2),
+    m AS (SELECT CAST(sum(c) AS BIGINT) AS m2 FROM mix),
+    diag AS (SELECT sum(c * 1.0 / (SELECT m2 FROM m)) AS tr
+             FROM mix WHERE ni = nj),
+    marg AS (SELECT ni, sum(c * 1.0 / (SELECT m2 FROM m)) AS a
+             FROM mix GROUP BY ni),
+    ab AS (SELECT sum(a * a) AS sab FROM marg)
+    SELECT (SELECT m2 FROM m) / 2 AS n_edges,
+           round((SELECT tr FROM diag), 6) AS same_nation_frac,
+           round(((SELECT tr FROM diag) - (SELECT sab FROM ab))
+                 / (1.0 - (SELECT sab FROM ab)), 6) AS assortativity
+    FROM m
+    """,
+)
+def attribute_assortativity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical (attribute) assortativity of the sampled supplier
+    graph by NATION — Newman's r = (tr(e) - sum a_i^2)/(1 - sum a_i^2)
+    on the edge mixing matrix: the homophily coefficient, the single
+    most-cited social-network statistic ('do suppliers link within
+    their country?'), complementing degree_assortativity (which mixes
+    by degree, not attribute). The mixing matrix is nations² (<= 625
+    cells) from ONE edge-endpoint join; everything after is broadcast
+    arithmetic on exact-integer ratios."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_nationkey").cast("long").alias("nat"),
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("as")) % 10000
+            < 400
+        )
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sa = sup.select(F.col("id").alias("src"), F.col("nat").alias("ni"))
+    sb = sup.select(F.col("id").alias("dst"), F.col("nat").alias("nj"))
+    mix = (
+        sym.join(F.broadcast(sa), "src")
+        .join(F.broadcast(sb), "dst")
+        .groupBy("ni", "nj")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    m = mix.agg(F.sum("c").cast("long").alias("m2"))
+    diag = (
+        mix.filter(F.col("ni") == F.col("nj"))
+        .crossJoin(F.broadcast(m))
+        .agg(F.sum(F.col("c") / F.col("m2")).alias("tr"))
+    )
+    marg = (
+        mix.crossJoin(F.broadcast(m))
+        .groupBy("ni")
+        .agg(F.sum(F.col("c") / F.col("m2")).alias("a"))
+        .agg(F.sum(F.col("a") * F.col("a")).alias("sab"))
+    )
+    return (
+        m.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            (F.col("m2") / 2).cast("long").alias("n_edges"),
+            F.round("tr", 6).alias("same_nation_frac"),
+            F.round(
+                (F.col("tr") - F.col("sab")) / (1.0 - F.col("sab")), 6
+            ).alias("assortativity"),
+        )
+    )
+
+
+@query(
+    "triangle_significance_null",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_SCAN_EDGE_SQL} % 10000 < 400
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+            FROM sym GROUP BY src),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM e ab JOIN e bc ON bc.src = ab.dst JOIN e ac
+             ON ac.src = ab.src AND ac.dst = bc.dst),
+    ds AS (SELECT CAST(sum(d) AS BIGINT) AS s1,
+                  sum(d * (d - 1.0)) AS s2 FROM deg)
+    SELECT tri.t AS n_triangles,
+           round(CASE WHEN ds.s1 > 0
+                      THEN power(ds.s2 / ds.s1, 3) / 6.0 END, 4)
+               AS expected_null,
+           round(CASE WHEN ds.s1 > 0 AND ds.s2 > 0
+                      THEN tri.t / (power(ds.s2 / ds.s1, 3) / 6.0) END, 4)
+               AS ratio_vs_null
+    FROM tri, ds
+    """,
+)
+def triangle_significance_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle-count significance against the configuration-model
+    null: E[T] = (1/6)(sum d(d-1) / sum d)^3 — the degree-preserving
+    random graph's expected triangles in closed form (Newman 2003),
+    so ratio >> 1 certifies genuine clustering rather than a hub
+    artifact (the null model check behind clustering_coefficient and
+    triangle_census that neither reports). Exact a<b<c triangle join
+    on the sampled graph + one degree-moment aggregation; the null
+    expectation is 1-row arithmetic."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
+            % 10000
+            < 400
+        )
+        .persist()
+    )
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        ab.join(bc, "b").join(ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    ds = deg.agg(
+        F.sum("d").cast("long").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1.0)).alias("s2"),
+    )
+    exp_null = F.pow(F.col("s2") / F.col("s1"), 3) / 6.0
+    return tri.crossJoin(F.broadcast(ds)).select(
+        F.col("t").alias("n_triangles"),
+        F.round(F.when(F.col("s1") > 0, exp_null), 4).alias("expected_null"),
+        F.round(
+            F.when(
+                (F.col("s1") > 0) & (F.col("s2") > 0), F.col("t") / exp_null
+            ),
+            4,
+        ).alias("ratio_vs_null"),
+    )

@@ -109,6 +109,9 @@ R5_QUERIES = [
     "overdispersion_event_counts",
     "hurst_exponent_daily",
     "entropy_rate_events",
+    "linkpred_heuristic_eval",
+    "attribute_assortativity_nation",
+    "triangle_significance_null",
 ]
 
 
