@@ -15805,3 +15805,223 @@ def triangle_significance_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ratio_vs_null"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: log-rank survival comparison, embedding
+# centroid drift by label.
+# =====================================================================
+@query(
+    "logrank_test_cohorts",
+    """
+    WITH ends AS (SELECT max(ts) AS obs_end FROM events),
+    u AS (SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS s
+          FROM events GROUP BY user_id HAVING s IS NOT NULL),
+    p AS (SELECT e.user_id, min(e.ts) AS p
+          FROM events e JOIN u ON u.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= u.s
+          GROUP BY e.user_id),
+    d AS MATERIALIZED (
+        SELECT CAST(u.user_id % 2 AS INTEGER) AS arm,
+               CASE WHEN p.p IS NOT NULL THEN 1 ELSE 0 END AS event,
+               CAST(floor(epoch_us(coalesce(p.p, (SELECT obs_end FROM ends)))
+                          / 86400000000.0
+                          - epoch_us(u.s) / 86400000000.0
+                          + CASE WHEN epoch_us(coalesce(p.p,
+                                     (SELECT obs_end FROM ends)))
+                                      % 86400000000
+                                   < epoch_us(u.s) % 86400000000
+                                 THEN 1 ELSE 0 END * 0) AS BIGINT) AS dur0,
+               CAST(floor((epoch_us(coalesce(p.p, (SELECT obs_end FROM ends)))
+                           - epoch_us(u.s)) / 86400000000.0) AS BIGINT) AS dur
+        FROM u LEFT JOIN p ON p.user_id = u.user_id),
+    tot AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t0,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS t1
+            FROM d),
+    g AS MATERIALIZED (
+        SELECT dur,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+               CAST(sum(CASE WHEN arm = 0 THEN event ELSE 0 END) AS BIGINT)
+                   AS d0,
+               CAST(sum(CASE WHEN arm = 1 THEN event ELSE 0 END) AS BIGINT)
+                   AS d1
+        FROM d GROUP BY dur),
+    r AS (SELECT dur, d0, d1,
+                 (SELECT t0 FROM tot)
+                 - coalesce(sum(a0) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n0,
+                 (SELECT t1 FROM tot)
+                 - coalesce(sum(a1) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS n1
+          FROM g),
+    s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+                 sum((d0 + d1) * n1 * 1.0 / (n0 + n1)) AS e1,
+                 sum(CASE WHEN n0 + n1 > 1
+                          THEN (d0 + d1) * (n1 * 1.0 / (n0 + n1))
+                               * (1.0 - n1 * 1.0 / (n0 + n1))
+                               * (n0 + n1 - d0 - d1) * 1.0 / (n0 + n1 - 1)
+                          ELSE 0 END) AS v
+          FROM r WHERE d0 + d1 > 0)
+    SELECT (SELECT t0 FROM tot) AS n_arm0, (SELECT t1 FROM tot) AS n_arm1,
+           o1 AS observed_arm1,
+           round(e1, 6) AS expected_arm1,
+           round((o1 - e1) * (o1 - e1) / v, 6) AS logrank_chi2
+    FROM s
+    """,
+)
+def logrank_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test between the two parity cohorts on the same
+    signup -> first-purchase survival data kaplan_meier_conversion
+    curves: at each event time, arm 1's expected events come from the
+    pooled hazard applied to its at-risk share; chi2 = (O-E)^2/V with
+    the hypergeometric variance — the censoring-correct way to ask
+    'do the cohorts convert at different speeds?' (a naive rate
+    compare throws censored users away). At-risk counts are
+    cumulative windows over the days-sized duration table; the only
+    corpus-sized pass is the per-user rollup."""
+    from social_link_prediction_spark.operators.windows import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    ends = ev.agg(F.max("ts").alias("obs_end"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
+    p = (
+        u.join(ev, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("s")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    d = (
+        u.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(ends))
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("event"),
+            F.floor(
+                (
+                    epoch_us(F.coalesce(F.col("p"), F.col("obs_end")))
+                    - epoch_us(F.col("s"))
+                )
+                / 86_400_000_000
+            ).alias("dur"),
+        )
+    )
+    tot = d.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("t0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("t1"),
+    )
+    g = d.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("a0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("a1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("event")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+    )
+    wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d0",
+        "d1",
+        (F.col("t0") - F.coalesce(F.sum("a0").over(wprev), F.lit(0))).alias("n0"),
+        (F.col("t1") - F.coalesce(F.sum("a1").over(wprev), F.lit(0))).alias("n1"),
+    )
+    dt = F.col("d0") + F.col("d1")
+    nt = F.col("n0") + F.col("n1")
+    sh = F.col("n1") / nt
+    s = r.filter(dt > 0).agg(
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(dt * sh).alias("e1"),
+        F.sum(
+            F.when(
+                nt > 1,
+                dt * sh * (1.0 - sh) * (nt - dt) / (nt - 1),
+            ).otherwise(0.0)
+        ).alias("v"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("t0").alias("n_arm0"),
+        F.col("t1").alias("n_arm1"),
+        F.col("o1").alias("observed_arm1"),
+        F.round("e1", 6).alias("expected_arm1"),
+        F.round(
+            (F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"),
+            6,
+        ).alias("logrank_chi2"),
+    )
+
+
+@query(
+    "embedding_drift_by_label",
+    """
+    WITH x AS (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+    cl AS MATERIALIZED (
+        SELECT label, dim, avg(v) AS c, CAST(count(*) AS BIGINT) AS n
+        FROM x GROUP BY label, dim),
+    cg AS MATERIALIZED (SELECT dim, avg(v) AS g FROM x GROUP BY dim),
+    j AS (SELECT cl.label, cl.n, cl.c, cg.g
+          FROM cl JOIN cg ON cg.dim = cl.dim)
+    SELECT label, min(n) AS n_vectors,
+           round(sqrt(sum((c - g) * (c - g))), 6) AS centroid_l2,
+           round(sum(c * g) / (sqrt(sum(c * c)) * sqrt(sum(g * g))), 6)
+               AS centroid_cosine
+    FROM j GROUP BY label ORDER BY label
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per-label centroid distance and
+    cosine against the global centroid — the MLOps check that a
+    subpopulation's representation hasn't wandered (feeding the
+    retrain/recalibrate decision), the vector analogue of
+    psi_totalprice_drift. One posexplode + one (label, dim) rollup is
+    the only corpus-sized work (dims are the 'columns' of the vector
+    table); centroid comparisons run on the labels x dims frame. At
+    100 TB the same two aggregations hold — centroids are mergeable
+    means."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cl = x.groupBy("label", "dim").agg(
+        F.avg("v").alias("c"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cg = x.groupBy("dim").agg(F.avg("v").alias("g"))
+    j = cl.join(F.broadcast(cg), "dim")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.min("n").alias("n_vectors"),
+            F.round(
+                F.sqrt(F.sum((F.col("c") - F.col("g")) * (F.col("c") - F.col("g")))),
+                6,
+            ).alias("centroid_l2"),
+            F.round(
+                F.sum(F.col("c") * F.col("g"))
+                / (
+                    F.sqrt(F.sum(F.col("c") * F.col("c")))
+                    * F.sqrt(F.sum(F.col("g") * F.col("g")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label")
+    )

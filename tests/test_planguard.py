@@ -112,6 +112,8 @@ R5_QUERIES = [
     "linkpred_heuristic_eval",
     "attribute_assortativity_nation",
     "triangle_significance_null",
+    "logrank_test_cohorts",
+    "embedding_drift_by_label",
 ]
 
 

@@ -78,6 +78,7 @@ EVENT_TIME_QUERIES = [
     "overdispersion_event_counts",
     "hurst_exponent_daily",
     "entropy_rate_events",
+    "logrank_test_cohorts",
 ]
 
 needs_testdata = pytest.mark.skipif(
