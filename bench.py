@@ -170,6 +170,11 @@ HEADLINE = [
     "shapley_attribution_channels",
     "anf_neighborhood_function",
     "scan_structural_similarity",
+    # later r5 batches: namesake link-prediction eval, long-range
+    # dependence, stratified CMH
+    "linkpred_heuristic_eval",
+    "hurst_exponent_daily",
+    "cmh_test_priority_status",
 ]
 
 

@@ -16025,3 +16025,69 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "rolling_median_daily",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    w AS MATERIALIZED (
+        SELECT a.day, b.n AS wn, b.day AS wday
+        FROM x a JOIN x b
+          ON b.day >= a.day - INTERVAL 6 DAY AND b.day <= a.day),
+    r AS (SELECT day, wn,
+                 row_number() OVER (PARTITION BY day ORDER BY wn, wday) AS rk,
+                 count(*) OVER (PARTITION BY day) AS c
+          FROM w),
+    med AS (SELECT day, wn AS med FROM r
+            WHERE rk = CAST(floor((c + 1) / 2.0) AS BIGINT))
+    SELECT x.day, x.n, CAST(med.med AS BIGINT) AS rolling_median,
+           CAST(x.n - med.med AS BIGINT) AS residual
+    FROM x JOIN med ON med.day = x.day
+    ORDER BY x.day
+    """,
+)
+def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily event volume — the
+    robust moving baseline (one spike day shifts a moving average for
+    a week; the median shrugs it off), complementing stl_decompose's
+    mean-based trend and robust_outlier_days' global median. Spark
+    has no median-over-window, so the window is decomposed into a
+    bounded calendar range join on the DAYS-SIZED series (each day
+    joins <= 7 rows) + an exact lower-median pick per day with a
+    (value, day) tie-break — deterministic in both engines, and the
+    range join never touches the corpus (one day-keyed count is the
+    only corpus-sized stage)."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    a = x.select(F.col("day").alias("day"))
+    b = x.select(F.col("day").alias("wday"), F.col("n").alias("wn"))
+    w = a.join(
+        b,
+        (F.col("wday") >= F.date_sub(F.col("day"), 6))
+        & (F.col("wday") <= F.col("day")),
+    )
+    r = w.select(
+        "day",
+        "wn",
+        F.row_number()
+        .over(Window.partitionBy("day").orderBy("wn", "wday"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("day")).alias("c"),
+    )
+    med = r.filter(
+        F.col("rk") == F.floor((F.col("c") + 1) / 2.0).cast("long")
+    ).select("day", F.col("wn").alias("med"))
+    return (
+        x.join(med, "day")
+        .select(
+            "day",
+            "n",
+            F.col("med").cast("long").alias("rolling_median"),
+            (F.col("n") - F.col("med")).cast("long").alias("residual"),
+        )
+        .orderBy("day")
+    )

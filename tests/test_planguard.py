@@ -114,6 +114,7 @@ R5_QUERIES = [
     "triangle_significance_null",
     "logrank_test_cohorts",
     "embedding_drift_by_label",
+    "rolling_median_daily",
 ]
 
 

@@ -79,6 +79,7 @@ EVENT_TIME_QUERIES = [
     "hurst_exponent_daily",
     "entropy_rate_events",
     "logrank_test_cohorts",
+    "rolling_median_daily",
 ]
 
 needs_testdata = pytest.mark.skipif(
