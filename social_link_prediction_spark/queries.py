@@ -16091,3 +16091,156 @@ def rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# Round-5 continuation: information value (WOE/IV) and Zipf-law fit.
+# =====================================================================
+@query(
+    "information_value_acctbal",
+    """
+    WITH scored AS (
+        SELECT least(greatest(CAST(floor((c.c_acctbal + 1000.0) / 1200.0)
+                                   AS BIGINT), 0), 9) AS bin,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    tot AS (SELECT CAST(sum(label) AS BIGINT) AS ng,
+                   CAST(sum(1 - label) AS BIGINT) AS nb FROM scored),
+    b AS MATERIALIZED (
+        SELECT bin,
+               CAST(sum(label) AS BIGINT) AS g,
+               CAST(sum(1 - label) AS BIGINT) AS bd,
+               CAST(count(*) AS BIGINT) AS n
+        FROM scored GROUP BY bin),
+    w AS (SELECT bin, n, g, bd,
+                 (g + 0.5) / ((SELECT ng FROM tot) + 0.5) AS pg,
+                 (bd + 0.5) / ((SELECT nb FROM tot) + 0.5) AS pb
+          FROM b)
+    SELECT bin, n, g AS n_pos, bd AS n_neg,
+           round(ln(pg / pb), 6) AS woe,
+           round((pg - pb) * ln(pg / pb), 6) AS iv_term,
+           round(sum((pg - pb) * ln(pg / pb)) OVER (), 6) AS iv_total
+    FROM w ORDER BY bin
+    """,
+)
+def information_value_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value of binned account
+    balance against the has-orders label — the credit-scoring-native
+    feature screen (IV < 0.02 useless, > 0.3 strong) next to
+    information_gain_features (entropy view) and psi (drift view),
+    with the standard +0.5 Laplace guard so empty bins can't blow up
+    the log. One scored join + one bin rollup; WOE/IV are bins-sized
+    arithmetic on exact-integer ratios, identical in both engines."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000.0) / 1200.0).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+    tot = scored.agg(
+        F.sum("label").cast("long").alias("ng"),
+        F.sum(1 - F.col("label")).cast("long").alias("nb"),
+    )
+    b = scored.groupBy("bin").agg(
+        F.sum("label").cast("long").alias("g"),
+        F.sum(1 - F.col("label")).cast("long").alias("bd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = b.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "g",
+        "bd",
+        ((F.col("g") + 0.5) / (F.col("ng") + 0.5)).alias("pg"),
+        ((F.col("bd") + 0.5) / (F.col("nb") + 0.5)).alias("pb"),
+    )
+    woe = F.log(F.col("pg") / F.col("pb"))
+    return w.select(
+        "bin",
+        "n",
+        F.col("g").alias("n_pos"),
+        F.col("bd").alias("n_neg"),
+        F.round(woe, 6).alias("woe"),
+        F.round((F.col("pg") - F.col("pb")) * woe, 6).alias("iv_term"),
+        F.round(
+            F.sum((F.col("pg") - F.col("pb")) * woe).over(
+                Window.partitionBy()
+            ),
+            6,
+        ).alias("iv_total"),
+    ).orderBy("bin")
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "zipf_law_tokens",
+    f"""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS t
+        FROM documents),
+    cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    top AS MATERIALIZED (
+        SELECT c, CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT)
+                      AS rk
+        FROM cnt ORDER BY c DESC, t LIMIT {_ZIPF_TOP}),
+    pts AS (SELECT ln(rk * 1.0) AS lx, ln(c * 1.0) AS ly FROM top),
+    m AS (SELECT avg(lx) AS mx, avg(ly) AS my FROM pts),
+    fit AS (SELECT sum((lx - (SELECT mx FROM m)) * (ly - (SELECT my FROM m)))
+                   / sum((lx - (SELECT mx FROM m)) * (lx - (SELECT mx FROM m)))
+                       AS slope
+            FROM pts)
+    SELECT {_ZIPF_TOP} AS n_ranks,
+           (SELECT CAST(count(*) AS BIGINT) FROM cnt) AS vocab,
+           round((SELECT slope FROM fit), 6) AS zipf_slope
+    """,
+)
+def zipf_law_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: OLS slope of
+    ln(frequency) on ln(rank) for the top-100 tokens (natural text
+    sits near -1; synthetic/templated corpora flatten) — the
+    rank-side companion of heaps_law_vocab (type growth) and
+    powerlaw_gamma (degree tail), and a fast corpus-authenticity
+    screen for LLM training mixes. One token-count aggregation is
+    corpus-sized; the ranked head is 100 rows with a (count, token)
+    tie-break so both engines pick the identical spectrum."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ptx.tokens("text")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vocab = cnt.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    top = (
+        cnt.select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), "t"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _ZIPF_TOP)
+    )
+    pts = top.select(
+        F.log(F.col("rk").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    ).persist()
+    m = pts.agg(F.avg("lx").alias("mx"), F.avg("ly").alias("my"))
+    fit = pts.crossJoin(F.broadcast(m)).agg(
+        (
+            F.sum((F.col("lx") - F.col("mx")) * (F.col("ly") - F.col("my")))
+            / F.sum((F.col("lx") - F.col("mx")) * (F.col("lx") - F.col("mx")))
+        ).alias("slope")
+    )
+    return fit.crossJoin(F.broadcast(vocab)).select(
+        F.lit(_ZIPF_TOP).cast("int").alias("n_ranks"),
+        "vocab",
+        F.round("slope", 6).alias("zipf_slope"),
+    )

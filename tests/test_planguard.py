@@ -115,6 +115,8 @@ R5_QUERIES = [
     "logrank_test_cohorts",
     "embedding_drift_by_label",
     "rolling_median_daily",
+    "information_value_acctbal",
+    "zipf_law_tokens",
 ]
 
 
