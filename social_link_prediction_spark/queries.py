@@ -16244,3 +16244,159 @@ def zipf_law_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab",
         F.round("slope", 6).alias("zipf_slope"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: stratified ATE (propensity quintiles) and
+# STL-derived seasonality strength.
+# =====================================================================
+@query(
+    "stratified_ate_estimate",
+    """
+    WITH f AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               c.c_acctbal,
+               CAST(coalesce(o.cnt, 0) AS DOUBLE) AS y
+        FROM customer c
+        LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+                   GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey),
+    s AS (
+        SELECT t, y,
+               least(greatest(CAST(floor((c_acctbal + 1000.0) / 2400.0)
+                                   AS BIGINT), 0), 4) AS stratum
+        FROM f),
+    g AS MATERIALIZED (
+        SELECT stratum,
+               CAST(sum(t) AS BIGINT) AS n1,
+               CAST(sum(1 - t) AS BIGINT) AS n0,
+               sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS s1,
+               sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS s0,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY stratum),
+    ok AS (SELECT * FROM g WHERE n1 > 0 AND n0 > 0),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM ok)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ok) AS k_strata,
+           (SELECT nt FROM tot) AS n_obs,
+           round(sum((s1 / n1 - s0 / n0) * n / (SELECT nt FROM tot)), 6)
+               AS ate_stratified,
+           round(sum(s1) / sum(n1) - sum(s0) / sum(n0), 6) AS ate_naive
+    FROM ok
+    """,
+)
+def stratified_ate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (propensity-blocked) average-treatment-effect
+    estimate of BUILDING membership on order count, blocking on
+    account-balance strata — the estimator the causal family was
+    missing: covariate_balance_smd CHECKS comparability, this
+    ADJUSTS for it (per-stratum mean differences, size-weighted; the
+    naive unadjusted difference is reported alongside so the
+    confounding correction is visible). Strata with an empty arm
+    drop out (standard positivity handling). One left join + one
+    stratum rollup; the estimator is 5-row arithmetic on
+    exact-integer ratios."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    f = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+        F.least(
+            F.greatest(
+                F.floor((F.col("c_acctbal") + 1000.0) / 2400.0).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(4),
+        ).alias("stratum"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("double").alias("y"),
+    )
+    g = (
+        f.groupBy("stratum")
+        .agg(
+            F.sum("t").cast("long").alias("n1"),
+            F.sum(1 - F.col("t")).cast("long").alias("n0"),
+            F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0.0)).alias("s1"),
+            F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0.0)).alias("s0"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .persist()
+    )
+    tot = g.agg(F.sum("n").cast("long").alias("nt"))
+    k = g.agg(F.count(F.lit(1)).cast("long").alias("k_strata"))
+    est = g.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                (F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"))
+                * F.col("n")
+                / F.col("nt")
+            ),
+            6,
+        ).alias("ate_stratified"),
+        F.round(
+            F.sum("s1") / F.sum("n1") - F.sum("s0") / F.sum("n0"), 6
+        ).alias("ate_naive"),
+        F.first("nt").alias("n_obs"),
+    )
+    return est.crossJoin(F.broadcast(k)).select(
+        "k_strata", "n_obs", "ate_stratified", "ate_naive"
+    )
+
+
+@query(
+    "seasonality_strength_daily",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    t AS (SELECT day, n,
+                 CASE WHEN count(n) OVER w = 7 THEN avg(n) OVER w END AS trend,
+                 datediff('day', DATE '1970-01-05', day) % 7 AS dow
+          FROM x
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    sm AS (SELECT dow, avg(n - trend) AS s_raw
+           FROM t WHERE trend IS NOT NULL GROUP BY dow),
+    sc AS (SELECT avg(s_raw) AS s_mean FROM sm),
+    s AS (SELECT dow, s_raw - (SELECT s_mean FROM sc) AS seasonal FROM sm),
+    parts AS (
+        -- replicate stl_decompose's published 6dp-rounded columns
+        SELECT round(t.n - t.trend - s.seasonal, 6) AS rem,
+               round(s.seasonal, 6) AS seas
+        FROM t JOIN s ON s.dow = t.dow WHERE t.trend IS NOT NULL),
+    v AS (SELECT var_samp(rem) AS vr, var_samp(rem + seas) AS vd,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM parts)
+    SELECT n_days,
+           round(greatest(0.0, 1.0 - vr / vd), 6) AS seasonal_strength,
+           round(vr, 4) AS var_remainder,
+           round(vd, 4) AS var_detrended
+    FROM v
+    """,
+)
+def seasonality_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength F_s = max(0, 1 - Var(remainder) /
+    Var(seasonal + remainder)) (Hyndman's STL-feature definition) —
+    the one-number answer to 'does this series actually have a
+    weekly cycle worth modeling', derived from the same decomposition
+    stl_decompose_daily exposes: near 0 -> seasonal-naive forecasts
+    (forecast_backtest_daily) add nothing; near 1 -> deseasonalize
+    before anomaly screens. Same bounded day-series windows; the
+    strength is one moments pass over the decomposed days."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dec = st.stl_decompose(daily, "day", "n", period=7).filter(
+        F.col("trend").isNotNull()
+    )
+    v = dec.agg(
+        F.var_samp("remainder").alias("vr"),
+        F.var_samp(F.col("remainder") + F.col("seasonal")).alias("vd"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return v.select(
+        "n_days",
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vd")), 6).alias(
+            "seasonal_strength"
+        ),
+        F.round("vr", 4).alias("var_remainder"),
+        F.round("vd", 4).alias("var_detrended"),
+    )

@@ -117,6 +117,8 @@ R5_QUERIES = [
     "rolling_median_daily",
     "information_value_acctbal",
     "zipf_law_tokens",
+    "stratified_ate_estimate",
+    "seasonality_strength_daily",
 ]
 
 

@@ -80,6 +80,7 @@ EVENT_TIME_QUERIES = [
     "entropy_rate_events",
     "logrank_test_cohorts",
     "rolling_median_daily",
+    "seasonality_strength_daily",
 ]
 
 needs_testdata = pytest.mark.skipif(
