@@ -283,3 +283,74 @@ def test_mann_kendall_extremes_and_ties(spark):
     assert rt.s_stat == 5
     # var = (4*3*13 - 2*1*9)/18 = (156-18)/18 = 7.6667; z = 4/sqrt(var)
     assert rt.z == pytest.approx(round(4.0 / math.sqrt(138.0 / 18.0), 6), abs=1e-6)
+
+
+# ---------------------------------------------------------------------
+# Brute-force cross-checks on seeded random data: the operator's
+# distinct-value rank algebra vs the textbook O(n^2)/sort definitions
+# ---------------------------------------------------------------------
+import random
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_mann_whitney_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    xs1 = [float(rng.randint(0, 15)) for _ in range(30)]
+    xs2 = [float(rng.randint(3, 18)) for _ in range(25)]
+    df = spark.createDataFrame(
+        [(1, x) for x in xs1] + [(2, x) for x in xs2], "g int, x double"
+    )
+    r = st.mann_whitney_u(df).collect()[0]
+    # textbook: U1 = #(x1 > x2) + 0.5 * #(x1 == x2) over the cross product
+    u1 = sum(
+        1.0 if a > b else (0.5 if a == b else 0.0) for a in xs1 for b in xs2
+    )
+    assert r.u1 == pytest.approx(u1, abs=1e-6)
+    assert r.u2 == pytest.approx(len(xs1) * len(xs2) - u1, abs=1e-6)
+
+
+def _avg_ranks(vals):
+    order = sorted(range(len(vals)), key=lambda i: vals[i])
+    ranks = [0.0] * len(vals)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and vals[order[j]] == vals[order[i]]:
+            j += 1
+        r = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks[order[k]] = r
+        i = j
+    return ranks
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1337])
+def test_spearman_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    xs = [float(rng.randint(0, 9)) for _ in range(40)]
+    ys = [x + rng.uniform(-3, 3) for x in xs]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    got = st.spearman_rho(df, "x", "y").collect()[0].rho
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    mx, my = sum(rx) / len(rx), sum(ry) / len(ry)
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    sd = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    assert got == pytest.approx(round(cov / sd, 6), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", [7, 42])
+def test_mann_kendall_matches_bruteforce(spark, seed):
+    rng = random.Random(seed)
+    ys = [float(rng.randint(0, 8)) for _ in range(25)]
+    df = spark.createDataFrame(
+        [(float(i), y) for i, y in enumerate(ys)], "x double, y double"
+    )
+    r = st.mann_kendall(df).collect()[0]
+    s = sum(
+        (1 if ys[j] > ys[i] else (-1 if ys[j] < ys[i] else 0))
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    assert r.s_stat == s
