@@ -16400,3 +16400,95 @@ def seasonality_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vr", 4).alias("var_remainder"),
         F.round("vd", 4).alias("var_detrended"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: Matryoshka truncation audit — does half the
+# embedding dimension preserve the top-k neighborhood?
+# =====================================================================
+@query(
+    "matryoshka_truncation_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id <= 2),
+    j AS MATERIALIZED (
+        SELECT a.aid, e.vec_id,
+               round(list_cosine_similarity(e.v, a.av), 6) AS cf,
+               round(list_cosine_similarity(e.v[1:32], a.av[1:32]), 6) AS ch
+        FROM e JOIN a ON e.vec_id <> a.aid),
+    rf AS (SELECT aid, vec_id,
+                  row_number() OVER (PARTITION BY aid
+                                     ORDER BY cf DESC, vec_id) AS r
+           FROM j),
+    rh AS (SELECT aid, vec_id,
+                  row_number() OVER (PARTITION BY aid
+                                     ORDER BY ch DESC, vec_id) AS r
+           FROM j)
+    SELECT rf.aid AS anchor,
+           CAST(count(rh.vec_id) AS BIGINT) AS overlap_at_10,
+           round(count(rh.vec_id) / 10.0, 6) AS recall_half_dim
+    FROM rf LEFT JOIN rh ON rh.aid = rf.aid AND rh.vec_id = rf.vec_id
+                        AND rh.r <= 10
+    WHERE rf.r <= 10
+    GROUP BY rf.aid ORDER BY anchor
+    """,
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: for three anchor
+    vectors, how much of the exact full-dimension (64d) cosine top-10
+    survives when vectors are truncated to their first 32 dims — the
+    measurement behind 'store half the dims, keep most of the
+    recall' serving decisions (MRL embeddings), complementing
+    int8_quant_error_audit (precision axis) and ann_recall_audit
+    (index axis) on the storage-cost frontier. One corpus x 3-anchor
+    broadcast join computes both similarities in a single pass;
+    round-before-rank with vec_id tie-breaks keeps both engines'
+    top-10 sets identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anch = emb.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    j = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(anch))
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            "vec_id",
+            F.round(sim.cosine_similarity(F.col("embedding"), F.col("av")), 6).alias(
+                "cf"
+            ),
+            F.round(
+                sim.cosine_similarity(
+                    F.slice(F.col("embedding"), 1, 32), F.slice(F.col("av"), 1, 32)
+                ),
+                6,
+            ).alias("ch"),
+        )
+        .persist()
+    )
+    rf = j.select(
+        "aid",
+        "vec_id",
+        F.row_number()
+        .over(Window.partitionBy("aid").orderBy(F.col("cf").desc(), "vec_id"))
+        .alias("r"),
+    ).filter(F.col("r") <= 10)
+    rh = j.select(
+        "aid",
+        "vec_id",
+        F.row_number()
+        .over(Window.partitionBy("aid").orderBy(F.col("ch").desc(), "vec_id"))
+        .alias("r"),
+    ).filter(F.col("r") <= 10)
+    return (
+        rf.join(rh.select("aid", "vec_id", F.lit(1).alias("hit")), ["aid", "vec_id"], "left")
+        .groupBy(F.col("aid").alias("anchor"))
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("overlap_at_10"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0, 6
+            ).alias("recall_half_dim"),
+        )
+        .orderBy("anchor")
+    )

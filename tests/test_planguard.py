@@ -119,6 +119,7 @@ R5_QUERIES = [
     "zipf_law_tokens",
     "stratified_ate_estimate",
     "seasonality_strength_daily",
+    "matryoshka_truncation_audit",
 ]
 
 
