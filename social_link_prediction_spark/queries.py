@@ -16492,3 +16492,242 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+# =====================================================================
+# Round-5 continuation: ratio-metric delta method + always-valid
+# sequential monitoring (mSPRT) — the online-experimentation finish.
+# =====================================================================
+@query(
+    "delta_method_ratio_se",
+    """
+    WITH u AS MATERIALIZED (
+        SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+               sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                   AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY user_id),
+    g AS MATERIALIZED (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               avg(y) AS my,
+               var_samp(x) AS vx, var_samp(y) AS vy,
+               covar_samp(x, y) AS cxy
+        FROM u GROUP BY arm),
+    r AS (SELECT arm, n, sx / sy AS ratio,
+                 sqrt((vx - 2 * (sx / sy) * cxy
+                       + (sx / sy) * (sx / sy) * vy)
+                      / (n * my * my)) AS se
+          FROM g)
+    SELECT a.n AS n_arm0, b.n AS n_arm1,
+           round(a.ratio, 6) AS ratio_arm0,
+           round(b.ratio, 6) AS ratio_arm1,
+           round(a.se, 6) AS se_arm0,
+           round(b.se, 6) AS se_arm1,
+           round((b.ratio - a.ratio)
+                 / sqrt(a.se * a.se + b.se * b.se), 4) AS z
+    FROM r a JOIN r b ON a.arm = 0 AND b.arm = 1
+    """,
+)
+def delta_method_ratio_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    purchase) compared across the parity arms — the experimentation
+    trap ab_test_zscore avoids by using per-user flags: a ratio of
+    sums is NOT a mean of iid observations, so its variance needs
+    var(x) - 2R cov(x,y) + R^2 var(y) over the per-user (numerator,
+    denominator) pairs (Deng et al.'s standard recipe). One user
+    rollup, one per-arm moments pass, 2-row arithmetic. The z on the
+    arm difference is what a naive per-event t-test would get wrong."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "x", "y")
+    g = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    ratio = F.col("sx") / F.col("sy")
+    r = g.select(
+        "arm",
+        "n",
+        ratio.alias("ratio"),
+        F.sqrt(
+            (
+                F.col("vx")
+                - 2 * ratio * F.col("cxy")
+                + ratio * ratio * F.col("vy")
+            )
+            / (F.col("n") * F.col("my") * F.col("my"))
+        ).alias("se"),
+    )
+    a = r.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_arm0"), F.col("ratio").alias("r0"), F.col("se").alias("se0")
+    )
+    b = r.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_arm1"), F.col("ratio").alias("r1"), F.col("se").alias("se1")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_arm0",
+        "n_arm1",
+        F.round("r0", 6).alias("ratio_arm0"),
+        F.round("r1", 6).alias("ratio_arm1"),
+        F.round("se0", 6).alias("se_arm0"),
+        F.round("se1", 6).alias("se_arm1"),
+        F.round(
+            (F.col("r1") - F.col("r0"))
+            / F.sqrt(F.col("se0") * F.col("se0") + F.col("se1") * F.col("se1")),
+            4,
+        ).alias("z"),
+    )
+
+
+_MSPRT_TAU2 = 0.0001
+
+
+@query(
+    "msprt_ab_monitor",
+    f"""
+    WITH ud AS (
+        SELECT CAST(user_id % 2 AS INTEGER) AS arm, CAST(ts AS DATE) AS day,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY user_id, 2),
+    d AS MATERIALIZED (
+        SELECT day,
+               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM ud GROUP BY day),
+    cum AS (
+        SELECT day,
+               sum(n0) OVER w AS n0, sum(c0) OVER w AS c0,
+               sum(n1) OVER w AS n1, sum(c1) OVER w AS c1
+        FROM d WINDOW w AS (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    lam AS MATERIALIZED (
+        SELECT day, n0 + n1 AS n_cum,
+               c1 * 1.0 / n1 - c0 * 1.0 / n0 AS delta,
+               ((c0 + c1) * 1.0 / (n0 + n1))
+               * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+               * (1.0 / n0 + 1.0 / n1) AS v
+        FROM cum WHERE n0 > 0 AND n1 > 0 AND c0 + c1 > 0
+                   AND c0 + c1 < n0 + n1),
+    l2 AS (
+        SELECT day, n_cum, delta,
+               sqrt(v / (v + {_MSPRT_TAU2}))
+               * exp(delta * delta * {_MSPRT_TAU2}
+                     / (2.0 * v * (v + {_MSPRT_TAU2}))) AS lambda
+        FROM lam),
+    p AS (
+        SELECT day, n_cum, delta, lambda,
+               least(1.0, 1.0 / max(lambda) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS avp
+        FROM l2),
+    tail AS (SELECT *, row_number() OVER (ORDER BY day DESC) AS rk FROM p)
+    SELECT day, CAST(n_cum AS BIGINT) AS n_cum, round(delta, 6) AS delta,
+           round(lambda, 6) AS lambda, round(avp, 6) AS always_valid_p
+    FROM tail WHERE rk <= 10 ORDER BY day
+    """,
+)
+def msprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring (mixture SPRT, Johari et
+    al.): per calendar day, the cumulative two-proportion difference
+    feeds the normal-mixture likelihood ratio Lambda_t =
+    sqrt(V/(V+tau^2)) * exp(delta^2 tau^2 / (2V(V+tau^2))), and the
+    always-valid p-value is 1/max running Lambda — the statistic you
+    CAN peek at daily without inflating false positives, which the
+    fixed-horizon ab_test_zscore forbids. Trials are user-days
+    (parity arms, any-purchase conversion). One user-day rollup is
+    corpus-sized; the cumulative/running-max windows run on the
+    days-sized series. Reports the last 10 days of the monitor."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "day", "conv")
+    d = ud.groupBy("day").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("dn0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("dn1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("dc0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("dc1"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "day",
+        F.sum("dn0").over(w).alias("n0"),
+        F.sum("dc0").over(w).alias("c0"),
+        F.sum("dn1").over(w).alias("n1"),
+        F.sum("dc1").over(w).alias("c1"),
+    )
+    pbar = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    lam = (
+        cum.filter(
+            (F.col("n0") > 0)
+            & (F.col("n1") > 0)
+            & (F.col("c0") + F.col("c1") > 0)
+            & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1"))
+        )
+        .select(
+            "day",
+            (F.col("n0") + F.col("n1")).alias("n_cum"),
+            (F.col("c1") / F.col("n1") - F.col("c0") / F.col("n0")).alias("delta"),
+            (pbar * (1.0 - pbar) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))).alias(
+                "v"
+            ),
+        )
+    )
+    tau2 = F.lit(_MSPRT_TAU2)
+    l2 = lam.select(
+        "day",
+        "n_cum",
+        "delta",
+        (
+            F.sqrt(F.col("v") / (F.col("v") + tau2))
+            * F.exp(
+                F.col("delta")
+                * F.col("delta")
+                * tau2
+                / (2.0 * F.col("v") * (F.col("v") + tau2))
+            )
+        ).alias("lambda"),
+    )
+    p = l2.select(
+        "day",
+        "n_cum",
+        "delta",
+        "lambda",
+        F.least(F.lit(1.0), 1.0 / F.max("lambda").over(w)).alias("avp"),
+    )
+    return (
+        p.select(
+            "*", F.row_number().over(Window.orderBy(F.col("day").desc())).alias("rk")
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            "day",
+            F.col("n_cum").cast("long").alias("n_cum"),
+            F.round("delta", 6).alias("delta"),
+            F.round("lambda", 6).alias("lambda"),
+            F.round("avp", 6).alias("always_valid_p"),
+        )
+        .orderBy("day")
+    )

@@ -120,6 +120,8 @@ R5_QUERIES = [
     "stratified_ate_estimate",
     "seasonality_strength_daily",
     "matryoshka_truncation_audit",
+    "delta_method_ratio_se",
+    "msprt_ab_monitor",
 ]
 
 

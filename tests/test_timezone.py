@@ -81,6 +81,8 @@ EVENT_TIME_QUERIES = [
     "logrank_test_cohorts",
     "rolling_median_daily",
     "seasonality_strength_daily",
+    "msprt_ab_monitor",
+    "delta_method_ratio_se",
 ]
 
 needs_testdata = pytest.mark.skipif(
