@@ -16731,3 +16731,93 @@ def msprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    """
+    WITH su AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN CAST(ts AS DATE) END) AS sday
+        FROM events GROUP BY user_id HAVING sday IS NOT NULL),
+    cohort AS MATERIALIZED (
+        SELECT user_id,
+               CAST(extract(year FROM sday) * 12 + extract(month FROM sday)
+                    AS BIGINT) AS cm
+        FROM su),
+    csize AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_users
+              FROM cohort GROUP BY cm),
+    rev AS (
+        SELECT c.cm,
+               CAST(extract(year FROM CAST(e.ts AS DATE)) * 12
+                    + extract(month FROM CAST(e.ts AS DATE)) AS BIGINT)
+                   - c.cm AS age,
+               sum(e.value) AS r
+        FROM events e JOIN cohort c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND CAST(extract(year FROM CAST(e.ts AS DATE)) * 12
+                   + extract(month FROM CAST(e.ts AS DATE)) AS BIGINT) >= c.cm
+        GROUP BY 1, 2),
+    cumr AS (
+        SELECT cm, age,
+               sum(r) OVER (PARTITION BY cm ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        FROM rev)
+    SELECT c.cm AS cohort_month, s.n_users, c.age AS months_since_signup,
+           round(c.cum_r / s.n_users, 6) AS cum_ltv_per_user
+    FROM cumr c JOIN csize s ON s.cm = c.cm
+    ORDER BY cohort_month, months_since_signup
+    """,
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: cumulative purchase revenue per
+    signup-month cohort, normalized per cohort member, by months
+    since signup — the revenue companion of retention_cohorts (which
+    counts activity; this integrates value) and the payback-period /
+    LTV:CAC readout every growth team maintains. Corpus-sized work:
+    one signup rollup + one cohort-keyed revenue join-aggregate; the
+    cumulative window runs on the cohorts x ages frame (calendar-
+    bounded). Per-user normalization uses exact integer cohort
+    sizes."""
+    ev = _t(spark, sf_dir, "events")
+    su = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.to_date("ts"))
+            ).alias("sday")
+        )
+        .filter(F.col("sday").isNotNull())
+    )
+    cohort = su.select(
+        "user_id",
+        (F.year("sday") * 12 + F.month("sday")).cast("long").alias("cm"),
+    ).persist()
+    csize = cohort.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    em = (F.year(F.to_date("ts")) * 12 + F.month(F.to_date("ts"))).cast("long")
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .filter(em >= F.col("cm"))
+        .groupBy("cm", (em - F.col("cm")).alias("age"))
+        .agg(F.sum("value").alias("r"))
+    )
+    wc = Window.partitionBy("cm").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cumr = rev.select("cm", "age", F.sum("r").over(wc).alias("cum_r"))
+    return (
+        cumr.join(F.broadcast(csize), "cm")
+        .select(
+            F.col("cm").alias("cohort_month"),
+            "n_users",
+            F.col("age").alias("months_since_signup"),
+            F.round(F.col("cum_r") / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_month", "months_since_signup")
+    )

@@ -122,6 +122,7 @@ R5_QUERIES = [
     "matryoshka_truncation_audit",
     "delta_method_ratio_se",
     "msprt_ab_monitor",
+    "cohort_ltv_curves",
 ]
 
 

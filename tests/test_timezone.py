@@ -83,6 +83,7 @@ EVENT_TIME_QUERIES = [
     "seasonality_strength_daily",
     "msprt_ab_monitor",
     "delta_method_ratio_se",
+    "cohort_ltv_curves",
 ]
 
 needs_testdata = pytest.mark.skipif(
