@@ -16821,3 +16821,206 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "months_since_signup")
     )
+
+
+# =====================================================================
+# Round-5 continuation: token burstiness and Huber-IRLS robust trend.
+# =====================================================================
+@query(
+    "token_burstiness_top",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS t
+        FROM documents),
+    dc AS MATERIALIZED (
+        SELECT t, doc_id, CAST(count(*) AS BIGINT) AS k
+        FROM tok GROUP BY t, doc_id),
+    agg AS MATERIALIZED (
+        SELECT t,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df2,
+               CAST(sum(k) AS BIGINT) AS cf
+        FROM dc GROUP BY t),
+    top AS (SELECT *, row_number() OVER (ORDER BY cf DESC, t) AS rk
+            FROM agg)
+    SELECT t AS token, cf AS corpus_freq, df AS doc_freq,
+           round(df2 * 1.0 / df, 6) AS burstiness,
+           round(cf * 1.0 / df, 6) AS mean_in_doc
+    FROM top WHERE rk <= 20 ORDER BY rk
+    """,
+)
+def token_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale token burstiness for the 20 most frequent tokens:
+    P(token repeats in a doc | it occurs at all) = df_2/df — content
+    words are bursty (a doc about trains says 'train' many times),
+    function words are Poisson-ish; the signal TF-IDF's raw-count
+    assumption misses and the diagnostic behind repetition-aware
+    quality filters (repetition_ngram_stats flags WITHIN-doc loops;
+    this characterizes corpus-wide word behavior). One (token, doc)
+    rollup then a token rollup — both hash aggregations; the ranked
+    head is 20 rows, (count, token) tie-broken."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ptx.tokens("text")).alias("t"))
+    dc = tok.groupBy("t", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    agg = dc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("long").alias("df2"),
+        F.sum("k").cast("long").alias("cf"),
+    )
+    top = agg.select(
+        "*",
+        F.row_number().over(Window.orderBy(F.col("cf").desc(), "t")).alias("rk"),
+    ).filter(F.col("rk") <= 20)
+    return top.select(
+        F.col("t").alias("token"),
+        F.col("cf").alias("corpus_freq"),
+        F.col("df").alias("doc_freq"),
+        F.round(F.col("df2") / F.col("df"), 6).alias("burstiness"),
+        F.round(F.col("cf") / F.col("df"), 6).alias("mean_in_doc"),
+    ).orderBy("rk")
+
+
+_HUBER_ROUNDS, _HUBER_K = 3, 1.345
+
+
+def _duck_huber_sql(rounds: int = _HUBER_ROUNDS) -> str:
+    ctes = [
+        """m AS MATERIALIZED (
+        SELECT CAST((extract(year FROM o_orderdate) - 1995) * 12
+                    + extract(month FROM o_orderdate) - 1 AS DOUBLE) AS x,
+               sum(o_totalprice) AS y
+        FROM orders GROUP BY 1)""",
+        """w0 AS (SELECT x, y, 1.0 AS w FROM m)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""f{p} AS (
+        SELECT (sum(w) * sum(w * x * y) - sum(w * x) * sum(w * y))
+               / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS b,
+               (sum(w * y) - (sum(w) * sum(w * x * y) - sum(w * x) * sum(w * y))
+                / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x))
+                * sum(w * x)) / sum(w) AS a
+        FROM w{p})""")
+        ctes.append(f"""r{r} AS (
+        SELECT x, y, abs(y - (SELECT a FROM f{p}) - (SELECT b FROM f{p}) * x)
+                     AS ar
+        FROM w{p})""")
+        ctes.append(f"""s{r} AS (
+        SELECT ar AS s FROM (
+            SELECT ar, row_number() OVER (ORDER BY ar, x) AS rk,
+                   count(*) OVER () AS n FROM r{r})
+        WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT))""")
+        ctes.append(f"""w{r} AS (
+        SELECT x, y,
+               CASE WHEN ar < 1e-12 THEN 1.0
+                    ELSE least(1.0, {_HUBER_K} * greatest(
+                        (SELECT s FROM s{r}), 1e-9) / ar) END AS w
+        FROM r{r})""")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body},
+    ff AS (
+        SELECT (sum(w) * sum(w * x * y) - sum(w * x) * sum(w * y))
+               / (sum(w) * sum(w * x * x) - sum(w * x) * sum(w * x)) AS b,
+               sum(w) AS sw
+        FROM w{rounds}),
+    fa AS (
+        SELECT (sum(w * y) - (SELECT b FROM ff) * sum(w * x)) / sum(w) AS a
+        FROM w{rounds})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_points,
+           round((SELECT b FROM f0), 6) AS ols_slope,
+           round((SELECT b FROM ff), 6) AS huber_slope,
+           round((SELECT a FROM fa), 6) AS huber_intercept
+    """
+
+
+@query("huber_revenue_trend", None)
+def huber_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber-IRLS robust trend on monthly revenue: 3 unrolled
+    iteratively-reweighted least-squares rounds with the standard
+    k = 1.345 * (median absolute residual) clipping — between OLS
+    (ols_revenue_trend, outlier-chasing) and Theil-Sen
+    (theil_sen_revenue_trend, fully rank-based) on the robustness/
+    efficiency frontier. The series is calendar-bounded (the only
+    corpus-sized work is the monthly rollup), so each IRLS round is
+    one aggregate + one broadcast + one exact-median pick
+    ((value, x) tie-break); both engines run the identical fixed
+    unroll."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("double")
+        .alias("x")
+    ).agg(F.sum("o_totalprice").alias("y")).persist()
+
+    def fit(df):
+        s = df.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        )
+        return s.select(
+            (
+                (F.col("sw") * F.col("swxy") - F.col("swx") * F.col("swy"))
+                / (F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx"))
+            ).alias("b"),
+            "sw",
+            "swx",
+            "swy",
+        ).select(
+            "b", ((F.col("swy") - F.col("b") * F.col("swx")) / F.col("sw")).alias("a")
+        )
+
+    cur = m.select("x", "y", F.lit(1.0).alias("w"))
+    ols_b = None
+    for r in range(1, _HUBER_ROUNDS + 1):
+        f = fit(cur)
+        if ols_b is None:
+            ols_b = f.select(F.col("b").alias("ols_b"))
+        rr = cur.crossJoin(F.broadcast(f)).select(
+            "x",
+            "y",
+            F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")).alias("ar"),
+        )
+        med = (
+            rr.select(
+                "ar",
+                F.row_number().over(Window.orderBy("ar", "x")).alias("rk"),
+                F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+            )
+            .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2.0).cast("long"))
+            .select(F.col("ar").alias("s"))
+        )
+        cur = rr.crossJoin(F.broadcast(med)).select(
+            "x",
+            "y",
+            F.when(F.col("ar") < 1e-12, 1.0)
+            .otherwise(
+                F.least(
+                    F.lit(1.0),
+                    _HUBER_K * F.greatest(F.col("s"), F.lit(1e-9)) / F.col("ar"),
+                )
+            )
+            .alias("w"),
+        ).localCheckpoint()
+    ff = fit(cur)
+    n = m.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    return (
+        n.crossJoin(F.broadcast(ols_b))
+        .crossJoin(F.broadcast(ff))
+        .select(
+            "n_points",
+            F.round("ols_b", 6).alias("ols_slope"),
+            F.round("b", 6).alias("huber_slope"),
+            F.round("a", 6).alias("huber_intercept"),
+        )
+    )
+
+
+ORACLES["huber_revenue_trend"] = _duck_huber_sql()

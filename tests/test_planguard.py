@@ -123,6 +123,8 @@ R5_QUERIES = [
     "delta_method_ratio_se",
     "msprt_ab_monitor",
     "cohort_ltv_curves",
+    "token_burstiness_top",
+    "huber_revenue_trend",
 ]
 
 
