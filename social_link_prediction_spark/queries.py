@@ -17024,3 +17024,186 @@ def huber_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["huber_revenue_trend"] = _duck_huber_sql()
+
+
+# =====================================================================
+# Round-5 continuation: Qini uplift curve and Simpson's-paradox screen.
+# =====================================================================
+@query(
+    "qini_uplift_deciles",
+    """
+    WITH f AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+               1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    ranked AS (
+        SELECT t, y,
+               ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+        FROM f),
+    d AS MATERIALIZED (
+        SELECT decile,
+               CAST(sum(t) AS BIGINT) AS nt,
+               CAST(sum(1 - t) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS yt,
+               CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS yc
+        FROM ranked GROUP BY decile),
+    c AS (
+        SELECT decile,
+               sum(yt) OVER w AS cyt, sum(nt) OVER w AS cnt_,
+               sum(yc) OVER w AS cyc, sum(nc) OVER w AS cnc
+        FROM d WINDOW w AS (ORDER BY decile
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT decile,
+           CAST(cnt_ AS BIGINT) AS cum_treated,
+           CAST(cnc AS BIGINT) AS cum_control,
+           round(cyt - cyc * cnt_ * 1.0 / cnc, 6) AS qini,
+           round(cyt * 1.0 / cnt_ - cyc * 1.0 / cnc, 6) AS cum_uplift
+    FROM c ORDER BY decile
+    """,
+)
+def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve over score deciles: ranking customers by the
+    deterministic acctbal score, the cumulative incremental
+    conversions Qini(k) = Y_t(k) - Y_c(k) * N_t(k)/N_c(k) — the
+    uplift-model evaluation standard (does targeting the top deciles
+    actually buy incremental outcomes vs the control mix?), closing
+    the causal family's loop: SMD checks balance, stratified ATE
+    estimates the average effect, Qini evaluates a TARGETING policy.
+    Deterministic ntile (score, custkey tie-break), integer cumulative
+    cells, one scored join + one decile rollup."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    f = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("t"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    ranked = f.select(
+        "t",
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "c_custkey"))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("nt"),
+        F.sum(1 - F.col("t")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "decile",
+        F.sum("yt").over(w).alias("cyt"),
+        F.sum("nt").over(w).alias("cnt_"),
+        F.sum("yc").over(w).alias("cyc"),
+        F.sum("nc").over(w).alias("cnc"),
+    )
+    return c.select(
+        "decile",
+        F.col("cnt_").cast("long").alias("cum_treated"),
+        F.col("cnc").cast("long").alias("cum_control"),
+        F.round(
+            F.col("cyt") - F.col("cyc") * F.col("cnt_") / F.col("cnc"), 6
+        ).alias("qini"),
+        F.round(
+            F.col("cyt") / F.col("cnt_") - F.col("cyc") / F.col("cnc"), 6
+        ).alias("cum_uplift"),
+    ).orderBy("decile")
+
+
+@query(
+    "simpsons_paradox_screen",
+    """
+    WITH cells AS MATERIALIZED (
+        SELECT c.c_nationkey AS stratum,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                              AND o.o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                              AND o.o_orderstatus <> 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                              AND o.o_orderstatus = 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+                              AND o.o_orderstatus <> 'F'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+    pooled AS (SELECT sign(sum(a) * sum(d) - sum(b) * sum(c)) AS ps
+               FROM cells),
+    scr AS (
+        SELECT stratum, a, b, c, d,
+               sign(a * d - b * c) AS ss,
+               (SELECT ps FROM pooled) AS ps
+        FROM cells WHERE a + b > 0 AND c + d > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_strata,
+           CAST((SELECT ps FROM pooled) AS BIGINT) AS pooled_sign,
+           CAST(sum(CASE WHEN ss <> 0 AND ss <> ps THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flipped,
+           CAST(sum(CASE WHEN ss = ps THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agreeing
+    FROM scr
+    """,
+)
+def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen on the urgent-priority x finished-
+    status association: the pooled odds-ratio SIGN vs each nation
+    stratum's sign — counting strata whose within-group association
+    points the other way from the aggregate (the reversal that makes
+    pooled dashboards lie, and the reason cmh_test_priority_status
+    stratifies). Integer cross-product signs (a*d - b*c), so the
+    screen is exact; one join + one stratum rollup, then 25-row
+    arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    fin = F.col("o_orderstatus") == "F"
+    cells = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("stratum"))
+        .agg(
+            F.sum(F.when(urgent & fin, 1).otherwise(0)).cast("long").alias("a"),
+            F.sum(F.when(urgent & ~fin, 1).otherwise(0)).cast("long").alias("b"),
+            F.sum(F.when(~urgent & fin, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(~urgent & ~fin, 1).otherwise(0)).cast("long").alias("d"),
+        )
+        .persist()
+    )
+    pooled = cells.agg(
+        F.signum(
+            (F.sum("a") * F.sum("d") - F.sum("b") * F.sum("c")).cast("double")
+        ).cast("long").alias("ps")
+    )
+    scr = (
+        cells.filter((F.col("a") + F.col("b") > 0) & (F.col("c") + F.col("d") > 0))
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            F.signum(
+                (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+            ).cast("long").alias("ss"),
+            "ps",
+        )
+    )
+    return scr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.first("ps").alias("pooled_sign"),
+        F.sum(
+            F.when((F.col("ss") != 0) & (F.col("ss") != F.col("ps")), 1).otherwise(0)
+        ).cast("long").alias("n_flipped"),
+        F.sum(F.when(F.col("ss") == F.col("ps"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agreeing"),
+    )

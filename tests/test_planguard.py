@@ -125,6 +125,8 @@ R5_QUERIES = [
     "cohort_ltv_curves",
     "token_burstiness_top",
     "huber_revenue_trend",
+    "qini_uplift_deciles",
+    "simpsons_paradox_screen",
 ]
 
 
