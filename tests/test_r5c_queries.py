@@ -140,3 +140,74 @@ def test_grid_dbscan_matches_bruteforce(spark):
     )
     got = sorted((r.n_cells, r.n_points) for r in rows)
     assert got == expect
+
+
+@needs_testdata
+def test_msprt_always_valid_p_is_nonincreasing_tail(spark):
+    rows = q.QUERIES["msprt_ab_monitor"](spark, SF_DIR).collect()
+    ps = [r.always_valid_p for r in rows]
+    # 1/running-max is non-increasing by construction, and a valid p
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(a >= b - 1e-9 for a, b in zip(ps, ps[1:]))
+
+
+@needs_testdata
+def test_qini_final_decile_is_total_uplift(spark):
+    rows = q.QUERIES["qini_uplift_deciles"](spark, SF_DIR).collect()
+    last = max(rows, key=lambda r: r.decile)
+    # at decile 10 the curve covers everyone: qini = Yt - Yc*Nt/Nc
+    # and cum_uplift = overall rate difference; recompute independently
+    cst = q._t(spark, SF_DIR, "customer")
+    o = q._t(spark, SF_DIR, "orders").select("o_custkey").dropDuplicates()
+    f = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").selectExpr(
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t",
+        "CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y",
+    ).collect()
+    yt = sum(r.y for r in f if r.t == 1)
+    yc = sum(r.y for r in f if r.t == 0)
+    nt = sum(1 for r in f if r.t == 1)
+    nc = len(f) - nt
+    assert last.cum_treated == nt and last.cum_control == nc
+    assert last.qini == pytest.approx(yt - yc * nt / nc, abs=1e-4)
+    assert last.cum_uplift == pytest.approx(yt / nt - yc / nc, abs=1e-6)
+
+
+def test_huber_resists_outlier_month(spark):
+    # clean linear series + one wild outlier: Huber slope stays near
+    # the true slope while OLS is dragged; uses the operator pipeline
+    # through the registered query's fit algebra on a synthetic frame
+    from social_link_prediction_spark import queries as qq
+    import pyspark.sql.functions as F
+
+    rows = [(float(i), 100.0 + 10.0 * i) for i in range(12)]
+    rows[6] = (6.0, 5000.0)  # corrupted month
+    m = spark.createDataFrame(rows, "x double, y double")
+    # replicate the query's IRLS inline (same constants)
+    def fit(df):
+        s = df.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+            F.sum(F.col("w") * F.col("y")).alias("swy"),
+            F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+            F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        ).collect()[0]
+        b = (s.sw * s.swxy - s.swx * s.swy) / (s.sw * s.swxx - s.swx**2)
+        return b, (s.swy - b * s.swx) / s.sw
+
+    cur = m.select("x", "y", F.lit(1.0).alias("w"))
+    b_ols, a = fit(cur)
+    for _ in range(qq._HUBER_ROUNDS):
+        b, a = fit(cur)
+        rr = [(r.x, r.y, abs(r.y - a - b * r.x)) for r in cur.collect()]
+        ars = sorted((ar, x) for x, _, ar in rr)
+        s_med = max(ars[(len(ars) + 1) // 2 - 1][0], 1e-9)
+        cur = spark.createDataFrame(
+            [
+                (x, y, 1.0 if ar < 1e-12 else min(1.0, qq._HUBER_K * s_med / ar))
+                for x, y, ar in rr
+            ],
+            "x double, y double, w double",
+        )
+    b_h, _ = fit(cur)
+    assert abs(b_ols - 10.0) > 5.0      # OLS dragged far off
+    assert abs(b_h - 10.0) < 1.0        # Huber stays near truth
