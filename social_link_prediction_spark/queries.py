@@ -17207,3 +17207,165 @@ def simpsons_paradox_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_agreeing"),
     )
+
+
+# =====================================================================
+# Round-5 continuation: inter-arrival burstiness and hour-of-day
+# goodness-of-fit.
+# =====================================================================
+@query(
+    "interarrival_burstiness_users",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0
+                   AS gap
+        FROM events),
+    ub AS MATERIALIZED (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               avg(gap) AS mu,
+               coalesce(stddev_pop(gap), 0.0) AS sd
+        FROM seq WHERE gap IS NOT NULL
+        GROUP BY user_id HAVING count(*) >= 10),
+    b AS (SELECT (sd - mu) / (sd + mu) AS b FROM ub WHERE sd + mu > 0),
+    r AS (SELECT b, row_number() OVER (ORDER BY b) AS rk,
+                 count(*) OVER () AS n
+          FROM b)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_users,
+           round((SELECT avg(b) FROM b), 6) AS mean_b,
+           round((SELECT b FROM r
+                  WHERE rk = CAST(floor((n + 1) / 2.0) AS BIGINT)), 6)
+               AS median_b,
+           round((SELECT min(b) FROM b), 6) AS min_b,
+           round((SELECT max(b) FROM b), 6) AS max_b
+    """,
+)
+def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness coefficient B = (sigma - mu)/(sigma +
+    mu) of each user's inter-event gaps (B = -1 periodic, 0 Poisson,
+    -> 1 bursty), summarized over users with >= 10 gaps — the
+    human-dynamics fingerprint that says whether activity models
+    (session gap thresholds, decay windows) can assume Poisson
+    arrivals; the per-user distributional companion of
+    order_interarrival_stats' population percentiles. Gaps come from
+    one per-user lag window (epoch_us, TZ-proof); everything after
+    runs on the users-sized frame with an exact lower-median pick."""
+    from social_link_prediction_spark.operators.windows import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        (
+            (
+                epoch_us(F.col("ts"))
+                - epoch_us(
+                    F.lag("ts").over(
+                        Window.partitionBy("user_id").orderBy("ts", "event_id")
+                    )
+                )
+            )
+            / 1_000_000.0
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    ub = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.avg("gap").alias("mu"),
+            F.coalesce(F.stddev_pop("gap"), F.lit(0.0)).alias("sd"),
+        )
+        .filter(F.col("n_gaps") >= 10)
+    )
+    b = ub.filter(F.col("sd") + F.col("mu") > 0).select(
+        ((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu"))).alias("b")
+    ).persist()
+    n = b.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    med = (
+        b.select(
+            "b",
+            F.row_number().over(Window.orderBy("b")).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2.0).cast("long"))
+        .select(F.col("b").alias("median_b"))
+    )
+    stats = b.agg(
+        F.round(F.avg("b"), 6).alias("mean_b"),
+        F.round(F.min("b"), 6).alias("min_b"),
+        F.round(F.max("b"), 6).alias("max_b"),
+    )
+    return (
+        n.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_users",
+            "mean_b",
+            F.round("median_b", 6).alias("median_b"),
+            "min_b",
+            "max_b",
+        )
+    )
+
+
+@query(
+    "hour_of_day_uniformity",
+    """
+    WITH h AS MATERIALIZED (
+        SELECT event_type, extract(hour FROM ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt
+            FROM h GROUP BY event_type),
+    grid AS (
+        SELECT t.event_type, g.hr, t.nt, coalesce(h.n, 0) AS n
+        FROM tot t
+        CROSS JOIN (SELECT unnest(range(0, 24)) AS hr) g
+        LEFT JOIN h ON h.event_type = t.event_type AND h.hr = g.hr)
+    SELECT event_type, CAST(min(nt) AS BIGINT) AS n_events,
+           round(sum((n - nt / 24.0) * (n - nt / 24.0) / (nt / 24.0)), 4)
+               AS chi2_uniform,
+           23 AS dof,
+           round(max(n) * 24.0 / min(nt), 4) AS peak_ratio
+    FROM grid GROUP BY event_type ORDER BY event_type
+    """,
+)
+def hour_of_day_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each event type's hour-of-day
+    profile against uniformity (+ the peak-hour ratio) — the
+    time-of-day GoF completing the family (benford_totalprice = digit
+    GoF, ks_test = two-sample shape): a flat profile means bot-like
+    traffic, a peaked one means human rhythm, and it decides whether
+    hourly models need the (dow, hour) baseline
+    seasonal_residual_anomalies uses. Hours come from the NTZ
+    wall-clock (TZ-proof); empty hours contribute their full
+    (0-E)^2/E via the 24-cell grid."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = h.groupBy("event_type").agg(F.sum("n").cast("long").alias("nt"))
+    grid = (
+        tot.crossJoin(
+            F.broadcast(spark.range(24).select(F.col("id").alias("hr")))
+        )
+        .join(h, ["event_type", "hr"], "left")
+        .select(
+            "event_type", "nt", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    e = F.col("nt") / 24.0
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.min("nt").alias("n_events"),
+            F.round(F.sum((F.col("n") - e) * (F.col("n") - e) / e), 4).alias(
+                "chi2_uniform"
+            ),
+            F.lit(23).cast("int").alias("dof"),
+            F.round(F.max("n") * 24.0 / F.min("nt"), 4).alias("peak_ratio"),
+        )
+        .select("event_type", "n_events", "chi2_uniform", "dof", "peak_ratio")
+        .orderBy("event_type")
+    )

@@ -127,6 +127,8 @@ R5_QUERIES = [
     "huber_revenue_trend",
     "qini_uplift_deciles",
     "simpsons_paradox_screen",
+    "interarrival_burstiness_users",
+    "hour_of_day_uniformity",
 ]
 
 

@@ -84,6 +84,8 @@ EVENT_TIME_QUERIES = [
     "msprt_ab_monitor",
     "delta_method_ratio_se",
     "cohort_ltv_curves",
+    "interarrival_burstiness_users",
+    "hour_of_day_uniformity",
 ]
 
 needs_testdata = pytest.mark.skipif(
