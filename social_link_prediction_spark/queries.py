@@ -17369,3 +17369,100 @@ def hour_of_day_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "chi2_uniform", "dof", "peak_ratio")
         .orderBy("event_type")
     )
+
+
+@query(
+    "clustering_by_degree",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_SCAN_EDGE_SQL} % 10000 < 400
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    deg AS MATERIALIZED (
+        SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+    tri AS (
+        SELECT corner AS id, CAST(count(*) AS BIGINT) AS t
+        FROM (
+            SELECT unnest([ab.src, ab.dst, bc.dst]) AS corner
+            FROM e ab JOIN e bc ON bc.src = ab.dst
+            JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst)
+        GROUP BY corner),
+    lc AS (
+        SELECT deg.d, coalesce(tri.t, 0) * 2.0 / (deg.d * (deg.d - 1.0))
+                   AS c
+        FROM deg LEFT JOIN tri ON tri.id = deg.id
+        WHERE deg.d >= 2),
+    bucket AS (
+        SELECT CAST(floor(ln(d) / ln(2.0)) AS BIGINT) AS db, c FROM lc)
+    SELECT db AS degree_bucket,
+           CAST(power(2, db) AS BIGINT) AS min_degree,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           round(avg(c), 6) AS mean_clustering
+    FROM bucket GROUP BY db ORDER BY db
+    """,
+)
+def clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-vs-degree curve c(k): mean local clustering
+    coefficient per log2-degree bucket on the sampled supplier graph
+    — hierarchical networks show c(k) ~ k^-1 (Ravasz-Barabási) where
+    random graphs are flat, the structural signature
+    clustering_coefficient's single global number cannot see. Exact
+    per-vertex triangle credits (the compact-forward join, each
+    triangle credits its three corners) over broadcast degree
+    arithmetic; buckets are integer log2 so both engines bin
+    identically."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
+            % 10000
+            < 400
+        )
+        .persist()
+    )
+    from social_link_prediction_spark.graph import motifs as mo
+
+    deg = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tri = mo.vertex_triangle_counts(e)
+    lc = (
+        deg.join(tri, "id", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            "d",
+            (
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                * 2.0
+                / (F.col("d") * (F.col("d") - 1.0))
+            ).alias("c"),
+        )
+    )
+    bucket = lc.select(
+        F.floor(F.log("d") / F.log(F.lit(2.0))).cast("long").alias("db"), "c"
+    )
+    return (
+        bucket.groupBy("db")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.round(F.avg("c"), 6).alias("mean_clustering"),
+        )
+        .select(
+            F.col("db").alias("degree_bucket"),
+            F.pow(F.lit(2.0), F.col("db")).cast("long").alias("min_degree"),
+            "n_nodes",
+            "mean_clustering",
+        )
+        .orderBy("degree_bucket")
+    )

@@ -129,6 +129,7 @@ R5_QUERIES = [
     "simpsons_paradox_screen",
     "interarrival_burstiness_users",
     "hour_of_day_uniformity",
+    "clustering_by_degree",
 ]
 
 
