@@ -17466,3 +17466,230 @@ def clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("degree_bucket")
     )
+
+
+# =====================================================================
+# Round-5 continuation: Murphy decomposition of the Brier score and
+# binned Kendall tau-b.
+# =====================================================================
+@query(
+    "brier_decomposition",
+    """
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS label
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    b AS MATERIALIZED (
+        SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               avg(score) AS pbar, avg(label) AS obar,
+               avg((score - label) * (score - label)) AS bs
+        FROM scored GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   sum(n * obar) / sum(n) AS og,
+                   sum(n * bs) / sum(n) AS brier
+            FROM b)
+    SELECT (SELECT nt FROM tot) AS n_obs,
+           round((SELECT brier FROM tot), 6) AS brier,
+           round(sum(n * (pbar - obar) * (pbar - obar))
+                 / (SELECT nt FROM tot), 6) AS reliability,
+           round(sum(n * (obar - (SELECT og FROM tot))
+                       * (obar - (SELECT og FROM tot)))
+                 / (SELECT nt FROM tot), 6) AS resolution,
+           round((SELECT og FROM tot) * (1.0 - (SELECT og FROM tot)), 6)
+               AS uncertainty
+    FROM b
+    """,
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score (same scoring rule as
+    calibration_reliability_bins): Brier ≈ reliability - resolution +
+    uncertainty over the 10 score bins — the forecast-verification
+    identity that says WHY a score is bad (miscalibrated vs
+    uninformative vs inherently noisy outcome), which the raw Brier
+    number can't distinguish. One scored join + one bin rollup; the
+    three components are bins-sized arithmetic."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("label"),
+    )
+    b = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("score").alias("pbar"),
+        F.avg("label").alias("obar"),
+        F.avg(
+            (F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))
+        ).alias("bs"),
+    ).persist()
+    tot = b.agg(
+        F.sum("n").cast("long").alias("nt"),
+        (F.sum(F.col("n") * F.col("obar")) / F.sum("n")).alias("og"),
+        (F.sum(F.col("n") * F.col("bs")) / F.sum("n")).alias("brier"),
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("nt", "og", "brier")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (F.col("pbar") - F.col("obar"))
+                    * (F.col("pbar") - F.col("obar"))
+                )
+                / F.first("nt"),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * (F.col("obar") - F.col("og"))
+                    * (F.col("obar") - F.col("og"))
+                )
+                / F.first("nt"),
+                6,
+            ).alias("resolution"),
+        )
+        .select(
+            F.col("nt").alias("n_obs"),
+            F.round("brier", 6).alias("brier"),
+            "reliability",
+            "resolution",
+            F.round(F.col("og") * (1.0 - F.col("og")), 6).alias("uncertainty"),
+        )
+    )
+
+
+@query(
+    "kendall_tau_binned",
+    """
+    WITH mm AS (SELECT min(p_retailprice) AS lo, max(p_retailprice) AS hi
+                FROM part),
+    f AS (
+        SELECT least(CAST(floor((p_size - 1) / 5.0) AS BIGINT), 9) AS bx,
+               least(CAST(floor((p_retailprice - (SELECT lo FROM mm))
+                                / (((SELECT hi FROM mm) - (SELECT lo FROM mm))
+                                   / 10.0 + 1e-9)) AS BIGINT), 9) AS by
+        FROM part),
+    cells AS MATERIALIZED (
+        SELECT bx, by, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+    pairs AS (
+        SELECT sum(CASE WHEN (a.bx < b.bx AND a.by < b.by)
+                          OR (a.bx > b.bx AND a.by > b.by)
+                        THEN a.c * b.c ELSE 0 END) / 2.0 AS conc,
+               sum(CASE WHEN (a.bx < b.bx AND a.by > b.by)
+                          OR (a.bx > b.bx AND a.by < b.by)
+                        THEN a.c * b.c ELSE 0 END) / 2.0 AS disc
+        FROM cells a JOIN cells b
+          ON a.bx <> b.bx OR a.by <> b.by OR a.bx = b.bx),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    ties AS (
+        SELECT (SELECT CAST(sum(cx * (cx - 1)) AS DOUBLE) / 2 FROM (
+                    SELECT sum(c) AS cx FROM cells GROUP BY bx)) AS tx,
+               (SELECT CAST(sum(cy * (cy - 1)) AS DOUBLE) / 2 FROM (
+                    SELECT sum(c) AS cy FROM cells GROUP BY by)) AS ty)
+    SELECT (SELECT n FROM n) AS n_rows,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           round(CASE WHEN (CAST((SELECT n FROM n) AS DOUBLE)
+                           * ((SELECT n FROM n) - 1) / 2
+                           - (SELECT tx FROM ties)) > 0
+                        AND (CAST((SELECT n FROM n) AS DOUBLE)
+                             * ((SELECT n FROM n) - 1) / 2
+                             - (SELECT ty FROM ties)) > 0
+                      THEN (conc - disc)
+                 / sqrt((CAST((SELECT n FROM n) AS DOUBLE)
+                         * ((SELECT n FROM n) - 1) / 2 - (SELECT tx FROM ties))
+                        * (CAST((SELECT n FROM n) AS DOUBLE)
+                           * ((SELECT n FROM n) - 1) / 2
+                           - (SELECT ty FROM ties))) END, 6) AS tau_b
+    FROM pairs
+    """,
+)
+def kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between binned part size and price — the third
+    correlation lens (Pearson = linear, Spearman = monotone-rank,
+    Kendall = pair-concordance, the most robust and the one with the
+    cleanest interpretation: P(concordant) - P(discordant)).
+    Computed EXACTLY from the 10x10 binned contingency table:
+    concordant/discordant pair counts are cell-product sums, so the
+    O(n²) pair enumeration collapses to a 100-cell self-join — the
+    same distinct-value trick as the rank family, and the 100 TB
+    shape (one groupBy, then control-plane math). Tie corrections
+    (tau-b) from the bin marginals."""
+    p = _t(spark, sf_dir, "part")
+    mm = p.agg(
+        F.min("p_retailprice").alias("lo"), F.max("p_retailprice").alias("hi")
+    )
+    f = p.crossJoin(F.broadcast(mm)).select(
+        F.least(F.floor((F.col("p_size") - 1) / 5.0).cast("long"), F.lit(9)).alias(
+            "bx"
+        ),
+        F.least(
+            F.floor(
+                (F.col("p_retailprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0 + 1e-9)
+            ).cast("long"),
+            F.lit(9),
+        ).alias("by"),
+    )
+    cells = f.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    a = cells.select(
+        F.col("bx").alias("ax"), F.col("by").alias("ay"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"), F.col("c").alias("cb")
+    )
+    conc_cond = ((F.col("ax") < F.col("bx2")) & (F.col("ay") < F.col("by2"))) | (
+        (F.col("ax") > F.col("bx2")) & (F.col("ay") > F.col("by2"))
+    )
+    disc_cond = ((F.col("ax") < F.col("bx2")) & (F.col("ay") > F.col("by2"))) | (
+        (F.col("ax") > F.col("bx2")) & (F.col("ay") < F.col("by2"))
+    )
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        (F.sum(F.when(conc_cond, F.col("ca") * F.col("cb")).otherwise(0)) / 2.0).alias(
+            "conc"
+        ),
+        (F.sum(F.when(disc_cond, F.col("ca") * F.col("cb")).otherwise(0)) / 2.0).alias(
+            "disc"
+        ),
+    )
+    n = cells.agg(F.sum("c").cast("long").alias("n"))
+    tx = (
+        cells.groupBy("bx")
+        .agg(F.sum("c").alias("cx"))
+        .agg((F.sum(F.col("cx") * (F.col("cx") - 1)) / 2).cast("double").alias("tx"))
+    )
+    ty = (
+        cells.groupBy("by")
+        .agg(F.sum("c").alias("cy"))
+        .agg((F.sum(F.col("cy") * (F.col("cy") - 1)) / 2).cast("double").alias("ty"))
+    )
+    half = F.col("n").cast("double") * (F.col("n") - 1) / 2
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.round(
+                F.when(
+                    (half - F.col("tx") > 0) & (half - F.col("ty") > 0),
+                    (F.col("conc") - F.col("disc"))
+                    / F.sqrt((half - F.col("tx")) * (half - F.col("ty"))),
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

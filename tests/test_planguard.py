@@ -130,6 +130,8 @@ R5_QUERIES = [
     "interarrival_burstiness_users",
     "hour_of_day_uniformity",
     "clustering_by_degree",
+    "brier_decomposition",
+    "kendall_tau_binned",
 ]
 
 
