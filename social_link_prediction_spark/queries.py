@@ -17693,3 +17693,152 @@ def kendall_tau_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# =====================================================================
+# Round-5 continuation: language-ID confusion audit and cross-source
+# shingle overlap.
+# =====================================================================
+def _duck_langid_confusion_sql() -> str:
+    inner = _duck_langid_sql().strip()
+    return f"""
+    WITH pred AS MATERIALIZED ({inner}),
+    j AS (SELECT d.lang AS actual, p.lang_pred AS predicted
+          FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+    cm AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+           FROM j GROUP BY 1, 2),
+    acc AS (SELECT sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                   * 1.0 / sum(n) AS accuracy
+            FROM cm)
+    SELECT actual, predicted, n,
+           round((SELECT accuracy FROM acc), 6) AS overall_accuracy
+    FROM cm ORDER BY actual, predicted
+    """
+
+
+@query("langid_confusion_matrix", None)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-heuristic language identifier
+    against the documents table's ground-truth lang column, plus
+    overall accuracy — the evaluation language_id_docs (predictions
+    only) never closes the loop on: which language pairs the n-gram
+    heuristic confuses decides whether per-language mixture weights
+    (mixture_rebalance_langs, tokenizer_fertility) can trust predicted
+    labels at 100 TB where ground truth doesn't exist. One prediction
+    pass + one (actual, predicted) rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = ptx.language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", F.col("lang").alias("actual")).join(pred, "doc_id")
+    cm = j.groupBy("actual", F.col("lang_pred").alias("predicted")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    acc = cm.agg(
+        (
+            F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")).otherwise(0))
+            / F.sum("n")
+        ).alias("accuracy")
+    )
+    return (
+        cm.crossJoin(F.broadcast(acc))
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.round("accuracy", 6).alias("overall_accuracy"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
+ORACLES["langid_confusion_matrix"] = _duck_langid_confusion_sql()
+
+
+@query(
+    "cross_source_overlap",
+    """
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT source,
+               md5(unnest([array_to_string(tk[i:i+2], ' ')
+                           for i in range(1, greatest(len(tk) - 2, 0) + 1)]))
+                   AS sg
+        FROM (SELECT source, list_filter(string_split(text, ' '),
+                                         t -> t <> '') AS tk
+              FROM documents)),
+    tot AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh
+        GROUP BY source),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT)
+                   AS common
+        FROM sh a JOIN sh b ON b.sg = a.sg AND a.source < b.source
+        GROUP BY 1, 2),
+    jac AS (
+        SELECT i.sa, i.sb, i.common,
+               round(i.common * 1.0 / (ta.n + tb.n - i.common), 6) AS jaccard
+        FROM inter i
+        JOIN tot ta ON ta.source = i.sa
+        JOIN tot tb ON tb.source = i.sb),
+    r AS (SELECT *, row_number() OVER (ORDER BY jaccard DESC, sa, sb)
+                        AS rk
+          FROM jac)
+    SELECT sa AS source_a, sb AS source_b, common AS shared_shingles,
+           jaccard
+    FROM r WHERE rk <= 10 ORDER BY rk
+    """,
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap: exact Jaccard of the DISTINCT
+    trigram-shingle sets for every source pair, top-10 most
+    overlapping — the corpus-mixing diagnostic that catches mirror
+    sites / syndicated feeds BEFORE per-document dedup would burn
+    compute on them (incremental_dedup_batch answers doc-vs-corpus;
+    this answers source-vs-source at the catalog level). The shingle
+    self-join keys on the hash — per-shingle fan-out is bounded by
+    the source count (<= 20 here), never by corpus size — and the
+    pair frame is sources², control-plane sized."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", F.explode(pdd.shingles("text", 3)).alias("sg0"))
+        .select("source", F.md5("sg0").alias("sg"))
+        .dropDuplicates()
+        .persist()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("sa"), "sg")
+    b = sh.select(F.col("source").alias("sb"), "sg")
+    inter = (
+        a.join(b, "sg")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "common",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        jac.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("jaccard").desc(), "sa", "sb"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("common").alias("shared_shingles"),
+            "jaccard",
+        )
+        .orderBy("rk")
+    )

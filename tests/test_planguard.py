@@ -132,6 +132,8 @@ R5_QUERIES = [
     "clustering_by_degree",
     "brier_decomposition",
     "kendall_tau_binned",
+    "langid_confusion_matrix",
+    "cross_source_overlap",
 ]
 
 
