@@ -17842,3 +17842,138 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# =====================================================================
+# Round-5 continuation: negative-binomial fit and decile lift table.
+# =====================================================================
+@query(
+    "negbinom_fit_events",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 avg(n) AS mu, var_samp(n) AS v
+          FROM daily GROUP BY event_type)
+    SELECT event_type, n_days,
+           round(mu, 6) AS mean_daily,
+           round(CASE WHEN v > mu THEN mu * mu / (v - mu) END, 4) AS nb_r,
+           round(CASE WHEN v > mu THEN mu / v END, 6) AS nb_p,
+           CASE WHEN v > mu THEN 0 ELSE 1 END AS poisson_ok
+    FROM m ORDER BY event_type
+    """,
+)
+def negbinom_fit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit for daily event counts
+    per type: r = mu^2/(v - mu), p = mu/v — the parametric follow-up
+    to overdispersion_event_counts (that query DETECTS var > mean;
+    this one hands alerting the actual NB(r, p) noise model to set
+    thresholds with, falling back to Poisson when the data is not
+    overdispersed). Same one day-keyed rollup; moments per type on
+    the days-sized series; NULL parameters when the NB is undefined
+    (v <= mu), not a fabricated fit."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.avg("n").alias("mu"),
+        F.var_samp("n").alias("v"),
+    )
+    over = F.col("v") > F.col("mu")
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 6).alias("mean_daily"),
+        F.round(
+            F.when(over, F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu"))),
+            4,
+        ).alias("nb_r"),
+        F.round(F.when(over, F.col("mu") / F.col("v")), 6).alias("nb_p"),
+        F.when(over, 0).otherwise(1).alias("poisson_ok"),
+    ).orderBy("event_type")
+
+
+@query(
+    "decile_lift_table",
+    """
+    WITH scored AS (
+        SELECT c.c_custkey,
+               1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    ranked AS (
+        SELECT y, ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+        FROM scored),
+    d AS MATERIALIZED (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM ranked GROUP BY decile),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(pos) AS BIGINT) AS pt FROM d),
+    c AS (SELECT decile, n, pos,
+                 sum(pos) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cpos
+          FROM d)
+    SELECT decile, n, pos,
+           round(pos * 1.0 / n, 6) AS response_rate,
+           round((pos * 1.0 / n)
+                 / ((SELECT pt FROM tot) * 1.0 / (SELECT nt FROM tot)), 6)
+               AS lift,
+           round(cpos * 1.0 / (SELECT pt FROM tot), 6) AS cum_capture
+    FROM c ORDER BY decile
+    """,
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic decile lift/gains table for the deterministic scoring
+    rule: per score decile the response rate, lift over the base
+    rate, and cumulative capture of all positives — the scorecard
+    readout between calibration_reliability_bins (is the probability
+    right?) and qini_uplift_deciles (is the INCREMENTAL effect
+    right?): this one answers 'how deep must I mail to reach X% of
+    responders'. Deterministic ntile with custkey tie-break; one
+    scored join + one decile rollup; integer cells throughout."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        "c_custkey",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    ranked = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), "c_custkey"))
+        .alias("decile"),
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    ).persist()
+    tot = d.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("pos").cast("long").alias("pt")
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select("decile", "n", "pos", F.sum("pos").over(w).alias("cpos"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "pos",
+            F.round(F.col("pos") / F.col("n"), 6).alias("response_rate"),
+            F.round(
+                (F.col("pos") / F.col("n")) / (F.col("pt") / F.col("nt")), 6
+            ).alias("lift"),
+            F.round(F.col("cpos") / F.col("pt"), 6).alias("cum_capture"),
+        )
+        .orderBy("decile")
+    )

@@ -134,6 +134,8 @@ R5_QUERIES = [
     "kendall_tau_binned",
     "langid_confusion_matrix",
     "cross_source_overlap",
+    "negbinom_fit_events",
+    "decile_lift_table",
 ]
 
 

@@ -86,6 +86,7 @@ EVENT_TIME_QUERIES = [
     "cohort_ltv_curves",
     "interarrival_burstiness_users",
     "hour_of_day_uniformity",
+    "negbinom_fit_events",
 ]
 
 needs_testdata = pytest.mark.skipif(
