@@ -17977,3 +17977,176 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# =====================================================================
+# Round-5 continuation: intraclass correlation + design effect, and
+# Chapman capture-recapture population estimation.
+# =====================================================================
+@query(
+    "icc_nation_totalprice",
+    """
+    WITH v AS (
+        SELECT c.c_nationkey AS g, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    pg AS MATERIALIZED (
+        SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s,
+               sum(x * x) AS ss
+        FROM v GROUP BY g),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(n * n) AS sn2
+            FROM pg),
+    comp AS (
+        SELECT (SELECT k FROM tot) AS k, (SELECT nt FROM tot) AS nt,
+               sum(n * (s / n - (SELECT st FROM tot) / (SELECT nt FROM tot))
+                     * (s / n - (SELECT st FROM tot) / (SELECT nt FROM tot)))
+                   / ((SELECT k FROM tot) - 1) AS msb,
+               sum(ss - s * s / n)
+                   / ((SELECT nt FROM tot) - (SELECT k FROM tot)) AS msw,
+               ((SELECT nt FROM tot)
+                - (SELECT sn2 FROM tot) * 1.0 / (SELECT nt FROM tot))
+                   / ((SELECT k FROM tot) - 1) AS m0
+        FROM pg)
+    SELECT k AS k_groups, nt AS n_obs,
+           round(m0, 6) AS avg_group_size,
+           round((msb - msw) / (msb + (m0 - 1) * msw), 6) AS icc,
+           round(1 + (m0 - 1) * (msb - msw) / (msb + (m0 - 1) * msw), 6)
+               AS design_effect
+    FROM comp
+    """,
+)
+def icc_nation_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraclass correlation of order totals within customer nations
+    (one-way random-effects ANOVA estimator, unequal group sizes via
+    the m0 correction) and the resulting design effect DEFF = 1 +
+    (m0-1)*ICC — the number that says how much a nation-CLUSTERED
+    sample inflates variance vs simple random sampling, which
+    neyman_allocation_sample and sampled_groupby_ci implicitly assume
+    away. Same per-group (n, sum, sumsq) partials as
+    anova_price_segments; everything after is 25-row arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    v = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_nationkey").alias("g"), F.col("o_totalprice").alias("x")
+    )
+    pg = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).persist()
+    tot = pg.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    comp = (
+        pg.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt", "st", "sn2")
+        .agg(
+            (
+                F.sum(
+                    F.col("n")
+                    * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+                    * (F.col("s") / F.col("n") - F.col("st") / F.col("nt"))
+                )
+                / (F.first("k") - 1)
+            ).alias("msb"),
+            (
+                F.sum(F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.first("nt") - F.first("k"))
+            ).alias("msw"),
+        )
+        .select(
+            "k",
+            "nt",
+            "msb",
+            "msw",
+            (
+                (F.col("nt") - F.col("sn2") / F.col("nt")) / (F.col("k") - 1)
+            ).alias("m0"),
+        )
+    )
+    icc = (F.col("msb") - F.col("msw")) / (
+        F.col("msb") + (F.col("m0") - 1) * F.col("msw")
+    )
+    return comp.select(
+        F.col("k").alias("k_groups"),
+        F.col("nt").alias("n_obs"),
+        F.round("m0", 6).alias("avg_group_size"),
+        F.round(icc, 6).alias("icc"),
+        F.round(1 + (F.col("m0") - 1) * icc, 6).alias("design_effect"),
+    )
+
+
+@query(
+    "capture_recapture_users",
+    """
+    WITH span AS (SELECT min(CAST(ts AS DATE)) AS lo FROM events),
+    w1 AS (SELECT DISTINCT user_id FROM events
+           WHERE CAST(ts AS DATE) < (SELECT lo FROM span) + 7),
+    w2 AS (SELECT DISTINCT user_id FROM events
+           WHERE CAST(ts AS DATE) >= (SELECT lo FROM span) + 7
+             AND CAST(ts AS DATE) < (SELECT lo FROM span) + 14),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM w1
+          WHERE user_id IN (SELECT user_id FROM w2)),
+    n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM w1) AS n1,
+                 (SELECT CAST(count(*) AS BIGINT) FROM w2) AS n2,
+                 (SELECT m FROM m) AS m,
+                 (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                  FROM events) AS actual)
+    SELECT n1, n2, m,
+           CAST(floor((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) AS BIGINT)
+               AS chapman_estimate,
+           actual,
+           round((floor((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) - actual)
+                 * 1.0 / actual, 6) AS rel_error
+    FROM n
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the active-user
+    population from two one-week observation windows: N̂ =
+    (n1+1)(n2+1)/(m+1) - 1 with m = users seen in both — the
+    ecology-grade estimator data teams use to size what they CANNOT
+    see (total entities when any single window undercounts), with
+    the actual distinct count alongside as the machine-checked
+    accuracy column (the closed-population assumption's error is the
+    finding, not a bug). Two distinct-user window scans + one
+    semi-join; all integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("lo"))
+    e = ev.crossJoin(F.broadcast(span)).select(
+        "user_id", F.datediff(F.to_date("ts"), F.col("lo")).alias("dd")
+    )
+    w1 = e.filter(F.col("dd") < 7).select("user_id").dropDuplicates()
+    w2 = (
+        e.filter((F.col("dd") >= 7) & (F.col("dd") < 14))
+        .select("user_id")
+        .dropDuplicates()
+    )
+    m = w1.join(w2, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    n1 = w1.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = w2.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    actual = ev.agg(F.countDistinct("user_id").cast("long").alias("actual"))
+    chap = F.floor(
+        (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    ).cast("long")
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n1",
+            "n2",
+            "m",
+            chap.alias("chapman_estimate"),
+            "actual",
+            F.round((chap - F.col("actual")) / F.col("actual"), 6).alias(
+                "rel_error"
+            ),
+        )
+    )

@@ -136,6 +136,8 @@ R5_QUERIES = [
     "cross_source_overlap",
     "negbinom_fit_events",
     "decile_lift_table",
+    "icc_nation_totalprice",
+    "capture_recapture_users",
 ]
 
 

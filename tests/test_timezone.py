@@ -87,6 +87,7 @@ EVENT_TIME_QUERIES = [
     "interarrival_burstiness_users",
     "hour_of_day_uniformity",
     "negbinom_fit_events",
+    "capture_recapture_users",
 ]
 
 needs_testdata = pytest.mark.skipif(
