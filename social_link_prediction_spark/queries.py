@@ -18150,3 +18150,246 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Round-5 continuation: McNemar paired comparison, Cohen's kappa,
+# threshold PR/ROC table.
+# =====================================================================
+@query(
+    "mcnemar_model_compare",
+    """
+    WITH f AS (
+        SELECT CASE WHEN 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) > 0.5
+                    THEN 1 ELSE 0 END AS m1,
+               CASE WHEN c.c_acctbal > 4500.0 THEN 1 ELSE 0 END AS m2,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    d AS (SELECT CAST(sum(CASE WHEN m1 = y AND m2 <> y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN m1 <> y AND m2 = y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM f)
+    SELECT n, b AS only_m1_correct, c AS only_m2_correct,
+           round(CASE WHEN b + c > 0
+                      THEN (b - c) * (b - c) * 1.0 / (b + c) END, 6)
+               AS mcnemar_chi2
+    FROM d
+    """,
+)
+def mcnemar_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test comparing two classifiers on the SAME customers
+    (the logistic-score rule vs a raw balance threshold, against the
+    has-orders label): only the DISCORDANT pairs — cases exactly one
+    model gets right — carry information, chi2 = (b-c)^2/(b+c). The
+    paired-comparison test that a naive two-accuracy z-test gets
+    wrong by ignoring that both models see identical examples. One
+    scored join + one count pass."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    f = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        F.when(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))
+            > 0.5,
+            1,
+        )
+        .otherwise(0)
+        .alias("m1"),
+        F.when(F.col("c_acctbal") > 4500.0, 1).otherwise(0).alias("m2"),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    )
+    d = f.agg(
+        F.sum(
+            F.when((F.col("m1") == F.col("y")) & (F.col("m2") != F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("b"),
+        F.sum(
+            F.when((F.col("m1") != F.col("y")) & (F.col("m2") == F.col("y")), 1)
+            .otherwise(0)
+        ).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return d.select(
+        "n",
+        F.col("b").alias("only_m1_correct"),
+        F.col("c").alias("only_m2_correct"),
+        F.round(
+            F.when(
+                F.col("b") + F.col("c") > 0,
+                (F.col("b") - F.col("c"))
+                * (F.col("b") - F.col("c"))
+                / (F.col("b") + F.col("c")),
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )
+
+
+def _duck_kappa_sql() -> str:
+    inner = _duck_langid_sql().strip()
+    return f"""
+    WITH pred AS MATERIALIZED ({inner}),
+    j AS (SELECT d.lang AS a, p.lang_pred AS b
+          FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+    po AS (SELECT sum(CASE WHEN a = b THEN 1 ELSE 0 END) * 1.0
+                  / (SELECT n FROM n) AS po
+           FROM j),
+    ma AS (SELECT a AS lab, count(*) * 1.0 / (SELECT n FROM n) AS pa
+           FROM j GROUP BY a),
+    mb AS (SELECT b AS lab, count(*) * 1.0 / (SELECT n FROM n) AS pb
+           FROM j GROUP BY b),
+    pe AS (SELECT sum(ma.pa * mb.pb) AS pe
+           FROM ma JOIN mb ON mb.lab = ma.lab)
+    SELECT (SELECT n FROM n) AS n_docs,
+           round((SELECT po FROM po), 6) AS observed_agreement,
+           round((SELECT pe FROM pe), 6) AS chance_agreement,
+           round(((SELECT po FROM po) - (SELECT pe FROM pe))
+                 / (1.0 - (SELECT pe FROM pe)), 6) AS kappa
+    """
+
+
+@query("cohens_kappa_langid", None)
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the heuristic language identifier and
+    ground truth: chance-corrected agreement (raw accuracy flatters
+    any classifier when one class dominates — kappa subtracts the
+    agreement the marginals alone would produce), summarizing
+    langid_confusion_matrix in one calibrated number. One prediction
+    pass + marginal-sized arithmetic on exact-integer ratios."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = ptx.language_id(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", F.col("lang").alias("a")).join(pred, "doc_id").select(
+        "a", F.col("lang_pred").alias("b")
+    ).persist()
+    n = j.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    po = j.crossJoin(F.broadcast(n)).agg(
+        (
+            F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)) / F.first("n")
+        ).alias("po")
+    )
+    ma = j.groupBy(F.col("a").alias("lab")).agg(F.count(F.lit(1)).alias("ca"))
+    mb = j.groupBy(F.col("b").alias("lab")).agg(F.count(F.lit(1)).alias("cb"))
+    pe = (
+        ma.join(mb, "lab")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                (F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n"))
+            ).alias("pe")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(po))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round("po", 6).alias("observed_agreement"),
+            F.round("pe", 6).alias("chance_agreement"),
+            F.round(
+                (F.col("po") - F.col("pe")) / (1.0 - F.col("pe")), 6
+            ).alias("kappa"),
+        )
+    )
+
+
+ORACLES["cohens_kappa_langid"] = _duck_kappa_sql()
+
+
+@query(
+    "pr_curve_score",
+    """
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS score,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    tot AS (SELECT CAST(sum(y) AS BIGINT) AS p,
+                   CAST(sum(1 - y) AS BIGINT) AS neg FROM scored),
+    th AS (SELECT unnest(range(1, 10)) / 10.0 AS t),
+    cells AS (
+        SELECT th.t,
+               CAST(sum(CASE WHEN score >= th.t AND y = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN score >= th.t AND y = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        FROM scored CROSS JOIN th GROUP BY th.t)
+    SELECT round(t, 1) AS threshold, tp, fp,
+           round(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END, 6)
+               AS precision,
+           round(CASE WHEN (SELECT p FROM tot) > 0
+                      THEN tp * 1.0 / (SELECT p FROM tot) END, 6) AS recall,
+           round(CASE WHEN (SELECT p FROM tot) > 0
+                       AND (SELECT neg FROM tot) > 0
+                      THEN tp * 1.0 / (SELECT p FROM tot)
+                           - fp * 1.0 / (SELECT neg FROM tot) END, 6)
+               AS youden_j
+    FROM cells ORDER BY threshold
+    """,
+)
+def pr_curve_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/Youden-J at nine thresholds for the scoring
+    rule — the operating-characteristic table behind threshold
+    selection (max Youden J = the ROC-optimal cut; max F1 readable
+    from the precision/recall columns), completing the eval family:
+    calibration (is p right), Brier decomposition (why wrong), lift
+    (how deep to act), this (where to CUT). One scored pass fanned
+    over a broadcast 9-row threshold frame — a single aggregation,
+    no per-threshold rescans."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "score"
+        ),
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
+    ).persist()
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(1 - F.col("y")).cast("long").alias("neg"),
+    )
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("t"))
+    cells = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("score") >= F.col("t")) & (F.col("y") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("fp"),
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.round("t", 1).alias("threshold"),
+            "tp",
+            "fp",
+            F.round(
+                F.when(
+                    F.col("tp") + F.col("fp") > 0,
+                    F.col("tp") / (F.col("tp") + F.col("fp")),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(F.col("p") > 0, F.col("tp") / F.col("p")), 6
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    (F.col("p") > 0) & (F.col("neg") > 0),
+                    F.col("tp") / F.col("p") - F.col("fp") / F.col("neg"),
+                ),
+                6,
+            ).alias("youden_j"),
+        )
+        .orderBy("threshold")
+    )

@@ -138,6 +138,9 @@ R5_QUERIES = [
     "decile_lift_table",
     "icc_nation_totalprice",
     "capture_recapture_users",
+    "mcnemar_model_compare",
+    "cohens_kappa_langid",
+    "pr_curve_score",
 ]
 
 
