@@ -18393,3 +18393,201 @@ def pr_curve_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# =====================================================================
+# Round-5 continuation: component-size distribution and embedding
+# hubness audit.
+# =====================================================================
+_CC_ROUNDS = 16
+_CSD_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'csd'"
+)
+
+
+def _duck_csd_sql(rounds: int = _CC_ROUNDS) -> str:
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_CSD_EDGE_SQL} % 10000 < 30
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+        UNION ALL SELECT id, id FROM s),
+    l0 AS (SELECT id, id AS lbl FROM s)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""l{k} AS MATERIALIZED (
+        SELECT sym.src AS id, min(l.lbl) AS lbl
+        FROM sym JOIN l{k - 1} l ON l.id = sym.dst GROUP BY sym.src)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body},
+    comp AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+             FROM l{rounds} GROUP BY lbl),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+    SELECT sz AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components,
+           round(max(sz) OVER () * 1.0 / (SELECT n FROM n), 6) AS lcc_frac
+    FROM comp GROUP BY sz ORDER BY sz
+    """
+
+
+@query("component_size_distribution", None)
+def component_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component size distribution + largest-component
+    fraction on a sparse (0.3%) sampled supplier graph — THE
+    percolation readout (is the graph one giant component or dust?),
+    the distributional companion of connected_components_cnr's
+    per-node labels. Min-label propagation with self-loops so
+    isolated nodes keep their own label, unrolled 16 rounds in both
+    engines (monotone lattice: rounds past convergence are no-ops —
+    16 > the sampled graph's diameter at every tier; the production
+    path is the O(log n) large-star/small-star in graph/pagerank.
+    connected_components, this device is the oracle-checkable twin)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("csd"))
+            % 10000
+            < 30
+        )
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(sup.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .persist()
+    )
+    lbl = sup.select("id", F.col("id").alias("lbl"))
+    for _ in range(_CC_ROUNDS):
+        lbl = (
+            sym.join(
+                lbl.select(F.col("id").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    comp = lbl.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    n = sup.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        comp.groupBy("sz")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .crossJoin(F.broadcast(comp.agg(F.max("sz").alias("mx"))))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("sz").alias("component_size"),
+            "n_components",
+            F.round(F.col("mx") / F.col("n"), 6).alias("lcc_frac"),
+        )
+        .orderBy("component_size")
+    )
+
+
+ORACLES["component_size_distribution"] = _duck_csd_sql()
+
+
+@query(
+    "hubness_audit_embeddings",
+    """
+    WITH samp AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 10 = 0),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS qa, b.vec_id AS nb,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM samp a JOIN samp b ON a.vec_id <> b.vec_id),
+    topk AS (
+        SELECT qa, nb FROM (
+            SELECT qa, nb,
+                   row_number() OVER (PARTITION BY qa
+                                      ORDER BY cos DESC, nb) AS rk
+            FROM pairs)
+        WHERE rk <= 5),
+    nk AS MATERIALIZED (
+        SELECT s.vec_id, CAST(coalesce(t.c, 0) AS BIGINT) AS n5
+        FROM samp s LEFT JOIN (SELECT nb, count(*) AS c FROM topk
+                               GROUP BY nb) t
+                 ON t.nb = s.vec_id),
+    m AS (SELECT avg(n5) AS mu, stddev_pop(n5) AS sd,
+                 CAST(max(n5) AS BIGINT) AS mx,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM nk)
+    SELECT n AS n_vectors, mx AS max_k_occurrence,
+           round(mu, 6) AS mean_k_occurrence,
+           round(CASE WHEN sd > 0 THEN (mx - mu) / sd END, 4) AS hub_z,
+           round((SELECT sum(CASE WHEN n5 = 0 THEN 1 ELSE 0 END) * 1.0
+                  FROM nk) / n, 6) AS antihub_frac
+    FROM m
+    """,
+)
+def hubness_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit of the embedding space (Radovanović et al.): on a
+    deterministic 10% sample, how skewed is N_5 — the count of times
+    each vector appears in OTHERS' cosine top-5? High-dimensional
+    spaces grow hubs (huge N_k) and antihubs (never retrieved), which
+    silently distorts every k-NN consumer (semantic dedup, ANN
+    serving, CF) — this is the space-health check those queries
+    assume. The pair join is sample², bounded by the hash sample (the
+    100 TB path audits per IVF cell); round-before-rank top-5 with
+    vec_id tie-breaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    samp = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").alias("v")
+    ).persist()
+    a = samp.select(F.col("vec_id").alias("qa"), F.col("v").alias("va"))
+    b = samp.select(F.col("vec_id").alias("nb"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("qa") != F.col("nb"))
+        .select(
+            "qa",
+            "nb",
+            F.round(sim.cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    topk = (
+        pairs.select(
+            "qa",
+            "nb",
+            F.row_number()
+            .over(Window.partitionBy("qa").orderBy(F.col("cos").desc(), "nb"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    nk = samp.select("vec_id").join(
+        topk.groupBy(F.col("nb").alias("vec_id")).agg(
+            F.count(F.lit(1)).alias("c")
+        ),
+        "vec_id",
+        "left",
+    ).select(F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n5")).persist()
+    m = nk.agg(
+        F.avg("n5").alias("mu"),
+        F.stddev_pop("n5").alias("sd"),
+        F.max("n5").cast("long").alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.when(F.col("n5") == 0, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("ah"),
+    )
+    return m.select(
+        F.col("n").alias("n_vectors"),
+        F.col("mx").alias("max_k_occurrence"),
+        F.round("mu", 6).alias("mean_k_occurrence"),
+        F.round(
+            F.when(F.col("sd") > 0, (F.col("mx") - F.col("mu")) / F.col("sd")),
+            4,
+        ).alias("hub_z"),
+        F.round("ah", 6).alias("antihub_frac"),
+    )

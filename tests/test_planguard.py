@@ -141,6 +141,8 @@ R5_QUERIES = [
     "mcnemar_model_compare",
     "cohens_kappa_langid",
     "pr_curve_score",
+    "component_size_distribution",
+    "hubness_audit_embeddings",
 ]
 
 
