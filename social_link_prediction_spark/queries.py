@@ -18591,3 +18591,58 @@ def hubness_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hub_z"),
         F.round("ah", 6).alias("antihub_frac"),
     )
+
+
+@query(
+    "dau_mau_stickiness",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(extract(year FROM ts) * 12 + extract(month FROM ts)
+                    AS BIGINT) AS mon,
+               user_id
+        FROM events GROUP BY 1, 2, 3),
+    dau AS (SELECT mon, day, CAST(count(*) AS BIGINT) AS dau
+            FROM d GROUP BY mon, day),
+    mau AS (SELECT mon, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+            FROM d GROUP BY mon)
+    SELECT dau.mon AS month_index,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(dau.dau), 6) AS avg_dau,
+           CAST(min(mau.mau) AS BIGINT) AS mau,
+           round(avg(dau.dau) / min(mau.mau), 6) AS stickiness
+    FROM dau JOIN mau ON mau.mon = dau.mon
+    GROUP BY dau.mon ORDER BY month_index
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month — the engagement ratio
+    every growth dashboard leads with (what fraction of the monthly
+    audience shows up on an average day), sitting between
+    rolling_7d_active_users (trailing WAU) and retention_cohorts
+    (cohort decay). One (day, month, user) dedup rollup is the only
+    corpus-sized work; DAU/MAU are months-sized aggregations of it,
+    and the ratio is exact-integer arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("mon"),
+        "user_id",
+    ).dropDuplicates()
+    dau = d.groupBy("mon", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    mau = d.groupBy("mon").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), "mon")
+        .groupBy(F.col("mon").alias("month_index"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("dau"), 6).alias("avg_dau"),
+            F.min("mau").cast("long").alias("mau"),
+            F.round(F.avg("dau") / F.min("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month_index")
+    )

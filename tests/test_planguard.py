@@ -143,6 +143,7 @@ R5_QUERIES = [
     "pr_curve_score",
     "component_size_distribution",
     "hubness_audit_embeddings",
+    "dau_mau_stickiness",
 ]
 
 

@@ -88,6 +88,7 @@ EVENT_TIME_QUERIES = [
     "hour_of_day_uniformity",
     "negbinom_fit_events",
     "capture_recapture_users",
+    "dau_mau_stickiness",
 ]
 
 needs_testdata = pytest.mark.skipif(
