@@ -18646,3 +18646,179 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_index")
     )
+
+
+# =====================================================================
+# Round-5 continuation: exact AUC via rank-sum and KS score
+# separation — the scorecard-metric completions.
+# =====================================================================
+@query(
+    "auc_exact_score",
+    """
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS x,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 2 END AS g
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n2
+          FROM scored),
+    d AS (SELECT x,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c1,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM scored GROUP BY x),
+    r AS (SELECT c1, c,
+                 coalesce(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS cb
+          FROM d),
+    s AS (SELECT sum(c1 * (cb + (c + 1) / 2.0)) AS r1 FROM r)
+    SELECT n1 AS n_pos, n2 AS n_neg,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                      THEN (r1 - n1 * (n1 + 1) / 2.0)
+                           / (CAST(n1 AS DOUBLE) * n2) END, 6) AS auc,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                      THEN 2.0 * (r1 - n1 * (n1 + 1) / 2.0)
+                           / (CAST(n1 AS DOUBLE) * n2) - 1.0 END, 6)
+               AS gini_coef
+    FROM s, n
+    """,
+)
+def auc_exact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of the scoring rule via the rank-sum identity
+    AUC = U1/(n1*n0) with average-rank tie handling (the Wilcoxon
+    equivalence — no threshold grid, no trapezoid approximation,
+    unlike pr_curve_score's 9-point table), plus the Gini coefficient
+    2*AUC-1 credit scoring quotes. This gives the ML family an
+    ORACLE-PAIRED exact AUC next to the pytest-pinned MLlib one:
+    the same distinct-value rank frame as mann_whitney_u, so the
+    ordered window sees distinct scores only — the 100 TB shape."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(2).alias("g"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "x"
+        ),
+    )
+    n = scored.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = scored.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r1 = d.select(
+        "c1",
+        "c",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb"),
+    ).agg(
+        F.sum(F.col("c1") * (F.col("cb") + (F.col("c") + 1) / F.lit(2.0))).alias(
+            "r1"
+        )
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    auc = u1 / (F.col("n1").cast("double") * F.col("n2"))
+    return r1.crossJoin(F.broadcast(n)).select(
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        F.round(F.when(ok, auc), 6).alias("auc"),
+        F.round(F.when(ok, 2.0 * auc - 1.0), 6).alias("gini_coef"),
+    )
+
+
+@query(
+    "ks_score_separation",
+    """
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))) AS x,
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 2 END AS g
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+               ON o.o_custkey = c.c_custkey),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM scored),
+    d AS (SELECT x,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM scored GROUP BY x),
+    c AS (SELECT x,
+                 CAST(sum(c1) OVER w AS DOUBLE) AS a1,
+                 CAST(sum(c2) OVER w AS DOUBLE) AS a2
+          FROM d WINDOW w AS (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    k AS (SELECT x,
+                 abs(a1 / greatest((SELECT n1 FROM n), 1)
+                     - a2 / greatest((SELECT n2 FROM n), 1)) AS sep
+          FROM c),
+    best AS (SELECT x, sep, row_number() OVER (ORDER BY sep DESC, x) AS rk
+             FROM k)
+    SELECT (SELECT n1 FROM n) AS n_pos, (SELECT n2 FROM n) AS n_neg,
+           round(sep, 6) AS ks_stat,
+           round(x, 6) AS ks_threshold
+    FROM best WHERE rk = 1
+    """,
+)
+def ks_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The credit-scoring KS statistic: maximum separation between
+    the positive and negative cumulative score distributions, AND the
+    score threshold where it occurs — the 'where to cut' answer with
+    a distribution-free guarantee (pr_curve_score samples 9 fixed
+    thresholds; this finds the exact argmax over all distinct
+    scores). Same pooled distinct-value cumulative frame as
+    ks_test_price_segments, with an (sep, x) tie-break so both
+    engines report the identical threshold."""
+    cst = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey").dropDuplicates()
+    scored = cst.join(o, cst["c_custkey"] == o["o_custkey"], "left").select(
+        F.when(F.col("o_custkey").isNotNull(), 1).otherwise(2).alias("g"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias(
+            "x"
+        ),
+    )
+    n = scored.agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    d = scored.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "x",
+        F.sum("c1").over(w).cast("double").alias("a1"),
+        F.sum("c2").over(w).cast("double").alias("a2"),
+    )
+    k = c.crossJoin(F.broadcast(n)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("a1") / F.greatest(F.col("n1"), F.lit(1))
+            - F.col("a2") / F.greatest(F.col("n2"), F.lit(1))
+        ).alias("sep"),
+    )
+    return (
+        k.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("sep").desc(), "x"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("n1").alias("n_pos"),
+            F.col("n2").alias("n_neg"),
+            F.round("sep", 6).alias("ks_stat"),
+            F.round("x", 6).alias("ks_threshold"),
+        )
+    )

@@ -144,6 +144,8 @@ R5_QUERIES = [
     "component_size_distribution",
     "hubness_audit_embeddings",
     "dau_mau_stickiness",
+    "auc_exact_score",
+    "ks_score_separation",
 ]
 
 
