@@ -18822,3 +18822,129 @@ def ks_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("x", 6).alias("ks_threshold"),
         )
     )
+
+
+# =====================================================================
+# Round-5 continuation: Lorenz curve, HHI concentration, percolation
+# robustness under hub removal.
+# =====================================================================
+@query(
+    "lorenz_curve_revenue",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT cents, ntile(10) OVER (ORDER BY cents, o_custkey) AS d
+        FROM spend),
+    g AS MATERIALIZED (
+        SELECT d, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s
+        FROM ranked GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(s) AS BIGINT) AS st FROM g),
+    c AS (SELECT d, n, s,
+                 sum(n) OVER w AS cn, sum(s) OVER w AS cs
+          FROM g WINDOW w AS (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT d AS decile,
+           round(cn * 1.0 / (SELECT nt FROM tot), 6) AS cum_pop_share,
+           round(cs * 1.0 / (SELECT st FROM tot), 6) AS cum_revenue_share
+    FROM c ORDER BY decile
+    """,
+)
+def lorenz_curve_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer lifetime spend (cumulative revenue
+    share vs cumulative population share, poorest decile first) — the
+    CURVE whose enclosed area revenue_concentration_gini reports as
+    one number: these 10 points are what actually goes on the
+    inequality chart and into '80/20' claims. Integer-cents customer
+    totals (no rounding boundary), deterministic ntile, one
+    custkey rollup + decile-sized cumulative windows."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    ranked = spend.select(
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("d"),
+    )
+    g = ranked.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ).persist()
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"), F.sum("s").cast("long").alias("st")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select("d", F.sum("n").over(w).alias("cn"), F.sum("s").over(w).alias("cs"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("decile"),
+            F.round(F.col("cn") / F.col("nt"), 6).alias("cum_pop_share"),
+            F.round(F.col("cs") / F.col("st"), 6).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "hhi_market_concentration",
+    """
+    WITH r AS (
+        SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+               sum(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+    t AS (SELECT region, sum(rev) AS trev,
+                 CAST(count(*) AS BIGINT) AS n_nations
+          FROM r GROUP BY region)
+    SELECT r.region, t.n_nations,
+           round(sum((r.rev / t.trev) * (r.rev / t.trev)) * 10000, 2)
+               AS hhi,
+           CASE WHEN sum((r.rev / t.trev) * (r.rev / t.trev)) * 10000
+                     > 2500 THEN 1 ELSE 0 END AS concentrated
+    FROM r JOIN t ON t.region = r.region
+    GROUP BY r.region, t.n_nations
+    ORDER BY r.region
+    """,
+)
+def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of revenue concentration among
+    nations within each region (shares squared, x10000, DOJ's 2500
+    'highly concentrated' line) — the antitrust-grade concentration
+    number next to revenue_concentration_gini (Gini measures
+    inequality of the whole distribution; HHI weights the TOP, which
+    is what market-power questions ask). One three-way join rollup;
+    shares are region-sized arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .persist()
+    )
+    t = r.groupBy("region").agg(
+        F.sum("rev").alias("trev"), F.count(F.lit(1)).cast("long").alias("n_nations")
+    )
+    share2 = (F.col("rev") / F.col("trev")) * (F.col("rev") / F.col("trev"))
+    hhi = F.sum(share2) * 10000
+    return (
+        r.join(F.broadcast(t), "region")
+        .groupBy("region", "n_nations")
+        .agg(
+            F.round(hhi, 2).alias("hhi"),
+            F.when(hhi > 2500, 1).otherwise(0).alias("concentrated"),
+        )
+        .orderBy("region")
+    )

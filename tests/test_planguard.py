@@ -146,6 +146,8 @@ R5_QUERIES = [
     "dau_mau_stickiness",
     "auc_exact_score",
     "ks_score_separation",
+    "lorenz_curve_revenue",
+    "hhi_market_concentration",
 ]
 
 
