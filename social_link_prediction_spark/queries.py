@@ -18948,3 +18948,161 @@ def hhi_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+_PERC_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'perc'"
+)
+_PERC_FRACS = (0, 10, 20)  # percent of top-degree nodes removed
+
+
+def _duck_percolation_sql(rounds: int = _CC_ROUNDS) -> str:
+    ctes = [
+        f"""s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e0 AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {_PERC_EDGE_SQL} % 10000 < 60
+    ),
+    deg AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)
+        GROUP BY id),
+    dr AS MATERIALIZED (
+        SELECT s.id, coalesce(deg.d, 0) AS d,
+               row_number() OVER (ORDER BY coalesce(deg.d, 0) DESC, s.id)
+                   AS rk,
+               count(*) OVER () AS n
+        FROM s LEFT JOIN deg ON deg.id = s.id)"""
+    ]
+    selects = []
+    for f in _PERC_FRACS:
+        ctes.append(
+            f"""keep{f} AS MATERIALIZED (
+        SELECT id FROM dr WHERE rk > CAST(floor(n * {f} / 100.0) AS BIGINT))"""
+        )
+        ctes.append(
+            f"""sym{f} AS MATERIALIZED (
+        SELECT e0.src, e0.dst FROM e0
+        JOIN keep{f} ka ON ka.id = e0.src JOIN keep{f} kb ON kb.id = e0.dst
+        UNION ALL
+        SELECT e0.dst, e0.src FROM e0
+        JOIN keep{f} ka ON ka.id = e0.src JOIN keep{f} kb ON kb.id = e0.dst
+        UNION ALL SELECT id, id FROM keep{f})"""
+        )
+        ctes.append(f"p{f}l0 AS (SELECT id, id AS lbl FROM keep{f})")
+        for k in range(1, rounds + 1):
+            ctes.append(
+                f"""p{f}l{k} AS MATERIALIZED (
+        SELECT sym{f}.src AS id, min(l.lbl) AS lbl
+        FROM sym{f} JOIN p{f}l{k - 1} l ON l.id = sym{f}.dst
+        GROUP BY sym{f}.src)"""
+            )
+        selects.append(
+            f"""SELECT {f} / 100.0 AS removal_frac,
+               (SELECT CAST(count(*) AS BIGINT) FROM keep{f}) AS n_remaining,
+               (SELECT CAST(max(c) AS BIGINT) FROM (
+                    SELECT count(*) AS c FROM p{f}l{rounds} GROUP BY lbl))
+                   AS lcc_size,
+               round((SELECT max(c) FROM (
+                    SELECT count(*) AS c FROM p{f}l{rounds} GROUP BY lbl))
+                     * 1.0
+                     / (SELECT count(*) FROM keep{f}), 6) AS lcc_frac"""
+        )
+    body = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""WITH {body}
+    SELECT * FROM ({union}) ORDER BY removal_frac
+    """
+
+
+@query("percolation_hub_removal", None)
+def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation robustness curve: remove the top 0/10/20% of nodes
+    by degree (deterministic (degree, id) rank) from the sparse
+    sampled supplier graph and track the largest connected
+    component's share of surviving nodes — the scale-free-network
+    fragility experiment (Albert-Barabási attack tolerance): a graph
+    that shrugs off RANDOM failure shatters under targeted hub
+    removal, which is what capacity/resilience planning needs to
+    know. Each induced subgraph's CC uses the same 16-round unrolled
+    min-label device as component_size_distribution (monotone — extra
+    rounds are no-ops); degrees are one aggregation; everything
+    iterates on the sampled-nodes-sized frame."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e0 = (
+        sup.select(F.col("id").alias("src"))
+        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("perc"))
+            % 10000
+            < 60
+        )
+        .persist()
+    )
+    deg = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dr = (
+        sup.join(deg, "id", "left")
+        .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
+        .select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), "id"))
+            .alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .persist()
+    )
+    out = None
+    for f in _PERC_FRACS:
+        keep = dr.filter(
+            F.col("rk") > F.floor(F.col("n") * f / 100.0).cast("long")
+        ).select("id").persist()
+        ek = (
+            e0.join(keep.select(F.col("id").alias("src")), "src")
+            .join(keep.select(F.col("id").alias("dst")), "dst")
+        )
+        sym = (
+            ek.select("src", "dst")
+            .unionByName(
+                ek.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .unionByName(
+                keep.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+            )
+            .persist()
+        )
+        lbl = keep.select("id", F.col("id").alias("lbl"))
+        for _ in range(_CC_ROUNDS):
+            lbl = (
+                sym.join(lbl.select(F.col("id").alias("dst"), "lbl"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+        lcc = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("c")).agg(
+            F.max("c").cast("long").alias("lcc_size")
+        )
+        nk = keep.agg(F.count(F.lit(1)).cast("long").alias("n_remaining"))
+        row = (
+            nk.crossJoin(F.broadcast(lcc))
+            .select(
+                F.lit(f / 100.0).alias("removal_frac"),
+                "n_remaining",
+                "lcc_size",
+                F.round(F.col("lcc_size") / F.col("n_remaining"), 6).alias(
+                    "lcc_frac"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("removal_frac")
+
+
+ORACLES["percolation_hub_removal"] = _duck_percolation_sql()

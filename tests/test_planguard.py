@@ -148,6 +148,7 @@ R5_QUERIES = [
     "ks_score_separation",
     "lorenz_curve_revenue",
     "hhi_market_concentration",
+    "percolation_hub_removal",
 ]
 
 
