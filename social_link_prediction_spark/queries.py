@@ -19106,3 +19106,82 @@ def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["percolation_hub_removal"] = _duck_percolation_sql()
+
+
+@query(
+    "embedding_isotropy_audit",
+    """
+    WITH samp AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 10 = 0),
+    norms AS (SELECT avg(sqrt(list_dot_product(v, v))) AS mean_norm
+              FROM samp),
+    mvec AS (
+        SELECT dim, avg(x) AS m FROM (
+            SELECT CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+                   unnest(v) AS x
+            FROM samp)
+        GROUP BY dim),
+    mnorm AS (SELECT sqrt(sum(m * m)) AS mu_norm FROM mvec),
+    pc AS (
+        SELECT avg(round(list_cosine_similarity(a.v, b.v), 6)) AS mean_cos,
+               stddev_samp(round(list_cosine_similarity(a.v, b.v), 6))
+                   AS sd_cos
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_vectors,
+           round((SELECT mean_cos FROM pc), 6) AS mean_pairwise_cosine,
+           round((SELECT sd_cos FROM pc), 6) AS sd_pairwise_cosine,
+           round((SELECT mu_norm FROM mnorm)
+                 / (SELECT mean_norm FROM norms), 6) AS anisotropy_ratio
+    """,
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space on the deterministic 10%
+    sample: mean pairwise cosine (0 for an isotropic cloud; the
+    'narrow cone' pathology of transformer embeddings pushes it
+    toward 1, Ethayarajh 2019) and the anisotropy ratio ||mean
+    vector|| / mean ||vector|| (0 = centered, 1 = everything points
+    one way) — the space-health prerequisite for every cosine
+    consumer (semantic dedup thresholds, IVF cells, hubness all
+    degrade in anisotropic spaces; the standard fix is mean-centering,
+    and this measures whether it's needed). One dimension rollup +
+    one sample² pair pass, both bounded by the hash sample."""
+    emb = _t(spark, sf_dir, "embeddings")
+    samp = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.col("embedding").alias("v")
+    ).persist()
+    norms = samp.agg(F.avg(sim.l2_norm(F.col("v"))).alias("mean_norm"))
+    mvec = (
+        samp.select(F.posexplode("v").alias("d0", "x"))
+        .groupBy((F.col("d0") + 1).cast("long").alias("dim"))
+        .agg(F.avg("x").alias("m"))
+    )
+    mnorm = mvec.agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("mu_norm"))
+    a = samp.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = samp.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pc = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(
+            F.round(sim.cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cos"
+            )
+        )
+        .agg(
+            F.avg("cos").alias("mean_cos"),
+            F.stddev_samp("cos").alias("sd_cos"),
+        )
+    )
+    n = samp.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        n.crossJoin(F.broadcast(pc))
+        .crossJoin(F.broadcast(mnorm))
+        .crossJoin(F.broadcast(norms))
+        .select(
+            "n_vectors",
+            F.round("mean_cos", 6).alias("mean_pairwise_cosine"),
+            F.round("sd_cos", 6).alias("sd_pairwise_cosine"),
+            F.round(F.col("mu_norm") / F.col("mean_norm"), 6).alias(
+                "anisotropy_ratio"
+            ),
+        )
+    )

@@ -149,6 +149,7 @@ R5_QUERIES = [
     "lorenz_curve_revenue",
     "hhi_market_concentration",
     "percolation_hub_removal",
+    "embedding_isotropy_audit",
 ]
 
 
