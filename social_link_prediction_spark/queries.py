@@ -19185,3 +19185,154 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# =====================================================================
+# Round-5 continuation: extreme-value (Gumbel) fit of daily peaks and
+# shipping-delay percentiles by mode.
+# =====================================================================
+@query(
+    "extreme_value_daily_peaks",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1),
+    blocks AS MATERIALIZED (
+        SELECT CAST(extract(year FROM day) * 12 + extract(month FROM day)
+                    AS BIGINT) AS mon,
+               CAST(max(n) AS BIGINT) AS mx
+        FROM daily GROUP BY 1),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS k, avg(mx) AS mu_s,
+                 stddev_samp(mx) AS sd
+          FROM blocks),
+    fit AS (SELECT k,
+                   sd * sqrt(6.0) / pi() AS beta,
+                   mu_s - 0.5772156649 * sd * sqrt(6.0) / pi() AS mu
+            FROM m)
+    SELECT k AS n_blocks,
+           round(mu, 4) AS gumbel_mu,
+           round(beta, 4) AS gumbel_beta,
+           round(mu - beta * ln(-ln(1.0 - 1.0 / 12.0)), 4)
+               AS return_level_12mo
+    FROM fit
+    """,
+)
+def extreme_value_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of traffic peaks: Gumbel fit (method of
+    moments: beta = sd*sqrt(6)/pi, mu = mean - gamma*beta) to MONTHLY
+    block maxima of daily event counts, plus the 12-month return
+    level mu - beta*ln(-ln(1-1/12)) — the 'how big a day must we
+    provision for' number that percentiles of ordinary days
+    structurally underestimate (EVT is the right tool for maxima,
+    not the bulk). One day rollup -> months-sized block maxima ->
+    1-row closed-form fit."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    blocks = daily.groupBy(
+        (F.year("day") * 12 + F.month("day")).cast("long").alias("mon")
+    ).agg(F.max("n").cast("long").alias("mx"))
+    m = blocks.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.avg("mx").alias("mu_s"),
+        F.stddev_samp("mx").alias("sd"),
+    )
+    import math as _math
+
+    beta = F.col("sd") * _math.sqrt(6.0) / _math.pi
+    mu = F.col("mu_s") - 0.5772156649 * beta
+    return m.select(
+        F.col("k").alias("n_blocks"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(
+            mu - beta * F.lit(_math.log(-_math.log(1.0 - 1.0 / 12.0))), 4
+        ).alias("return_level_12mo"),
+    )
+
+
+@query(
+    "order_to_ship_latency",
+    """
+    WITH d AS MATERIALIZED (
+        SELECT o.o_orderpriority AS pri,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS delay
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    g AS MATERIALIZED (
+        SELECT pri, delay, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY pri, delay),
+    tot AS (SELECT pri, CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN delay > 90 THEN c ELSE 0 END)
+                        AS BIGINT) AS n_slow
+            FROM g GROUP BY pri),
+    cum AS (SELECT pri, delay, c,
+                   sum(c) OVER (PARTITION BY pri ORDER BY delay) AS cc
+            FROM g)
+    SELECT t.pri AS priority, t.n,
+           round(t.n_slow * 1.0 / t.n, 6) AS slow_frac,
+           (SELECT min(delay) FROM cum
+            WHERE cum.pri = t.pri AND cc >= ceil(0.5 * t.n)) AS p50_days,
+           (SELECT min(delay) FROM cum
+            WHERE cum.pri = t.pri AND cc >= ceil(0.95 * t.n)) AS p95_days
+    FROM tot t ORDER BY priority
+    """,
+)
+def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority: the fraction
+    shipping slower than 90 days and EXACT p50/p95 latency — the
+    fulfillment SLA scorecard (does URGENT actually ship faster, and
+    what does the tail look like?), the supply-chain sibling of
+    conversion_latency_stats. Exact order statistics via the
+    per-priority distinct-delay cumulative frame ('min delay whose
+    cumulative count reaches ceil(q*n)') — no percentile_approx, no
+    global sort; integer day arithmetic so both engines agree
+    exactly."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay"
+        ),
+    )
+    g = d.groupBy("pri", "delay").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
+    tot = g.groupBy("pri").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("delay") > 90, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_slow"),
+    )
+    w = Window.partitionBy("pri").orderBy("delay").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select("pri", "delay", F.sum("c").over(w).alias("cc")).join(
+        F.broadcast(tot), "pri"
+    )
+    p50 = (
+        cum.filter(F.col("cc") >= F.ceil(0.5 * F.col("n")))
+        .groupBy("pri")
+        .agg(F.min("delay").alias("p50_days"))
+    )
+    p95 = (
+        cum.filter(F.col("cc") >= F.ceil(0.95 * F.col("n")))
+        .groupBy("pri")
+        .agg(F.min("delay").alias("p95_days"))
+    )
+    return (
+        tot.join(p50, "pri")
+        .join(p95, "pri")
+        .select(
+            F.col("pri").alias("priority"),
+            "n",
+            F.round(F.col("n_slow") / F.col("n"), 6).alias("slow_frac"),
+            "p50_days",
+            "p95_days",
+        )
+        .orderBy("priority")
+    )

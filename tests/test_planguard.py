@@ -150,6 +150,8 @@ R5_QUERIES = [
     "hhi_market_concentration",
     "percolation_hub_removal",
     "embedding_isotropy_audit",
+    "extreme_value_daily_peaks",
+    "order_to_ship_latency",
 ]
 
 

@@ -89,6 +89,7 @@ EVENT_TIME_QUERIES = [
     "negbinom_fit_events",
     "capture_recapture_users",
     "dau_mau_stickiness",
+    "extreme_value_daily_peaks",
 ]
 
 needs_testdata = pytest.mark.skipif(
