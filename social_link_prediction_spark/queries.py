@@ -19336,3 +19336,107 @@ def order_to_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "growth_accounting_monthly",
+    """
+    WITH cm AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS cust,
+               CAST(extract(year FROM o_orderdate) * 12
+                    + extract(month FROM o_orderdate) AS BIGINT) AS mon
+        FROM orders),
+    fm AS MATERIALIZED (
+        SELECT cust, CAST(min(mon) AS BIGINT) AS first_mon FROM cm
+        GROUP BY cust),
+    cur AS (
+        SELECT cm.mon, cm.cust, fm.first_mon,
+               CASE WHEN p.cust IS NOT NULL THEN 1 ELSE 0 END AS prev_active
+        FROM cm JOIN fm ON fm.cust = cm.cust
+        LEFT JOIN cm p ON p.cust = cm.cust AND p.mon = cm.mon - 1),
+    act AS (
+        SELECT mon,
+               CAST(sum(CASE WHEN first_mon = mon THEN 1 ELSE 0 END)
+                    AS BIGINT) AS new_,
+               CAST(sum(CASE WHEN first_mon < mon AND prev_active = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+               CAST(sum(CASE WHEN first_mon < mon AND prev_active = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        FROM cur GROUP BY mon),
+    chn AS (
+        SELECT a.mon + 1 AS mon, CAST(count(*) AS BIGINT) AS churned
+        FROM cm a LEFT JOIN cm b ON b.cust = a.cust AND b.mon = a.mon + 1
+        WHERE b.cust IS NULL GROUP BY a.mon + 1)
+    SELECT act.mon AS month_index, act.new_ AS new_customers,
+           act.retained, act.resurrected,
+           CAST(coalesce(chn.churned, 0) AS BIGINT) AS churned_from_prev
+    FROM act LEFT JOIN chn ON chn.mon = act.mon
+    ORDER BY month_index
+    """,
+)
+def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting of active buyers — the canonical
+    new / retained / resurrected / churned decomposition (the
+    'quick ratio' inputs) that explains WHY a topline MAU moved,
+    where dau_mau_stickiness and retention_cohorts each see only one
+    axis. A customer is new in their first order month, retained if
+    also active the prior month, resurrected if returning after a
+    gap; churned counts prior-month actives who lapsed. One distinct
+    (customer, month) rollup + a month-1 self-join (months-sized
+    keys, customer-partitioned) — all exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    cm = o.select(
+        F.col("o_custkey").alias("cust"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mon"),
+    ).dropDuplicates().persist()
+    fm = cm.groupBy("cust").agg(F.min("mon").cast("long").alias("first_mon"))
+    prev = cm.select("cust", (F.col("mon") + 1).alias("mon"), F.lit(1).alias("pa"))
+    cur = (
+        cm.join(fm, "cust")
+        .join(prev, ["cust", "mon"], "left")
+        .select(
+            "mon",
+            "first_mon",
+            F.coalesce(F.col("pa"), F.lit(0)).alias("prev_active"),
+        )
+    )
+    act = cur.groupBy("mon").agg(
+        F.sum(F.when(F.col("first_mon") == F.col("mon"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_customers"),
+        F.sum(
+            F.when(
+                (F.col("first_mon") < F.col("mon")) & (F.col("prev_active") == 1),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("first_mon") < F.col("mon")) & (F.col("prev_active") == 0),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("resurrected"),
+    )
+    # "active next month" probe: (cust, mon) present here iff the
+    # customer is active at mon+1; anti-join finds lapsing actives
+    will_be_active = cm.select("cust", (F.col("mon") - 1).alias("mon"))
+    chn = (
+        cm.join(will_be_active, ["cust", "mon"], "left_anti")
+        .groupBy((F.col("mon") + 1).alias("mon"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    return (
+        act.join(chn, "mon", "left")
+        .select(
+            F.col("mon").alias("month_index"),
+            "new_customers",
+            "retained",
+            "resurrected",
+            F.coalesce(F.col("churned"), F.lit(0))
+            .cast("long")
+            .alias("churned_from_prev"),
+        )
+        .orderBy("month_index")
+    )

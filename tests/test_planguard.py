@@ -152,6 +152,7 @@ R5_QUERIES = [
     "embedding_isotropy_audit",
     "extreme_value_daily_peaks",
     "order_to_ship_latency",
+    "growth_accounting_monthly",
 ]
 
 
