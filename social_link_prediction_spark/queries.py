@@ -19440,3 +19440,230 @@ def growth_accounting_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_index")
     )
+
+
+# =====================================================================
+# Round-5 continuation: PPS systematic sampling, weekly spectral
+# power, session-gap threshold sensitivity.
+# =====================================================================
+_PPS_K = 20
+
+
+@query(
+    "pps_systematic_sample",
+    f"""
+    WITH spend AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS w
+        FROM orders GROUP BY o_custkey),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM spend),
+    cum AS MATERIALIZED (
+        SELECT o_custkey, w,
+               CAST(sum(w) OVER (ORDER BY o_custkey) AS BIGINT) AS cw
+        FROM spend),
+    pts AS (SELECT CAST(unnest(range(0, {_PPS_K})) AS BIGINT) AS k),
+    sel AS (
+        SELECT pts.k,
+               (SELECT min(o_custkey) FROM cum
+                WHERE cw * {_PPS_K} * 2 >= (2 * pts.k + 1) * (SELECT tw FROM tot))
+                   AS o_custkey
+        FROM pts)
+    SELECT sel.k, sel.o_custkey,
+           round(cum.w / 100.0, 2) AS spend,
+           round(least(cum.w * {_PPS_K} * 1.0 / (SELECT tw FROM tot), 1.0), 6)
+               AS inclusion_prob
+    FROM sel JOIN cum ON cum.o_custkey = sel.o_custkey
+    ORDER BY sel.k
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sample of 20
+    customers by lifetime spend: selection points at (k+1/2)·W/20 on
+    the customer-ordered cumulative-weight axis, each resolved as
+    'first customer whose cumulative weight crosses the point' — the
+    unequal-probability design behind audit sampling and
+    Horvitz-Thompson estimation (join_size_estimate's scale-up
+    assumes exactly these inclusion probabilities), deterministic
+    with zero RNG. Integer-cents weights; the crossing rule is
+    integer-exact (2x-scaled comparison avoids fractional points);
+    one custkey rollup + a cumulative window over the customers
+    frame."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("w")
+    )
+    tot = spend.agg(F.sum("w").cast("long").alias("tw"))
+    w = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
+    cum = spend.select(
+        "o_custkey", "w", F.sum("w").over(w).cast("long").alias("cw")
+    ).crossJoin(F.broadcast(tot)).persist()
+    pts = spark.range(_PPS_K).select(F.col("id").alias("k"))
+    sel = (
+        pts.crossJoin(cum)
+        .filter(
+            F.col("cw") * _PPS_K * 2 >= (2 * F.col("k") + 1) * F.col("tw")
+        )
+        .groupBy("k")
+        .agg(F.min("o_custkey").alias("o_custkey"))
+    )
+    return (
+        sel.join(cum, "o_custkey")
+        .select(
+            "k",
+            "o_custkey",
+            F.round(F.col("w") / 100.0, 2).alias("spend"),
+            F.round(
+                F.least(F.col("w") * _PPS_K / F.col("tw"), F.lit(1.0)), 6
+            ).alias("inclusion_prob"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "spectral_power_weekly",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    ix AS MATERIALIZED (
+        SELECT n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) - 1 AS t
+        FROM x),
+    mu AS (SELECT avg(n) AS mu, CAST(count(*) AS BIGINT) AS len FROM ix),
+    ps AS (SELECT CAST(unnest([5, 7, 11]) AS BIGINT) AS period),
+    p AS (
+        SELECT ps.period,
+               pow(sum((ix.n - (SELECT mu FROM mu))
+                       * cos(2 * pi() * ix.t / ps.period)), 2)
+               + pow(sum((ix.n - (SELECT mu FROM mu))
+                         * sin(2 * pi() * ix.t / ps.period)), 2) AS pw
+        FROM ix JOIN ps ON true GROUP BY ps.period)
+    SELECT period, round(pw / (SELECT len FROM mu), 4) AS power,
+           round(pw / max(CASE WHEN period <> 7 THEN pw END) OVER (), 4)
+               AS ratio_vs_offpeak
+    FROM p ORDER BY period
+    """,
+)
+def spectral_power_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-frequency spectral power (Goertzel-style DFT bins) of
+    the demeaned daily event series at periods 5, 7, and 11 days:
+    |sum x_t e^{-2pi i t/P}|^2 / N — the frequency-domain
+    periodicity detector complementing acf_daily_events (time
+    domain): a weekly rhythm shows period-7 power dominating the
+    off-peak probes (the ratio column), and it needs only ONE pass
+    over the days-sized series per probe period, not a full FFT.
+    Deterministic trig over exact integer positions."""
+    import math as _math
+
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ix = x.select(
+        "n",
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+    )
+    mu = ix.agg(F.avg("n").alias("mu"), F.count(F.lit(1)).cast("long").alias("len"))
+    ps = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(5), F.lit(7), F.lit(11))).alias("p0"))
+        .select(F.col("p0").cast("long").alias("period"))
+    )
+    ang = 2 * _math.pi * F.col("t") / F.col("period")
+    p = (
+        ix.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(ps))
+        .groupBy("period")
+        .agg(
+            (
+                F.pow(F.sum((F.col("n") - F.col("mu")) * F.cos(ang)), 2)
+                + F.pow(F.sum((F.col("n") - F.col("mu")) * F.sin(ang)), 2)
+            ).alias("pw"),
+            F.first("len").alias("len"),
+        )
+    )
+    wall = Window.partitionBy()
+    return p.select(
+        "period",
+        F.round(F.col("pw") / F.col("len"), 4).alias("power"),
+        F.round(
+            F.col("pw")
+            / F.max(F.when(F.col("period") != 7, F.col("pw"))).over(wall),
+            4,
+        ).alias("ratio_vs_offpeak"),
+    ).orderBy("period")
+
+
+@query(
+    "session_threshold_sensitivity",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0
+                   AS gap
+        FROM events),
+    th AS (SELECT unnest([900, 1800, 3600]) AS thresh),
+    c AS (
+        SELECT th.thresh,
+               CAST(sum(CASE WHEN seq.gap IS NULL
+                              OR seq.gap > th.thresh
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM seq CROSS JOIN th GROUP BY th.thresh)
+    SELECT CAST(thresh AS BIGINT) AS gap_seconds, n_sessions,
+           round(n_events * 1.0 / n_sessions, 6) AS events_per_session
+    FROM c ORDER BY gap_seconds
+    """,
+)
+def session_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity of the session count to the inactivity-gap
+    threshold (15/30/60 minutes): a session starts where the
+    preceding same-user gap exceeds the threshold (or at the first
+    event), so session counts come from ONE lag pass fanned over a
+    broadcast 3-row threshold frame — the calibration evidence for
+    sessionize_events' 30-minute default (a cliff between thresholds
+    means the choice matters; a plateau means it doesn't).
+    Session-TZ-proof epoch_us gaps; exact integer counts."""
+    from social_link_prediction_spark.operators.windows import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        (
+            (
+                epoch_us(F.col("ts"))
+                - epoch_us(
+                    F.lag("ts").over(
+                        Window.partitionBy("user_id").orderBy("ts", "event_id")
+                    )
+                )
+            )
+            / 1_000_000.0
+        ).alias("gap"),
+    )
+    th = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(F.lit(900), F.lit(1800), F.lit(3600))).alias("t0")
+        )
+        .select(F.col("t0").cast("long").alias("thresh"))
+    )
+    c = (
+        seq.crossJoin(F.broadcast(th))
+        .groupBy("thresh")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") > F.col("thresh")), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return c.select(
+        F.col("thresh").alias("gap_seconds"),
+        "n_sessions",
+        F.round(F.col("n_events") / F.col("n_sessions"), 6).alias(
+            "events_per_session"
+        ),
+    ).orderBy("gap_seconds")

@@ -153,6 +153,9 @@ R5_QUERIES = [
     "extreme_value_daily_peaks",
     "order_to_ship_latency",
     "growth_accounting_monthly",
+    "pps_systematic_sample",
+    "spectral_power_weekly",
+    "session_threshold_sensitivity",
 ]
 
 

@@ -90,6 +90,8 @@ EVENT_TIME_QUERIES = [
     "capture_recapture_users",
     "dau_mau_stickiness",
     "extreme_value_daily_peaks",
+    "spectral_power_weekly",
+    "session_threshold_sensitivity",
 ]
 
 needs_testdata = pytest.mark.skipif(
