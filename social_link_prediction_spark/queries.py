@@ -19667,3 +19667,74 @@ def session_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
             "events_per_session"
         ),
     ).orderBy("gap_seconds")
+
+
+@query(
+    "revenue_decomposition_mom",
+    """
+    WITH m AS MATERIALIZED (
+        SELECT CAST(extract(year FROM o_orderdate) * 12
+                    + extract(month FROM o_orderdate) AS BIGINT) AS mon,
+               CAST(count(*) AS BIGINT) AS n, sum(o_totalprice) AS rev
+        FROM orders GROUP BY 1),
+    lastm AS (SELECT CAST(max(mon) AS BIGINT) AS mx FROM m),
+    two AS (
+        SELECT CASE WHEN mon = (SELECT mx FROM lastm) THEN 'cur'
+                    ELSE 'prev' END AS which, n, rev
+        FROM m WHERE mon >= (SELECT mx FROM lastm) - 1),
+    w AS (SELECT max(CASE WHEN which = 'prev' THEN n END) AS n0,
+                 max(CASE WHEN which = 'prev' THEN rev END) AS r0,
+                 max(CASE WHEN which = 'cur' THEN n END) AS n1,
+                 max(CASE WHEN which = 'cur' THEN rev END) AS r1
+          FROM two)
+    SELECT CAST(n0 AS BIGINT) AS orders_prev, CAST(n1 AS BIGINT) AS orders_cur,
+           round(r1 - r0, 2) AS delta_revenue,
+           round((n1 - n0) * (r0 / n0), 2) AS volume_effect,
+           round(n1 * (r1 / n1 - r0 / n0), 2) AS value_effect,
+           round((n1 - n0) * (r0 / n0) + n1 * (r1 / n1 - r0 / n0)
+                 - (r1 - r0), 6) AS decomposition_residual
+    FROM w
+    """,
+)
+def revenue_decomposition_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue-change decomposition (Laspeyres-style):
+    delta revenue = volume effect (order-count change at the PRIOR
+    average value) + value effect (average-order-value change at
+    CURRENT volume) — the 'why did revenue move' explainer every
+    finance review wants, exact by construction (residual column
+    machine-checks the identity at 0). One monthly rollup; the
+    decomposition is 1-row arithmetic over the last two months."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("mon")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("o_totalprice").alias("rev"),
+    ).persist()
+    lastm = m.agg(F.max("mon").cast("long").alias("mx"))
+    w = (
+        m.crossJoin(F.broadcast(lastm))
+        .filter(F.col("mon") >= F.col("mx") - 1)
+        .agg(
+            F.max(F.when(F.col("mon") == F.col("mx") - 1, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("mon") == F.col("mx") - 1, F.col("rev"))).alias(
+                "r0"
+            ),
+            F.max(F.when(F.col("mon") == F.col("mx"), F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("mon") == F.col("mx"), F.col("rev"))).alias("r1"),
+        )
+    )
+    vol = (F.col("n1") - F.col("n0")) * (F.col("r0") / F.col("n0"))
+    val = F.col("n1") * (F.col("r1") / F.col("n1") - F.col("r0") / F.col("n0"))
+    return w.select(
+        F.col("n0").cast("long").alias("orders_prev"),
+        F.col("n1").cast("long").alias("orders_cur"),
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_revenue"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(val, 2).alias("value_effect"),
+        F.round(vol + val - (F.col("r1") - F.col("r0")), 6).alias(
+            "decomposition_residual"
+        ),
+    )

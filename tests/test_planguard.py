@@ -156,6 +156,7 @@ R5_QUERIES = [
     "pps_systematic_sample",
     "spectral_power_weekly",
     "session_threshold_sensitivity",
+    "revenue_decomposition_mom",
 ]
 
 
