@@ -19738,3 +19738,96 @@ def revenue_decomposition_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decomposition_residual"
         ),
     )
+
+
+@query(
+    "abc_xyz_classification",
+    """
+    WITH pm AS MATERIALIZED (
+        SELECT l_partkey AS part,
+               CAST(extract(year FROM l_shipdate) * 12
+                    + extract(month FROM l_shipdate) AS BIGINT) AS mon,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(sum(l_quantity) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2),
+    p AS MATERIALIZED (
+        SELECT part, CAST(sum(cents) AS BIGINT) AS rev,
+               avg(qty) AS mq, coalesce(stddev_samp(qty), 0.0) AS sq,
+               CAST(count(*) AS BIGINT) AS n_months
+        FROM pm GROUP BY part),
+    tot AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM p),
+    r AS (SELECT part, rev, mq, sq, n_months,
+                 sum(rev) OVER (ORDER BY rev DESC, part) AS crev
+          FROM p),
+    cls AS (
+        SELECT CASE WHEN crev * 100 <= (SELECT trev FROM tot) * 80 THEN 'A'
+                    WHEN crev * 100 <= (SELECT trev FROM tot) * 95 THEN 'B'
+                    ELSE 'C' END AS abc,
+               CASE WHEN n_months < 2 OR mq = 0 THEN 'Z'
+                    WHEN sq / mq < 0.5 THEN 'X'
+                    WHEN sq / mq < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz,
+               rev
+        FROM r)
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) / 100.0, 2) AS revenue
+    FROM cls GROUP BY abc, xyz ORDER BY abc, xyz
+    """,
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification grid: parts ranked by revenue
+    into A (first 80% of cumulative revenue) / B (to 95%) / C, crossed
+    with demand-variability classes X (monthly-quantity CV < 0.5) /
+    Y (< 1.0) / Z (erratic or too little history) — the ops-planning
+    matrix that decides stocking policy per cell (A-X: automate;
+    C-Z: make-to-order). Integer-cents revenue makes the cumulative
+    80/95% cuts exact (compared as integer cross-products, no float
+    threshold); one (part, month) rollup then part-sized windows."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("mon"),
+    ).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("long").alias("cents"),
+        F.sum("l_quantity").cast("long").alias("qty"),
+    )
+    p = pm.groupBy("part").agg(
+        F.sum("cents").cast("long").alias("rev"),
+        F.avg("qty").alias("mq"),
+        F.coalesce(F.stddev_samp("qty"), F.lit(0.0)).alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    ).persist()
+    tot = p.agg(F.sum("rev").cast("long").alias("trev"))
+    w = Window.orderBy(F.col("rev").desc(), "part").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = p.select(
+        "part", "rev", "mq", "sq", "n_months", F.sum("rev").over(w).alias("crev")
+    ).crossJoin(F.broadcast(tot))
+    abc = (
+        F.when(F.col("crev") * 100 <= F.col("trev") * 80, "A")
+        .when(F.col("crev") * 100 <= F.col("trev") * 95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when((F.col("n_months") < 2) | (F.col("mq") == 0), "Z")
+        .when(F.col("sq") / F.col("mq") < 0.5, "X")
+        .when(F.col("sq") / F.col("mq") < 1.0, "Y")
+        .otherwise("Z")
+    )
+    return (
+        r.select(abc.alias("abc"), xyz.alias("xyz"), "rev")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("rev") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("abc", "xyz")
+    )

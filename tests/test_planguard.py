@@ -157,6 +157,7 @@ R5_QUERIES = [
     "spectral_power_weekly",
     "session_threshold_sensitivity",
     "revenue_decomposition_mom",
+    "abc_xyz_classification",
 ]
 
 
