@@ -19831,3 +19831,157 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc", "xyz")
     )
+
+
+# =====================================================================
+# Round-5 continuation: Wilson score intervals and empirical-Bayes
+# rate shrinkage.
+# =====================================================================
+@query(
+    "wilson_interval_priorities",
+    """
+    WITH d AS (
+        SELECT o.o_orderpriority AS pri,
+               CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) <= 30
+                    THEN 1 ELSE 0 END AS fast
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    g AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(fast) AS BIGINT) AS x
+          FROM d GROUP BY pri)
+    SELECT pri AS priority, n, x AS n_fast,
+           round(x * 1.0 / n, 6) AS p_hat,
+           round((x * 1.0 / n + 1.9208 / n
+                  - 1.959964 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                    + 0.9604 / (n * n)))
+                 / (1 + 3.841459 / n), 6) AS wilson_lo,
+           round((x * 1.0 / n + 1.9208 / n
+                  + 1.959964 * sqrt((x * 1.0 / n) * (1 - x * 1.0 / n) / n
+                                    + 0.9604 / (n * n)))
+                 / (1 + 3.841459 / n), 6) AS wilson_hi
+    FROM g ORDER BY priority
+    """,
+)
+def wilson_interval_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% intervals for the fast-ship proportion
+    (<= 30 days) per order priority — the proportion CI that stays
+    inside [0,1] and behaves at extreme rates where the naive
+    Wald +-1.96*sqrt(pq/n) interval fails (the reason every serious
+    experimentation platform quotes Wilson). Closed form with z²
+    constants inlined (1.9208 = z²/2, 3.841459 = z², 0.9604 = z²/4);
+    one join + one priority rollup; exact integer inputs so both
+    engines derive identical doubles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.when(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) <= 30,
+            1,
+        ).otherwise(0).alias("fast"),
+    )
+    g = d.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("fast").cast("long").alias("x"),
+    )
+    ph = F.col("x") / F.col("n")
+    half = 1.959964 * F.sqrt(
+        ph * (1 - ph) / F.col("n") + 0.9604 / (F.col("n") * F.col("n"))
+    )
+    denom = 1 + 3.841459 / F.col("n")
+    return g.select(
+        F.col("pri").alias("priority"),
+        "n",
+        F.col("x").alias("n_fast"),
+        F.round(ph, 6).alias("p_hat"),
+        F.round((ph + 1.9208 / F.col("n") - half) / denom, 6).alias("wilson_lo"),
+        F.round((ph + 1.9208 / F.col("n") + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("priority")
+
+
+@query(
+    "eb_shrunken_rates_nation",
+    """
+    WITH g AS MATERIALIZED (
+        SELECT c.c_nationkey AS nation,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1),
+    mom AS (
+        SELECT avg(x * 1.0 / n) AS mu,
+               var_samp(x * 1.0 / n) AS v,
+               avg(1.0 / n) AS inv_n
+        FROM g),
+    ab AS (
+        SELECT mu,
+               CASE WHEN v - mu * (1 - mu) * inv_n > 0
+                    THEN mu * (1 - mu)
+                         / (v - mu * (1 - mu) * inv_n) - 1
+                    ELSE 1000.0 END AS m
+        FROM mom),
+    prm AS (SELECT greatest(m, 1.0) * mu AS alpha,
+                   greatest(m, 1.0) * (1 - mu) AS beta
+            FROM ab)
+    SELECT g.nation, g.n, g.x,
+           round(g.x * 1.0 / g.n, 6) AS raw_rate,
+           round((g.x + (SELECT alpha FROM prm))
+                 / (g.n + (SELECT alpha FROM prm) + (SELECT beta FROM prm)),
+                 6) AS shrunken_rate
+    FROM g ORDER BY g.nation
+    """,
+)
+def eb_shrunken_rates_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial, moment-matched) shrinkage of
+    per-nation urgent-order rates: the prior Beta(alpha, beta) is fit
+    from the BETWEEN-nation moments (excess variance over binomial
+    noise), and each nation's rate shrinks toward the global mean in
+    proportion to its sample size — the small-area estimator that
+    stops tiny nations topping rate leaderboards on noise (the same
+    reason baseball batting averages get shrunk). Degenerate
+    no-excess-variance case pins a strong prior instead of a negative
+    alpha. One join rollup; the prior fit is 25-row moments."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    g = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).cast("long").alias("x"),
+        )
+        .persist()
+    )
+    mom = g.agg(
+        F.avg(F.col("x") / F.col("n")).alias("mu"),
+        F.var_samp(F.col("x") / F.col("n")).alias("v"),
+        F.avg(1.0 / F.col("n")).alias("inv_n"),
+    )
+    excess = F.col("v") - F.col("mu") * (1 - F.col("mu")) * F.col("inv_n")
+    m = F.when(
+        excess > 0, F.col("mu") * (1 - F.col("mu")) / excess - 1
+    ).otherwise(F.lit(1000.0))
+    prm = mom.select(
+        (F.greatest(m, F.lit(1.0)) * F.col("mu")).alias("alpha"),
+        (F.greatest(m, F.lit(1.0)) * (1 - F.col("mu"))).alias("beta"),
+    )
+    return (
+        g.crossJoin(F.broadcast(prm))
+        .select(
+            "nation",
+            "n",
+            "x",
+            F.round(F.col("x") / F.col("n"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("x") + F.col("alpha"))
+                / (F.col("n") + F.col("alpha") + F.col("beta")),
+                6,
+            ).alias("shrunken_rate"),
+        )
+        .orderBy("nation")
+    )

@@ -158,6 +158,8 @@ R5_QUERIES = [
     "session_threshold_sensitivity",
     "revenue_decomposition_mom",
     "abc_xyz_classification",
+    "wilson_interval_priorities",
+    "eb_shrunken_rates_nation",
 ]
 
 
