@@ -19985,3 +19985,68 @@ def eb_shrunken_rates_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query(
+    "vocab_richness_estimators",
+    """
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS t
+        FROM documents),
+    cnt AS MATERIALIZED (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+    cc AS MATERIALIZED (
+        SELECT c, CAST(count(*) AS BIGINT) AS f FROM cnt GROUP BY c),
+    s AS (SELECT (SELECT CAST(sum(f) AS BIGINT) FROM cc) AS v_obs,
+                 (SELECT CAST(sum(c * f) AS BIGINT) FROM cc) AS n_tokens,
+                 coalesce((SELECT f FROM cc WHERE c = 1), 0) AS n1,
+                 coalesce((SELECT f FROM cc WHERE c = 2), 0) AS n2)
+    SELECT v_obs, n_tokens, CAST(n1 AS BIGINT) AS singletons,
+           CAST(n2 AS BIGINT) AS doubletons,
+           CAST(v_obs + CAST(floor(CASE WHEN n2 > 0
+                          THEN n1 * n1 / (2.0 * n2)
+                          ELSE n1 * (n1 - 1) / 2.0 END) AS BIGINT)
+                AS BIGINT) AS chao1_richness,
+           round(n1 * 1.0 / n_tokens, 6) AS good_turing_unseen_mass
+    FROM s
+    """,
+)
+def vocab_richness_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness estimators from the count-of-counts
+    spectrum: Chao1 total-type richness V + N1²/(2·N2) (with the
+    bias-corrected N2=0 fallback) and the Good-Turing unseen-type
+    probability mass N1/N — together they answer 'how much vocabulary
+    exists that this corpus hasn't seen yet', the capture-recapture
+    of linguistics (heaps_law_vocab fits the GROWTH curve; these
+    estimate the DESTINATION). One token count + one count-of-counts
+    rollup — the second aggregation is at most max-frequency-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ptx.tokens("text")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cc = cnt.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("f")).persist()
+    s = cc.agg(
+        F.sum("f").cast("long").alias("v_obs"),
+        F.sum(F.col("c") * F.col("f")).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, F.col("f"))), F.lit(0)
+        ).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 2, F.col("f"))), F.lit(0)
+        ).cast("long").alias("n2"),
+    )
+    chao_extra = F.floor(
+        F.when(
+            F.col("n2") > 0, F.col("n1") * F.col("n1") / (2.0 * F.col("n2"))
+        ).otherwise(F.col("n1") * (F.col("n1") - 1) / 2.0)
+    ).cast("long")
+    return s.select(
+        "v_obs",
+        "n_tokens",
+        F.col("n1").alias("singletons"),
+        F.col("n2").alias("doubletons"),
+        (F.col("v_obs") + chao_extra).cast("long").alias("chao1_richness"),
+        F.round(F.col("n1") / F.col("n_tokens"), 6).alias(
+            "good_turing_unseen_mass"
+        ),
+    )

@@ -160,6 +160,7 @@ R5_QUERIES = [
     "abc_xyz_classification",
     "wilson_interval_priorities",
     "eb_shrunken_rates_nation",
+    "vocab_richness_estimators",
 ]
 
 
