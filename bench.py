@@ -175,6 +175,11 @@ HEADLINE = [
     "linkpred_heuristic_eval",
     "hurst_exponent_daily",
     "cmh_test_priority_status",
+    # round-6: the implemented 100 TB fallbacks (bucketed rank stats,
+    # HyperBall register-merge ANF) and the reworked six-degrees job
+    "bucketed_rank_stats",
+    "hyperball_anf_suppliers",
+    "six_degrees_summary",
 ]
 
 
@@ -210,30 +215,49 @@ def main() -> None:
         timings[name] = round(run_query(fn, spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures ONE stdout JSON line; r4/r5 proved a ~6 KB
+    # line (full 117-query map + delta map) exceeds what it parses
+    # ("parsed": null in BENCH_r04/r05.json). So stdout carries a SMALL
+    # summary — total, count, the 10 slowest entries, and at most 5
+    # largest anchor deltas — while the COMPLETE per-query map goes to
+    # BENCH_LOCAL.json next to this file for the in-repo perf record.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": slowest,
+        "n_queries": len(timings),
         "sf": sf,
     }
-    # per-query deltas vs the stored anchor (BENCH_ANCHOR.json, the r2
-    # local[32] numbers) — only shifts beyond the ±15% machine-noise
-    # band are reported, as pct change
-    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+    # per-query deltas vs the stored anchor (BENCH_ANCHOR.json) — only
+    # the 5 largest shifts beyond the ±15% machine-noise band, as pct
+    here = os.path.dirname(os.path.abspath(__file__))
+    anchor_path = os.path.join(here, "BENCH_ANCHOR.json")
+    deltas = {}
     try:
         with open(anchor_path) as f:
             anchor = json.load(f)
         if anchor.get("sf") == sf:
-            deltas = {}
             for name, t in timings.items():
                 base = anchor.get("queries", {}).get(name)
                 if base:
                     pct = (t - base) / base * 100.0
                     if abs(pct) > 15.0:
                         deltas[name] = round(pct, 1)
-            out["vs_anchor_r%d" % anchor.get("round", 0)] = deltas
+            out["top_deltas"] = dict(
+                sorted(deltas.items(), key=lambda kv: -abs(kv[1]))[:5]
+            )
+            out["anchor_round"] = anchor.get("round", 0)
     except (OSError, ValueError):
+        pass
+    full = dict(out)
+    full["queries"] = timings
+    full["vs_anchor_pct"] = deltas
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
         pass
     print(json.dumps(out))
     spark.stop()

@@ -56,12 +56,19 @@ def edge_weights(
     attrs are aggregated/broadcast, never collected.
     """
     deg = in_degree(edges, "dst")
+    # birth_year is optional vertex metadata (the fixture/CLI graph has
+    # none): absent column → all-null years → zero age penalty
+    year_col = (
+        F.col("birth_year").cast("double")
+        if "birth_year" in vertices.columns
+        else F.lit(None).cast("double")
+    )
     vattr = vertices.select(
         "id",
         F.col("type").alias("v_type"),
-        F.col("birth_year").cast("double").alias("v_year"),
+        year_col.alias("v_year"),
     )
-    mean_year = vertices.agg(F.avg(F.col("birth_year").cast("double")).alias("m")).first()["m"]
+    mean_year = vertices.agg(F.avg(year_col).alias("m")).first()["m"]
     year_filled = F.coalesce(F.col("v_year"), F.lit(mean_year))
 
     e = (

@@ -231,6 +231,108 @@ def pair_shortest_paths(
     )
 
 
+def _bfs_static(
+    edges: DataFrame, sources: DataFrame, hops: int
+) -> DataFrame:
+    """Unit-weight multi-source BFS as ONE static lazy plan: ``hops``
+    unrolled expand+dedup levels, unioned and min-merged — no driver
+    loop, no per-round localCheckpoint/count jobs. Returns the same
+    (source, id, dist, parent) table as the dynamic loop (min-parent
+    tie-break identical: level-h candidates for a node's FIRST level
+    are exactly the dynamic round's candidate set).
+
+    Trade-off vs the dynamic loop: no early exit and no
+    settled-pruning, so each level re-expands already-seen nodes —
+    per-level dedup bounds every level at |sources| × |V| rows, which
+    is the right trade only for SMALL hop budgets (the bidirectional
+    halves run ⌈h/2⌉ ≤ 4). The dynamic loop stays the scale path for
+    deep or weighted traversals; this exists because at gate scale a
+    2-round dynamic BFS costs ~8 Spark jobs of pure per-job overhead
+    and this costs one."""
+    id_type = dict(sources.dtypes)["source"]
+    e = edges.select("src", "dst")
+    lvl = sources.select(
+        "source",
+        F.col("source").alias("id"),
+        F.lit(None).cast(id_type).alias("parent"),
+    )
+    levels = [lvl.withColumn("dist", F.lit(0.0))]
+    for h in range(1, hops + 1):
+        lvl = (
+            lvl.join(e.withColumnRenamed("src", "id"), "id")
+            .groupBy("source", F.col("dst").alias("nid"))
+            .agg(F.min("id").alias("parent"))
+            .select("source", F.col("nid").alias("id"), "parent")
+        )
+        levels.append(lvl.withColumn("dist", F.lit(float(h))))
+    allv = levels[0]
+    for d in levels[1:]:
+        allv = allv.unionByName(d)
+    return (
+        allv.select(
+            "source", "id", F.struct("dist", "parent").alias("c")
+        )
+        .groupBy("source", "id")
+        .agg(F.min("c").alias("c"))
+        .select(
+            "source", "id",
+            F.col("c.dist").alias("dist"), F.col("c.parent").alias("parent"),
+        )
+    )
+
+
+def _static_reconstruct(
+    best: DataFrame, targets: DataFrame, max_hops: int
+) -> DataFrame:
+    """Parent-chase reconstruction as ONE static plan: ``max_hops``
+    unrolled left joins against the parent table, no driver loop, no
+    per-round localCheckpoint / isEmpty jobs. Semantics match
+    ``reconstruct_paths``; use this when the hop budget is small (the
+    bidirectional halves run at ⌈h/2⌉ ≤ 4) — each extra hop is one
+    more join in a single lazily-planned DAG, so a 6-hop reconstruct
+    is one Spark job instead of ~12 (r6: this was the dominant cost of
+    six_degrees_summary, 24.8s → gate-affordable)."""
+    cur = (
+        targets.join(best, ["source", "id"])
+        .select(
+            "source",
+            F.col("id").alias("target"),
+            "dist",
+            F.array("id").alias("path"),
+            "parent",
+        )
+    )
+    b = best.select(
+        F.col("source").alias("b_source"),
+        F.col("id").alias("b_id"),
+        F.col("parent").alias("b_parent"),
+    )
+    for _ in range(max_hops):
+        cur = (
+            cur.join(
+                b,
+                (F.col("source") == F.col("b_source"))
+                & (F.col("parent") == F.col("b_id")),
+                "left",
+            )
+            .select(
+                "source",
+                "target",
+                "dist",
+                F.when(
+                    F.col("parent").isNotNull(),
+                    F.concat(F.array("parent"), F.col("path")),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+                # finished chains (parent null) never match, so b_parent
+                # is already null for them — no branch needed
+                F.col("b_parent").alias("parent"),
+            )
+        )
+    return cur.select("source", F.col("target").alias("id"), "dist", "path")
+
+
 def _pair_paths_bidirectional(
     edges: DataFrame, pairs: DataFrame, max_hops: int
 ) -> DataFrame:
@@ -239,18 +341,32 @@ def _pair_paths_bidirectional(
     join on the meet node, take min(df+db) per pair, then reconstruct
     the two half-paths and stitch them. Exact for dist ≤ max_hops (the
     split node of any shortest path is reached at its true distance
-    from both ends)."""
+    from both ends).
+
+    Both endpoint sets ride ONE multi-source BFS (frontiers keyed by
+    source share every round's shuffle); the backward side is the same
+    settled table capped at ⌊h/2⌋. Half-path reconstruction is one
+    static unrolled plan over the shared table (``_static_reconstruct``)
+    with the forward/backward target sets unioned — the whole pair job
+    is a handful of Spark jobs, not one per BFS round per direction."""
     f_hops = (max_hops + 1) // 2
     b_hops = max_hops // 2
-    und = undirected(edges).localCheckpoint()
+    und = undirected(edges)
     srcs = pairs.select(F.col("src").alias("source")).dropDuplicates()
     dsts = pairs.select(F.col("dst").alias("source")).dropDuplicates()
-    bf = multi_source_shortest_paths(und, srcs, None, f_hops, directed=True)
-    bb = multi_source_shortest_paths(und, dsts, None, b_hops, directed=True)
+    both = srcs.unionByName(dsts).dropDuplicates()
+    # small hop budgets (≤4 per half, the six-degrees domain) take the
+    # single-job static unroll; deeper searches keep the pruned
+    # dynamic loop whose per-round frontier stays bounded
+    if f_hops <= 4:
+        best = _bfs_static(und, both, f_hops).localCheckpoint()
+    else:
+        best = multi_source_shortest_paths(und, both, None, f_hops, directed=True)
+    bb = best.filter(F.col("dist") <= b_hops)
 
     meet = (
         pairs.join(
-            bf.select(
+            best.select(
                 F.col("source").alias("src"), F.col("id").alias("m"),
                 F.col("dist").alias("df"),
             ),
@@ -274,21 +390,25 @@ def _pair_paths_bidirectional(
         .select(
             "src", "dst", F.col("c.dist").alias("dist"), F.col("c.m").alias("m")
         )
-        .localCheckpoint()
+        # lazy: referenced by half_targets AND stitched, but both sit
+        # in the SAME final job over the checkpointed best table and
+        # the identical meet subtree dedups via ReusedExchange
     )
-    fpaths = reconstruct_paths(
-        bf,
-        meet.select(F.col("src").alias("source"), F.col("m").alias("id")).dropDuplicates(),
-        f_hops,
-    ).select(
-        F.col("source").alias("src"), F.col("id").alias("m"), F.col("path").alias("fpath")
+    half_targets = (
+        meet.select(F.col("src").alias("source"), F.col("m").alias("id"))
+        .unionByName(
+            meet.select(F.col("dst").alias("source"), F.col("m").alias("id"))
+        )
+        .dropDuplicates()
     )
-    bpaths = reconstruct_paths(
-        bb,
-        meet.select(F.col("dst").alias("source"), F.col("m").alias("id")).dropDuplicates(),
-        b_hops,
-    ).select(
-        F.col("source").alias("dst"), F.col("id").alias("m"), F.col("path").alias("bpath")
+    half = _static_reconstruct(best, half_targets, f_hops)
+    fpaths = half.select(
+        F.col("source").alias("src"), F.col("id").alias("m"),
+        F.col("path").alias("fpath"),
+    )
+    bpaths = half.select(
+        F.col("source").alias("dst"), F.col("id").alias("m"),
+        F.col("path").alias("bpath"),
     )
     stitched = (
         meet.join(fpaths, ["src", "m"])
@@ -321,15 +441,23 @@ def degrees_of_separation(
     is_human = vertices.select(
         "id", (F.col("type") == "human").cast("int").alias("h")
     )
-    exploded = (
-        sp.filter(F.col("dist").isNotNull())
-        .select("src", "dst", F.explode("path").alias("id"))
+    # ONE pass over sp: explode_outer keeps unreachable pairs (null
+    # path → one null-id row → null humans → null degree), so the
+    # expensive pair-paths subtree is referenced exactly once instead
+    # of once for the reachable explode and again for the outer join
+    return (
+        sp.select("src", "dst", "dist", F.explode_outer("path").alias("id"))
         .join(is_human, "id", "left")
-        .groupBy("src", "dst")
+        .groupBy("src", "dst", "dist")
         .agg(F.sum("h").alias("humans"))
-        .select("src", "dst", F.greatest(F.col("humans") - 1, F.lit(0)).alias("degree"))
+        .select(
+            "src", "dst", "dist",
+            F.when(
+                F.col("dist").isNotNull(),
+                F.greatest(F.col("humans") - 1, F.lit(0)),
+            ).alias("degree"),
+        )
     )
-    return sp.select("src", "dst", "dist").join(exploded, ["src", "dst"], "left")
 
 
 def decorate_path(
@@ -415,6 +543,9 @@ def six_degrees_experiment(
     """
     from social_link_prediction_spark.ml.linksplit import hash60
 
+    # one materialization of the edge table: the BFS levels, the
+    # mean-degree job, and the stitch all re-scan it otherwise
+    edges = edges.localCheckpoint()
     ids = vertices.select("id")
     n_nodes = vertices.count()
     # Deterministic hash-threshold sampling (same pattern as the
@@ -445,7 +576,15 @@ def six_degrees_experiment(
 
     a = _sample(seed, "src")
     b = _sample(seed + 1, "dst")
-    pairs = a.join(b, "k").select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # checkpoint: the tiny pair frame is referenced by the src/dst
+    # source sets, the meet join, and the final stitch — without the
+    # cut each branch re-runs both sampling windows
+    pairs = (
+        a.join(b, "k")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint()
+    )
     deg = degrees_of_separation(edges, pairs, vertices, weight=weight, max_hops=max_hops)
     mean_k = (
         undirected(edges).groupBy("src").count().agg(F.avg("count")).first()[0]

@@ -22,6 +22,82 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucketed_prefix_sums(
+    d: DataFrame,
+    order_col: str,
+    cols: list[str],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive prefix sums of ``cols`` ordered by numeric
+    ``order_col`` — the shared primitive under every rank statistic
+    (KS, Mann-Whitney, Spearman average ranks).
+
+    With ``n_buckets`` unset: ONE global ordered window (exact, fine
+    while the frame is distinct-values-sized). With ``n_buckets``
+    set: the 100 TB shape (VERDICT r5 item 5a) — the value axis is
+    range-partitioned into uniform-width buckets between min and max,
+    each bucket computes its prefix sums under
+    ``Window.partitionBy(bucket)`` (parallel, no single-partition
+    sort), per-bucket totals collapse to an ``n_buckets``-row frame
+    whose exclusive cumulative sum is broadcast back as the bucket
+    offset. Identical output for every n_buckets by construction
+    (buckets are range-contiguous, within-bucket order = global
+    order); pytest pins the law. Uniform widths can skew under
+    pathological value distributions — the per-bucket window still
+    never exceeds that bucket's distinct-value count, and callers
+    with known-skewed axes can pre-transform (log) the order column.
+
+    Returns ``d``'s columns plus ``cum_<c>`` for each requested
+    column. ``order_col`` values must be unique (callers group by the
+    value first — the same contract the global window had)."""
+    if not n_buckets or n_buckets <= 1:
+        w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        return d.select(
+            "*", *[F.sum(c).over(w).alias(f"cum_{c}") for c in cols]
+        )
+    mm = d.agg(
+        F.min(F.col(order_col).cast("double")).alias("__lo"),
+        F.max(F.col(order_col).cast("double")).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets))
+    db = (
+        d.crossJoin(F.broadcast(mm))
+        .withColumn(
+            "__bkt",
+            F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(
+                        (F.col(order_col).cast("double") - F.col("__lo")) / width
+                    ).cast("int"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    win = Window.partitionBy("__bkt").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    within = db.select(
+        "*", *[F.sum(c).over(win).alias(f"__w_{c}") for c in cols]
+    )
+    tot = db.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in cols]
+    )
+    wo = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = tot.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(wo), F.lit(0)).alias(f"__o_{c}")
+            for c in cols
+        ],
+    )
+    return within.join(F.broadcast(off), "__bkt").select(
+        *d.columns,
+        *[(F.col(f"__w_{c}") + F.col(f"__o_{c}")).alias(f"cum_{c}") for c in cols],
+    )
+
+
 def ewma_chart(
     series: DataFrame,
     order_col: str = "day",
@@ -88,7 +164,10 @@ def ewma_chart(
 
 
 def ks_two_sample(
-    values: DataFrame, group_col: str = "g", value_col: str = "x"
+    values: DataFrame,
+    group_col: str = "g",
+    value_col: str = "x",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov statistic.
 
@@ -99,10 +178,11 @@ def ks_two_sample(
     ordered window. ks_scaled = sqrt(n1*n2/(n1+n2)) * D is what the
     asymptotic Kolmogorov distribution consumes.
 
-    Scale shape: the global window runs over distinct values only;
-    the 100 TB variant buckets the value axis first (histogram shape)
-    and bounds D within one bucket width. Returns one row
-    (ks_d, n1, n2, ks_scaled).
+    Scale shape: with ``n_buckets`` unset the global window runs over
+    distinct values only; set it to range-bucket the value axis
+    (``bucketed_prefix_sums``) so no single partition ever sorts the
+    whole distinct-value domain — output is IDENTICAL for any
+    n_buckets. Returns one row (ks_d, n1, n2, ks_scaled).
     """
     n = values.agg(
         F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("n1"),
@@ -112,10 +192,9 @@ def ks_two_sample(
         F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("c2"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
-        F.sum("c1").over(w).cast("double").alias("a1"),
-        F.sum("c2").over(w).cast("double").alias("a2"),
+    c = bucketed_prefix_sums(d, "x", ["c1", "c2"], n_buckets).select(
+        F.col("cum_c1").cast("double").alias("a1"),
+        F.col("cum_c2").cast("double").alias("a2"),
     )
     dmax = (
         c.crossJoin(F.broadcast(n))
@@ -280,7 +359,10 @@ def theil_sen(
 
 
 def mann_whitney_u(
-    values: DataFrame, group_col: str = "g", value_col: str = "x"
+    values: DataFrame,
+    group_col: str = "g",
+    value_col: str = "x",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) test with tie correction —
     the nonparametric two-sample location test next to ks_two_sample
@@ -304,12 +386,11 @@ def mann_whitney_u(
     d = values.groupBy(F.col(value_col).alias("x")).agg(
         F.sum(F.when(F.col(group_col) == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col(group_col) == 2, 1).otherwise(0)).cast("long").alias("c2"),
-    )
-    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    r = d.select(
-        "c1",
-        (F.col("c1") + F.col("c2")).alias("c"),
-        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)).alias("cb"),
+    ).withColumn("c", F.col("c1") + F.col("c2"))
+    # exclusive prefix = inclusive − own count (the bucketed primitive
+    # only emits inclusive sums)
+    r = bucketed_prefix_sums(d, "x", ["c"], n_buckets).select(
+        "c1", "c", (F.col("cum_c") - F.col("c")).alias("cb")
     )
     s = r.agg(
         F.sum(
@@ -353,28 +434,33 @@ def mann_whitney_u(
     )
 
 
-def _avg_rank(df: DataFrame, col: str, out: str) -> DataFrame:
+def _avg_rank(
+    df: DataFrame, col: str, out: str, n_buckets: int | None = None
+) -> DataFrame:
     """Distinct-value average-rank frame for ``col``: (value, avg rank).
 
     Average rank = cumulative count of strictly-smaller values +
     (count+1)/2 — the tie convention Spearman/Mann-Whitney need. The
     window runs over DISTINCT values only; callers join this back to
     the corpus on the value column (broadcast when the domain is
-    small), so no corpus-sized global sort ever happens."""
+    small), so no corpus-sized global sort ever happens. ``n_buckets``
+    range-buckets even the distinct-value window
+    (``bucketed_prefix_sums``) for axes whose distinct domain is
+    itself corpus-sized (timestamps, doubles)."""
     d = df.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    wb = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    return d.select(
+    return bucketed_prefix_sums(d, "v", ["c"], n_buckets).select(
         F.col("v").alias(col),
         (
-            F.coalesce(F.sum("c").over(wb), F.lit(0))
-            + (F.col("c") + 1) / F.lit(2.0)
+            (F.col("cum_c") - F.col("c")) + (F.col("c") + 1) / F.lit(2.0)
         ).alias(out),
     )
 
 
-def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+def spearman_rho(
+    df: DataFrame, x_col: str, y_col: str, n_buckets: int | None = None
+) -> DataFrame:
     """Spearman rank correlation: Pearson correlation over AVERAGE
     ranks (the tie-correct definition, not the 6*sum(d^2) shortcut
     which is only valid tie-free). Monotone-association measure that
@@ -382,8 +468,8 @@ def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     outliers can't dominate. Two distinct-value rank frames (window
     over distinct values only) joined back on the value columns, then
     one corr() aggregate. Returns one row (n_rows, rho)."""
-    rx = _avg_rank(df, x_col, "rx")
-    ry = _avg_rank(df, y_col, "ry")
+    rx = _avg_rank(df, x_col, "rx", n_buckets)
+    ry = _avg_rank(df, y_col, "ry", n_buckets)
     j = df.select(x_col, y_col).join(rx, x_col).join(ry, y_col)
     return j.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -1098,6 +1098,7 @@ ORACLES["srp_bucket_counts"] = _duck_srp_sql()
 # =====================================================================
 from social_link_prediction_spark.graph import pagerank as gpr  # noqa: E402
 from social_link_prediction_spark.graph import paths as gpaths  # noqa: E402
+from social_link_prediction_spark.graph import testgraph as tg  # noqa: E402
 
 _DUCK_PS_EDGES = """
     e AS (
@@ -7637,14 +7638,7 @@ def ktruss_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("kt")) % 10000
-            < 400
-        )
-    )
+    pairs = tg.sampled_edges(sup, 400, "kt")
     tr = gtruss.ktruss(pairs, k=3, max_rounds=3)
     return (
         tr.groupBy("support")
@@ -8079,14 +8073,7 @@ def scc_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") != F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scc")) % 10000
-            < 250
-        )
-    )
+    pairs = tg.sampled_edges(sup, 250, "scc", directed=True)
     comp = gscc.strongly_connected_components(pairs, rounds=12, peels=2)
     return (
         comp.groupBy(F.col("scc").alias("scc_root"))
@@ -8587,14 +8574,7 @@ def mis_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
-            < 400
-        )
-    )
+    pairs = tg.sampled_edges(sup, 400, "mis")
     return gmis.maximal_independent_set(pairs, rounds=3).orderBy("id")
 
 
@@ -8983,14 +8963,7 @@ def coloring_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
-            < 400
-        )
-    )
+    pairs = tg.sampled_edges(sup, 400, "mis")
     return gmis.luby_coloring(pairs, colors=3, rounds_per_color=3).orderBy("id")
 
 
@@ -9259,14 +9232,7 @@ def matching_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("mis")) % 10000
-            < 400
-        )
-    )
+    pairs = tg.sampled_edges(sup, 400, "mis")
     return gmat.maximal_matching(pairs, rounds=3).orderBy("u", "v")
 
 
@@ -9403,14 +9369,7 @@ def katz_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    pairs = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("katz")) % 10000
-            < 500
-        )
-    )
+    pairs = tg.sampled_edges(sup, 500, "katz")
     und = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -12483,14 +12442,7 @@ def rich_club_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("rc")) % 10000
-            < 400
-        )
-    )
+    e = tg.sampled_edges(sup, 400, "rc")
     deg = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -12563,14 +12515,7 @@ def reciprocity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") != F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("rec")) % 10000
-            < 250
-        )
-    )
+    e = tg.sampled_edges(sup, 250, "rec", directed=True)
     f = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m"))
     r = e.join(f, ["src", "dst"], "left")
     return r.agg(
@@ -14130,17 +14075,24 @@ def shapley_attribution_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anova_price_segments",
     """
     WITH v AS (
-        SELECT c.c_mktsegment AS g, o.o_totalprice AS x
+        SELECT c.c_mktsegment AS g,
+               CAST(round(o.o_totalprice * 100) AS DECIMAL(18,0)) AS xc
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-    pg AS MATERIALIZED (
-        SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS s, sum(x * x) AS ss
+    pg0 AS MATERIALIZED (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               sum(xc) AS sc, sum(xc * xc) AS ssc
         FROM v GROUP BY g),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(s) AS s,
-                   CAST(count(*) AS BIGINT) AS k FROM pg),
+    pg AS (SELECT g, n, CAST(sc AS DOUBLE) / 100 AS s,
+                  CAST(ssc AS DOUBLE) / 10000 AS ss
+           FROM pg0),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(sc) AS DOUBLE) / 100 AS s,
+                   CAST(count(*) AS BIGINT) AS k FROM pg0),
     parts AS (
         SELECT sum(n * (s / n - (SELECT s FROM tot) / (SELECT n FROM tot))
-                     * (s / n - (SELECT s FROM tot) / (SELECT n FROM tot))) AS ssb,
-               sum(ss - s * s / n) AS ssw
+                     * (s / n - (SELECT s FROM tot) / (SELECT n FROM tot))
+                   ORDER BY g) AS ssb,
+               sum(ss - s * s / n ORDER BY g) AS ssw
         FROM pg)
     SELECT (SELECT k FROM tot) AS k_groups,
            (SELECT n FROM tot) AS n_obs,
@@ -14158,21 +14110,35 @@ def anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, the screen you run BEFORE pairwise tests to control the
     first-look error). Computed from per-group (n, sum, sumsq)
     partials — one corpus-sized groupBy, then 5-row broadcast math:
-    SSB = sum n_g(m_g - m)^2, SSW = sum(ss_g - s_g^2/n_g). Sums
+    SSB = sum n_g(m_g - m)^2, SSW = sum(ss_g - s_g^2/n_g).
+
+    Bit-stability (r6 fix for a 1-ulp sf0.001 hash flip): the
+    corpus-sized sums run in integer CENTS (decimal — exact under any
+    partial-aggregation order), and the final 5-group SSB/SSW
+    reductions are EXPLICIT g-ordered folds (F.aggregate over a
+    sorted array here, sum(... ORDER BY g) in the oracle) so both
+    engines add the five doubles in the identical sequence. Sums
     round to 2dp (the big-money convention), F to 6dp."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     v = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
-        F.col("c_mktsegment").alias("g"), F.col("o_totalprice").alias("x")
+        F.col("c_mktsegment").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("decimal(18,0)").alias("xc"),
     )
-    pg = v.groupBy("g").agg(
+    pg0 = v.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("ss"),
+        F.sum("xc").alias("sc"),
+        F.sum(F.col("xc") * F.col("xc")).alias("ssc"),
     )
-    tot = pg.agg(
+    pg = pg0.select(
+        "g",
+        "n",
+        (F.col("sc").cast("double") / 100).alias("s"),
+        (F.col("ssc").cast("double") / 10000).alias("ss"),
+    )
+    tot = pg0.agg(
         F.sum("n").cast("long").alias("tn"),
-        F.sum("s").alias("ts"),
+        (F.sum("sc").cast("double") / 100).alias("ts"),
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     parts = (
@@ -14180,6 +14146,7 @@ def anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tn",
             "k",
+            "g",
             (
                 F.col("n")
                 * (F.col("s") / F.col("n") - F.col("ts") / F.col("tn"))
@@ -14188,7 +14155,17 @@ def anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss") - F.col("s") * F.col("s") / F.col("n")).alias("w"),
         )
         .groupBy("tn", "k")
-        .agg(F.sum("b").alias("ssb"), F.sum("w").alias("ssw"))
+        .agg(F.array_sort(F.collect_list(F.struct("g", "b", "w"))).alias("arr"))
+        .select(
+            "tn",
+            "k",
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, x: acc + x["b"]
+            ).alias("ssb"),
+            F.aggregate(
+                "arr", F.lit(0.0), lambda acc, x: acc + x["w"]
+            ).alias("ssw"),
+        )
     )
     return parts.select(
         F.col("k").alias("k_groups"),
@@ -14758,14 +14735,7 @@ def anf_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").cast("long").alias("id")
     )
     nn = sup.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("anf")) % 10000
-            < 60
-        )
-    )
+    e = tg.sampled_edges(sup, 60, "anf")
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -14855,16 +14825,7 @@ def scan_structural_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
-            % 10000
-            < 400
-        )
-        .persist()
-    )
+    e = tg.sampled_edges(sup, 400, "scan").persist()
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -15554,15 +15515,7 @@ def linkpred_heuristic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("lp")) % 10000
-            < 400
-        )
-        .persist()
-    )
+    e = tg.sampled_edges(sup, 400, "lp").persist()
     split = mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("lpsplit")) % 10
     tr = e.filter(split < 8).persist()
     te = e.filter(split >= 8).persist()
@@ -15682,14 +15635,7 @@ def attribute_assortativity_nation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("s_suppkey").cast("long").alias("id"),
         F.col("s_nationkey").cast("long").alias("nat"),
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("as")) % 10000
-            < 400
-        )
-    )
+    e = tg.sampled_edges(sup, 400, "as")
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -15767,16 +15713,7 @@ def triangle_significance_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
-            % 10000
-            < 400
-        )
-        .persist()
-    )
+    e = tg.sampled_edges(sup, 400, "scan").persist()
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -17418,16 +17355,7 @@ def clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("scan"))
-            % 10000
-            < 400
-        )
-        .persist()
-    )
+    e = tg.sampled_edges(sup, 400, "scan").persist()
     from social_link_prediction_spark.graph import motifs as mo
 
     deg = (
@@ -18450,15 +18378,7 @@ def component_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("csd"))
-            % 10000
-            < 30
-        )
-    )
+    e = tg.sampled_edges(sup, 30, "csd")
     sym = (
         e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -19031,16 +18951,7 @@ def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
-    e0 = (
-        sup.select(F.col("id").alias("src"))
-        .join(sup.select(F.col("id").alias("dst")), F.col("src") < F.col("dst"))
-        .filter(
-            mls.hash60(F.format_string("%d-%d", "src", "dst"), F.lit("perc"))
-            % 10000
-            < 60
-        )
-        .persist()
-    )
+    e0 = tg.sampled_edges(sup, 60, "perc").persist()
     deg = (
         e0.select(F.col("src").alias("id"))
         .unionByName(e0.select(F.col("dst").alias("id")))
@@ -20049,4 +19960,169 @@ def vocab_richness_estimators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n1") / F.col("n_tokens"), 6).alias(
             "good_turing_unseen_mass"
         ),
+    )
+
+
+# =====================================================================
+# Round 6: range-bucketed rank statistics — the implemented 100 TB
+# fallback (VERDICT r5 item 5a). The ENGINE side runs the bucketed
+# path (n_buckets=16: per-bucket windows + broadcast offset adds, no
+# global distinct-value sort); the ORACLE computes the plain exact
+# global-window formulas — a green row is a machine-checked proof the
+# bucketed decomposition is lossless end-to-end on real data.
+# =====================================================================
+@query(
+    "bucketed_rank_stats",
+    """
+    WITH v AS (
+        SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 2 END AS g,
+               o.o_totalprice AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+          FROM v),
+    d AS (SELECT x,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM v GROUP BY x),
+    r AS (SELECT c1, c,
+                 CAST(sum(c1) OVER w AS DOUBLE) AS a1,
+                 CAST(sum(c2) OVER w AS DOUBLE) AS a2,
+                 coalesce(sum(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+          FROM d
+          WINDOW w AS (ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT sum(c1 * (cb + (c + 1) / 2.0)) AS r1,
+                 CAST(sum(c * c * c - c) AS DOUBLE) AS ties,
+                 max(abs(a1 / (SELECT n1 FROM n)
+                         - a2 / (SELECT n2 FROM n))) AS d_raw
+          FROM r)
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * (CAST(n1 + n2 + 1 AS DOUBLE)
+                           - ties / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))),
+                 6) AS z,
+           round(d_raw, 6) AS ks_d,
+           round(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) * d_raw, 6) AS ks_scaled
+    FROM s, n
+    """,
+)
+def bucketed_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U + two-sample KS on order totals (AUTOMOBILE vs
+    HOUSEHOLD), both computed through the RANGE-BUCKETED prefix-sum
+    path (operators/stats.bucketed_prefix_sums, n_buckets=16): the
+    value axis splits into uniform-width buckets, each bucket windows
+    only its own distinct values, per-bucket totals cumulate on a
+    16-row frame broadcast back as offsets. The oracle recomputes
+    both statistics with plain global windows, so the green hash IS
+    the losslessness proof of the bucketed decomposition (the pytest
+    law covers random frames; this covers the warehouse)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    v = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
+        .select(
+            F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1).otherwise(2).alias("g"),
+            F.col("o_totalprice").alias("x"),
+        )
+    )
+    mw = st.mann_whitney_u(v, "g", "x", n_buckets=16).select("n1", "n2", "u1", "z")
+    ks = st.ks_two_sample(v, "g", "x", n_buckets=16).select("ks_d", "ks_scaled")
+    return mw.crossJoin(F.broadcast(ks))
+
+
+# =====================================================================
+# Round 6: HyperBall ANF — the implemented 100 TB twin of the exact
+# neighborhood function (VERDICT r5 item 5b). Same sampled graph and
+# hop loop as anf_neighborhood_function; per-node state is a mergeable
+# HLL register instead of the materialized pair closure. The oracle
+# pins the exact counts plus a ≤2%-relative-error flag on the sketch
+# estimates (the hll_daily_users contract: estimates are
+# implementation-specific, the error bound is engine-portable).
+# =====================================================================
+@query(
+    "hyperball_anf_suppliers",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {{anf_edge}} % 10000 < 60
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    r1 AS MATERIALIZED (SELECT src, dst FROM sym),
+    r2 AS MATERIALIZED (
+        SELECT src, dst FROM r1
+        UNION
+        SELECT r.src, s.dst FROM r1 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    r3 AS MATERIALIZED (
+        SELECT src, dst FROM r2
+        UNION
+        SELECT r.src, s.dst FROM r2 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst)
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS hop,
+               CAST(count(*) AS BIGINT) AS n_pairs_exact,
+               TRUE AS hyperball_within_2pct FROM r1
+        UNION ALL
+        SELECT 2, CAST(count(*) AS BIGINT), TRUE FROM r2
+        UNION ALL
+        SELECT 3, CAST(count(*) AS BIGINT), TRUE FROM r3)
+    ORDER BY hop
+    """.format(anf_edge=_ANF_EDGE_SQL),
+)
+def hyperball_anf_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall N(h) estimates (graph/anf.py) next to the exact
+    frontier-closure counts on the 0.6%-sampled supplier graph: the
+    green row machine-checks that the register-merge loop tracks the
+    exact neighborhood function within the lg_k=14 accuracy band
+    (Spark's sparse-mode HLL is exact at these set sizes, so the flag
+    has 1.2%+ headroom beyond observed error at every tier)."""
+    from social_link_prediction_spark.graph import anf as ganf
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = tg.sampled_edges(sup, 60, "anf").localCheckpoint()
+    est = ganf.hyperball(e, max_h=3, lg_k=14)
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    r = sym
+    exact = None
+    for h in (1, 2, 3):
+        if h > 1:
+            step = (
+                r.alias("r")
+                .join(sym.alias("s"), F.col("r.dst") == F.col("s.src"))
+                .select(F.col("r.src").alias("src"), F.col("s.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+            )
+            r = r.unionByName(step).distinct().localCheckpoint()
+        c = r.agg(F.count(F.lit(1)).cast("long").alias("n_pairs_exact")).select(
+            F.lit(h).cast("long").alias("hop"), "n_pairs_exact"
+        )
+        exact = c if exact is None else exact.unionByName(c)
+    return (
+        exact.join(est, "hop")
+        .select(
+            "hop",
+            "n_pairs_exact",
+            (
+                F.abs(F.col("n_pairs_est") - F.col("n_pairs_exact"))
+                <= 0.02 * F.col("n_pairs_exact")
+            ).alias("hyperball_within_2pct"),
+        )
+        .orderBy("hop")
     )

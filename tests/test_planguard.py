@@ -12,6 +12,7 @@ CI for the queries added in this session.
 from __future__ import annotations
 
 import os
+import re
 
 import pytest
 
@@ -171,6 +172,38 @@ def test_no_cartesian_or_python_rowloop(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: unbounded cross product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_sampled_graph_generator_isolated():
+    """VERDICT r5 item 4: the N² crossJoin+hash testdata edge
+    generator must live ONLY in graph/testgraph.py — query bodies get
+    their sampled graph through tg.sampled_edges (so a production
+    deployment swaps one source function, not ~16 inlined devices).
+    Guard: no query body pair-expands a corpus table against itself
+    with the hash-filter device."""
+    import social_link_prediction_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            if path.endswith(os.path.join("graph", "testgraph.py")):
+                continue
+            src = open(path).read()
+            # the device signature: the PYSPARK hash-threshold filter
+            # over the "src-dst" pair string (oracle SQL strings also
+            # carry the device — DuckDB must replay it — so match the
+            # DataFrame-expression form only)
+            if re.search(
+                r'hash60\(F\.format_string\("%d-%d", "src", "dst"\),'
+                r' F\.lit\([^)]*\)\)\s*\n?\s*%\s*10000',
+                src,
+            ):
+                offenders.append(os.path.relpath(path, root))
+    assert not offenders, f"inlined N² edge generator in: {offenders}"
 
 
 @needs_testdata

@@ -354,3 +354,53 @@ def test_mann_kendall_matches_bruteforce(spark, seed):
         for j in range(i + 1, len(ys))
     )
     assert r.s_stat == s
+
+
+# ---------------------------------------------------------------------
+# Range-bucketed rank statistics (VERDICT r5 item 5a): bucketed ==
+# global for every n_buckets — the 100 TB fallback is a pure
+# re-partitioning of the same arithmetic.
+# ---------------------------------------------------------------------
+@pytest.mark.parametrize("n_buckets", [1, 3, 8, 64])
+def test_bucketed_prefix_sums_law(spark, n_buckets):
+    rng = random.Random(11)
+    rows = [(float(v), rng.randint(1, 5), rng.randint(0, 3))
+            for v in rng.sample(range(-50, 200), 60)]
+    d = spark.createDataFrame(rows, "x double, a int, b int")
+    exact = {
+        r.x: (r.cum_a, r.cum_b)
+        for r in st.bucketed_prefix_sums(d, "x", ["a", "b"]).collect()
+    }
+    got = {
+        r.x: (r.cum_a, r.cum_b)
+        for r in st.bucketed_prefix_sums(d, "x", ["a", "b"], n_buckets).collect()
+    }
+    assert got == exact
+
+
+@pytest.mark.parametrize("n_buckets", [2, 7])
+def test_bucketed_rank_stats_match_global(spark, n_buckets):
+    rng = random.Random(23)
+    vals = [(rng.choice([1, 2]), float(rng.randint(0, 12))) for _ in range(80)]
+    df = spark.createDataFrame(vals, "g int, x double")
+    assert (
+        st.mann_whitney_u(df, n_buckets=n_buckets).collect()
+        == st.mann_whitney_u(df).collect()
+    )
+    assert (
+        st.ks_two_sample(df, n_buckets=n_buckets).collect()
+        == st.ks_two_sample(df).collect()
+    )
+    xy = spark.createDataFrame(
+        [(float(rng.randint(0, 9)), float(rng.randint(0, 9))) for _ in range(60)],
+        "x double, y double",
+    )
+    assert (
+        st.spearman_rho(xy, "x", "y", n_buckets=n_buckets).collect()
+        == st.spearman_rho(xy, "x", "y").collect()
+    )
+
+
+def test_bucketed_prefix_sums_degenerate_single_value(spark):
+    d = spark.createDataFrame([(5.0, 3)], "x double, a int")
+    assert st.bucketed_prefix_sums(d, "x", ["a"], 16).collect()[0].cum_a == 3

@@ -144,6 +144,16 @@ def main():
         else:
             print(f"PASS  {name}: rows={len(srows)} t={timings[name]}s")
     spark.stop()
+    out_path = os.environ.get("VERIFY_TIMINGS_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {"timings": timings, "oracle_timings": oracle_timings,
+                 "failed": failed, "sf_dir": sf_dir},
+                f,
+            )
     print("\nslowest (spark side, s):")
     for name, t in sorted(timings.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  {t:7.2f}  {name}")
