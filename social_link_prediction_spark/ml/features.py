@@ -86,6 +86,7 @@ def model_text_embedding(
     id_col: str = "id",
     model_name: str = "all-MiniLM-L6-v2",
     batch_size: int = 64,
+    encoder_factory=None,
 ) -> DataFrame:
     """M1 real embedder (reference data_processor.py:23-33,120: SBERT
     all-MiniLM-L6-v2): an Arrow-batched mapInPandas stage that loads
@@ -96,18 +97,35 @@ def model_text_embedding(
     emit the same (id, array<float>) shape, so downstream assembly is
     identical).
 
+    ``encoder_factory``: optional zero-arg callable returning an
+    object with SBERT's ``encode(list[str], batch_size=...) ->
+    sequence of vectors`` contract, constructed INSIDE each python
+    worker (must be picklable). Production leaves it None (loads the
+    named sentence-transformers model); tests inject a recorded /
+    deterministic encoder so the exact Arrow-batched execution path —
+    per-worker model construction, null fill, batch slicing, float
+    cast, schema — is pinned without the model download
+    (tests/test_ml.py::test_model_embedding_real_path).
+
     Scale notes: the model loads per-worker, not per-row (lazy module
     global); batches come through Arrow so encode() sees contiguous
     numpy; output is the embedding only — the text column is dropped
     before any shuffle.
     """
-    import importlib.util
+    if encoder_factory is None:
+        import importlib.util
 
-    if importlib.util.find_spec("sentence_transformers") is None:
-        raise ImportError(
-            "sentence-transformers is not installed; use "
-            "hashed_text_embedding() for the deterministic fallback"
-        )
+        if importlib.util.find_spec("sentence_transformers") is None:
+            raise ImportError(
+                "sentence-transformers is not installed; use "
+                "hashed_text_embedding() for the deterministic fallback"
+            )
+
+        def encoder_factory():  # noqa: F811 — production default
+            from sentence_transformers import SentenceTransformer
+
+            return SentenceTransformer(model_name)
+
     from collections.abc import Iterator
 
     from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
@@ -116,9 +134,7 @@ def model_text_embedding(
     schema = StructType([id_field, StructField(out, ArrayType(FloatType()))])
 
     def encode(it: Iterator) -> Iterator:
-        from sentence_transformers import SentenceTransformer
-
-        model = SentenceTransformer(model_name)
+        model = encoder_factory()
         for pdf in it:
             vecs = model.encode(
                 pdf[text_col].fillna("").tolist(), batch_size=batch_size
