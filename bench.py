@@ -180,6 +180,13 @@ HEADLINE = [
     "bucketed_rank_stats",
     "hyperball_anf_suppliers",
     "six_degrees_summary",
+    # round-6 additions: ranking eval, hybrid retrieval, JL audit,
+    # recency attribution, ANF headline number
+    "ndcg_popularity_baseline",
+    "hybrid_rrf_search_docs",
+    "jl_projection_audit",
+    "time_decay_attribution",
+    "effective_diameter_suppliers",
 ]
 
 

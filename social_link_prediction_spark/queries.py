@@ -20126,3 +20126,567 @@ def hyperball_anf_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# =====================================================================
+# Round 6 additions: ranking-quality eval (NDCG), effective diameter
+# (the ANF curve's headline number), and a Johnson-Lindenstrauss
+# projection distance-preservation audit.
+# =====================================================================
+@query(
+    "ndcg_popularity_baseline",
+    """
+    WITH pop AS (
+        SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+        ORDER BY n DESC, part ASC LIMIT 10),
+    top10 AS (
+        SELECT part, row_number() OVER (ORDER BY n DESC, part ASC) AS pos
+        FROM pop),
+    rel AS MATERIALIZED (
+        SELECT o.o_custkey AS cust, l.l_partkey AS part,
+               CAST(count(*) AS BIGINT) AS r
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+    dcg AS (
+        SELECT rel.cust, sum(rel.r / log2(t.pos + 1)) AS dcg
+        FROM rel JOIN top10 t ON t.part = rel.part GROUP BY rel.cust),
+    ranked AS (
+        SELECT cust, r,
+               row_number() OVER (PARTITION BY cust
+                                  ORDER BY r DESC, part ASC) AS k
+        FROM rel),
+    idcg AS (
+        SELECT cust, sum(r / log2(k + 1)) AS idcg
+        FROM ranked WHERE k <= 10 GROUP BY cust),
+    per_user AS (
+        SELECT i.cust, round(coalesce(d.dcg, 0) / i.idcg, 6) AS ndcg
+        FROM idcg i LEFT JOIN dcg d ON d.cust = i.cust)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(ndcg), 6) AS mean_ndcg,
+           round(avg(CASE WHEN ndcg = 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_zero
+    FROM per_user
+    """,
+)
+def ndcg_popularity_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the popularity baseline: rank every customer against
+    the 10 globally most-ordered parts, graded relevance = how often
+    the customer actually ordered the part — the ranking-quality
+    floor any personalized recommender (cf_recommend_parts_c1,
+    item_item_cosine_topk, ALS) must beat, and the missing member of
+    the eval family next to MRR/hits@k/AUC. Scale shape: the global
+    top-10 comes from orderBy+limit (TakeOrdered k-heap, no full
+    sort), broadcast to a semi-join; IDCG's window partitions per
+    customer. deterministic ties: (count desc, part asc) /
+    (rel desc, part asc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pop = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("part").asc())
+        .limit(10)
+    )
+    w10 = Window.orderBy(F.col("n").desc(), F.col("part").asc())
+    top10 = pop.withColumn("pos", F.row_number().over(w10)).select("part", "pos")
+    rel = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .persist()
+    )
+    dcg = (
+        rel.join(F.broadcast(top10), "part")
+        .groupBy("cust")
+        .agg(F.sum(F.col("r") / F.log2(F.col("pos") + 1)).alias("dcg"))
+    )
+    wk = Window.partitionBy("cust").orderBy(F.col("r").desc(), F.col("part").asc())
+    idcg = (
+        rel.withColumn("k", F.row_number().over(wk))
+        .filter(F.col("k") <= 10)
+        .groupBy("cust")
+        .agg(F.sum(F.col("r") / F.log2(F.col("k") + 1)).alias("idcg"))
+    )
+    per_user = idcg.join(dcg, "cust", "left").select(
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+        ).alias("ndcg")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
+        F.round(
+            F.avg(F.when(F.col("ndcg") == 0, 1.0).otherwise(0.0)), 6
+        ).alias("frac_zero"),
+    )
+
+
+@query(
+    "effective_diameter_suppliers",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {{anf_edge}} % 10000 < 60
+    ),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    r1 AS MATERIALIZED (SELECT src, dst FROM sym),
+    r2 AS MATERIALIZED (
+        SELECT src, dst FROM r1 UNION
+        SELECT r.src, s.dst FROM r1 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    r3 AS MATERIALIZED (
+        SELECT src, dst FROM r2 UNION
+        SELECT r.src, s.dst FROM r2 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    r4 AS MATERIALIZED (
+        SELECT src, dst FROM r3 UNION
+        SELECT r.src, s.dst FROM r3 r JOIN sym s ON s.src = r.dst
+        WHERE r.src <> s.dst),
+    c AS (SELECT CAST(0 AS BIGINT) AS hop, CAST(0 AS BIGINT) AS np
+          UNION ALL SELECT 1, count(*) FROM r1
+          UNION ALL SELECT 2, count(*) FROM r2
+          UNION ALL SELECT 3, count(*) FROM r3
+          UNION ALL SELECT 4, count(*) FROM r4),
+    mx AS (SELECT max(np) AS nmax FROM c),
+    hit AS (SELECT min(hop) AS h FROM c
+            WHERE np * 10 >= 9 * (SELECT nmax FROM mx)),
+    prev AS (SELECT np AS np_prev FROM c
+             WHERE hop = (SELECT h FROM hit) - 1),
+    cur AS (SELECT np AS np_cur FROM c WHERE hop = (SELECT h FROM hit))
+    SELECT (SELECT nmax FROM mx) AS n_pairs_max,
+           CAST((SELECT h FROM hit) AS BIGINT) AS h90,
+           round(CASE WHEN (SELECT nmax FROM mx) = 0 THEN NULL
+                      WHEN (SELECT np_cur FROM cur)
+                           = (SELECT np_prev FROM prev)
+                      THEN (SELECT h FROM hit)
+                      ELSE ((SELECT h FROM hit) - 1)
+                           + (0.9 * (SELECT nmax FROM mx)
+                              - (SELECT np_prev FROM prev))
+                             / ((SELECT np_cur FROM cur)
+                                - (SELECT np_prev FROM prev)) END, 6)
+               AS eff_diameter_90
+    """.format(anf_edge=_ANF_EDGE_SQL),
+)
+def effective_diameter_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective diameter (the 90th-percentile hop distance, linearly
+    interpolated — Leskovec et al.'s shrinking-diameters metric): the
+    single headline number the ANF curve exists to produce. Reuses
+    the exact hop closure on the 0.6%-sampled supplier graph to
+    h = 4; h90 = smallest h with N(h) ≥ 0.9·N(4), interpolated
+    between N(h90−1) and N(h90). Integer counts end-to-end; the one
+    division happens on 6-dp-rounded output. NULL on an edgeless
+    tier."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = tg.sampled_edges(sup, 60, "anf")
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    r = sym
+    counts = [(0, None)]  # hop -> count frame (0 handled as literal)
+    frames = []
+    spark_zero = sup.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("hop"), F.lit(0).cast("long").alias("np")
+    )
+    frames.append(spark_zero)
+    for h in (1, 2, 3, 4):
+        if h > 1:
+            step = (
+                r.alias("r")
+                .join(sym.alias("s"), F.col("r.dst") == F.col("s.src"))
+                .select(F.col("r.src").alias("src"), F.col("s.dst").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+            )
+            r = r.unionByName(step).distinct().localCheckpoint()
+        frames.append(
+            r.agg(F.count(F.lit(1)).cast("long").alias("np")).select(
+                F.lit(h).cast("long").alias("hop"), "np"
+            )
+        )
+    c = frames[0]
+    for f_ in frames[1:]:
+        c = c.unionByName(f_)
+    c = c.localCheckpoint()
+    mx = c.agg(F.max("np").alias("nmax"))
+    hit = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.col("np") * 10 >= 9 * F.col("nmax"))
+        .agg(F.min("hop").alias("h"))
+    )
+    # agg (never-empty, null-on-miss) rather than a bare select: at an
+    # edgeless tier h = 0 and hop h-1 = -1 matches nothing — a 0-row
+    # frame would annihilate the crossJoin while the oracle's scalar
+    # subquery yields NULL and keeps its row
+    prev = (
+        c.join(F.broadcast(hit), F.col("hop") == F.col("h") - 1)
+        .agg(F.max("np").alias("np_prev"))
+    )
+    cur = (
+        c.join(F.broadcast(hit), F.col("hop") == F.col("h"))
+        .agg(F.max("np").alias("np_cur"))
+    )
+    return (
+        mx.crossJoin(F.broadcast(hit))
+        .crossJoin(F.broadcast(prev))
+        .crossJoin(F.broadcast(cur))
+        .select(
+            F.col("nmax").alias("n_pairs_max"),
+            F.col("h").cast("long").alias("h90"),
+            F.round(
+                F.when(F.col("nmax") == 0, F.lit(None)).when(
+                    F.col("np_cur") == F.col("np_prev"), F.col("h").cast("double")
+                ).otherwise(
+                    (F.col("h") - 1)
+                    + (0.9 * F.col("nmax") - F.col("np_prev"))
+                    / (F.col("np_cur") - F.col("np_prev"))
+                ),
+                6,
+            ).alias("eff_diameter_90"),
+        )
+    )
+
+
+_JL_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'jl'"
+)
+
+
+@query(
+    "jl_projection_audit",
+    """
+    WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS MATERIALIZED (
+        SELECT id, v, [list_dot_product(v, [-0.2558802884476004,0.511431512516514,-0.2260961647831047,-0.3150684223311854,-0.9300181903227674,-0.21330194742120367,1.1119173809863208,0.42414668412593615,1.0368790788896665,0.24890272766509133,0.39476963461375775,0.18532666042839877,-1.6660625253119432,0.8552509687647372,0.5063848458947204,0.498818038161944,-1.6913645518484226,-1.7438881172756033,-0.8896153448069297,-0.4681892757332346,0.3054459918324407,-0.045911730512585354,0.520974898420902,-0.6422347498744938,0.3087031492108811,0.39415447685921007,-0.6611373475321424,1.7175303173337426,0.5566093558674555,1.197005237979008,-0.6203329144828438,-0.7395158962247732,-0.34404667916316806,-0.10642133153854398,0.6320787450321489,0.24842725356969214,-0.44735489523216543,-0.9569123136623718,-0.5205903100665388,1.2209213148999039,-0.8079464283078355,0.24475874731607522,0.4265189746741636,-1.4897431348611148,0.048474357805962036,1.3062435998070716,-2.014363824710263,-0.32159385106567046,-0.10613916862568372,-0.8172603024370143,0.49739001119925413,-0.0622798949329554,-1.4646566571540556,0.8278458784913143,0.669335689821001,0.9458417924074138,1.440597413192603,0.3622436703483417,0.1192741503501188,-1.29916808473125,0.6154432127149754,-0.6117589196103815,-0.4527018996188372,-1.2647877743013232]::DOUBLE[]) / 4.0, list_dot_product(v, [-0.9676143272108394,-0.5311210926158692,1.288837543075987,-2.0317920474486755,-1.4577055535788668,0.23935109637450452,1.443349754156496,0.5784969503748149,-1.899943276931952,-2.5182348300312385,0.35739721571102645,-0.7362619397364518,-1.119786573527076,0.9773712414195629,1.101786204180404,0.1572518804384863,0.2457765102792436,0.43436280983213216,1.594004056931279,0.6190286032553851,0.5186495389757707,0.5477375736312311,-1.5683105225549592,1.2817335184040903,0.955102083496128,0.5296237217996917,-1.97387543553663,-0.6336800255863366,0.842303593847481,-1.8112142525213255,-0.1840222293260406,1.0195276718522928,-1.3111886130114665,1.6101061983748743,0.5519639717948621,-0.15013875127978507,0.3248668210047183,0.6498309914451523,0.12039372620354538,1.1456602358579617,-0.6615445657523961,-0.41473615589334284,1.0416845530735936,0.026798941547276814,-0.8804640811194406,0.9464552654932115,1.4654975743027467,-0.4448260851557471,-1.379993187160495,-0.13474820169311302,-0.1490188036402389,-0.2979996496335803,1.4047703035775652,-1.0269364739157945,1.2605866448383238,-1.2683219790736193,-0.7870394671827289,0.6315212788981737,1.128690305549404,0.8590023502535399,0.3452247461920301,0.14235633795275582,0.15248179045684337,0.5752802708340415]::DOUBLE[]) / 4.0, list_dot_product(v, [-0.17619745775629098,0.2774359968472974,0.5727265336329771,0.0008394764737400608,0.7639823885379302,0.5658781291403443,2.0106321963650546,0.32494263677272134,-0.4275929519432337,-0.3725512159128706,-0.013105597765684358,0.9237846044248513,-0.3365636884977564,0.3858259920571797,1.8373012776494662,-2.564679474213934,-1.1239085853390323,0.24389701690330107,0.39833539441746396,0.23857332886106958,-0.43115149906475186,0.6551461933291434,0.2821300659532711,-0.5220513382734014,2.4300538751667524,0.35513286238489494,-0.5542289707468753,-0.09944855217688697,-0.22559529002503245,-0.06274154660763057,-2.7280853409502006,-0.48689902987749445,1.0085695080504102,-1.1685622644599787,-0.06670019084833684,0.953505373781144,0.8561767658598077,1.4910519966346505,-1.7014133444479123,-0.35337600676388026,-0.3409499885992652,0.6232898459421933,1.0917875038700675,-2.6828295707823213,1.0886792902698061,-1.4475434222626538,0.6831498761023059,-1.4921384033709648,0.1758527333971162,1.194654610342507,-0.14931961088595433,0.19110309114851495,0.7971236448445002,0.14137719514721223,-0.08848138185253349,1.5332560594607463,1.0484707258760626,-0.29381505949002173,2.745325222713014,-1.1468390443176453,0.9146091156866576,-0.2657145773117556,0.13236571689072277,0.7050056181659022]::DOUBLE[]) / 4.0, list_dot_product(v, [0.22222213219388434,0.6386453076620816,-1.5273253626636443,-1.5095110821216398,0.614942589651404,-0.9631584954660181,-1.0266482477157042,-1.4701393872716566,1.2663800510697516,0.7465580088791107,1.4730747223165876,-0.9377376926458102,0.001006361176401166,-1.1403069023670096,0.7660373851792844,1.5894228933877312,-0.8902210016364664,1.560331722877474,0.9880294936192074,-0.17783466698270087,-1.9719706859297967,1.406631736935783,-0.09626049184656091,-0.6028282452915394,0.3995953804847207,0.4099643344682516,1.4980950388878669,-1.020140810726624,1.1362373205344798,1.487360381407538,1.4522360099017078,-0.18062457323422282,-0.7440285519188423,1.0185727246115932,0.11518531261028207,0.12418948586415564,1.424214629128952,-0.2634364671048731,-2.2967252108090643,-0.3871912071663193,-1.8539231821091202,0.8187833309098644,0.31703478716395445,-0.6112071513291476,-0.009599297743796214,0.8326240130700854,0.07894509069111393,1.3265215121954472,-0.061284815505433334,1.0403347667816991,1.4914807619775488,1.6098929837444262,-0.6718193753931158,0.8799042085322046,-1.8759959069652823,-1.0833493949516109,-1.9627915133159943,1.0689856225433496,-1.2319347228695534,-0.012764042825850742,-0.19221398052462813,-0.028597527773578522,-0.5915217765351448,0.23366317531436248]::DOUBLE[]) / 4.0, list_dot_product(v, [1.7912670882203054,0.04426855356723932,0.5309821489194161,1.000519367767209,-0.1979476908918288,-1.2596911318386328,-0.5553954715373572,1.0735947393673675,-1.6462255708492126,-0.5978458205505127,1.0074106526294715,0.792736649857606,0.007618128232682514,0.8052357958724505,0.16597943232983933,-1.1789154574572682,-1.563942369215198,-0.6389521365384299,0.9227301102209123,-0.565545151756395,-0.9023586004604149,-0.7709605117789752,-1.5317669524976807,-0.11727492029984514,-1.1796069523217882,0.3641459668086755,-2.3600964126154564,0.3277812095660942,-0.6416107567993177,-1.9421479266214765,0.724709448402856,-0.275508251441208,-2.2300367831585772,-0.8750631970150292,0.29102424481911965,-0.4585822105092044,0.779983687525831,0.7475569414124802,0.6662366416423052,0.32662528809543556,1.3336969496355782,0.6598341701579238,0.4512181743988895,-2.083978902544166,0.8965557800878597,1.3094251555769685,-0.2968980826814108,-0.4695074406834185,1.9402984589295469,-1.7581325394842842,0.46885693299161335,2.423715777281978,-0.9276007408351008,0.6895887603103621,1.8863808434044749,-0.12021071198239965,0.5611968429225049,0.9025756438758757,-0.9057683298953746,-0.08909580115966619,0.2928017222234918,0.825384906595379,-0.03453411691863202,-0.19534031540028793]::DOUBLE[]) / 4.0, list_dot_product(v, [-1.016076060079454,-0.3589751774969397,0.8916724552611744,0.10174321702968378,-0.8530284462353348,-0.8416040883173763,2.666679825295587,1.1398942914069643,0.637395441622035,-2.592918898090674,0.621481570776758,0.48069350043843734,1.6840969559442966,0.42776084526170044,-0.06748832720249312,0.5224442730982287,-1.9442084464296083,1.033253241769541,0.3248848734274768,-0.7020713026445065,1.325572315677972,1.8093395348223056,-1.402401228611634,-0.6663342386941895,0.2912654431574569,0.18346504177956124,-0.3984806573532425,-0.9742108071691844,2.1204674058622515,1.0373874109296344,-1.1942285957085124,-1.3450079820248242,1.7031284920759695,0.9891487891565814,1.820970607270463,0.8101433981225372,-0.8720754993863207,0.26066547473298435,-2.160062416568297,-0.7481188302399433,-0.058908982229867,0.5227548093943034,-0.7275513172705698,-0.12422421999156745,0.45854719384586046,0.376688787759155,0.6379962841237677,0.20898171852910344,-0.32393469662347757,0.7891569632740172,0.04935941790144371,-0.8260956022644346,-0.6259281672414992,-0.0003484475806431715,-0.10960369347001762,0.15699424609521928,-0.0004958849679764077,0.1758690699903359,-0.1342889896191048,-1.2584316011337113,0.4213535592448479,1.0536904504800653,0.4346429352825692,-0.18924595822576348]::DOUBLE[]) / 4.0, list_dot_product(v, [0.44644665650948395,-0.9657010423740481,-1.8961531756825247,0.05957024966203895,-0.9304976329219786,0.7398599481333216,-1.0840906717651568,-2.628511432075103,-1.0395226884123763,1.5780967401290318,-0.3818033286205225,-1.3694168067017838,-0.7633562839852815,0.520898655056202,0.49686423811349806,0.17672875318688114,1.4838642658063117,0.7065025447280779,-0.020979909141473713,0.5966669120833509,1.6545860935017942,0.971304945593449,1.0237597826702733,-1.0828372844057328,-0.14843519456996054,0.7298442914317965,-0.2964432453781687,1.0688632144273222,0.5963419635480423,0.9082534689825247,-0.21237088990078296,2.5463764836647713,1.2400161897093194,-0.21543010476758634,0.09059300864705437,2.5952025139623336,-0.34322777470918536,0.8741407380438729,0.9804500257760985,0.006584988332417954,-1.167138016866306,0.1875364183964114,0.35937927448587953,1.1296785967002612,0.7828891128938156,0.02435970621233787,0.8535762830626829,0.5398425766432218,0.2060434449689193,0.055209578498671176,-0.24336018464449743,0.6861605282192298,-1.0542088800284215,-0.6286835811278161,0.004972936711498993,-1.4639663778121925,-0.43588140400803865,-2.0088395898433213,-0.6828850075190759,0.5684349624186116,0.5663951026506014,-0.05451299571746937,-0.23211351056613844,-1.4168246541983565]::DOUBLE[]) / 4.0, list_dot_product(v, [1.8278151253037656,0.5159691616624552,1.0934506037636198,-0.8823271029670696,-0.1852444386554462,-1.8195167978876483,0.7804923947819691,0.9351400527192655,-1.8974051839466384,-0.05212367910547839,0.6303434386933779,-1.762037227755762,-1.8254478155207081,-1.0650883503948672,-0.629224944998689,-1.4028602284818976,0.03162934158682392,0.24962425761801954,0.6340116010708582,0.70200824902567,1.5026538441640664,1.1643151740236712,-1.311878116797154,-0.5054175928278377,-1.0601507190591477,-1.076617124905242,-0.0812998538013968,0.0054769630062941835,0.49035684405120333,-1.586918325254051,-1.2376434996447203,-0.02310660772708893,-0.19945796605063534,-0.3112587884091141,-0.06321349632468054,-0.7597540303647355,0.7012722141213236,0.35426881080815475,-0.08775594372935469,-0.6720658716369531,-0.1741715733627921,-2.721601111763595,-0.9813026676215106,0.03732804237598765,-1.5040935224819179,0.19952252672976203,0.14743926735615345,-1.3775218904993902,-0.25057313844804885,-0.3138276811563881,0.4598741168617127,0.6118946460021436,-0.03630154575893051,-0.8512887093783155,-0.1442722768918604,-0.06542723245322807,0.7344610172551004,0.2943281185692263,-0.7225613759567885,-1.354407187990065,-0.37311186447078276,-0.7403932915202204,-1.1118792357097451,-0.11593819522959055]::DOUBLE[]) / 4.0, list_dot_product(v, [-0.4910703744057991,0.1054368851432282,0.5233002576282979,-0.41300108466048535,2.3242977519477237,-0.3214783687872971,1.1017090062073074,0.12166102691781307,1.1161590772195515,-2.375921897815139,-0.7514770974237964,0.24703895830439973,0.6024656439509364,2.3365251318085107,0.3225387349465509,1.2798411983609457,0.7664403226452428,0.9473754290440488,0.5100618413342414,-0.15607277136624392,0.5091275244832518,-1.0781328340485479,1.1813658550955017,-1.0171980667759917,0.2492055595883531,2.120777959890119,-0.22341782416362704,0.019504735068118093,1.163040390242704,0.026242176649349285,-0.8076419788564619,0.25815985061327396,0.5821249575072707,0.7100690197587197,-0.772512391662077,1.752506074128031,1.6667744535334048,0.01823761591560048,0.2685926791629132,-0.4285075142025132,1.414128350755129,-0.7049477727885326,0.674095443651355,-0.47969309770703195,-0.694004591849992,0.718664806714963,1.3338221548154345,-0.010119782689357785,-0.6774311630772901,0.811482623609429,-0.04951002121022006,0.3106325062975047,1.5228677287676613,1.1316227322646781,-0.5198373091157724,2.2835801848951633,0.003334814465107397,0.7859646387841687,-0.6473597482325656,-0.04466240781210674,-1.749989043962095,1.7866717139657975,1.3657485676352559,-1.2153008321803727]::DOUBLE[]) / 4.0, list_dot_product(v, [-1.5051981953797784,-1.6210617104168947,1.175756094103364,-0.4595492201687225,-0.06053332401369093,-0.31276112956140284,-0.12115681572912845,-1.088175669733392,0.024108208568776133,-1.4379939472676158,-0.07147850926005905,0.30874696148253244,0.46760977337232185,-0.2317194273264967,-0.9037134626667142,0.1595723449758883,-0.4846432149620833,1.565835174420567,0.7677222539961227,-0.1151941094313168,-0.4711455433231108,-0.7026824291967594,-0.9372256678927186,-0.3529487066665241,0.2947701173151764,0.5155253578624501,0.5688581117869931,2.0986825987635527,-0.7048543921506418,0.012952016958378137,2.794616835097843,-1.8670647817824355,-0.5214860906481487,0.16958440737580005,0.15439218490736864,0.4078668612299582,-0.23870820761667225,0.3661233948770688,0.05278097071598151,0.771356123088239,-1.8925897647026277,-0.8850392465482456,-0.002219835360188874,-1.0318489260064814,-1.0446621913131018,0.6277438669534035,-0.6499802450024518,0.6349163866431954,0.7457759205130912,0.3064950995313764,0.5080556881198931,-0.1045966639425137,-1.4091077553655103,-0.030069443152407466,0.4542360944523908,-0.5294034958798822,-0.09953561181651728,0.7492245667618748,-0.8780912540982933,0.6400201405750071,1.8625853796922185,-0.5545640190329877,0.14651795348762506,-0.1504534481416501]::DOUBLE[]) / 4.0, list_dot_product(v, [1.5402240294263754,0.31637711951692254,0.8977297125477253,-0.6900791367960718,-0.016139400350677995,-0.009845167759505438,-1.7759300921428338,1.4408113500824369,0.8994054762645625,-1.7491440116325574,0.7443607131255631,-0.13115973782354634,0.44841535246711256,0.3664563259942632,-1.4989720622589369,-0.2120440778614914,1.4926163843705498,-0.5748575212976074,-1.0228318449078144,-1.3595800090005943,-1.2211201351078027,0.3355039344974396,1.6925842757263383,0.4294419573431992,0.24550581208007022,2.2336490142286256,-0.5194388869222941,-0.6740689081406012,0.5284548965557562,0.5485336426274896,-1.0147251162644007,-1.1699773229956374,0.29102126351072255,0.24739633231507918,-1.3068705462752175,-0.20224898305951197,-0.5426606248945461,0.46005499319154763,-0.11676032365907842,-0.0860262859523579,-0.3534893341083949,1.0535545001103734,1.3907600152722448,-0.36697714176806273,0.846109859637447,-0.7576090071451816,0.07198918419588701,0.7499018182535024,1.5142190036063305,-0.3825623909018943,-0.07406700824488179,0.19639385457704253,-1.498101102654431,0.01590600533899428,-0.6758780396588489,0.37147932636736514,-1.1299710319196137,-1.9768644743109416,0.03828415376418782,0.26061260136143,-0.5489322790386693,0.8888468849065503,-0.27317639124446025,-0.6056951464596867]::DOUBLE[]) / 4.0, list_dot_product(v, [0.4777421948357107,-1.5681908649708882,-0.6774546807407061,-0.02077171900504159,0.8488991760216533,-0.16271727726215385,0.30847538911611955,-0.6554955219842926,0.30172107358010014,1.663467399088667,-0.6863660803188166,2.3662134239078085,-0.6438364053608423,0.01713716931247219,0.17330902707810264,1.0243046109325362,-1.2370233261643284,-2.100546067213726,0.6060082071540651,0.7954389827705944,0.6236839625033505,2.6305066301064777,0.20495130582179627,0.2538900034034359,0.9292370545602286,0.3688247661043805,1.6636930868770416,-1.2382607463852773,-0.3753975848069009,-3.4447051053268183,0.8124159892685525,-0.372392604247631,0.9239624744382059,2.1541447592439016,-0.005905106369535004,-0.2545424755336188,-0.4995805634896272,-0.8378796559651456,-0.6303655342577745,0.6392714521097519,0.036838007990200795,0.06627719371541642,-0.17327193217746645,0.9143638146702012,0.4939741315408287,-0.14178159887019087,0.6647121143884421,-0.15177991141525027,-1.1529131831969301,1.4553176842884719,0.46529414707503564,-0.9572626940469563,1.0788252929768936,0.34497438711301903,-1.5643595819443548,1.6099486865622472,0.33348690614961773,0.8914497484494799,0.19784044417087882,-0.14952998043481133,-1.5481558256553996,0.9715834058198325,0.030116316155821117,-0.2865144777387558]::DOUBLE[]) / 4.0, list_dot_product(v, [0.3509236511735889,0.0781036889337895,0.675652471344593,-0.37101906628701786,-0.03646721190558337,-2.138944561264079,-0.423300369471724,0.6757143655033514,1.336730689916513,-0.36397703016047095,-0.12134211822934306,1.5834520131971646,-0.325790374996904,0.7340078133475649,1.678315911513135,0.03977977757276639,1.226920774384913,-0.7104929640496953,0.20767170671860916,-0.07735600347212233,0.1149133464618602,1.1297031936270419,2.3898734916064823,-0.6654685652372511,-0.5751194972130964,0.49738836034665873,-1.0551464477685486,0.49701569854636213,0.5719035382909351,-0.2775066782480796,0.5311930685319888,-1.5493173466677221,0.7598810734800227,-1.5448341367115728,-0.6964496660510412,-0.5561978312482556,-0.4011352463042578,0.8587670204835898,0.08165074098666085,-0.39743670709657686,0.5434819693325174,1.5812766058697922,0.006188942158873883,0.3657980454979608,1.2396972636072354,0.26782682692522003,-1.2838471081638019,2.4902860591809617,2.2083586905122092,-1.9848679702292236,-0.039157350149608715,0.4172827371052856,0.9657306084661541,0.6690060589735045,-0.2721948523364014,-1.0538363622452673,0.10295628276964791,1.0334357958620783,-1.089616829598789,-1.0271890983032197,-0.024627965149523836,-1.9374878641695739,-0.26029728404899843,-0.43653287501653976]::DOUBLE[]) / 4.0, list_dot_product(v, [0.4507619818801397,-0.7017668175261756,-0.8821214467265192,-0.3941913843216101,-0.04992605331586492,-0.6646583658461129,0.012119561921284992,0.7502198528534401,1.1851198903585811,1.704909544920432,-0.7834847887405191,-0.4197676747517527,-2.4828704358812987,1.8993242335838274,-0.7247107567790778,-0.033375678391601285,0.5225723376074328,-1.3585515009877092,0.4639120776917988,-0.026391295176675687,-1.8260296941281688,0.2920055639178376,1.1945226303556167,-1.8678020737212337,0.8072147669636534,0.2092150022813244,0.47482297955962616,0.4415105926393644,1.3039360511597247,-0.22364801798159142,0.873587385888915,-0.4099147561935535,0.7279334302761858,-0.8139822972815957,-0.10834069523101492,1.7310122968580335,0.44561755601306213,-0.15821514271995363,-1.1448081494845994,-0.7901320032130571,0.19364586524767102,0.9394022377068738,0.42606334934603174,0.5241402551847132,-0.041754868680925844,1.3520195698066786,-0.3907902933985993,-0.5497209167927697,0.8880960663214148,0.06360874605365271,-0.27855985198887734,-0.5761031545865017,-0.25689273181099076,0.6235630314073263,0.3537487398785124,-1.2096306950578875,0.42633317767779455,0.17901776649632795,-1.0001769294403395,0.77283452144633,-0.2804186060444815,-0.3354423246157573,0.7958097252439553,1.3206957319984227]::DOUBLE[]) / 4.0, list_dot_product(v, [-0.6885684882205213,0.4382609295601063,-0.8760744830052304,2.3142516406216207,-0.49376849770426384,1.1949946471634432,-0.6473175837925802,0.8113041359541887,2.218876329455045,-2.5409756742129637,-0.43449763669537833,0.5005148243477445,-0.09286011458187039,-0.6684707219276136,2.152145476108875,0.07950140369905319,-1.6444238321675375,0.8541467448194808,-1.721610131157287,1.1508488237697354,-0.5777507811854158,0.14483965695307371,1.2609571239357353,0.11787172487405492,-1.3910812217728499,-1.6959431196077155,1.1825868744467465,0.7404325221710515,-0.815756264844148,0.8595164235876817,0.496653223351055,0.6477017166785605,-2.2589039371354436,-0.30209215510345055,0.900409515073746,0.7334517281423742,0.8814169865951832,-2.4572551524278667,0.16906322276910585,0.49219529948987223,2.551924369120927,-0.9537571185658723,-0.32926867874915466,0.03585646359794614,0.8860945202099346,-0.44332830093089665,1.1472476594236651,-0.7879065731619386,0.2668693439430226,-0.5273946667298817,0.15818285793989934,-0.6908174346780783,-1.5972856078001227,1.0930931431253383,0.30341624712812115,-0.5586471179824928,0.2009251139017235,0.9901678996375586,-0.9774780754471816,-0.1103553567763905,0.539163478898243,0.5261551929567302,-0.33530482054254107,-2.1069788941397953]::DOUBLE[]) / 4.0, list_dot_product(v, [1.2429254703256218,0.3282941708859518,0.013067145887655094,-0.278529162966257,0.26340490911000153,-0.42559893113689024,-1.02469020915041,-0.7397673741101294,-0.5968331052048863,-0.6123512925889626,-1.1587167313079705,0.6363287457158517,-1.3098030620250343,0.6597266257032257,-1.0146580653611668,0.3524642448943596,1.3740540509990506,0.20327270629036726,-0.7308107533215692,0.04827680192824114,0.1481357333621205,-1.7338059356988684,-0.6076832390144626,0.1630095054847379,-0.46920623324349087,0.07970751224661458,0.7339759930195666,0.7665637359006042,0.9056990874218526,0.5885439648091066,-0.28792926004674074,-0.01840786337936238,-0.27116161312043,-0.31322889496105316,-0.17966435980189333,-1.724703074408459,-0.333175436621386,-0.02407767866175342,-0.9739670536596503,-0.024018627247885845,0.5155259880013882,-0.16440168542160097,2.076629907932479,-2.606454621544797,-0.20635285337021247,-1.8254049796484273,0.9799714126811873,2.6541358066705025,-2.5020070890838264,0.127920090172602,0.5190901720315565,-0.30242292592695463,0.551648109202287,-2.2429768443146467,0.8520279504460809,0.3719910460835912,0.022826491327730833,-0.5875825320434092,0.6383940885345349,-0.48538623797519187,0.2231222808890469,-0.5100854757257041,-2.246814058499382,-0.031312921670814516]::DOUBLE[]) / 4.0]::DOUBLE[] AS pv
+        FROM e0),
+    pairs AS (
+        SELECT a.id AS src, b.id AS dst FROM e0 a JOIN e0 b ON a.id < b.id
+        WHERE {h} % 10000 < 40),
+    d AS (
+        SELECT p.src, p.dst,
+               list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, b.v)
+                 + list_dot_product(b.v, b.v) AS d2,
+               list_dot_product(a.pv, a.pv) - 2 * list_dot_product(a.pv, b.pv)
+                 + list_dot_product(b.pv, b.pv) AS p2
+        FROM pairs p JOIN e a ON a.id = p.src JOIN e b ON b.id = p.dst),
+    r AS (SELECT round(p2 / d2, 6) AS ratio FROM d WHERE d2 > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(ratio), 6) AS mean_ratio,
+           round(max(abs(ratio - 1)), 6) AS max_abs_err,
+           round(avg(CASE WHEN abs(ratio - 1) <= 0.5 THEN 1.0 ELSE 0.0 END), 6)
+               AS frac_within_half
+    FROM r
+    """.format(h=_JL_EDGE_SQL),
+)
+def jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Johnson-Lindenstrauss distance-preservation audit: project the
+    64-d embeddings to 16-d with a deterministic Gaussian matrix
+    (sim.random_hyperplanes seed 7 — the SRP family\'s matrix, scaled
+    1/sqrt(k)) and measure squared-distance ratios on a hash-sampled
+    pair set (tg.sampled_edges over vec_ids — the same replayable
+    device, NEVER all pairs). The number that says whether a 4x
+    cheaper ANN index (16-d IVF/PQ) still separates neighbors: JL
+    predicts ratio ~ 1 +- O(sqrt(log n / k)). Both engines compute
+    d2 as dot(a,a) - 2dot(a,b) + dot(b,b) with the identical
+    sequential fold, so ratios are bit-equal and the oracle is EXACT
+    (not a bound flag). Scale shape: projection is 16 folds per
+    vector computed once before the pair join; the audit pair set is
+    a fixed-rate sample.'''
+    from social_link_prediction_spark.pipelines import similarity as _sim
+
+    P = _sim.random_hyperplanes(64, 16, seed=7)
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    pv = F.array(
+        *[
+            _sim.dot(v, F.array(*[F.lit(float(x)) for x in p])) / 4.0
+            for p in P
+        ]
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"), v.alias("v"), pv.alias("pv")
+    ).localCheckpoint()
+    pairs = tg.sampled_edges(e.select("id"), 40, "jl")
+    a = e.select(
+        F.col("id").alias("src"), F.col("v").alias("va"), F.col("pv").alias("pa")
+    )
+    b = e.select(
+        F.col("id").alias("dst"), F.col("v").alias("vb"), F.col("pv").alias("pb")
+    )
+    d = (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select(
+            (
+                _sim.dot(F.col("va"), F.col("va"))
+                - 2 * _sim.dot(F.col("va"), F.col("vb"))
+                + _sim.dot(F.col("vb"), F.col("vb"))
+            ).alias("d2"),
+            (
+                _sim.dot(F.col("pa"), F.col("pa"))
+                - 2 * _sim.dot(F.col("pa"), F.col("pb"))
+                + _sim.dot(F.col("pb"), F.col("pb"))
+            ).alias("p2"),
+        )
+    )
+    r = d.filter(F.col("d2") > 0).select(
+        F.round(F.col("p2") / F.col("d2"), 6).alias("ratio")
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 6).alias("mean_ratio"),
+        F.round(F.max(F.abs(F.col("ratio") - 1)), 6).alias("max_abs_err"),
+        F.round(
+            F.avg(F.when(F.abs(F.col("ratio") - 1) <= 0.5, 1.0).otherwise(0.0)),
+            6,
+        ).alias("frac_within_half"),
+    )
+
+
+@query(
+    "time_decay_attribution",
+    """
+    WITH p AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts, event_type AS channel, event_id
+        FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    pairs AS (
+        SELECT p.conv_id, t.channel,
+               (epoch_us(p.conv_ts) - epoch_us(t.ts)) // 86400000000 AS k
+        FROM p JOIN t ON t.user_id = p.user_id
+         AND t.ts < p.conv_ts
+         AND t.ts >= p.conv_ts - INTERVAL 7 DAY
+    ),
+    w AS (SELECT conv_id, channel,
+                 1.0 / CAST((1 << CAST(k AS INTEGER)) AS DOUBLE) AS w
+          FROM pairs),
+    sw AS (SELECT conv_id, sum(w) AS sw FROM w GROUP BY conv_id),
+    credit AS (
+        SELECT w.channel, w.w / sw.sw AS credit, w.conv_id
+        FROM w JOIN sw ON sw.conv_id = w.conv_id),
+    touched AS (
+        SELECT channel, round(sum(credit), 4) AS time_decay,
+               CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions
+        FROM credit GROUP BY channel),
+    direct AS (
+        SELECT 'direct' AS channel, round(CAST(count(*) AS DOUBLE), 4),
+               CAST(count(*) AS BIGINT)
+        FROM p WHERE conv_id NOT IN (SELECT conv_id FROM pairs))
+    SELECT * FROM touched UNION ALL SELECT * FROM direct ORDER BY channel
+    """,
+)
+def time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay conversion attribution (half-life = 1 day): each
+    purchase splits its credit over the prior 7 days' touches with
+    weight 2^-(whole days before conversion) — the recency-weighted
+    member completing the attribution family (first/last/linear =
+    multitouch_attribution, removal-effect = markov_attribution,
+    exact Shapley = shapley_attribution_channels). The decay exponent
+    is quantized to WHOLE DAYS so every weight is an exact binary
+    fraction (1, 1/2, ... 1/64): per-conversion weight sums and the
+    normalization are bit-identical across engines with no
+    transcendental pow — the engine-portable decay. Same bounded
+    7-day pair join as the rest of the family; credit mass equals the
+    conversion count (touchless purchases land in 'direct')."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id",
+        F.col("ts").alias("conv_ts"),
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id", "ts", F.col("event_type").alias("channel"), "event_id"
+    )
+    pairs = (
+        p.join(t, "user_id")
+        .filter(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAY"))
+        )
+        .select(
+            "conv_id",
+            "channel",
+            F.floor(
+                (win.epoch_us(F.col("conv_ts")) - win.epoch_us(F.col("ts")))
+                / F.lit(86400000000)
+            ).cast("int").alias("k"),
+        )
+    )
+    # shiftleft's bit-count arg must be a column here (k varies per
+    # row), so the exact power-of-two weight rides one expr
+    w = pairs.select(
+        "conv_id",
+        "channel",
+        F.expr("1.0 / double(shiftleft(1L, k))").alias("w"),
+    )
+    sw = w.groupBy("conv_id").agg(F.sum("w").alias("sw"))
+    credit = w.join(sw, "conv_id").select(
+        "channel", (F.col("w") / F.col("sw")).alias("credit"), "conv_id"
+    )
+    touched = credit.groupBy("channel").agg(
+        F.round(F.sum("credit"), 4).alias("time_decay"),
+        F.count_distinct(F.col("conv_id")).alias("n_conversions"),
+    )
+    direct = (
+        p.join(pairs.select("conv_id"), "conv_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.lit("direct").alias("channel"),
+            F.round(F.col("c").cast("double"), 4).alias("time_decay"),
+            F.col("c").alias("n_conversions"),
+        )
+    )
+    return touched.unionByName(direct).orderBy("channel")
+
+
+_RRF_K = 60
+_RRF_DEPTH = 20
+
+
+@query(
+    "hybrid_rrf_search_docs",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS t FROM documents),
+    -- keyword route: BM25 for the fixed terms, top-{_RRF_DEPTH}
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+           WHERE t IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+           GROUP BY doc_id, t),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    bm AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * ({_BM25_K1} + 1)
+                   / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / avgdl.avgdl))), 6) AS s
+        FROM tf JOIN df USING (t) JOIN dl USING (doc_id), avgdl, n
+        GROUP BY tf.doc_id),
+    bm_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rb
+        FROM bm QUALIFY rb <= {_RRF_DEPTH}),
+    -- dense route: md5-bucket embedding cosine vs query doc 0
+    cnt AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                   % {_RETR_DIM} AS bucket,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY 1, 2),
+    nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY doc_id),
+    dots AS (
+        SELECT d.doc_id, sum(q.c * d.c) AS dot
+        FROM cnt q JOIN cnt d ON q.bucket = d.bucket
+        WHERE q.doc_id = 0 AND d.doc_id <> 0
+        GROUP BY d.doc_id),
+    emb_rank AS (
+        SELECT dots.doc_id,
+               row_number() OVER (
+                   ORDER BY round(dot / (nq.nn * nd.nn), 6) DESC,
+                            dots.doc_id) AS re
+        FROM dots JOIN nrm nq ON nq.doc_id = 0
+                  JOIN nrm nd ON nd.doc_id = dots.doc_id
+        QUALIFY re <= {_RRF_DEPTH}),
+    fused AS (
+        SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + b.rb), 0)
+                     + coalesce(1.0 / ({_RRF_K} + e.re), 0), 6) AS rrf,
+               b.rb AS bm25_rank, e.re AS embedding_rank
+        FROM bm_rank b FULL OUTER JOIN emb_rank e ON b.doc_id = e.doc_id)
+    SELECT doc_id, rrf, bm25_rank, embedding_rank FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_rrf_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009, k=60): fuse the keyword route (BM25 top-20 for the fixed
+    query terms) with the dense route (hashed-embedding cosine top-20
+    against query doc 0) as rrf = Σ 1/(60 + rank) — the
+    score-scale-free combiner every hybrid search stack ships,
+    completing the retrieval family (bm25_search_docs +
+    doc_retrieval_topk are the two unfused halves). RRF consumes only
+    RANKS (integer, deterministic via rounded-score + doc_id ties) so
+    the fusion is engine-exact by construction. Scale shape: each
+    route's top-20 is a TakeOrdered heap; fusion is a 20x20
+    full-outer join."""
+    from social_link_prediction_spark.ml import features as mlf
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ptx.tokens("text")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    bm_rank = bm.withColumn(
+        "rb", F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id"))
+    ).select("doc_id", "rb")
+
+    emb = mlf.hashed_text_embedding(
+        docs, "text", dim=_RETR_DIM, id_col="doc_id", hash_fn="md5"
+    )
+    q = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = sim.dot(
+        F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")
+    )
+    scored = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    emb_rank = scored.withColumn(
+        "re",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+    ).select("doc_id", "re")
+
+    fused = (
+        bm_rank.join(emb_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("re")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("rb").cast("long").alias("bm25_rank"),
+            F.col("re").cast("long").alias("embedding_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -162,6 +162,14 @@ R5_QUERIES = [
     "wilson_interval_priorities",
     "eb_shrunken_rates_nation",
     "vocab_richness_estimators",
+    # round-6 additions
+    "bucketed_rank_stats",
+    "hyperball_anf_suppliers",
+    "ndcg_popularity_baseline",
+    "effective_diameter_suppliers",
+    "jl_projection_audit",
+    "time_decay_attribution",
+    "hybrid_rrf_search_docs",
 ]
 
 
