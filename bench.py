@@ -187,6 +187,7 @@ HEADLINE = [
     "jl_projection_audit",
     "time_decay_attribution",
     "effective_diameter_suppliers",
+    "bpe_merges_docs",
 ]
 
 

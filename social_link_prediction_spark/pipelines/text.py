@@ -309,3 +309,86 @@ def lexicon_sentiment(
         )
         .withColumn("sentiment", F.col("valence_sum") / F.col("n_tokens"))
     )
+
+
+def bpe_learn_merges(
+    word_freqs: DataFrame,
+    rounds: int = 5,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich, Haddow & Birch 2016
+    — the tokenizer-training core every LLM data stack runs): per
+    round, count adjacent symbol pairs over the frequency-weighted
+    word table, pick the most frequent pair, merge it everywhere,
+    repeat. State is the DISTINCT-WORD table (vocabulary-sized, never
+    corpus-sized — the standard word-frequency formulation), so a
+    100 TB corpus contributes one word-count aggregation up front and
+    the merge loop touches only the vocabulary.
+
+    Engine shape: each word's symbol sequence is a space-delimited
+    string (" c a t "); pair counts are one explode + sum per round;
+    the winning pair is a 1-row broadcast; the merge is TWO literal
+    replace-all passes of " l r " → " lr " (one pass starves an
+    immediately-following occurrence whose leading space the first
+    replacement consumed; the second pass catches every survivor —
+    on an odd same-symbol run the merge POSITIONS can differ from
+    the textbook single greedy scan while the merge count matches,
+    a deterministic convention both engines replay identically,
+    which is what makes the loop oracle-checkable). Deterministic
+    ties: (count DESC, left ASC, right ASC). Returns one row per
+    round: (round, left, right, merged, pair_freq).
+    """
+    w = word_freqs.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col(word_col), "(.)", "$1 "),
+        ).alias("sym"),
+        F.col(freq_col).cast("long").alias("freq"),
+    )
+    out = None
+    for r in range(1, rounds + 1):
+        toks = F.filter(F.split(F.col("sym"), " "), lambda t: t != "")
+        pair_arr = F.when(
+            F.size(toks) >= 2,
+            F.expr(
+                "transform(sequence(0, size(filter(split(sym, ' '), "
+                "t -> t != '')) - 2), i -> struct("
+                "element_at(filter(split(sym, ' '), t -> t != ''), i + 1)"
+                " AS pl, "
+                "element_at(filter(split(sym, ' '), t -> t != ''), i + 2)"
+                " AS pr))"
+            ),
+        ).otherwise(F.array().cast("array<struct<pl:string,pr:string>>"))
+        pairs = (
+            w.select(F.explode(pair_arr).alias("p"), "freq")
+            .groupBy(F.col("p.pl").alias("pl"), F.col("p.pr").alias("pr"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "pl", "pr")
+            .limit(1)
+            .select("pl", "pr", "cnt")
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("pl").alias("left"),
+            F.col("pr").alias("right"),
+            F.concat("pl", "pr").alias("merged"),
+            F.col("cnt").cast("long").alias("pair_freq"),
+        )
+        out = row if out is None else out.unionByName(row)
+        needle = F.concat(F.lit(" "), "pl", F.lit(" "), "pr", F.lit(" "))
+        merged = F.concat(F.lit(" "), "pl", "pr", F.lit(" "))
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.replace(F.col("sym"), needle, merged), needle, merged
+                ).alias("sym"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+    return out

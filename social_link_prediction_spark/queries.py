@@ -20690,3 +20690,118 @@ def hybrid_rrf_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "bpe_merges_docs",
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+           FROM documents),
+    wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok
+           WHERE regexp_matches(w, '^[a-z]+$')
+           GROUP BY w ORDER BY freq DESC, w LIMIT 200),
+    w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, freq FROM wf),
+    lw1 AS MATERIALIZED (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS l,
+                    sym, freq FROM w0),
+    px1 AS MATERIALIZED (SELECT unnest([l[i] || chr(9) || l[i + 1]
+                       for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq, freq
+              FROM lw1),
+    p1 AS MATERIALIZED (SELECT string_split(pq, chr(9))[1] AS pl,
+                    string_split(pq, chr(9))[2] AS pr,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM px1 GROUP BY 1, 2),
+    b1 AS MATERIALIZED (SELECT pl, pr, cnt FROM p1 ORDER BY cnt DESC, pl, pr LIMIT 1),
+    w1 AS MATERIALIZED (SELECT replace(replace(sym,
+                   ' ' || (SELECT pl FROM b1) || ' ' || (SELECT pr FROM b1) || ' ', ' ' || (SELECT pl FROM b1) || (SELECT pr FROM b1) || ' '),
+                   ' ' || (SELECT pl FROM b1) || ' ' || (SELECT pr FROM b1) || ' ', ' ' || (SELECT pl FROM b1) || (SELECT pr FROM b1) || ' ') AS sym,
+                   freq
+             FROM w0),
+    lw2 AS MATERIALIZED (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS l,
+                    sym, freq FROM w1),
+    px2 AS MATERIALIZED (SELECT unnest([l[i] || chr(9) || l[i + 1]
+                       for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq, freq
+              FROM lw2),
+    p2 AS MATERIALIZED (SELECT string_split(pq, chr(9))[1] AS pl,
+                    string_split(pq, chr(9))[2] AS pr,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM px2 GROUP BY 1, 2),
+    b2 AS MATERIALIZED (SELECT pl, pr, cnt FROM p2 ORDER BY cnt DESC, pl, pr LIMIT 1),
+    w2 AS MATERIALIZED (SELECT replace(replace(sym,
+                   ' ' || (SELECT pl FROM b2) || ' ' || (SELECT pr FROM b2) || ' ', ' ' || (SELECT pl FROM b2) || (SELECT pr FROM b2) || ' '),
+                   ' ' || (SELECT pl FROM b2) || ' ' || (SELECT pr FROM b2) || ' ', ' ' || (SELECT pl FROM b2) || (SELECT pr FROM b2) || ' ') AS sym,
+                   freq
+             FROM w1),
+    lw3 AS MATERIALIZED (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS l,
+                    sym, freq FROM w2),
+    px3 AS MATERIALIZED (SELECT unnest([l[i] || chr(9) || l[i + 1]
+                       for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq, freq
+              FROM lw3),
+    p3 AS MATERIALIZED (SELECT string_split(pq, chr(9))[1] AS pl,
+                    string_split(pq, chr(9))[2] AS pr,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM px3 GROUP BY 1, 2),
+    b3 AS MATERIALIZED (SELECT pl, pr, cnt FROM p3 ORDER BY cnt DESC, pl, pr LIMIT 1),
+    w3 AS MATERIALIZED (SELECT replace(replace(sym,
+                   ' ' || (SELECT pl FROM b3) || ' ' || (SELECT pr FROM b3) || ' ', ' ' || (SELECT pl FROM b3) || (SELECT pr FROM b3) || ' '),
+                   ' ' || (SELECT pl FROM b3) || ' ' || (SELECT pr FROM b3) || ' ', ' ' || (SELECT pl FROM b3) || (SELECT pr FROM b3) || ' ') AS sym,
+                   freq
+             FROM w2),
+    lw4 AS MATERIALIZED (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS l,
+                    sym, freq FROM w3),
+    px4 AS MATERIALIZED (SELECT unnest([l[i] || chr(9) || l[i + 1]
+                       for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq, freq
+              FROM lw4),
+    p4 AS MATERIALIZED (SELECT string_split(pq, chr(9))[1] AS pl,
+                    string_split(pq, chr(9))[2] AS pr,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM px4 GROUP BY 1, 2),
+    b4 AS MATERIALIZED (SELECT pl, pr, cnt FROM p4 ORDER BY cnt DESC, pl, pr LIMIT 1),
+    w4 AS MATERIALIZED (SELECT replace(replace(sym,
+                   ' ' || (SELECT pl FROM b4) || ' ' || (SELECT pr FROM b4) || ' ', ' ' || (SELECT pl FROM b4) || (SELECT pr FROM b4) || ' '),
+                   ' ' || (SELECT pl FROM b4) || ' ' || (SELECT pr FROM b4) || ' ', ' ' || (SELECT pl FROM b4) || (SELECT pr FROM b4) || ' ') AS sym,
+                   freq
+             FROM w3),
+    lw5 AS MATERIALIZED (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS l,
+                    sym, freq FROM w4),
+    px5 AS MATERIALIZED (SELECT unnest([l[i] || chr(9) || l[i + 1]
+                       for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq, freq
+              FROM lw5),
+    p5 AS MATERIALIZED (SELECT string_split(pq, chr(9))[1] AS pl,
+                    string_split(pq, chr(9))[2] AS pr,
+                    CAST(sum(freq) AS BIGINT) AS cnt
+             FROM px5 GROUP BY 1, 2),
+    b5 AS MATERIALIZED (SELECT pl, pr, cnt FROM p5 ORDER BY cnt DESC, pl, pr LIMIT 1),
+    w5 AS MATERIALIZED (SELECT replace(replace(sym,
+                   ' ' || (SELECT pl FROM b5) || ' ' || (SELECT pr FROM b5) || ' ', ' ' || (SELECT pl FROM b5) || (SELECT pr FROM b5) || ' '),
+                   ' ' || (SELECT pl FROM b5) || ' ' || (SELECT pr FROM b5) || ' ', ' ' || (SELECT pl FROM b5) || (SELECT pr FROM b5) || ' ') AS sym,
+                   freq
+             FROM w4)
+    SELECT CAST(1 AS BIGINT) AS round, pl AS left, pr AS right, pl || pr AS merged, cnt AS pair_freq FROM b1
+    UNION ALL SELECT CAST(2 AS BIGINT) AS round, pl AS left, pr AS right, pl || pr AS merged, cnt AS pair_freq FROM b2
+    UNION ALL SELECT CAST(3 AS BIGINT) AS round, pl AS left, pr AS right, pl || pr AS merged, cnt AS pair_freq FROM b3
+    UNION ALL SELECT CAST(4 AS BIGINT) AS round, pl AS left, pr AS right, pl || pr AS merged, cnt AS pair_freq FROM b4
+    UNION ALL SELECT CAST(5 AS BIGINT) AS round, pl AS left, pr AS right, pl || pr AS merged, cnt AS pair_freq FROM b5
+    ORDER BY round
+    """,
+)
+def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Byte-pair-encoding merge learning over the document corpus
+    (pipelines/text.bpe_learn_merges): 5 merge rounds on the
+    frequency-weighted top-200 word vocabulary — the tokenizer-
+    training primitive of every LLM data stack, next to the
+    tokenizer ECONOMICS queries (tokenizer_fertility_by_lang,
+    packing_efficiency_audit) that consume a finished vocab. The
+    oracle unrolls all five rounds (pair census -> argmax ->
+    literal-replace merge) so the loop is machine-checked
+    end-to-end; corpus-sized work is ONE word-count aggregation,
+    everything after runs on the vocabulary table.'''
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ptx.tokens("text")).alias("w"))
+    wf = (
+        tok.filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(200)
+        .select(F.col("w").alias("word"), "freq")
+    )
+    return ptx.bpe_learn_merges(wf, rounds=5)

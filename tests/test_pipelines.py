@@ -424,3 +424,18 @@ def test_markov_no_conversions_is_all_zero():
     for d in markov_removal_effects(trans):
         assert d["removal_effect"] == 0.0
         assert d["attributed_conversions"] == 0.0
+
+
+def test_bpe_learn_merges_hand_computed(spark):
+    """BPE on a 2-word corpus: freq-weighted pair counts, greedy
+    left-to-right merge, deterministic ties — hand-replayable.
+    'abab'x2 + 'ab'x3: (a,b) counts 2*2+3=7 beats (b,a)=2; after the
+    merge the only adjacent pair is (ab,ab) from 'abab'."""
+    from social_link_prediction_spark.pipelines import text as tx
+
+    wf = spark.createDataFrame([("abab", 2), ("ab", 3)], ["word", "freq"])
+    out = {r["round"]: r for r in tx.bpe_learn_merges(wf, rounds=2).collect()}
+    assert (out[1]["left"], out[1]["right"], out[1]["pair_freq"]) == ("a", "b", 7)
+    assert out[1]["merged"] == "ab"
+    assert (out[2]["left"], out[2]["right"], out[2]["pair_freq"]) == ("ab", "ab", 2)
+    assert out[2]["merged"] == "abab"

@@ -170,6 +170,7 @@ R5_QUERIES = [
     "jl_projection_audit",
     "time_decay_attribution",
     "hybrid_rrf_search_docs",
+    "bpe_merges_docs",
 ]
 
 
