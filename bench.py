@@ -188,6 +188,8 @@ HEADLINE = [
     "time_decay_attribution",
     "effective_diameter_suppliers",
     "bpe_merges_docs",
+    "textrank_keywords",
+    "holt_forecast_daily",
 ]
 
 

@@ -20805,3 +20805,247 @@ def bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w").alias("word"), "freq")
     )
     return ptx.bpe_learn_merges(wf, rounds=5)
+
+
+@query(
+    "textrank_keywords",
+    """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+           FROM documents),
+    adj AS MATERIALIZED (
+        SELECT unnest([l[i] || chr(9) || l[i + 1]
+                  for i in range(1, greatest(len(l) - 1, 0) + 1)]) AS pq
+        FROM tk),
+    ep AS (SELECT string_split(pq, chr(9))[1] AS a,
+                  string_split(pq, chr(9))[2] AS b FROM adj),
+    ef AS (SELECT least(a, b) AS u, greatest(a, b) AS v,
+                  CAST(count(*) AS BIGINT) AS w
+           FROM ep
+           WHERE regexp_matches(a, '^[a-z]{4,}$')
+             AND regexp_matches(b, '^[a-z]{4,}$') AND a <> b
+           GROUP BY 1, 2),
+    eu AS MATERIALIZED (SELECT u, v, w FROM ef WHERE w >= 2),
+    sym AS MATERIALIZED (
+        SELECT u AS src, v AS dst, w FROM eu
+        UNION ALL SELECT v, u, w FROM eu),
+    wd AS MATERIALIZED (SELECT src, sum(w) AS wd FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM sym),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+    r1 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r0 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst),
+    r2 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r1 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst),
+    r3 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r2 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst),
+    r4 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r3 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst),
+    r5 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r4 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst),
+    r6 AS MATERIALIZED (
+        SELECT s.dst AS id,
+               0.15000000000000002 / (SELECT n FROM nn)
+                 + 0.85 * sum(p.r * s.w / wd.wd) AS r
+        FROM sym s JOIN r5 p ON p.id = s.src
+             JOIN wd ON wd.src = s.src
+        GROUP BY s.dst)
+    SELECT id AS word, round(r, 6) AS rank
+    FROM r6
+    ORDER BY round(r, 6) DESC, id LIMIT 15
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the word co-occurrence graph — adjacent-token pairs
+    (both endpoints lowercase words of length >= 4, count >= 2 across
+    the corpus), 6 damped rounds, top-15 by rank. Pure composition of
+    existing engine pieces (the collocation pair census + the
+    per-round join+agg PageRank shape on a vocabulary-sized graph);
+    the oracle unrolls every round like _duck_pagerank_sql. At
+    corpus scale only the pair census touches the corpus — the rank
+    loop runs on the vocabulary graph.'''
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(ptx.tokens("text").alias("l"))
+    pair_arr = F.when(
+        F.size("l") >= 2,
+        F.expr(
+            "transform(sequence(0, size(l) - 2), i -> struct("
+            "element_at(l, i + 1) AS a, element_at(l, i + 2) AS b))"
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ep = toks.select(F.explode(pair_arr).alias("p")).select("p.a", "p.b")
+    word_re = "^[a-z]{4,}$"
+    eu = (
+        ep.filter(
+            F.col("a").rlike(word_re)
+            & F.col("b").rlike(word_re)
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    sym = eu.selectExpr("u AS src", "v AS dst", "w").unionByName(
+        eu.selectExpr("v AS src", "u AS dst", "w")
+    ).localCheckpoint()
+    wd = sym.groupBy("src").agg(F.sum("w").alias("wd"))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(6):
+        flow = (
+            sym.join(r.withColumnRenamed("id", "src"), "src")
+            .join(wd, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wd")).alias("flow"))
+        )
+        r = flow.crossJoin(F.broadcast(nn)).select(
+            "id",
+            (F.lit(0.15000000000000002) / F.col("n") + F.lit(0.85) * F.col("flow")).alias("r"),
+        )
+    return (
+        r.select(F.col("id").alias("word"), F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "word")
+        .limit(15)
+    )
+
+
+_HOLT_A = [-0.12845658922542808, 0.10303111087103223, -0.0043016878270343605, -0.004871246916559218, -0.005476135033742192, -0.0061055694139860615, -0.0067430941251636145, -0.007364853964338821, -0.007937445707546023, -0.008415257667518624, -0.008737192281728685, -0.008822647775668973, -0.008566613576626428, -0.007833709853281658, -0.006450974111934202, -0.0041991670194978, -0.0008023354437530333, 0.004084666897757479, 0.010891041661440034, 0.02014767525263911, 0.032507965729238975, 0.048772325021699967, 0.06991688150999996, 0.09712695299999996, 0.13183589999999995, 0.17576999999999995, 0.23099999999999996, 0.3]
+_HOLT_C = [-0.02412206320398351, 0.018616780808608024, -0.0010896633580455381, -0.0012740214077755821, -0.0014827891327709774, -0.0017174806342170714, -0.001979147894816474, -0.002268137643037772, -0.0025837742415094358, -0.002923950486118551, -0.0032846043861550637, -0.003659055483943436, -0.004037168960043535, -0.004404309541898953, -0.004740039964182453, -0.005016510283265347, -0.005196474584100968, -0.005230860388833241, -0.005055803236072206, -0.004589044307724776, -0.0037255725111830992, -0.00233237397993, -0.00024213147900000072, 0.0027543062999999994, 0.0069168899999999985, 0.012566999999999998, 0.020099999999999996, 0.03]
+
+
+@query(
+    "holt_forecast_daily",
+    """
+    WITH m AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+    days AS (
+        SELECT unnest(generate_series((SELECT maxd FROM m) - 27,
+                                      (SELECT maxd FROM m),
+                                      INTERVAL 1 DAY))::DATE AS day),
+    cnt AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+    yy AS (SELECT date_diff('day', (SELECT maxd FROM m) - 27, d.day) + 1 AS i,
+                  CAST(coalesce(c.y, 0) AS DOUBLE) AS y
+           FROM days d LEFT JOIN cnt c ON c.day = d.day),
+    coef(i, a, c) AS (VALUES
+        (1, -0.12845658922542808, -0.02412206320398351),
+        (2, 0.10303111087103223, 0.018616780808608024),
+        (3, -0.0043016878270343605, -0.0010896633580455381),
+        (4, -0.004871246916559218, -0.0012740214077755821),
+        (5, -0.005476135033742192, -0.0014827891327709774),
+        (6, -0.0061055694139860615, -0.0017174806342170714),
+        (7, -0.0067430941251636145, -0.001979147894816474),
+        (8, -0.007364853964338821, -0.002268137643037772),
+        (9, -0.007937445707546023, -0.0025837742415094358),
+        (10, -0.008415257667518624, -0.002923950486118551),
+        (11, -0.008737192281728685, -0.0032846043861550637),
+        (12, -0.008822647775668973, -0.003659055483943436),
+        (13, -0.008566613576626428, -0.004037168960043535),
+        (14, -0.007833709853281658, -0.004404309541898953),
+        (15, -0.006450974111934202, -0.004740039964182453),
+        (16, -0.0041991670194978, -0.005016510283265347),
+        (17, -0.0008023354437530333, -0.005196474584100968),
+        (18, 0.004084666897757479, -0.005230860388833241),
+        (19, 0.010891041661440034, -0.005055803236072206),
+        (20, 0.02014767525263911, -0.004589044307724776),
+        (21, 0.032507965729238975, -0.0037255725111830992),
+        (22, 0.048772325021699967, -0.00233237397993),
+        (23, 0.06991688150999996, -0.00024213147900000072),
+        (24, 0.09712695299999996, 0.0027543062999999994),
+        (25, 0.13183589999999995, 0.0069168899999999985),
+        (26, 0.17576999999999995, 0.012566999999999998),
+        (27, 0.23099999999999996, 0.020099999999999996),
+        (28, 0.3, 0.03)),
+    lb AS (SELECT sum(coef.a * yy.y ORDER BY yy.i) AS l,
+                  sum(coef.c * yy.y ORDER BY yy.i) AS b
+           FROM yy JOIN coef ON coef.i = yy.i)
+    SELECT h, round((SELECT l FROM lb) + h * (SELECT b FROM lb), 6)
+               AS forecast
+    FROM (SELECT unnest(generate_series(1, 7)) AS h)
+    ORDER BY h
+    """,
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Holt linear-trend exponential smoothing (alpha=0.3, beta=0.1)
+    over the last 28 days of event counts, forecasting 7 days ahead —
+    the trend-aware member of the forecasting family (seasonal-naive
+    = forecast_backtest_daily, robust trend = theil_sen/huber,
+    uncertainty = conformal). The recursion is LINEAR in the
+    observations, so level and trend at day T are dot products with
+    COEFFICIENT vectors precomputed once (driver-side python over the
+    fixed 28-day window; the identical literals are baked into the
+    oracle) — the whole "recursive" smoother becomes one broadcast
+    join + one g-ordered 28-term fold, the same shape at any scale.
+    Missing days gap-fill to 0 so both engines see the same series.'''
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    days = m.select(
+        F.explode(
+            F.sequence(
+                F.date_sub(F.col("maxd"), 27), F.col("maxd")
+            )
+        ).alias("day"),
+        "maxd",
+    )
+    cnt = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    yy = (
+        days.join(cnt, "day", "left")
+        .select(
+            (F.datediff("day", F.date_sub(F.col("maxd"), 27)) + 1).alias("i"),
+            F.coalesce(F.col("y"), F.lit(0)).cast("double").alias("y"),
+        )
+    )
+    spark_coef = spark.createDataFrame(
+        [(i + 1, _HOLT_A[i], _HOLT_C[i]) for i in range(28)],
+        "i int, a double, c double",
+    )
+    terms = yy.join(F.broadcast(spark_coef), "i").select(
+        "i", (F.col("a") * F.col("y")).alias("ta"),
+        (F.col("c") * F.col("y")).alias("tc"),
+    )
+    lb = terms.agg(
+        F.array_sort(F.collect_list(F.struct("i", "ta", "tc"))).alias("arr")
+    ).select(
+        F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["ta"]).alias("l"),
+        F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["tc"]).alias("b"),
+    )
+    hs = spark.range(1, 7 + 1).select(F.col("id").cast("long").alias("h"))
+    return (
+        hs.crossJoin(F.broadcast(lb))
+        .select(
+            "h",
+            F.round(F.col("l") + F.col("h") * F.col("b"), 6).alias("forecast"),
+        )
+        .orderBy("h")
+    )

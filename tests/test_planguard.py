@@ -171,6 +171,8 @@ R5_QUERIES = [
     "time_decay_attribution",
     "hybrid_rrf_search_docs",
     "bpe_merges_docs",
+    "textrank_keywords",
+    "holt_forecast_daily",
 ]
 
 
