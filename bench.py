@@ -190,6 +190,8 @@ HEADLINE = [
     "bpe_merges_docs",
     "textrank_keywords",
     "holt_forecast_daily",
+    "embedding_covariance_spectrum",
+    "densest_subgraph_suppliers",
 ]
 
 

@@ -21049,3 +21049,351 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h")
     )
+
+
+@query(
+    "embedding_covariance_spectrum",
+    """WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding::DOUBLE[]) AS x
+        FROM embeddings),
+    mu AS MATERIALIZED (SELECT i, avg(x) AS m FROM ex GROUP BY i),
+    nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    cx AS MATERIALIZED (
+        SELECT e.vec_id, e.i, e.x - mu.m AS cx
+        FROM ex e JOIN mu ON mu.i = e.i),
+    cov AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, sum(a.cx * b.cx) / (SELECT n FROM nv) AS c
+        FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i),
+    v0 AS (SELECT DISTINCT i, 0.125 AS v FROM cov),
+    w1 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v0 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
+    v1 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n1) AS v FROM w1),
+    w2 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v1 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
+    v2 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n2) AS v FROM w2),
+    w3 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v2 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
+    v3 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n3) AS v FROM w3),
+    w4 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v3 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n4 AS (SELECT sqrt(sum(w * w)) AS nm FROM w4),
+    v4 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n4) AS v FROM w4),
+    w5 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v4 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n5 AS (SELECT sqrt(sum(w * w)) AS nm FROM w5),
+    v5 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n5) AS v FROM w5),
+    w6 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v5 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n6 AS (SELECT sqrt(sum(w * w)) AS nm FROM w6),
+    v6 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n6) AS v FROM w6),
+    w7 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v6 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n7 AS (SELECT sqrt(sum(w * w)) AS nm FROM w7),
+    v7 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n7) AS v FROM w7),
+    w8 AS MATERIALIZED (
+        SELECT cov.i, sum(cov.c * p.v) AS w
+        FROM cov JOIN v7 p ON p.i = cov.j
+        GROUP BY cov.i),
+    n8 AS (SELECT sqrt(sum(w * w)) AS nm FROM w8),
+    v8 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n8) AS v FROM w8),
+    ray AS (SELECT sum(v8.v * cov.c * p.v) AS lam
+            FROM cov JOIN v8 ON v8.i = cov.i
+                     JOIN v8 p ON p.i = cov.j),
+    tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j)
+    SELECT (SELECT n FROM nv) AS n_vectors,
+           round((SELECT lam FROM ray), 6) AS lambda1,
+           round((SELECT tr FROM tr), 6) AS trace,
+           round((SELECT lam FROM ray) / (SELECT tr FROM tr), 6)
+               AS explained_share
+    """,
+)
+def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Top principal eigenvalue of the embedding covariance via 8
+    unrolled power-iteration rounds — PCA\'s headline number (how much
+    variance one direction soaks up) next to the isotropy audit\'s
+    coarser ratio, computed WITHOUT MLlib so every round is
+    oracle-replayable. Shape: centering + ONE outer-product
+    aggregation builds the 64x64 covariance (4096-key groupBy with
+    map-side combine — the corpus-sized step); the iteration then
+    runs entirely on the broadcast-scale matrix. Rayleigh quotient
+    v\'Cv for the eigenvalue; explained_share = lambda1 / trace.'''
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    mu = ex.groupBy("i").agg(F.avg("x").alias("m"))
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cx = ex.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
+    )
+    a = cx.select("vec_id", F.col("i").alias("i"), F.col("cx").alias("ca"))
+    b = cx.select("vec_id", F.col("i").alias("j"), F.col("cx").alias("cb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
+        .crossJoin(F.broadcast(nv))
+        .select("i", "j", (F.col("s") / F.col("n")).alias("c"))
+        .localCheckpoint()
+    )
+    v = cov.select("i").distinct().select("i", F.lit(0.125).alias("v"))
+    for _ in range(8):
+        w = (
+            cov.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
+        )
+        nm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
+        # localCheckpoint: v_k references w_k twice (norm + update),
+        # so a lazy chain doubles the evaluated DAG per round (2^8
+        # re-evaluations of the covariance join — measured 17s where
+        # 8 tiny jobs cost ~2s)
+        v = (
+            w.crossJoin(F.broadcast(nm))
+            .select("i", (F.col("w") / F.col("nm")).alias("v"))
+            .localCheckpoint()
+        )
+    vj = v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+    ray = (
+        cov.join(F.broadcast(v), "i")
+        .join(F.broadcast(vj), "j")
+        .agg(F.sum(F.col("v") * F.col("c") * F.col("vj")).alias("lam"))
+    )
+    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr"))
+    return (
+        nv.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.round("lam", 6).alias("lambda1"),
+            F.round("tr", 6).alias("trace"),
+            F.round(F.col("lam") / F.col("tr"), 6).alias("explained_share"),
+        )
+    )
+
+
+_DS_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR), 'ds'"
+)
+
+
+@query(
+    "densest_subgraph_suppliers",
+    """WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e0 AS MATERIALIZED (
+        SELECT a.id AS src, b.id AS dst FROM s a JOIN s b ON a.id < b.id
+        WHERE {h} % 10000 < 400),
+    n0 AS MATERIALIZED (SELECT DISTINCT id FROM (
+        SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+    st1 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n0) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e0) AS ne),
+    d1 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)
+        GROUP BY id),
+    n1 AS MATERIALIZED (
+        SELECT n.id FROM n0 n JOIN d1 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st1) > 22 * (SELECT ne FROM st1)),
+    e1 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e0 e
+        JOIN n1 a ON a.id = e.src JOIN n1 b ON b.id = e.dst),
+    st2 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n1) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e1) AS ne),
+    d2 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1)
+        GROUP BY id),
+    n2 AS MATERIALIZED (
+        SELECT n.id FROM n1 n JOIN d2 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st2) > 22 * (SELECT ne FROM st2)),
+    e2 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e1 e
+        JOIN n2 a ON a.id = e.src JOIN n2 b ON b.id = e.dst),
+    st3 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n2) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e2) AS ne),
+    d3 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)
+        GROUP BY id),
+    n3 AS MATERIALIZED (
+        SELECT n.id FROM n2 n JOIN d3 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st3) > 22 * (SELECT ne FROM st3)),
+    e3 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e2 e
+        JOIN n3 a ON a.id = e.src JOIN n3 b ON b.id = e.dst),
+    st4 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n3) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e3) AS ne),
+    d4 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
+        GROUP BY id),
+    n4 AS MATERIALIZED (
+        SELECT n.id FROM n3 n JOIN d4 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st4) > 22 * (SELECT ne FROM st4)),
+    e4 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e3 e
+        JOIN n4 a ON a.id = e.src JOIN n4 b ON b.id = e.dst),
+    st5 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n4) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e4) AS ne),
+    d5 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e4 UNION ALL SELECT dst FROM e4)
+        GROUP BY id),
+    n5 AS MATERIALIZED (
+        SELECT n.id FROM n4 n JOIN d5 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st5) > 22 * (SELECT ne FROM st5)),
+    e5 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e4 e
+        JOIN n5 a ON a.id = e.src JOIN n5 b ON b.id = e.dst),
+    st6 AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM n5) AS nv,
+               (SELECT CAST(count(*) AS BIGINT) FROM e5) AS ne),
+    d6 AS MATERIALIZED (
+        SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT src AS id FROM e5 UNION ALL SELECT dst FROM e5)
+        GROUP BY id),
+    n6 AS MATERIALIZED (
+        SELECT n.id FROM n5 n JOIN d6 d ON d.id = n.id
+        WHERE d.deg * 10 * (SELECT nv FROM st6) > 22 * (SELECT ne FROM st6)),
+    e6 AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e5 e
+        JOIN n6 a ON a.id = e.src JOIN n6 b ON b.id = e.dst),
+    allr AS (SELECT CAST(1 AS BIGINT) AS round,
+               (SELECT nv FROM st1) AS n_nodes,
+               (SELECT ne FROM st1) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st1) > 0
+                     THEN (SELECT ne FROM st1) * 1.0 / (SELECT nv FROM st1)
+                     END, 6) AS density
+        UNION ALL SELECT CAST(2 AS BIGINT) AS round,
+               (SELECT nv FROM st2) AS n_nodes,
+               (SELECT ne FROM st2) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st2) > 0
+                     THEN (SELECT ne FROM st2) * 1.0 / (SELECT nv FROM st2)
+                     END, 6) AS density
+        UNION ALL SELECT CAST(3 AS BIGINT) AS round,
+               (SELECT nv FROM st3) AS n_nodes,
+               (SELECT ne FROM st3) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st3) > 0
+                     THEN (SELECT ne FROM st3) * 1.0 / (SELECT nv FROM st3)
+                     END, 6) AS density
+        UNION ALL SELECT CAST(4 AS BIGINT) AS round,
+               (SELECT nv FROM st4) AS n_nodes,
+               (SELECT ne FROM st4) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st4) > 0
+                     THEN (SELECT ne FROM st4) * 1.0 / (SELECT nv FROM st4)
+                     END, 6) AS density
+        UNION ALL SELECT CAST(5 AS BIGINT) AS round,
+               (SELECT nv FROM st5) AS n_nodes,
+               (SELECT ne FROM st5) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st5) > 0
+                     THEN (SELECT ne FROM st5) * 1.0 / (SELECT nv FROM st5)
+                     END, 6) AS density
+        UNION ALL SELECT CAST(6 AS BIGINT) AS round,
+               (SELECT nv FROM st6) AS n_nodes,
+               (SELECT ne FROM st6) AS n_edges,
+               round(CASE WHEN (SELECT nv FROM st6) > 0
+                     THEN (SELECT ne FROM st6) * 1.0 / (SELECT nv FROM st6)
+                     END, 6) AS density),
+    mx AS (SELECT max(density) AS md FROM allr)
+    SELECT round, n_nodes, n_edges, density,
+           density IS NOT NULL AND density = (SELECT md FROM mx) AS is_best
+    FROM allr ORDER BY round
+    """.format(h=_DS_EDGE_SQL),
+)
+def densest_subgraph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Distributed densest-subgraph peeling (Bahmani, Kumar &
+    Vassilvitskii, VLDB 2012 — the MapReduce 2(1+eps)-approximation
+    of Charikar\'s greedy): each round drops every node whose degree
+    is <= (1+eps) times the average degree (eps=0.1) and records the
+    surviving subgraph\'s density |E|/|V|; the best round is the
+    certificate. The removal threshold compares deg*10*|V| against
+    22*|E| in INTEGERS, so no float boundary can flip membership
+    between engines. O(log n) rounds peel any graph; 6 suffice at
+    these tiers (the oracle unrolls all six). Per round: one degree
+    aggregation + two semi-joins — PageRank\'s shuffle shape.'''
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = tg.sampled_edges(sup, 400, "ds").localCheckpoint()
+    n = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    frames = []
+    for r in range(1, 6 + 1):
+        st = n.agg(F.count(F.lit(1)).cast("long").alias("nv")).crossJoin(
+            e.agg(F.count(F.lit(1)).cast("long").alias("ne"))
+        ).localCheckpoint()
+        frames.append(
+            st.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("nv").alias("n_nodes"),
+                F.col("ne").alias("n_edges"),
+                F.round(
+                    F.when(
+                        F.col("nv") > 0, F.col("ne") * 1.0 / F.col("nv")
+                    ),
+                    6,
+                ).alias("density"),
+            )
+        )
+        deg = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        n = (
+            n.join(deg, "id")
+            .crossJoin(F.broadcast(st))
+            .filter(F.col("deg") * 10 * F.col("nv") > 22 * F.col("ne"))
+            .select("id")
+            .localCheckpoint()
+        )
+        e = (
+            e.join(n.withColumnRenamed("id", "src"), "src")
+            .join(n.withColumnRenamed("id", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    allr = frames[0]
+    for f_ in frames[1:]:
+        allr = allr.unionByName(f_)
+    mx = allr.agg(F.max("density").alias("md"))
+    return (
+        allr.crossJoin(F.broadcast(mx))
+        .select(
+            "round", "n_nodes", "n_edges", "density",
+            (
+                F.col("density").isNotNull() & (F.col("density") == F.col("md"))
+            ).alias("is_best"),
+        )
+        .orderBy("round")
+    )

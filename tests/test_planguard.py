@@ -173,6 +173,8 @@ R5_QUERIES = [
     "bpe_merges_docs",
     "textrank_keywords",
     "holt_forecast_daily",
+    "embedding_covariance_spectrum",
+    "densest_subgraph_suppliers",
 ]
 
 
