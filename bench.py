@@ -192,6 +192,7 @@ HEADLINE = [
     "holt_forecast_daily",
     "embedding_covariance_spectrum",
     "densest_subgraph_suppliers",
+    "containment_neardup_docs",
 ]
 
 

@@ -21397,3 +21397,87 @@ def densest_subgraph_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("round")
     )
+
+
+@query(
+    "containment_neardup_docs",
+    """
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               md5(unnest([array_to_string(tk[i:i+2], ' ')
+                           for i in range(1, greatest(len(tk) - 2, 0) + 1)]))
+                   AS sg
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                         x -> x <> '') AS tk
+              FROM documents)),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    kept AS MATERIALIZED (
+        SELECT sh.doc_id, sh.sg FROM sh
+        JOIN (SELECT sg FROM sh GROUP BY sg HAVING count(*) <= 50) f
+          ON f.sg = sh.sg),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS common
+        FROM kept a JOIN kept b ON a.sg = b.sg AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2),
+    scored AS (
+        SELECT c.doc_a, c.doc_b, c.common, sa.n AS size_a,
+               round(c.common * 1.0 / sa.n, 6) AS containment
+        FROM cand c JOIN sz sa ON sa.doc_id = c.doc_a
+                    JOIN sz sb ON sb.doc_id = c.doc_b
+        WHERE sa.n < sb.n OR (sa.n = sb.n AND c.doc_a < c.doc_b))
+    SELECT doc_a, doc_b, common, size_a, containment
+    FROM scored WHERE containment >= 0.5
+    ORDER BY containment DESC, doc_a, doc_b LIMIT 10
+    """,
+)
+def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-SUBSET detection: shingle containment
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| for the smaller document of
+    each candidate pair — the duplication mode Jaccard misses (a
+    quote, mirror, or boilerplate block INSIDE a larger page has low
+    Jaccard but high containment; Broder's original resemblance vs
+    containment distinction). Candidates come from the inverted
+    shingle index with a df ≤ 50 stop-shingle cap — per-shingle
+    fan-out is bounded, never all-pairs — and the exact intersection
+    is computed only on co-bucketed docs, the same discipline as
+    ppjoin/winnowing. Top-10 pairs at containment ≥ 0.5."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.explode(pdd.shingles("text", 3)).alias("sg0"))
+        .select("doc_id", F.md5("sg0").alias("sg"))
+        .dropDuplicates()
+        .persist()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    keep = sh.groupBy("sg").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    ).select("sg")
+    kept = sh.join(keep, "sg")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "sg")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "sg")
+    cand = (
+        a.join(b, "sg")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("size_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("size_b"))
+    scored = (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(
+            (F.col("size_a") < F.col("size_b"))
+            | ((F.col("size_a") == F.col("size_b")) & (F.col("doc_a") < F.col("doc_b")))
+        )
+        .select(
+            "doc_a", "doc_b", "common", "size_a",
+            F.round(F.col("common") * 1.0 / F.col("size_a"), 6).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+    return scored.orderBy(F.col("containment").desc(), "doc_a", "doc_b").limit(10)

@@ -175,6 +175,7 @@ R5_QUERIES = [
     "holt_forecast_daily",
     "embedding_covariance_spectrum",
     "densest_subgraph_suppliers",
+    "containment_neardup_docs",
 ]
 
 
