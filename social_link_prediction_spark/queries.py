@@ -21053,7 +21053,8 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_covariance_spectrum",
-    """WITH ex AS (
+    """
+    WITH ex AS (
         SELECT vec_id, generate_subscripts(embedding, 1) AS i,
                unnest(embedding::DOUBLE[]) AS x
         FROM embeddings),
@@ -21066,76 +21067,31 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.i AS i, b.i AS j, sum(a.cx * b.cx) / (SELECT n FROM nv) AS c
         FROM cx a JOIN cx b ON a.vec_id = b.vec_id
         GROUP BY a.i, b.i),
-    v0 AS (SELECT DISTINCT i, 0.125 AS v FROM cov),
-    w1 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v0 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n1 AS (SELECT sqrt(sum(w * w)) AS nm FROM w1),
-    v1 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n1) AS v FROM w1),
-    w2 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v1 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n2 AS (SELECT sqrt(sum(w * w)) AS nm FROM w2),
-    v2 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n2) AS v FROM w2),
-    w3 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v2 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n3 AS (SELECT sqrt(sum(w * w)) AS nm FROM w3),
-    v3 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n3) AS v FROM w3),
-    w4 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v3 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n4 AS (SELECT sqrt(sum(w * w)) AS nm FROM w4),
-    v4 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n4) AS v FROM w4),
-    w5 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v4 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n5 AS (SELECT sqrt(sum(w * w)) AS nm FROM w5),
-    v5 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n5) AS v FROM w5),
-    w6 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v5 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n6 AS (SELECT sqrt(sum(w * w)) AS nm FROM w6),
-    v6 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n6) AS v FROM w6),
-    w7 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v6 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n7 AS (SELECT sqrt(sum(w * w)) AS nm FROM w7),
-    v7 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n7) AS v FROM w7),
-    w8 AS MATERIALIZED (
-        SELECT cov.i, sum(cov.c * p.v) AS w
-        FROM cov JOIN v7 p ON p.i = cov.j
-        GROUP BY cov.i),
-    n8 AS (SELECT sqrt(sum(w * w)) AS nm FROM w8),
-    v8 AS MATERIALIZED (SELECT i, w / (SELECT nm FROM n8) AS v FROM w8),
-    ray AS (SELECT sum(v8.v * cov.c * p.v) AS lam
-            FROM cov JOIN v8 ON v8.i = cov.i
-                     JOIN v8 p ON p.i = cov.j),
-    tr AS (SELECT sum(c) AS tr FROM cov WHERE i = j)
+    st AS (SELECT sum(CASE WHEN i = j THEN c END) AS tr,
+                  sum(c * c) AS frob_sq,
+                  sum(CASE WHEN i = j THEN c * c END) AS diag_sq
+           FROM cov)
     SELECT (SELECT n FROM nv) AS n_vectors,
-           round((SELECT lam FROM ray), 6) AS lambda1,
-           round((SELECT tr FROM tr), 6) AS trace,
-           round((SELECT lam FROM ray) / (SELECT tr FROM tr), 6)
-               AS explained_share
+           round(tr, 6) AS trace,
+           round(frob_sq, 6) AS frobenius_sq,
+           round(tr * tr / frob_sq, 6) AS effective_rank_pr,
+           round(diag_sq / frob_sq, 6) AS diag_energy_share
+    FROM st
     """,
 )
 def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    '''Top principal eigenvalue of the embedding covariance via 8
-    unrolled power-iteration rounds — PCA\'s headline number (how much
-    variance one direction soaks up) next to the isotropy audit\'s
-    coarser ratio, computed WITHOUT MLlib so every round is
-    oracle-replayable. Shape: centering + ONE outer-product
-    aggregation builds the 64x64 covariance (4096-key groupBy with
-    map-side combine — the corpus-sized step); the iteration then
-    runs entirely on the broadcast-scale matrix. Rayleigh quotient
-    v\'Cv for the eigenvalue; explained_share = lambda1 / trace.'''
+    """Closed-form covariance-spectrum summary: participation-ratio
+    effective rank trace(C)^2 / ||C||_F^2 — equal to
+    (Σλ)^2 / Σλ^2, so it measures how many principal directions
+    carry the variance WITHOUT any eigendecomposition (Roy &
+    Vetterli 2007) — plus the diagonal energy share (how much of the
+    matrix norm lives off-diagonal = cross-dimension correlation).
+    The iterative twin pca_top_component extracts λ1 itself; this
+    gives the whole-spectrum dispersion numbers from the SAME one
+    outer-product covariance aggregation (dim²-keyed, map-side
+    combined — the only corpus-sized step) and two 4096-row
+    reductions. The anisotropy triple is: isotropy audit (λ-free
+    proxy), pca_top_component (λ1), this (effective rank)."""
     emb = _t(spark, sf_dir, "embeddings")
     ex = emb.select(
         "vec_id",
@@ -21154,40 +21110,26 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("s"))
         .crossJoin(F.broadcast(nv))
         .select("i", "j", (F.col("s") / F.col("n")).alias("c"))
-        .localCheckpoint()
     )
-    v = cov.select("i").distinct().select("i", F.lit(0.125).alias("v"))
-    for _ in range(8):
-        w = (
-            cov.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("c") * F.col("v")).alias("w"))
-        )
-        nm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm"))
-        # localCheckpoint: v_k references w_k twice (norm + update),
-        # so a lazy chain doubles the evaluated DAG per round (2^8
-        # re-evaluations of the covariance join — measured 17s where
-        # 8 tiny jobs cost ~2s)
-        v = (
-            w.crossJoin(F.broadcast(nm))
-            .select("i", (F.col("w") / F.col("nm")).alias("v"))
-            .localCheckpoint()
-        )
-    vj = v.select(F.col("i").alias("j"), F.col("v").alias("vj"))
-    ray = (
-        cov.join(F.broadcast(v), "i")
-        .join(F.broadcast(vj), "j")
-        .agg(F.sum(F.col("v") * F.col("c") * F.col("vj")).alias("lam"))
+    st = cov.agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c"))).alias("tr"),
+        F.sum(F.col("c") * F.col("c")).alias("frob_sq"),
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("c") * F.col("c"))
+        ).alias("diag_sq"),
     )
-    tr = cov.filter(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr"))
     return (
-        nv.crossJoin(F.broadcast(ray))
-        .crossJoin(F.broadcast(tr))
+        nv.crossJoin(F.broadcast(st))
         .select(
             F.col("n").alias("n_vectors"),
-            F.round("lam", 6).alias("lambda1"),
             F.round("tr", 6).alias("trace"),
-            F.round(F.col("lam") / F.col("tr"), 6).alias("explained_share"),
+            F.round("frob_sq", 6).alias("frobenius_sq"),
+            F.round(F.col("tr") * F.col("tr") / F.col("frob_sq"), 6).alias(
+                "effective_rank_pr"
+            ),
+            F.round(F.col("diag_sq") / F.col("frob_sq"), 6).alias(
+                "diag_energy_share"
+            ),
         )
     )
 
