@@ -21423,3 +21423,151 @@ def containment_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.5)
     )
     return scored.orderBy(F.col("containment").desc(), "doc_a", "doc_b").limit(10)
+
+
+# =====================================================================
+# Round-6 continuation: sequential-randomness, heavy-tail, and
+# join-pruning diagnostics.
+# =====================================================================
+@query(
+    "runs_test_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY day),
+    sgn AS (
+        SELECT day,
+               CASE WHEN revenue > lag(revenue) OVER (ORDER BY day) THEN 1
+                    WHEN revenue < lag(revenue) OVER (ORDER BY day) THEN -1
+                    END AS s
+        FROM daily),
+    seq AS (
+        SELECT s, CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                            OR s <> lag(s) OVER (ORDER BY day)
+                       THEN 1 ELSE 0 END AS new_run
+        FROM (SELECT * FROM sgn WHERE s IS NOT NULL) t),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+               CAST(sum(new_run) AS BIGINT) AS n_runs
+        FROM seq)
+    SELECT n, n_pos, n_neg, n_runs,
+           round(2.0 * n_pos * n_neg / n + 1, 6) AS exp_runs,
+           round((n_runs - (2.0 * n_pos * n_neg / n + 1))
+                 / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z_runs,
+           ((n_runs - (2.0 * n_pos * n_neg / n + 1))
+            / sqrt(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n)
+                   / (CAST(n AS DOUBLE) * n * (n - 1))) < -1.96) AS is_trending
+    FROM agg
+    """,
+)
+def runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the SIGNS of day-over-day revenue
+    changes: too few runs of consecutive ups/downs means momentum
+    (trend/autocorrelation), too many means oscillation. Complements
+    the magnitude-based trend family (mann_kendall, ols, theil_sen)
+    with a distribution-free sequential-randomness check — the test a
+    metrics warehouse runs before trusting an i.i.d. assumption.
+    Corpus touch is ONE day-keyed aggregation; the sign/run windows
+    ride the bounded daily frame (per SURVEY bounded-window rule), and
+    the closed-form moments E[R] = 2ab/n + 1, Var[R] =
+    2ab(2ab-n)/(n^2(n-1)) are 1-row arithmetic."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy("day")
+    sgn = daily.select(
+        "day",
+        F.when(F.col("revenue") > F.lag("revenue").over(w), F.lit(1))
+        .when(F.col("revenue") < F.lag("revenue").over(w), F.lit(-1))
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    seq = sgn.select(
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.col("s") != F.lag("s").over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_run"),
+    )
+    a = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("s") == 1).cast("int")).cast("long").alias("n_pos"),
+        F.sum((F.col("s") == -1).cast("int")).cast("long").alias("n_neg"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+    )
+    mu = 2.0 * F.col("n_pos") * F.col("n_neg") / F.col("n") + 1
+    var = (
+        2.0 * F.col("n_pos") * F.col("n_neg")
+        * (2.0 * F.col("n_pos") * F.col("n_neg") - F.col("n"))
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    z = (F.col("n_runs") - mu) / F.sqrt(var)
+    return a.select(
+        "n", "n_pos", "n_neg", "n_runs",
+        F.round(mu, 6).alias("exp_runs"),
+        F.round(z, 6).alias("z_runs"),
+        (z < -1.96).alias("is_trending"),
+    )
+
+
+@query(
+    "hill_tail_index_price",
+    """
+    WITH r AS (
+        SELECT o_totalprice AS x,
+               row_number() OVER (ORDER BY o_totalprice DESC) AS rn
+        FROM orders),
+    ks AS (SELECT unnest([50, 100, 200]) AS k),
+    th AS (SELECT ks.k, r.x AS threshold FROM ks JOIN r ON r.rn = ks.k + 1),
+    s AS (
+        SELECT th.k, th.threshold,
+               avg(ln(r.x / th.threshold)) AS h
+        FROM th JOIN r ON r.rn <= th.k
+        GROUP BY th.k, th.threshold)
+    SELECT k, round(threshold, 2) AS threshold,
+           round(h, 6) AS hill_h,
+           round(1.0 / h, 6) AS tail_alpha
+    FROM s ORDER BY k
+    """,
+)
+def hill_tail_index_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the heavy-tail index of order revenue at
+    k in {50, 100, 200} upper order statistics: H_k = mean of
+    ln(x_(i) / x_(k+1)) over the top k, tail alpha = 1/H_k. The
+    continuous-tail twin of powerlaw_gamma (which fits DISCRETE degree
+    counts by MLE) and the reading-across-k stability check Hill plots
+    are made of. Corpus touch is one top-(kmax+1) selection — a
+    TakeOrdered, no full sort — after which ranking, thresholds, and
+    the log-mean all ride a 201-row bounded frame. Ties at the
+    boundary are value-identical so the estimator is deterministic
+    regardless of which tied rows the limit keeps."""
+    orders = _t(spark, sf_dir, "orders")
+    top = (
+        orders.select(F.col("o_totalprice").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(201)
+    )
+    rn = top.select(
+        "x", F.row_number().over(Window.orderBy(F.col("x").desc())).alias("rn")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(50), F.lit(100), F.lit(200))).alias("k")
+    )
+    th = ks.join(rn, F.col("rn") == F.col("k") + 1).select(
+        "k", F.col("x").alias("threshold")
+    )
+    s = (
+        th.join(rn, F.col("rn") <= F.col("k"))
+        .groupBy("k", "threshold")
+        .agg(F.avg(F.log(F.col("x") / F.col("threshold"))).alias("h"))
+    )
+    return s.select(
+        "k",
+        F.round("threshold", 2).alias("threshold"),
+        F.round("h", 6).alias("hill_h"),
+        F.round(1.0 / F.col("h"), 6).alias("tail_alpha"),
+    ).orderBy("k")
