@@ -21571,3 +21571,173 @@ def hill_tail_index_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 6).alias("hill_h"),
         F.round(1.0 / F.col("h"), 6).alias("tail_alpha"),
     ).orderBy("k")
+
+
+_BLOOM_H = _DUCK_H60.format(args="CAST(c_custkey AS VARCHAR), CAST(j AS VARCHAR), 'bloom'")
+
+
+@query(
+    "bloom_join_prune_audit",
+    f"""
+    WITH dim AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'),
+    ins AS (
+        SELECT DISTINCT {_BLOOM_H} % 4096 AS bit
+        FROM dim, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    probe AS (
+        SELECT c.c_custkey, js.j, {_BLOOM_H} % 4096 AS bit
+        FROM customer c, (SELECT unnest([0, 1, 2, 3]) AS j) js),
+    hits AS (
+        SELECT p.c_custkey,
+               sum(CASE WHEN ins.bit IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+        FROM probe p LEFT JOIN ins ON ins.bit = p.bit
+        GROUP BY p.c_custkey),
+    flags AS (
+        SELECT h.c_custkey, (h.nhit = 4) AS predicted,
+               (d.c_custkey IS NOT NULL) AS actual
+        FROM hits h LEFT JOIN dim d ON d.c_custkey = h.c_custkey)
+    SELECT CAST((SELECT count(*) FROM dim) AS BIGINT)       AS n_keys,
+           CAST((SELECT count(*) FROM ins) AS BIGINT)       AS n_bits_set,
+           CAST(count(*) AS BIGINT)                         AS n_probe,
+           CAST(sum(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_predicted,
+           CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS n_actual,
+           CAST(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_false_pos,
+           CAST(sum(CASE WHEN actual AND NOT predicted THEN 1 ELSE 0 END)
+                AS BIGINT)                                  AS n_false_neg,
+           round(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END)
+                 * 1.0 / nullif(sum(CASE WHEN NOT actual THEN 1 ELSE 0 END), 0),
+                 6)                                         AS fp_rate,
+           round(pow((SELECT count(*) FROM ins) / 4096.0, 4), 6)
+                                                            AS fp_expected
+    FROM flags
+    """,
+)
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with an exact audit: build a
+    4096-bit / 4-hash Bloom filter over the custkeys that have an
+    urgent order (the dim side a runtime filter would broadcast),
+    probe every customer, and report predicted vs actual membership,
+    the measured false-positive rate, and the occupancy-exact
+    expectation (bits_set/m)^k. This is THE shuffle-reducer for big
+    joins at 100 TB (Spark's own runtime row-group bloom pruning,
+    `spark.sql.optimizer.runtime.bloomFilter.enabled`), expressed
+    engine-portably: hash positions come from the oracle-replayable
+    hash60 (ml/linksplit.py:20) so DuckDB rebuilds the identical
+    filter bit-for-bit. The filter state is the distinct-bit frame —
+    bounded by m = 4096 rows regardless of key count — broadcast to
+    the probe side; n_false_neg = 0 is the no-false-negative Bloom
+    guarantee, checked, not assumed."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    js = spark.range(1).select(
+        F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    )
+    dim = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+
+    def _bit() -> Column:
+        return (
+            mls.hash60(
+                F.col("c_custkey").cast("string"),
+                F.col("j").cast("string"),
+                F.lit("bloom"),
+            )
+            % 4096
+        ).alias("bit")
+
+    ins = dim.crossJoin(F.broadcast(js)).select(_bit()).distinct()
+    probe = customer.select("c_custkey").crossJoin(F.broadcast(js)).select(
+        "c_custkey", _bit()
+    )
+    hits = (
+        probe.join(
+            F.broadcast(ins.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("nhit"))
+    )
+    flags = hits.join(
+        dim.withColumn("act", F.lit(1)), "c_custkey", "left"
+    ).select(
+        (F.col("nhit") == 4).alias("predicted"),
+        F.col("act").isNotNull().alias("actual"),
+    )
+    nk = dim.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    nb = ins.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    return (
+        flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe"),
+            F.sum(F.col("predicted").cast("int")).cast("long").alias("n_predicted"),
+            F.sum(F.col("actual").cast("int")).cast("long").alias("n_actual"),
+            F.sum((F.col("predicted") & ~F.col("actual")).cast("int"))
+            .cast("long").alias("n_false_pos"),
+            F.sum((F.col("actual") & ~F.col("predicted")).cast("int"))
+            .cast("long").alias("n_false_neg"),
+            F.sum((~F.col("actual")).cast("int")).cast("long").alias("_neg"),
+        )
+        .crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_keys", "n_bits_set", "n_probe", "n_predicted", "n_actual",
+            "n_false_pos", "n_false_neg",
+            F.round(
+                F.col("n_false_pos")
+                / F.when(F.col("_neg") > 0, F.col("_neg")),
+                6,
+            ).alias("fp_rate"),
+            F.round(F.pow(F.col("n_bits_set") / 4096.0, 4), 6).alias(
+                "fp_expected"
+            ),
+        )
+    )
+
+
+@query(
+    "skew_salting_plan",
+    """
+    WITH cnt AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM cnt)
+    SELECT user_id, n_rows,
+           CAST(ceil(n_rows / 32.0) AS BIGINT) AS salt_factor,
+           round(n_rows * 1.0 / total, 6) AS share
+    FROM cnt, tot
+    WHERE n_rows > 32
+    ORDER BY n_rows DESC, user_id LIMIT 20
+    """,
+)
+def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew mitigation planner: per-join-key row counts over
+    the events fact, keys whose build-side rows exceed the per-task
+    budget (32 here, sized to the testdata; a real run sets it to
+    target-partition-rows), and the salt factor ceil(n/budget) each
+    hot key needs — the exact plan a salted join executes (key ->
+    key||salt on the fact side, dim exploded salt_factor ways). The
+    other half of the skew toolkit next to AQE's skewedJoin (which
+    splits PARTITIONS, not keys): when one key alone exceeds a task,
+    only salting helps. One keyed aggregation over the corpus; the
+    plan frame is top-20 bounded."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = cnt.agg(F.sum("n_rows").cast("long").alias("total"))
+    return (
+        cnt.filter(F.col("n_rows") > 32)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "user_id", "n_rows",
+            F.ceil(F.col("n_rows") / 32.0).cast("long").alias("salt_factor"),
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(20)
+    )
