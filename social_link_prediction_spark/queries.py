@@ -21741,3 +21741,209 @@ def skew_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "sax_motifs_daily",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY day),
+    sym AS (
+        SELECT day,
+               CASE ntile(4) OVER (ORDER BY revenue, day)
+                    WHEN 1 THEN 'a' WHEN 2 THEN 'b'
+                    WHEN 3 THEN 'c' ELSE 'd' END AS s
+        FROM daily),
+    mot AS (
+        SELECT s || lead(s, 1) OVER w || lead(s, 2) OVER w AS motif
+        FROM sym WINDOW w AS (ORDER BY day))
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM mot WHERE motif IS NOT NULL
+    GROUP BY motif ORDER BY n_occurrences DESC, motif LIMIT 10
+    """,
+)
+def sax_motifs_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery over the daily-revenue series: discretize
+    each day into a 4-letter alphabet by EMPIRICAL quartile rank
+    (ntile — the rank-based SAX variant, chosen over Gaussian
+    breakpoints because quartile symbols are integer-exact across
+    engines while z-scores would hang symbol boundaries on
+    last-ulp float agreement), slide a width-3 word along the
+    sequence, and count motif frequencies — the classic
+    subsequence-motif census (Lin & Keogh's SAX) that surfaces
+    recurring local shapes (ramps 'abc'/'bcd', peaks 'ada', dips).
+    One day-keyed corpus aggregation; symbolization and the sliding
+    word ride the bounded daily frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    nt = F.ntile(4).over(Window.orderBy("revenue", "day"))
+    sym = daily.select(
+        "day",
+        F.when(nt == 1, "a").when(nt == 2, "b").when(nt == 3, "c")
+        .otherwise("d").alias("s"),
+    )
+    w = Window.orderBy("day")
+    mot = sym.select(
+        F.concat("s", F.lead("s", 1).over(w), F.lead("s", 2).over(w)).alias(
+            "motif"
+        )
+    ).filter(F.col("motif").isNotNull())
+    return (
+        mot.groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "motif")
+        .limit(10)
+    )
+
+
+# SES weights for the Croston folds: alpha = 1/4, so every coefficient
+# 0.25 * 0.75^j (tail completes to 0.75^15) is an EXACT binary double;
+# the repr literals below parse to identical doubles in Spark and
+# DuckDB, making the smoothed levels engine-portable without any
+# transcendental pow in the cross-engine contract (the same move as
+# holt_forecast_daily's precomputed coefficient vectors).
+_CROSTON_W = [0.25 * 0.75 ** j for j in range(15)] + [0.75 ** 15]
+
+
+@query(
+    "croston_forecast_urgent",
+    """
+    WITH spine AS (
+        SELECT unnest(generate_series(
+                   (SELECT min(date_trunc('day', o_orderdate)) FROM orders),
+                   (SELECT max(date_trunc('day', o_orderdate)) FROM orders),
+                   INTERVAL 1 DAY)) AS day),
+    cnt AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY day),
+    series AS (
+        SELECT s.day, coalesce(cnt.c, 0) AS c
+        FROM spine s LEFT JOIN cnt ON cnt.day = s.day),
+    nz AS (
+        SELECT day, c AS z,
+               CAST(date_diff('day', lag(day) OVER (ORDER BY day), day)
+                    AS BIGINT) AS p
+        FROM series WHERE c > 0),
+    ranked AS (
+        SELECT z, p, row_number() OVER (ORDER BY day DESC) AS rn FROM nz),
+    piv AS (
+        SELECT max(CASE WHEN rn = 1 THEN z END) AS z1,
+               max(CASE WHEN rn = 2 THEN z END) AS z2,
+               max(CASE WHEN rn = 3 THEN z END) AS z3,
+               max(CASE WHEN rn = 4 THEN z END) AS z4,
+               max(CASE WHEN rn = 5 THEN z END) AS z5,
+               max(CASE WHEN rn = 6 THEN z END) AS z6,
+               max(CASE WHEN rn = 7 THEN z END) AS z7,
+               max(CASE WHEN rn = 8 THEN z END) AS z8,
+               max(CASE WHEN rn = 9 THEN z END) AS z9,
+               max(CASE WHEN rn = 10 THEN z END) AS z10,
+               max(CASE WHEN rn = 11 THEN z END) AS z11,
+               max(CASE WHEN rn = 12 THEN z END) AS z12,
+               max(CASE WHEN rn = 13 THEN z END) AS z13,
+               max(CASE WHEN rn = 14 THEN z END) AS z14,
+               max(CASE WHEN rn = 15 THEN z END) AS z15,
+               max(CASE WHEN rn = 16 THEN z END) AS z16,
+               max(CASE WHEN rn = 1 THEN p END) AS p1,
+               max(CASE WHEN rn = 2 THEN p END) AS p2,
+               max(CASE WHEN rn = 3 THEN p END) AS p3,
+               max(CASE WHEN rn = 4 THEN p END) AS p4,
+               max(CASE WHEN rn = 5 THEN p END) AS p5,
+               max(CASE WHEN rn = 6 THEN p END) AS p6,
+               max(CASE WHEN rn = 7 THEN p END) AS p7,
+               max(CASE WHEN rn = 8 THEN p END) AS p8,
+               max(CASE WHEN rn = 9 THEN p END) AS p9,
+               max(CASE WHEN rn = 10 THEN p END) AS p10,
+               max(CASE WHEN rn = 11 THEN p END) AS p11,
+               max(CASE WHEN rn = 12 THEN p END) AS p12,
+               max(CASE WHEN rn = 13 THEN p END) AS p13,
+               max(CASE WHEN rn = 14 THEN p END) AS p14,
+               max(CASE WHEN rn = 15 THEN p END) AS p15,
+               max(CASE WHEN rn = 16 THEN p END) AS p16
+        FROM ranked WHERE rn <= 16),
+    stats AS (
+        SELECT CAST((SELECT count(*) FROM series) AS BIGINT) AS n_days,
+               CAST((SELECT count(*) FROM nz) AS BIGINT) AS n_nonzero,
+               CAST((SELECT sum(c) FROM series) AS BIGINT) AS total_demand)
+    SELECT n_days, n_nonzero,
+           round((0.25::DOUBLE) * z1 + (0.1875::DOUBLE) * z2 + (0.140625::DOUBLE) * z3 + (0.10546875::DOUBLE) * z4 + (0.0791015625::DOUBLE) * z5 + (0.059326171875::DOUBLE) * z6 + (0.04449462890625::DOUBLE) * z7 + (0.0333709716796875::DOUBLE) * z8 + (0.025028228759765625::DOUBLE) * z9 + (0.01877117156982422::DOUBLE) * z10 + (0.014078378677368164::DOUBLE) * z11 + (0.010558784008026123::DOUBLE) * z12 + (0.007919088006019592::DOUBLE) * z13 + (0.005939316004514694::DOUBLE) * z14 + (0.004454487003386021::DOUBLE) * z15 + (0.013363461010158062::DOUBLE) * z16, 6) AS z_hat,
+           round((0.25::DOUBLE) * p1 + (0.1875::DOUBLE) * p2 + (0.140625::DOUBLE) * p3 + (0.10546875::DOUBLE) * p4 + (0.0791015625::DOUBLE) * p5 + (0.059326171875::DOUBLE) * p6 + (0.04449462890625::DOUBLE) * p7 + (0.0333709716796875::DOUBLE) * p8 + (0.025028228759765625::DOUBLE) * p9 + (0.01877117156982422::DOUBLE) * p10 + (0.014078378677368164::DOUBLE) * p11 + (0.010558784008026123::DOUBLE) * p12 + (0.007919088006019592::DOUBLE) * p13 + (0.005939316004514694::DOUBLE) * p14 + (0.004454487003386021::DOUBLE) * p15 + (0.013363461010158062::DOUBLE) * p16, 6) AS p_hat,
+           round(((0.25::DOUBLE) * z1 + (0.1875::DOUBLE) * z2 + (0.140625::DOUBLE) * z3 + (0.10546875::DOUBLE) * z4 + (0.0791015625::DOUBLE) * z5 + (0.059326171875::DOUBLE) * z6 + (0.04449462890625::DOUBLE) * z7 + (0.0333709716796875::DOUBLE) * z8 + (0.025028228759765625::DOUBLE) * z9 + (0.01877117156982422::DOUBLE) * z10 + (0.014078378677368164::DOUBLE) * z11 + (0.010558784008026123::DOUBLE) * z12 + (0.007919088006019592::DOUBLE) * z13 + (0.005939316004514694::DOUBLE) * z14 + (0.004454487003386021::DOUBLE) * z15 + (0.013363461010158062::DOUBLE) * z16) / ((0.25::DOUBLE) * p1 + (0.1875::DOUBLE) * p2 + (0.140625::DOUBLE) * p3 + (0.10546875::DOUBLE) * p4 + (0.0791015625::DOUBLE) * p5 + (0.059326171875::DOUBLE) * p6 + (0.04449462890625::DOUBLE) * p7 + (0.0333709716796875::DOUBLE) * p8 + (0.025028228759765625::DOUBLE) * p9 + (0.01877117156982422::DOUBLE) * p10 + (0.014078378677368164::DOUBLE) * p11 + (0.010558784008026123::DOUBLE) * p12 + (0.007919088006019592::DOUBLE) * p13 + (0.005939316004514694::DOUBLE) * p14 + (0.004454487003386021::DOUBLE) * p15 + (0.013363461010158062::DOUBLE) * p16), 6) AS croston_rate,
+           round(total_demand * 1.0 / n_days, 6) AS empirical_rate
+    FROM piv, stats
+    """,
+)
+def croston_forecast_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    '''Croston's method for INTERMITTENT demand — the standard
+    forecast when a series is mostly zeros (spare parts, rare SKUs;
+    here daily 1-URGENT order counts, 28% zero days): smooth the
+    nonzero demand SIZES and the inter-demand INTERVALS separately
+    with SES and forecast demand/day as z_hat / p_hat (plain SES
+    over the raw series is biased right after each demand spike —
+    Croston 1972). The SES recursions are collapsed to dot products
+    of the last 16 demands/intervals with the exact-binary weight
+    vector _CROSTON_W (alpha = 1/4: every 0.25*0.75^j literal is an
+    exact double on both engines), evaluated in one fixed expression
+    order. Corpus touch: one filtered day-keyed aggregation + a
+    day-spine left join; everything after rides the bounded
+    nonzero-day frame.'''
+    orders = _t(spark, sf_dir, "orders")
+    cnt = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rng = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    series = spine.join(cnt, "day", "left").select(
+        "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    nz = series.filter(F.col("c") > 0).select(
+        "day",
+        F.col("c").alias("z"),
+        F.datediff("day", F.lag("day").over(Window.orderBy("day")))
+        .cast("long").alias("p"),
+    )
+    ranked = nz.select(
+        "z", "p",
+        F.row_number().over(Window.orderBy(F.col("day").desc())).alias("rn"),
+    ).filter(F.col("rn") <= 16)
+    piv = ranked.agg(
+        *[
+            F.max(F.when(F.col("rn") == j + 1, F.col("z"))).alias(f"z{j + 1}")
+            for j in range(16)
+        ],
+        *[
+            F.max(F.when(F.col("rn") == j + 1, F.col("p"))).alias(f"p{j + 1}")
+            for j in range(16)
+        ],
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total_demand"),
+    ).crossJoin(
+        F.broadcast(nz.agg(F.count(F.lit(1)).cast("long").alias("n_nonzero")))
+    )
+    zdot = None
+    pdot = None
+    for j, w in enumerate(_CROSTON_W):
+        zt = F.lit(w) * F.col(f"z{j + 1}")
+        pt = F.lit(w) * F.col(f"p{j + 1}")
+        zdot = zt if zdot is None else zdot + zt
+        pdot = pt if pdot is None else pdot + pt
+    return piv.crossJoin(F.broadcast(stats)).select(
+        "n_days", "n_nonzero",
+        F.round(zdot, 6).alias("z_hat"),
+        F.round(pdot, 6).alias("p_hat"),
+        F.round(zdot / pdot, 6).alias("croston_rate"),
+        F.round(F.col("total_demand") * 1.0 / F.col("n_days"), 6).alias(
+            "empirical_rate"
+        ),
+    )
