@@ -21947,3 +21947,216 @@ def croston_forecast_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empirical_rate"
         ),
     )
+
+
+@query(
+    "permutation_test_events",
+    """
+    WITH pool AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+        FROM events WHERE event_type IN ('purchase', 'click')),
+    sizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(grp) AS BIGINT) AS n1
+        FROM pool),
+    obs AS (
+        SELECT round(avg(CASE WHEN grp = 1 THEN value END), 6) AS mean_treat,
+               round(avg(CASE WHEN grp = 0 THEN value END), 6) AS mean_ctrl,
+               avg(CASE WHEN grp = 1 THEN value END)
+               - avg(CASE WHEN grp = 0 THEN value END) AS d
+        FROM pool),
+    x AS (
+        SELECT p.event_id, p.value, b.b,
+               CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(event_id AS VARCHAR), CAST(b AS VARCHAR), 'perm')), 1, 15)) AS BIGINT) AS h
+        FROM pool p, (SELECT unnest(generate_series(0, 63)) AS b) b),
+    r AS (
+        SELECT value, b,
+               row_number() OVER (PARTITION BY b ORDER BY h, event_id) AS rn
+        FROM x),
+    perm AS (
+        SELECT r.b,
+               avg(CASE WHEN r.rn <= s.n1 THEN r.value END)
+               - avg(CASE WHEN r.rn > s.n1 THEN r.value END) AS d
+        FROM r, sizes s GROUP BY r.b),
+    pv AS (
+        SELECT CAST(sum(CASE WHEN abs(perm.d) >= abs(obs.d) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ge
+        FROM perm, obs)
+    SELECT s.n, s.n1, 64 AS n_perm, o.mean_treat, o.mean_ctrl,
+           round(o.d, 6) AS obs_diff,
+           round((1.0 + pv.n_ge) / 65.0, 6) AS p_value
+    FROM sizes s, obs o, pv
+    """,
+)
+def permutation_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size permutation test for the purchase-vs-click mean
+    value gap: 64 deterministic label permutations, each built by
+    ranking the pooled rows on hash60(event_id, b) and assigning the
+    first n1 ranks to the pseudo-treatment — every permutation
+    preserves the group sizes exactly (a hash-coin relabel would
+    only do so in expectation), and the hash makes the whole test
+    replayable on the oracle. p = (1 + #{|d_b| >= |d_obs|}) / (B+1),
+    the add-one Monte-Carlo estimator. Distribution-free twin of
+    ab_test_zscore/mann_whitney: no variance formula, no normal
+    approximation. Scale shape: B x N expansion then per-permutation
+    rank — B bounded partitions each sorted independently, the same
+    resample discipline as poisson_bootstrap_mean."""
+    ev = _t(spark, sf_dir, "events")
+    pool = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id", "value",
+        (F.col("event_type") == "purchase").cast("int").alias("grp"),
+    )
+    sizes = pool.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("grp").cast("long").alias("n1"),
+    )
+    obs = pool.agg(
+        F.avg(F.when(F.col("grp") == 1, F.col("value"))).alias("mt"),
+        F.avg(F.when(F.col("grp") == 0, F.col("value"))).alias("mc"),
+    ).select("mt", "mc", (F.col("mt") - F.col("mc")).alias("d"))
+    bs = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    x = pool.crossJoin(F.broadcast(bs)).select(
+        "value", "b",
+        mls.hash60(
+            F.col("event_id").cast("string"),
+            F.col("b").cast("string"),
+            F.lit("perm"),
+        ).alias("h"),
+        "event_id",
+    )
+    r = x.select(
+        "value", "b",
+        F.row_number()
+        .over(Window.partitionBy("b").orderBy("h", "event_id"))
+        .alias("rn"),
+    )
+    perm = (
+        r.crossJoin(F.broadcast(sizes.select("n1")))
+        .groupBy("b")
+        .agg(
+            (
+                F.avg(F.when(F.col("rn") <= F.col("n1"), F.col("value")))
+                - F.avg(F.when(F.col("rn") > F.col("n1"), F.col("value")))
+            ).alias("d")
+        )
+    )
+    pv = perm.crossJoin(F.broadcast(obs.select(F.col("d").alias("od")))).agg(
+        F.sum(
+            (F.abs(F.col("d")) >= F.abs(F.col("od"))).cast("int")
+        ).cast("long").alias("n_ge")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(obs))
+        .crossJoin(F.broadcast(pv))
+        .select(
+            "n", "n1", F.lit(64).alias("n_perm"),
+            F.round("mt", 6).alias("mean_treat"),
+            F.round("mc", 6).alias("mean_ctrl"),
+            F.round("d", 6).alias("obs_diff"),
+            F.round((1.0 + F.col("n_ge")) / 65.0, 6).alias("p_value"),
+        )
+    )
+
+
+@query(
+    "salsa_partsupp",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+    ds AS (SELECT s, CAST(count(*) AS BIGINT) AS deg_s FROM raw GROUP BY s),
+    dp AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM raw GROUP BY p),
+    e AS (
+        SELECT raw.s, raw.p, ds.deg_s, dp.deg_p
+        FROM raw JOIN ds ON ds.s = raw.s JOIN dp ON dp.p = raw.p),
+    np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dp),
+    a0 AS (SELECT p, 1.0 / np.n AS a FROM dp, np),
+    h1 AS (
+        SELECT e.s, sum(a0.a / e.deg_p) AS h
+        FROM e JOIN a0 ON a0.p = e.p GROUP BY e.s),
+    a1 AS (
+        SELECT e.p, sum(h1.h / e.deg_s) AS a
+        FROM e JOIN h1 ON h1.s = e.s GROUP BY e.p),
+    h2 AS (
+        SELECT e.s, sum(a1.a / e.deg_p) AS h
+        FROM e JOIN a1 ON a1.p = e.p GROUP BY e.s),
+    a2 AS (
+        SELECT e.p, sum(h2.h / e.deg_s) AS a
+        FROM e JOIN h2 ON h2.s = e.s GROUP BY e.p),
+    h3 AS (
+        SELECT e.s, sum(a2.a / e.deg_p) AS h
+        FROM e JOIN a2 ON a2.p = e.p GROUP BY e.s),
+    a3 AS (
+        SELECT e.p, sum(h3.h / e.deg_s) AS a
+        FROM e JOIN h3 ON h3.s = e.s GROUP BY e.p),
+    h4 AS (
+        SELECT e.s, sum(a3.a / e.deg_p) AS h
+        FROM e JOIN a3 ON a3.p = e.p GROUP BY e.s),
+    a4 AS (
+        SELECT e.p, sum(h4.h / e.deg_s) AS a
+        FROM e JOIN h4 ON h4.s = e.s GROUP BY e.p),
+    h5 AS (
+        SELECT e.s, sum(a4.a / e.deg_p) AS h
+        FROM e JOIN a4 ON a4.p = e.p GROUP BY e.s),
+    a5 AS (
+        SELECT e.p, sum(h5.h / e.deg_s) AS a
+        FROM e JOIN h5 ON h5.s = e.s GROUP BY e.p),
+    h6 AS (
+        SELECT e.s, sum(a5.a / e.deg_p) AS h
+        FROM e JOIN a5 ON a5.p = e.p GROUP BY e.s),
+    a6 AS (
+        SELECT e.p, sum(h6.h / e.deg_s) AS a
+        FROM e JOIN h6 ON h6.s = e.s GROUP BY e.p)
+    SELECT a6.p AS partkey, round(a6.a, 6) AS authority,
+           dp.deg_p AS degree
+    FROM a6 JOIN dp ON dp.p = a6.p
+    ORDER BY authority DESC, partkey LIMIT 15
+    """,
+)
+def salsa_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authority ranking on the supplier-part bipartite graph
+    (Lempel & Moran): the two-step random walk part -> supplier ->
+    part with UNIFORM edge choice at each side — HITS's mutual
+    reinforcement with degree normalization, which kills the
+    tightly-knit-community overscoring HITS suffers. Six unrolled
+    rounds from the uniform start; per round exactly two keyed
+    join+agg shuffles over the edge list (PageRank's shuffle shape;
+    no N x N materialization). In the limit authority converges to
+    degree/2|E| within a component — reported next to the raw degree
+    so the six-round transient, which still mixes component
+    structure, is visible. Top-15 by rounded score, key tie-broken."""
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ds = raw.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg_s"))
+    dp = raw.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("deg_p"))
+    e = raw.join(ds, "s").join(dp, "p").select("s", "p", "deg_s", "deg_p")
+    e = e.persist()
+    np_ = dp.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = dp.crossJoin(F.broadcast(np_)).select(
+        "p", (1.0 / F.col("n")).alias("a")
+    )
+    for _ in range(6):
+        h = (
+            e.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum(F.col("a") / F.col("deg_p")).alias("h"))
+        )
+        a = (
+            e.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum(F.col("h") / F.col("deg_s")).alias("a"))
+        )
+    out = (
+        a.join(dp, "p")
+        .select(
+            F.col("p").alias("partkey"),
+            F.round("a", 6).alias("authority"),
+            F.col("deg_p").alias("degree"),
+        )
+        .orderBy(F.col("authority").desc(), "partkey")
+        .limit(15)
+    )
+    e.unpersist()
+    return out
