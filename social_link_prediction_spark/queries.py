@@ -22160,3 +22160,195 @@ def salsa_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+@query(
+    "wasserstein_price_segments",
+    """
+    WITH v AS (
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS g,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS xc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    n AS (SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(max(xc) - min(xc) AS BIGINT) AS range_c
+          FROM v),
+    d AS (SELECT xc,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM v GROUP BY xc),
+    c AS (SELECT xc,
+                 sum(c1) OVER w AS a1, sum(c2) OVER w AS a2,
+                 lead(xc) OVER (ORDER BY xc) AS nxt
+          FROM d
+          WINDOW w AS (ORDER BY xc
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT CAST(sum(abs(CAST(a1 AS BIGINT) * n.n2
+                              - CAST(a2 AS BIGINT) * n.n1)
+                          * (nxt - xc)) AS BIGINT) AS area
+          FROM c, n WHERE nxt IS NOT NULL)
+    SELECT n.n1, n.n2,
+           round(s.area / (n.n1 * 1.0 * n.n2) / 100.0, 6) AS w1_dollars,
+           round(s.area / (n.n1 * 1.0 * n.n2) / n.range_c, 6) AS w1_rel
+    FROM s, n
+    """,
+)
+def wasserstein_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the BUILDING
+    and MACHINERY order-value distributions: the area between the two
+    empirical CDFs, W1 = integral |F1 - F2| dx. Where ks_d reports
+    only the WORST vertical gap, W1 integrates the whole discrepancy
+    — the drift measure that moves when distributions shift mass
+    without crossing (the case KS and PSI under-read). Every term is
+    INTEGER arithmetic (|cum1*n2 - cum2*n1| * gap over integer
+    cents), summed exactly in int64 and divided once at the end, so
+    both engines produce the bit-identical statistic — no float
+    accumulation to round away. Same scale shape as ks_test: one
+    corpus join+groupBy to distinct cents values, one ordered window
+    over the distinct-value frame (the bucketed_prefix_sums fallback
+    applies unchanged at 100 TB: cumsums per range bucket + offsets,
+    gaps within buckets plus the final lead crossing at most
+    n_buckets boundary rows)."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    v = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(2).alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+        )
+    )
+    n = v.agg(
+        F.sum((F.col("g") == 1).cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("g") == 2).cast("int")).cast("long").alias("n2"),
+        (F.max("xc") - F.min("xc")).cast("long").alias("range_c"),
+    )
+    d = v.groupBy("xc").agg(
+        F.sum((F.col("g") == 1).cast("int")).cast("long").alias("c1"),
+        F.sum((F.col("g") == 2).cast("int")).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.select(
+        "xc",
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c2").over(w).alias("a2"),
+        F.lead("xc").over(Window.orderBy("xc")).alias("nxt"),
+    )
+    s = (
+        c.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                F.abs(F.col("a1") * F.col("n2") - F.col("a2") * F.col("n1"))
+                * (F.col("nxt") - F.col("xc"))
+            ).cast("long").alias("area")
+        )
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        "n1", "n2",
+        F.round(
+            F.col("area") / (F.col("n1") * 1.0 * F.col("n2")) / 100.0, 6
+        ).alias("w1_dollars"),
+        F.round(
+            F.col("area") / (F.col("n1") * 1.0 * F.col("n2")) / F.col("range_c"),
+            6,
+        ).alias("w1_rel"),
+    )
+
+
+@query(
+    "energy_distance_embeddings",
+    """
+    WITH e0 AS (
+        SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE label IN (0, 1)),
+    pairs AS (
+        SELECT a.id AS src, b.id AS dst, a.label AS la, b.label AS lb,
+               a.v AS va, b.v AS vb
+        FROM e0 a JOIN e0 b ON a.id < b.id
+        WHERE CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(a.id AS VARCHAR) || '-' || CAST(b.id AS VARCHAR), 'energy')), 1, 15)) AS BIGINT) % 10000 < 5000),
+    d AS (
+        SELECT CASE WHEN la = 0 AND lb = 0 THEN 'aa'
+                    WHEN la = 1 AND lb = 1 THEN 'bb' ELSE 'ab' END AS kind,
+               sqrt(greatest(list_dot_product(va, va)
+                             - 2 * list_dot_product(va, vb)
+                             + list_dot_product(vb, vb), 0.0)) AS dist
+        FROM pairs),
+    m AS (
+        SELECT CAST(sum(CASE WHEN kind = 'aa' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_aa,
+               CAST(sum(CASE WHEN kind = 'bb' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bb,
+               CAST(sum(CASE WHEN kind = 'ab' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ab,
+               avg(CASE WHEN kind = 'aa' THEN dist END) AS maa,
+               avg(CASE WHEN kind = 'bb' THEN dist END) AS mbb,
+               avg(CASE WHEN kind = 'ab' THEN dist END) AS mab
+        FROM d)
+    SELECT n_aa, n_bb, n_ab,
+           round(maa, 6) AS mean_within_a,
+           round(mbb, 6) AS mean_within_b,
+           round(mab, 6) AS mean_between,
+           round(2 * mab - maa - mbb, 6) AS energy_distance
+    FROM m
+    """,
+)
+def energy_distance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance two-sample test between label-0 and label-1
+    embedding clouds: E = 2*E|X-Y| - E|X-X'| - E|Y-Y'| over Euclidean
+    distances (Szekely & Rizzo) — zero iff the distributions match,
+    so it detects MULTIVARIATE drift that per-coordinate tests (psi,
+    ks) integrate away. The pair set is the hash-replayable
+    tg.sampled_edges device at 50% over the two label groups — never
+    all corpus pairs — and each distance is one 64-step sequential
+    fold, identical on both engines (sqrt is IEEE-exact), so the
+    oracle check is exact. The embedding-drift companion to
+    embedding_drift_by_label (which compares centroids: a MEAN test;
+    energy distance sees shape/spread differences centroids miss)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e0 = emb.filter(F.col("label").isin(0, 1)).select(
+        F.col("vec_id").alias("id"),
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).localCheckpoint()
+    pairs = tg.sampled_edges(e0.select("id"), 5000, "energy")
+    a = e0.select(
+        F.col("id").alias("src"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = e0.select(
+        F.col("id").alias("dst"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    d2 = (
+        sim.dot(F.col("va"), F.col("va"))
+        - 2 * sim.dot(F.col("va"), F.col("vb"))
+        + sim.dot(F.col("vb"), F.col("vb"))
+    )
+    d = (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .select(
+            F.when((F.col("la") == 0) & (F.col("lb") == 0), "aa")
+            .when((F.col("la") == 1) & (F.col("lb") == 1), "bb")
+            .otherwise("ab").alias("kind"),
+            F.sqrt(F.greatest(d2, F.lit(0.0))).alias("dist"),
+        )
+    )
+    m = d.agg(
+        F.sum((F.col("kind") == "aa").cast("int")).cast("long").alias("n_aa"),
+        F.sum((F.col("kind") == "bb").cast("int")).cast("long").alias("n_bb"),
+        F.sum((F.col("kind") == "ab").cast("int")).cast("long").alias("n_ab"),
+        F.avg(F.when(F.col("kind") == "aa", F.col("dist"))).alias("maa"),
+        F.avg(F.when(F.col("kind") == "bb", F.col("dist"))).alias("mbb"),
+        F.avg(F.when(F.col("kind") == "ab", F.col("dist"))).alias("mab"),
+    )
+    return m.select(
+        "n_aa", "n_bb", "n_ab",
+        F.round("maa", 6).alias("mean_within_a"),
+        F.round("mbb", 6).alias("mean_within_b"),
+        F.round("mab", 6).alias("mean_between"),
+        F.round(2 * F.col("mab") - F.col("maa") - F.col("mbb"), 6).alias(
+            "energy_distance"
+        ),
+    )
