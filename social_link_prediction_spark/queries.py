@@ -22352,3 +22352,211 @@ def energy_distance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_distance"
         ),
     )
+
+
+@query(
+    "cooks_distance_influence",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY day),
+    idx AS (
+        SELECT day, yc,
+               CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+        FROM daily),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS st,
+               CAST(sum(t * t) AS BIGINT) AS stt,
+               CAST(sum(yc) AS BIGINT) AS sy,
+               CAST(sum(t * yc) AS BIGINT) AS sty
+        FROM idx),
+    fit AS (
+        SELECT n,
+               (sty - st * 1.0 * sy / n)
+               / (stt - st * 1.0 * st / n) AS beta,
+               sy * 1.0 / n
+               - (sty - st * 1.0 * sy / n) / (stt - st * 1.0 * st / n)
+                 * (st * 1.0 / n) AS alpha,
+               st * 1.0 / n AS xbar,
+               stt - st * 1.0 * st / n AS sxx
+        FROM s),
+    res AS (
+        SELECT i.day, i.t, i.yc,
+               i.yc - (f.alpha + f.beta * i.t) AS e,
+               1.0 / f.n + (i.t - f.xbar) * (i.t - f.xbar) / f.sxx AS h
+        FROM idx i, fit f),
+    sse AS (
+        SELECT sum(e * e) AS sse, CAST(count(*) AS BIGINT) AS n
+        FROM res),
+    cook AS (
+        SELECT r.day, r.yc, r.e, r.h,
+               (r.e * r.e / (2.0 * (s.sse / (s.n - 2))))
+               * (r.h / ((1 - r.h) * (1 - r.h))) AS cd
+        FROM res r, sse s)
+    SELECT day, round(yc / 100.0, 2) AS revenue,
+           round(e / 100.0, 2) AS residual,
+           round(h, 6) AS leverage,
+           round(cd, 6) AS cooks_d
+    FROM cook ORDER BY cd DESC, day LIMIT 10
+    """,
+)
+def cooks_distance_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance influence diagnostics for the daily-revenue
+    time trend: which single days, if deleted, would move the OLS
+    fit the most — cd_i = e_i^2 h_i / (p s^2 (1-h_i)^2) with the
+    closed-form simple-regression leverage h_i = 1/n +
+    (t-tbar)^2/Sxx. The follow-up question after ols_revenue_trend
+    and the robust trends (huber, theil_sen): WHICH observations the
+    non-robust fit is hostage to. All five sufficient statistics
+    (n, sum t, sum t^2, sum yc, sum t*yc) are EXACT int64 sums over
+    integer cents and day indices, so slope, intercept, residuals
+    and leverages are bit-identical across engines; only the
+    s^2 scale factor sums doubles (error ~1e-14 relative, far
+    inside the 6-decimal contract) and it scales every cd equally,
+    leaving the influence ranking exact. One day-keyed corpus
+    aggregation; the regression rides the bounded daily frame."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("yc")
+    )
+    idx = daily.select(
+        "day", "yc",
+        (F.row_number().over(Window.orderBy("day")) - 1).cast("long").alias("t"),
+    )
+    s = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("yc")).cast("long").alias("sty"),
+    )
+    beta = (F.col("sty") - F.col("st") * 1.0 * F.col("sy") / F.col("n")) / (
+        F.col("stt") - F.col("st") * 1.0 * F.col("st") / F.col("n")
+    )
+    fit = s.select(
+        "n",
+        beta.alias("beta"),
+        (F.col("sy") * 1.0 / F.col("n") - beta * (F.col("st") * 1.0 / F.col("n"))).alias("alpha"),
+        (F.col("st") * 1.0 / F.col("n")).alias("xbar"),
+        (F.col("stt") - F.col("st") * 1.0 * F.col("st") / F.col("n")).alias("sxx"),
+    )
+    res = idx.crossJoin(F.broadcast(fit)).select(
+        "day", "yc",
+        (F.col("yc") - (F.col("alpha") + F.col("beta") * F.col("t"))).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("t") - F.col("xbar")) * (F.col("t") - F.col("xbar")) / F.col("sxx")
+        ).alias("h"),
+    )
+    sse = res.agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cook = res.crossJoin(F.broadcast(sse)).select(
+        "day", "yc", "e", "h",
+        (
+            (F.col("e") * F.col("e") / (2.0 * (F.col("sse") / (F.col("n") - 2))))
+            * (F.col("h") / ((1 - F.col("h")) * (1 - F.col("h"))))
+        ).alias("cd"),
+    )
+    return (
+        cook.select(
+            "day",
+            F.round(F.col("yc") / 100.0, 2).alias("revenue"),
+            F.round(F.col("e") / 100.0, 2).alias("residual"),
+            F.round("h", 6).alias("leverage"),
+            F.round("cd", 6).alias("cooks_d"),
+        )
+        .orderBy(F.col("cooks_d").desc(), "day")
+        .limit(10)
+    )
+
+
+@query(
+    "levene_test_price_segments",
+    """
+    WITH v AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS xc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    med AS (
+        SELECT seg, median(xc) AS med FROM v GROUP BY seg),
+    z AS (
+        SELECT v.seg, abs(v.xc - med.med) AS z
+        FROM v JOIN med ON med.seg = v.seg),
+    g AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n_g, avg(z) AS zbar_g,
+               sum(z * z) AS szz_g, sum(z) AS sz_g
+        FROM z GROUP BY seg),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(sz_g) / sum(n_g) AS zbar
+        FROM g),
+    parts AS (
+        SELECT sum(g.n_g * (g.zbar_g - t.zbar) * (g.zbar_g - t.zbar)) AS ssb,
+               sum(g.szz_g - g.n_g * g.zbar_g * g.zbar_g) AS ssw
+        FROM g, tot t)
+    SELECT t.k, t.n,
+           CAST(t.k - 1 AS BIGINT) AS df1,
+           CAST(t.n - t.k AS BIGINT) AS df2,
+           round((t.n - t.k) * 1.0 / (t.k - 1) * p.ssb / p.ssw, 6) AS w_stat
+    FROM tot t, parts p
+    """,
+)
+def levene_test_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across the five market segments: ANOVA on the
+    absolute deviations z = |x - median_g|. anova_price_segments
+    compares MEANS and silently assumes equal variances — this is
+    the test of that assumption, and median centering (vs Levene's
+    original mean) keeps it robust under the heavy right tail
+    hill_tail_index_price measures. Integer-cents values make every
+    per-group median an exact half-integer on both engines; the
+    between/within sums of squares use the one-pass identity
+    sum(z^2) - n*zbar^2 per group, so the corpus is touched by
+    exactly two keyed aggregations (median, then moments) plus the
+    broadcast median join."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    v = o.join(cst, o["o_custkey"] == cst["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+    )
+    med = v.groupBy("seg").agg(F.median("xc").alias("med"))
+    z = v.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("xc") - F.col("med")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.avg("z").alias("zbar_g"),
+        F.sum(F.col("z") * F.col("z")).alias("szz_g"),
+        F.sum("z").alias("sz_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("sz_g") / F.sum("n_g")).alias("zbar"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n_g")
+            * (F.col("zbar_g") - F.col("zbar"))
+            * (F.col("zbar_g") - F.col("zbar"))
+        ).alias("ssb"),
+        F.sum(
+            F.col("szz_g") - F.col("n_g") * F.col("zbar_g") * F.col("zbar_g")
+        ).alias("ssw"),
+    )
+    return tot.crossJoin(F.broadcast(parts)).select(
+        "k", "n",
+        (F.col("k") - 1).cast("long").alias("df1"),
+        (F.col("n") - F.col("k")).cast("long").alias("df2"),
+        F.round(
+            (F.col("n") - F.col("k")) * 1.0 / (F.col("k") - 1)
+            * F.col("ssb") / F.col("ssw"),
+            6,
+        ).alias("w_stat"),
+    )
