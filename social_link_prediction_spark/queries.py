@@ -22560,3 +22560,97 @@ def levene_test_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("w_stat"),
     )
+
+
+@query(
+    "pacf_daily_events",
+    """
+    WITH x AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY day),
+    ix AS MATERIALIZED (
+        SELECT n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t FROM x),
+    st AS (SELECT avg(n) AS mu FROM ix),
+    d AS MATERIALIZED (SELECT t, n - (SELECT mu FROM st) AS c FROM ix),
+    den AS (SELECT sum(c * c) AS den FROM d),
+    lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag),
+    r AS (SELECT l.lag, round(sum(a.c * b.c) / (SELECT den FROM den), 6) AS acf
+          FROM d a JOIN lags l ON true JOIN d b ON b.t = a.t - l.lag
+          GROUP BY l.lag),
+    w0 AS (SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1, max(CASE WHEN lag = 2 THEN acf END) AS r2, max(CASE WHEN lag = 3 THEN acf END) AS r3, max(CASE WHEN lag = 4 THEN acf END) AS r4, max(CASE WHEN lag = 5 THEN acf END) AS r5, max(CASE WHEN lag = 6 THEN acf END) AS r6, max(CASE WHEN lag = 7 THEN acf END) AS r7
+           FROM r),
+    lv1 AS (SELECT *, r1 AS p1_1 FROM w0),
+    a2 AS (SELECT *, (r2 - (p1_1 * r1)) / (1 - (p1_1 * r1)) AS p2_2 FROM lv1),
+    lv2 AS (SELECT *, p1_1 - p2_2 * p1_1 AS p2_1 FROM a2),
+    a3 AS (SELECT *, (r3 - (p2_1 * r2 + p2_2 * r1)) / (1 - (p2_1 * r1 + p2_2 * r2)) AS p3_3 FROM lv2),
+    lv3 AS (SELECT *, p2_1 - p3_3 * p2_2 AS p3_1, p2_2 - p3_3 * p2_1 AS p3_2 FROM a3),
+    a4 AS (SELECT *, (r4 - (p3_1 * r3 + p3_2 * r2 + p3_3 * r1)) / (1 - (p3_1 * r1 + p3_2 * r2 + p3_3 * r3)) AS p4_4 FROM lv3),
+    lv4 AS (SELECT *, p3_1 - p4_4 * p3_3 AS p4_1, p3_2 - p4_4 * p3_2 AS p4_2, p3_3 - p4_4 * p3_1 AS p4_3 FROM a4),
+    a5 AS (SELECT *, (r5 - (p4_1 * r4 + p4_2 * r3 + p4_3 * r2 + p4_4 * r1)) / (1 - (p4_1 * r1 + p4_2 * r2 + p4_3 * r3 + p4_4 * r4)) AS p5_5 FROM lv4),
+    lv5 AS (SELECT *, p4_1 - p5_5 * p4_4 AS p5_1, p4_2 - p5_5 * p4_3 AS p5_2, p4_3 - p5_5 * p4_2 AS p5_3, p4_4 - p5_5 * p4_1 AS p5_4 FROM a5),
+    a6 AS (SELECT *, (r6 - (p5_1 * r5 + p5_2 * r4 + p5_3 * r3 + p5_4 * r2 + p5_5 * r1)) / (1 - (p5_1 * r1 + p5_2 * r2 + p5_3 * r3 + p5_4 * r4 + p5_5 * r5)) AS p6_6 FROM lv5),
+    lv6 AS (SELECT *, p5_1 - p6_6 * p5_5 AS p6_1, p5_2 - p6_6 * p5_4 AS p6_2, p5_3 - p6_6 * p5_3 AS p6_3, p5_4 - p6_6 * p5_2 AS p6_4, p5_5 - p6_6 * p5_1 AS p6_5 FROM a6),
+    a7 AS (SELECT *, (r7 - (p6_1 * r6 + p6_2 * r5 + p6_3 * r4 + p6_4 * r3 + p6_5 * r2 + p6_6 * r1)) / (1 - (p6_1 * r1 + p6_2 * r2 + p6_3 * r3 + p6_4 * r4 + p6_5 * r5 + p6_6 * r6)) AS p7_7 FROM lv6),
+    lv7 AS (SELECT *, p6_1 - p7_7 * p6_6 AS p7_1, p6_2 - p7_7 * p6_5 AS p7_2, p6_3 - p7_7 * p6_4 AS p7_3, p6_4 - p7_7 * p6_3 AS p7_4, p6_5 - p7_7 * p6_2 AS p7_5, p6_6 - p7_7 * p6_1 AS p7_6 FROM a7)
+    SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS lag,
+           unnest([round(p1_1, 6), round(p2_2, 6), round(p3_3, 6), round(p4_4, 6), round(p5_5, 6), round(p6_6, 6), round(p7_7, 6)]) AS pacf
+    FROM lv7
+    """,
+)
+def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1..7 via the Durbin-Levinson recursion, fully unrolled: phi_kk is
+    the correlation at lag k AFTER regressing out lags 1..k-1 — the
+    AR-order selector that completes acf_daily_events (ACF tails off
+    for AR processes; PACF cuts off at the true order, and together
+    they identify the ARIMA family). The ACF inputs are rounded to
+    the 6-decimal contract BEFORE the recursion, so both engines run
+    Durbin-Levinson on bit-identical doubles and every phi_kk is
+    exactly reproducible — the recursion (7 levels, 28 scalar
+    updates) is driver-sized closed-form arithmetic on a 1-row
+    frame; the corpus is touched by the same single day-keyed count
+    as the ACF."""
+    ev = _t(spark, sf_dir, "events")
+    x = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ix = x.select(
+        "n", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    mu = ix.agg(F.avg("n").alias("mu"))
+    d = ix.crossJoin(F.broadcast(mu)).select(
+        "t", (F.col("n") - F.col("mu")).alias("c")
+    )
+    den = d.agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = d.select(F.col("t").alias("at"), F.col("c").alias("ac"))
+    b = d.select(F.col("t").alias("bt"), F.col("c").alias("bc"))
+    r = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("bt") == F.col("at") - F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("ac") * F.col("bc")).alias("num"))
+        .crossJoin(F.broadcast(den))
+        .select("lag", F.round(F.col("num") / F.col("den"), 6).alias("acf"))
+    )
+    # Driver-sized reduction (7 rounded doubles): unrolling the
+    # recursion as Column expressions duplicates each phi_{k-1,j}
+    # subtree into every level-k term — ~3^k Catalyst nodes and
+    # minutes of planning at k=7 — so the recursion runs on the
+    # collected 7-value list in Python doubles (the identical IEEE
+    # ops the oracle's CTE chain performs, in the same order).
+    rr = {row["lag"]: row["acf"] for row in r.collect()}
+    phi = {(1, 1): rr[1]}
+    for k in range(2, 8):
+        num = phi[(k - 1, 1)] * rr[k - 1]
+        dden = phi[(k - 1, 1)] * rr[1]
+        for j in range(2, k):
+            num = num + phi[(k - 1, j)] * rr[k - j]
+            dden = dden + phi[(k - 1, j)] * rr[j]
+        pkk = (rr[k] - num) / (1 - dden)
+        phi[(k, k)] = pkk
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - pkk * phi[(k - 1, k - j)]
+    return spark.createDataFrame(
+        [(k, round(phi[(k, k)], 6)) for k in range(1, 8)],
+        "lag long, pacf double",
+    )
