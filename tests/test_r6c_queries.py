@@ -1,0 +1,171 @@
+"""Law tests for the round-6 continuation query families — properties
+the DuckDB parity gate can't express (it replays the same algebra;
+these check the MATH against independent ground truth): runs-test
+moment identities, Hill-estimator positivity/ordering, the Bloom
+no-false-negative guarantee, salting-plan arithmetic, SAX alphabet
+closure, Croston weight normalization, permutation-test bounds, the
+Wasserstein >= |mean gap| inequality, energy-distance structure,
+Cook's-distance/leverage ranges, Levene degrees of freedom, and the
+PACF lag-1 == ACF lag-1 identity."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+def test_runs_test_moment_identities(spark):
+    r = q.QUERIES["runs_test_daily_revenue"](spark, SF_DIR).collect()[0]
+    assert r.n == r.n_pos + r.n_neg
+    assert 1 <= r.n_runs <= r.n
+    # closed-form E[R] recomputed independently
+    exp = 2.0 * r.n_pos * r.n_neg / r.n + 1
+    assert abs(r.exp_runs - round(exp, 6)) < 1e-9
+    # z sign agrees with observed-vs-expected direction
+    assert (r.z_runs < 0) == (r.n_runs < r.exp_runs)
+
+
+@needs_testdata
+def test_hill_estimator_laws(spark):
+    rows = q.QUERIES["hill_tail_index_price"](spark, SF_DIR).collect()
+    assert [r.k for r in rows] == [50, 100, 200]
+    for r in rows:
+        assert r.hill_h > 0 and r.tail_alpha > 0
+        # reciprocal identity, allowing for the 6-dp display rounding
+        # of each side (d(1/h) = dh/h^2 amplifies the h rounding)
+        assert abs(r.tail_alpha * r.hill_h - 1.0) < 1e-3
+    # the k-th largest threshold shrinks as k grows
+    ths = [r.threshold for r in rows]
+    assert ths[0] >= ths[1] >= ths[2]
+
+
+@needs_testdata
+def test_bloom_filter_guarantees(spark):
+    r = q.QUERIES["bloom_join_prune_audit"](spark, SF_DIR).collect()[0]
+    # THE Bloom guarantee: no false negatives, ever
+    assert r.n_false_neg == 0
+    assert r.n_predicted == r.n_actual + r.n_false_pos
+    assert r.n_bits_set <= min(4096, 4 * r.n_keys)
+    assert 0.0 <= r.fp_expected <= 1.0
+
+
+@needs_testdata
+def test_salting_plan_arithmetic(spark):
+    rows = q.QUERIES["skew_salting_plan"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_rows > 32
+        assert r.salt_factor == math.ceil(r.n_rows / 32.0)
+        assert 0.0 < r.share <= 1.0
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+@needs_testdata
+def test_sax_motifs_alphabet_closure(spark):
+    rows = q.QUERIES["sax_motifs_daily"](spark, SF_DIR).collect()
+    assert rows, "daily series long enough for width-3 words"
+    for r in rows:
+        assert len(r.motif) == 3 and set(r.motif) <= set("abcd")
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_croston_weights_are_a_probability_vector():
+    assert sum(q._CROSTON_W) == 1.0  # exact in binary
+    assert all(w > 0 for w in q._CROSTON_W)
+
+
+@needs_testdata
+def test_croston_forecast_laws(spark):
+    r = q.QUERIES["croston_forecast_urgent"](spark, SF_DIR).collect()[0]
+    # smoothed size of integer demands >= 1; smoothed interval >= 1 day
+    assert r.z_hat >= 1.0 and r.p_hat >= 1.0
+    assert abs(r.croston_rate - r.z_hat / r.p_hat) < 1e-5
+    assert 0.0 < r.empirical_rate <= 1.0 * r.z_hat
+
+
+@needs_testdata
+def test_permutation_test_bounds(spark):
+    r = q.QUERIES["permutation_test_events"](spark, SF_DIR).collect()[0]
+    assert r.n_perm == 64
+    assert 0 < r.n1 < r.n
+    assert round(1.0 / 65, 6) <= r.p_value <= 1.0
+    assert abs(r.obs_diff - round(r.mean_treat - r.mean_ctrl, 6)) < 2e-6
+
+
+@needs_testdata
+def test_salsa_scores_positive_sorted(spark):
+    rows = q.QUERIES["salsa_partsupp"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.authority > 0 and r.degree >= 1
+    scores = [r.authority for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+@needs_testdata
+def test_wasserstein_dominates_mean_gap(spark):
+    r = q.QUERIES["wasserstein_price_segments"](spark, SF_DIR).collect()[0]
+    assert r.w1_dollars >= 0 and 0.0 <= r.w1_rel <= 1.0
+    # W1(P, Q) >= |E[P] - E[Q]| — Jensen on the coupling definition
+    o = q._t(spark, SF_DIR, "orders")
+    c = q._t(spark, SF_DIR, "customer")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    )
+    gap = abs(m[0].m - m[1].m)
+    assert r.w1_dollars >= gap - 1e-4
+
+
+@needs_testdata
+def test_energy_distance_structure(spark):
+    r = q.QUERIES["energy_distance_embeddings"](spark, SF_DIR).collect()[0]
+    assert r.n_aa >= 0 and r.n_bb >= 0 and r.n_ab > 0
+    assert r.mean_between > 0
+    got = 2 * r.mean_between - r.mean_within_a - r.mean_within_b
+    assert abs(r.energy_distance - round(got, 6)) < 2e-6
+
+
+@needs_testdata
+def test_cooks_distance_ranges(spark):
+    rows = q.QUERIES["cooks_distance_influence"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0.0 < r.leverage < 1.0
+        assert r.cooks_d >= 0.0
+    cds = [r.cooks_d for r in rows]
+    assert cds == sorted(cds, reverse=True)
+
+
+@needs_testdata
+def test_levene_degrees_of_freedom(spark):
+    r = q.QUERIES["levene_test_price_segments"](spark, SF_DIR).collect()[0]
+    assert r.df1 == r.k - 1
+    assert r.df2 == r.n - r.k
+    assert r.w_stat >= 0.0
+
+
+@needs_testdata
+def test_pacf_lag1_equals_acf_lag1(spark):
+    pacf = {r.lag: r.pacf for r in q.QUERIES["pacf_daily_events"](spark, SF_DIR).collect()}
+    acf = {r.lag: r.acf for r in q.QUERIES["acf_daily_events"](spark, SF_DIR).collect()}
+    assert len(pacf) == 7
+    # Durbin-Levinson base case: phi_11 is exactly r_1
+    assert abs(pacf[1] - acf[1]) < 1e-9
+    for v in pacf.values():
+        assert abs(v) <= 1.5  # sample estimates stay near the unit disc
