@@ -22654,3 +22654,192 @@ def pacf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k, round(phi[(k, k)], 6)) for k in range(1, 8)],
         "lag long, pacf double",
     )
+
+
+_BOWTIE_EDGE_SQL = _DUCK_H60.format(
+    args="CAST(a.id AS VARCHAR) || '-' || CAST(b.id AS VARCHAR), 'scc'"
+)
+
+
+@query(
+    "bowtie_structure_suppliers",
+    f"""
+    WITH s AS (SELECT s_suppkey::BIGINT AS id FROM supplier),
+    e AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM s a JOIN s b ON a.id <> b.id
+        WHERE {_BOWTIE_EDGE_SQL} % 10000 < 250),
+    deg AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT u AS id FROM e UNION ALL SELECT v FROM e) t GROUP BY id),
+    seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+    f0 AS (SELECT id FROM seed),
+    b0 AS (SELECT id FROM seed),
+    f1 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f0
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f0 f ON f.id = e.u)),
+    f2 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f1
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f1 f ON f.id = e.u)),
+    f3 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f2
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f2 f ON f.id = e.u)),
+    f4 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f3
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f3 f ON f.id = e.u)),
+    f5 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f4
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f4 f ON f.id = e.u)),
+    f6 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f5
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f5 f ON f.id = e.u)),
+    f7 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f6
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f6 f ON f.id = e.u)),
+    f8 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM f7
+            UNION ALL
+            SELECT e.v AS id FROM e JOIN f7 f ON f.id = e.u)),
+    b1 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b0
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b0 b ON b.id = e.v)),
+    b2 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b1
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b1 b ON b.id = e.v)),
+    b3 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b2
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b2 b ON b.id = e.v)),
+    b4 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b3
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b3 b ON b.id = e.v)),
+    b5 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b4
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b4 b ON b.id = e.v)),
+    b6 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b5
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b5 b ON b.id = e.v)),
+    b7 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b6
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b6 b ON b.id = e.v)),
+    b8 AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM b7
+            UNION ALL
+            SELECT e.u AS id FROM e JOIN b7 b ON b.id = e.v)),
+    core AS (SELECT id FROM f8 INTERSECT SELECT id FROM b8),
+    cls AS (
+        SELECT s.id,
+               CASE WHEN c.id IS NOT NULL THEN 'core'
+                    WHEN b.id IS NOT NULL THEN 'in'
+                    WHEN f.id IS NOT NULL THEN 'out'
+                    ELSE 'other' END AS component
+        FROM s
+        LEFT JOIN core c ON c.id = s.id
+        LEFT JOIN b8 b ON b.id = s.id
+        LEFT JOIN f8 f ON f.id = s.id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+    SELECT component, CAST(count(*) AS BIGINT) AS n_nodes,
+           round(count(*) * 1.0 / tot.n, 6) AS frac
+    FROM cls, tot GROUP BY component, tot.n ORDER BY component
+    """,
+)
+def bowtie_structure_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie census of the sampled directed supplier graph
+    (the SAME 2.5% h60-'scc' edge device scc_suppliers colors, so the
+    two reports describe one graph): seed at the max-total-degree
+    node, take 8-hop forward and backward reachability, and classify
+    every supplier as CORE (reaches and is reached — the seed's SCC
+    under full closure), IN (reaches the core), OUT (reached from
+    it), or OTHER (tendrils/tubes/disconnected, lumped — the
+    five-way Broder split needs per-tendril chasing the census
+    doesn't). The fixed 8-round budget makes the statistic
+    hop-bounded-exact and engine-portable regardless of convergence
+    (both engines unroll the identical frontier algebra); per round
+    the work is one keyed join + distinct — multi-source BFS's
+    shuffle shape, state O(|reach|)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id")
+    )
+    e = tg.sampled_edges(sup, 250, "scc", directed=True).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).localCheckpoint()
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    seed = deg.orderBy(F.col("d").desc(), "id").limit(1).select("id")
+    fwd = seed
+    bwd = seed
+    for i in range(8):
+        fwd = (
+            fwd.unionByName(
+                e.join(fwd.withColumnRenamed("id", "u"), "u").select(
+                    F.col("v").alias("id")
+                )
+            )
+            .distinct()
+        )
+        bwd = (
+            bwd.unionByName(
+                e.join(bwd.withColumnRenamed("id", "v"), "v").select(
+                    F.col("u").alias("id")
+                )
+            )
+            .distinct()
+        )
+        if i % 2 == 1:
+            fwd = fwd.localCheckpoint()
+            bwd = bwd.localCheckpoint()
+    core = fwd.intersect(bwd)
+    cls = (
+        sup.join(core.withColumn("in_core", F.lit(1)), "id", "left")
+        .join(bwd.withColumn("in_b", F.lit(1)).select("id", "in_b"), "id", "left")
+        .join(fwd.withColumn("in_f", F.lit(1)).select("id", "in_f"), "id", "left")
+        .select(
+            F.when(F.col("in_core").isNotNull(), "core")
+            .when(F.col("in_b").isNotNull(), "in")
+            .when(F.col("in_f").isNotNull(), "out")
+            .otherwise("other").alias("component")
+        )
+    )
+    tot = sup.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        cls.groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "component", "n_nodes",
+            F.round(F.col("n_nodes") * 1.0 / F.col("n"), 6).alias("frac"),
+        )
+        .orderBy("component")
+    )

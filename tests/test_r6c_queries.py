@@ -169,3 +169,12 @@ def test_pacf_lag1_equals_acf_lag1(spark):
     assert abs(pacf[1] - acf[1]) < 1e-9
     for v in pacf.values():
         assert abs(v) <= 1.5  # sample estimates stay near the unit disc
+
+
+@needs_testdata
+def test_bowtie_partitions_all_nodes(spark):
+    rows = q.QUERIES["bowtie_structure_suppliers"](spark, SF_DIR).collect()
+    assert {r.component for r in rows} <= {"core", "in", "out", "other"}
+    n_sup = q._t(spark, SF_DIR, "supplier").count()
+    assert sum(r.n_nodes for r in rows) == n_sup
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
