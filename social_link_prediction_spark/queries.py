@@ -22843,3 +22843,175 @@ def bowtie_structure_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@query(
+    "dp_noisy_histogram",
+    """
+    WITH b AS (
+        SELECT least(CAST(floor(o_totalprice / 60000.0) AS BIGINT), 9) AS bin
+        FROM orders),
+    cnt AS (
+        SELECT bins.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS true_n
+        FROM (SELECT unnest(generate_series(0, 9)) AS bin) bins
+        LEFT JOIN (SELECT bin, count(*) AS n FROM b GROUP BY bin) c
+          ON c.bin = bins.bin),
+    noise AS (
+        SELECT bin, true_n,
+               ((CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(bin AS VARCHAR), 'dp')), 1, 15)) AS BIGINT) % 1099511627776) + 0.5) / 1099511627776.0 AS u
+        FROM cnt),
+    rel AS (
+        SELECT bin, true_n,
+               true_n + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                        * ln(1 - 2 * abs(u - 0.5)) AS noisy
+        FROM noise)
+    SELECT bin,
+           CAST(bin * 60000 AS BIGINT) AS lo_dollars,
+           true_n,
+           round(noisy, 6) AS noisy_n,
+           round(abs(noisy - true_n), 6) AS abs_err
+    FROM rel ORDER BY bin
+    """,
+)
+def dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release audit: the order-value histogram
+    over FIXED public bins ($60k width, clamped top bin — bins must
+    not depend on the data or the release leaks through them) with
+    epsilon = 1 Laplace noise added per count (sensitivity 1: one
+    order moves one bin), reporting the true count next to the noisy
+    release and the realized |error| — the utility-vs-privacy
+    readout that sits next to the k-anonymity / l-diversity /
+    t-closeness audits (those measure the DATA's re-identification
+    risk; this measures what a noised RELEASE costs in accuracy).
+    Noise is inverse-CDF Laplace driven by the replayable hash60
+    uniform (u from 40 hash bits, half-open-centered), so the oracle
+    reproduces the release bit-for-bit — a real deployment swaps the
+    hash for a CSPRNG, changing nothing in the plan. One corpus
+    aggregation; the release frame is 10 rows."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 60000.0).cast("long"), F.lit(9)
+        ).alias("bin")
+    )
+    c = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    cnt = bins.join(c, "bin", "left").select(
+        "bin", F.coalesce("n", F.lit(0)).cast("long").alias("true_n")
+    )
+    u = (
+        (mls.hash60(F.col("bin").cast("string"), F.lit("dp")) % 1099511627776)
+        + 0.5
+    ) / 1099511627776.0
+    noisy = F.col("true_n") + F.when(u < 0.5, 1.0).otherwise(-1.0) * F.log(
+        1 - 2 * F.abs(u - 0.5)
+    )
+    return cnt.select(
+        "bin",
+        (F.col("bin") * 60000).cast("long").alias("lo_dollars"),
+        "true_n",
+        F.round(noisy, 6).alias("noisy_n"),
+        F.round(F.abs(noisy - F.col("true_n")), 6).alias("abs_err"),
+    ).orderBy("bin")
+
+
+@query(
+    "page_hinkley_events",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY day),
+    lam AS (
+        SELECT 3 * sqrt((sum(n * n) - sum(n) * 1.0 * sum(n) / count(*))
+                        / (count(*) - 1)) AS lambda
+        FROM daily),
+    run AS (
+        SELECT day, n,
+               sum(n) OVER w * 1.0
+               / row_number() OVER (ORDER BY day) AS runmean
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    u AS (
+        SELECT day,
+               sum(n - runmean) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ut
+        FROM run),
+    m AS (
+        SELECT day, ut,
+               min(ut) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+        FROM u),
+    det AS (
+        SELECT m.day, m.ut - m.mt AS ph FROM m),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               max(ph) AS ph_stat,
+               min(CASE WHEN ph > (SELECT lambda FROM lam)
+                        THEN day END) AS detect_day
+        FROM det)
+    SELECT n_days, round(ph_stat, 6) AS ph_stat,
+           round((SELECT lambda FROM lam), 6) AS lambda,
+           (detect_day IS NOT NULL) AS detected,
+           detect_day
+    FROM agg
+    """,
+)
+def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift detector on the daily event-count
+    series: PH_t = U_t - min_s<=t U_s with U_t the cumulative
+    deviation from the RUNNING mean, alarm when PH exceeds lambda =
+    3 sigma — the sequential-monitoring cousin of cusum_changepoint
+    (fixed reference mean) that needs no training window and is the
+    standard drift detector in streaming-ML loops (DDM/ADWIN family).
+    Determinism by construction: lambda comes from exact integer
+    moment sums; the running mean is an integer prefix sum divided
+    by the row index; and every double accumulation runs inside
+    ORDER BY windows, which both engines evaluate sequentially in
+    the same order — so the statistic is bit-identical without any
+    rounding trick. One day-keyed corpus aggregation; all windows
+    ride the bounded daily frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lam = daily.agg(
+        (
+            3
+            * F.sqrt(
+                (
+                    F.sum(F.col("n") * F.col("n"))
+                    - F.sum("n") * 1.0 * F.sum("n") / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1)
+            )
+        ).alias("lambda")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "day", "n",
+        (
+            F.sum("n").over(w) * 1.0
+            / F.row_number().over(Window.orderBy("day"))
+        ).alias("runmean"),
+    )
+    u = run.select(
+        "day", F.sum(F.col("n") - F.col("runmean")).over(w).alias("ut")
+    )
+    m = u.select("day", "ut", F.min("ut").over(w).alias("mt"))
+    det = m.select("day", (F.col("ut") - F.col("mt")).alias("ph"))
+    agg = det.crossJoin(F.broadcast(lam)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("ph").alias("ph_stat"),
+        F.min(
+            F.when(F.col("ph") > F.col("lambda"), F.col("day"))
+        ).alias("detect_day"),
+        F.max("lambda").alias("lambda"),
+    )
+    return agg.select(
+        "n_days",
+        F.round("ph_stat", 6).alias("ph_stat"),
+        F.round("lambda", 6).alias("lambda"),
+        F.col("detect_day").isNotNull().alias("detected"),
+        "detect_day",
+    )

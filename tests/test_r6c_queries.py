@@ -178,3 +178,22 @@ def test_bowtie_partitions_all_nodes(spark):
     n_sup = q._t(spark, SF_DIR, "supplier").count()
     assert sum(r.n_nodes for r in rows) == n_sup
     assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
+
+
+@needs_testdata
+def test_dp_histogram_release_laws(spark):
+    rows = q.QUERIES["dp_noisy_histogram"](spark, SF_DIR).collect()
+    assert len(rows) == 10 and [r.bin for r in rows] == list(range(10))
+    n_orders = q._t(spark, SF_DIR, "orders").count()
+    assert sum(r.true_n for r in rows) == n_orders
+    for r in rows:
+        assert abs(abs(r.noisy_n - r.true_n) - r.abs_err) < 2e-6
+        # Laplace(b=1) tail: |noise| beyond ~28 has prob < 1e-12
+        assert r.abs_err < 28.0
+
+
+@needs_testdata
+def test_page_hinkley_structure(spark):
+    r = q.QUERIES["page_hinkley_events"](spark, SF_DIR).collect()[0]
+    assert r.ph_stat >= 0.0 and getattr(r, "lambda") > 0.0
+    assert r.detected == (r.detect_day is not None)
