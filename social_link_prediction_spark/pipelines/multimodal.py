@@ -336,3 +336,92 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         "frame_ts_ms",
         F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))),
     )
+
+
+def perceptual_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image, the
+    image-side twin of simhash/minhash document dedup: luminance is
+    pooled onto a block grid, each block contributes one bit (above /
+    below the grid mean), and near-duplicate images are the pairs at
+    small Hamming distance — robust to re-encoding and mild resizing,
+    which byte-level exact dedup misses entirely.
+
+    60 bits (not the classic 64) so the packed hash plus every band
+    arithmetic stays inside SIGNED int64 on both engines; bits come
+    in 4 bands of 15 for LSH-style candidate blocking (a near-dup
+    pair within Hamming r almost surely agrees on >= 1 whole band —
+    the same banding law the MinHash planner pins).
+
+    ``fake=True`` (oracle-checkable default) uses the 32 sha256
+    digest bytes cycled to 60 as the "block luminances" — exactly
+    reproducible in SQL. ``fake=False`` decodes real pixels (PIL or
+    the stdlib PNG decoder) and block-pools luminance onto the same
+    60 slots. Output: input columns minus content, plus ``ahash``
+    (long) and ``band0..band3`` (int).
+    """
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != "content"]
+        + [StructField("ahash", LongType())]
+        + [StructField(f"band{b}", IntegerType()) for b in range(4)]
+    )
+    other_cols = [
+        f.name for f in out_schema.fields
+        if f.name not in ("ahash", "band0", "band1", "band2", "band3")
+    ]
+
+    def lum60(data: bytes) -> list[int]:
+        if fake:
+            dig = hashlib.sha256(data).digest()
+            return [dig[i % 32] for i in range(60)]
+        try:
+            import io
+
+            from PIL import Image  # optional
+
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            w, h = img.size
+            px = list(img.getdata())
+            rows = [px[y * w : (y + 1) * w] for y in range(h)]
+        except ImportError:
+            from social_link_prediction_spark.pipelines import imagecodec
+
+            w, h, rows = imagecodec.decode_png(data)
+        # pool luminance onto a 10x6 grid (60 blocks, row-major)
+        out = []
+        for gy in range(6):
+            for gx in range(10):
+                y0, y1 = gy * h // 6, max(gy * h // 6 + 1, (gy + 1) * h // 6)
+                x0, x1 = gx * w // 10, max(gx * w // 10 + 1, (gx + 1) * w // 10)
+                tot = n = 0
+                for y in range(y0, min(y1, h)):
+                    for x in range(x0, min(x1, w)):
+                        r, g, b = rows[y][x]
+                        tot += (299 * r + 587 * g + 114 * b) // 1000
+                        n += 1
+                out.append(tot // max(n, 1))
+        return out
+
+    def hash_one(data) -> tuple[int, int, int, int, int]:
+        vals = lum60(bytes(data) if data is not None else b"")
+        mean = sum(vals) / 60.0
+        bits = [1 if v > mean else 0 for v in vals]
+        h = 0
+        bands = []
+        for b in range(4):
+            bv = 0
+            for j in range(15):
+                bv |= bits[15 * b + j] << j
+            bands.append(bv)
+            h |= bv << (15 * b)
+        return h, bands[0], bands[1], bands[2], bands[3]
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            hashed = [hash_one(c) for c in pdf["content"]]
+            out = pdf[[c for c in other_cols if c in pdf.columns]].copy()
+            out["ahash"] = [t[0] for t in hashed]
+            for b in range(4):
+                out[f"band{b}"] = [t[b + 1] for t in hashed]
+            yield out
+
+    return df.mapInPandas(batches, out_schema)

@@ -23015,3 +23015,152 @@ def page_hinkley_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("detect_day").isNotNull().alias("detected"),
         "detect_day",
     )
+
+
+@query(
+    "image_ahash_neardup",
+    """
+    WITH img AS (
+        SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS dig
+        FROM documents WHERE doc_id % 3 = 0),
+    pxl AS (
+        SELECT media_id,
+               CAST(concat('0x', substr(dig, 1, 2)) AS INT) AS p0,
+               CAST(concat('0x', substr(dig, 3, 2)) AS INT) AS p1,
+               CAST(concat('0x', substr(dig, 5, 2)) AS INT) AS p2,
+               CAST(concat('0x', substr(dig, 7, 2)) AS INT) AS p3,
+               CAST(concat('0x', substr(dig, 9, 2)) AS INT) AS p4,
+               CAST(concat('0x', substr(dig, 11, 2)) AS INT) AS p5,
+               CAST(concat('0x', substr(dig, 13, 2)) AS INT) AS p6,
+               CAST(concat('0x', substr(dig, 15, 2)) AS INT) AS p7,
+               CAST(concat('0x', substr(dig, 17, 2)) AS INT) AS p8,
+               CAST(concat('0x', substr(dig, 19, 2)) AS INT) AS p9,
+               CAST(concat('0x', substr(dig, 21, 2)) AS INT) AS p10,
+               CAST(concat('0x', substr(dig, 23, 2)) AS INT) AS p11,
+               CAST(concat('0x', substr(dig, 25, 2)) AS INT) AS p12,
+               CAST(concat('0x', substr(dig, 27, 2)) AS INT) AS p13,
+               CAST(concat('0x', substr(dig, 29, 2)) AS INT) AS p14,
+               CAST(concat('0x', substr(dig, 31, 2)) AS INT) AS p15,
+               CAST(concat('0x', substr(dig, 33, 2)) AS INT) AS p16,
+               CAST(concat('0x', substr(dig, 35, 2)) AS INT) AS p17,
+               CAST(concat('0x', substr(dig, 37, 2)) AS INT) AS p18,
+               CAST(concat('0x', substr(dig, 39, 2)) AS INT) AS p19,
+               CAST(concat('0x', substr(dig, 41, 2)) AS INT) AS p20,
+               CAST(concat('0x', substr(dig, 43, 2)) AS INT) AS p21,
+               CAST(concat('0x', substr(dig, 45, 2)) AS INT) AS p22,
+               CAST(concat('0x', substr(dig, 47, 2)) AS INT) AS p23,
+               CAST(concat('0x', substr(dig, 49, 2)) AS INT) AS p24,
+               CAST(concat('0x', substr(dig, 51, 2)) AS INT) AS p25,
+               CAST(concat('0x', substr(dig, 53, 2)) AS INT) AS p26,
+               CAST(concat('0x', substr(dig, 55, 2)) AS INT) AS p27,
+               CAST(concat('0x', substr(dig, 57, 2)) AS INT) AS p28,
+               CAST(concat('0x', substr(dig, 59, 2)) AS INT) AS p29,
+               CAST(concat('0x', substr(dig, 61, 2)) AS INT) AS p30,
+               CAST(concat('0x', substr(dig, 63, 2)) AS INT) AS p31,
+               CAST(concat('0x', substr(dig, 1, 2)) AS INT) AS p32,
+               CAST(concat('0x', substr(dig, 3, 2)) AS INT) AS p33,
+               CAST(concat('0x', substr(dig, 5, 2)) AS INT) AS p34,
+               CAST(concat('0x', substr(dig, 7, 2)) AS INT) AS p35,
+               CAST(concat('0x', substr(dig, 9, 2)) AS INT) AS p36,
+               CAST(concat('0x', substr(dig, 11, 2)) AS INT) AS p37,
+               CAST(concat('0x', substr(dig, 13, 2)) AS INT) AS p38,
+               CAST(concat('0x', substr(dig, 15, 2)) AS INT) AS p39,
+               CAST(concat('0x', substr(dig, 17, 2)) AS INT) AS p40,
+               CAST(concat('0x', substr(dig, 19, 2)) AS INT) AS p41,
+               CAST(concat('0x', substr(dig, 21, 2)) AS INT) AS p42,
+               CAST(concat('0x', substr(dig, 23, 2)) AS INT) AS p43,
+               CAST(concat('0x', substr(dig, 25, 2)) AS INT) AS p44,
+               CAST(concat('0x', substr(dig, 27, 2)) AS INT) AS p45,
+               CAST(concat('0x', substr(dig, 29, 2)) AS INT) AS p46,
+               CAST(concat('0x', substr(dig, 31, 2)) AS INT) AS p47,
+               CAST(concat('0x', substr(dig, 33, 2)) AS INT) AS p48,
+               CAST(concat('0x', substr(dig, 35, 2)) AS INT) AS p49,
+               CAST(concat('0x', substr(dig, 37, 2)) AS INT) AS p50,
+               CAST(concat('0x', substr(dig, 39, 2)) AS INT) AS p51,
+               CAST(concat('0x', substr(dig, 41, 2)) AS INT) AS p52,
+               CAST(concat('0x', substr(dig, 43, 2)) AS INT) AS p53,
+               CAST(concat('0x', substr(dig, 45, 2)) AS INT) AS p54,
+               CAST(concat('0x', substr(dig, 47, 2)) AS INT) AS p55,
+               CAST(concat('0x', substr(dig, 49, 2)) AS INT) AS p56,
+               CAST(concat('0x', substr(dig, 51, 2)) AS INT) AS p57,
+               CAST(concat('0x', substr(dig, 53, 2)) AS INT) AS p58,
+               CAST(concat('0x', substr(dig, 55, 2)) AS INT) AS p59
+        FROM img),
+    mn AS (
+        SELECT *, (p0 + p1 + p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9 + p10 + p11 + p12 + p13 + p14 + p15 + p16 + p17 + p18 + p19 + p20 + p21 + p22 + p23 + p24 + p25 + p26 + p27 + p28 + p29 + p30 + p31 + p32 + p33 + p34 + p35 + p36 + p37 + p38 + p39 + p40 + p41 + p42 + p43 + p44 + p45 + p46 + p47 + p48 + p49 + p50 + p51 + p52 + p53 + p54 + p55 + p56 + p57 + p58 + p59) / 60.0 AS mean
+        FROM pxl),
+    hsh AS (
+        SELECT media_id,
+               CAST((CASE WHEN p0 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 0) + (CASE WHEN p1 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 1) + (CASE WHEN p2 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 2) + (CASE WHEN p3 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 3) + (CASE WHEN p4 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 4) + (CASE WHEN p5 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 5) + (CASE WHEN p6 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 6) + (CASE WHEN p7 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 7) + (CASE WHEN p8 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 8) + (CASE WHEN p9 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 9) + (CASE WHEN p10 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 10) + (CASE WHEN p11 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 11) + (CASE WHEN p12 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 12) + (CASE WHEN p13 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 13) + (CASE WHEN p14 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 14) AS INTEGER) AS band0, CAST((CASE WHEN p15 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 0) + (CASE WHEN p16 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 1) + (CASE WHEN p17 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 2) + (CASE WHEN p18 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 3) + (CASE WHEN p19 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 4) + (CASE WHEN p20 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 5) + (CASE WHEN p21 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 6) + (CASE WHEN p22 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 7) + (CASE WHEN p23 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 8) + (CASE WHEN p24 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 9) + (CASE WHEN p25 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 10) + (CASE WHEN p26 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 11) + (CASE WHEN p27 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 12) + (CASE WHEN p28 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 13) + (CASE WHEN p29 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 14) AS INTEGER) AS band1, CAST((CASE WHEN p30 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 0) + (CASE WHEN p31 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 1) + (CASE WHEN p32 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 2) + (CASE WHEN p33 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 3) + (CASE WHEN p34 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 4) + (CASE WHEN p35 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 5) + (CASE WHEN p36 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 6) + (CASE WHEN p37 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 7) + (CASE WHEN p38 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 8) + (CASE WHEN p39 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 9) + (CASE WHEN p40 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 10) + (CASE WHEN p41 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 11) + (CASE WHEN p42 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 12) + (CASE WHEN p43 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 13) + (CASE WHEN p44 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 14) AS INTEGER) AS band2, CAST((CASE WHEN p45 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 0) + (CASE WHEN p46 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 1) + (CASE WHEN p47 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 2) + (CASE WHEN p48 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 3) + (CASE WHEN p49 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 4) + (CASE WHEN p50 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 5) + (CASE WHEN p51 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 6) + (CASE WHEN p52 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 7) + (CASE WHEN p53 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 8) + (CASE WHEN p54 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 9) + (CASE WHEN p55 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 10) + (CASE WHEN p56 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 11) + (CASE WHEN p57 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 12) + (CASE WHEN p58 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 13) + (CASE WHEN p59 > mean THEN 1::BIGINT ELSE 0::BIGINT END << 14) AS INTEGER) AS band3
+        FROM mn),
+    packed AS (
+        SELECT media_id,
+               (CAST(band0 AS BIGINT)) + (CAST(band1 AS BIGINT) << 15)
+               + (CAST(band2 AS BIGINT) << 30) + (CAST(band3 AS BIGINT) << 45)
+                   AS ahash,
+               band0, band1, band2, band3
+        FROM hsh),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+               a.ahash AS ha, b.ahash AS hb
+        FROM packed a JOIN packed b
+          ON a.media_id < b.media_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1
+              OR a.band2 = b.band2 OR a.band3 = b.band3)),
+    ham AS (
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand)
+    SELECT media_a, media_b, hamming
+    FROM ham WHERE hamming <= 12
+    ORDER BY hamming, media_a, media_b LIMIT 10
+    """,
+)
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image detection: aHash fingerprints
+    through the Arrow mapInPandas decode stage
+    (multimodal.perceptual_ahash — fake digest-pixels here so the
+    oracle replays bit-for-bit; the real path block-pools decoded
+    luminance onto the same 60 slots), then LSH band blocking — a
+    candidate pair must agree on one whole 15-bit band, the same
+    banded discipline as simhash_neardup, NEVER all image pairs —
+    and exact Hamming distance (bit_count(xor)) <= 12 on candidates
+    only. This is the image-side dedup a multimodal training corpus
+    needs: byte-exact dedup misses re-encoded copies; embedding
+    dedup needs a model; aHash is the model-free middle. Top-10
+    closest pairs."""
+    media = _media(spark, sf_dir).filter(F.col("kind") == "image").select(
+        "media_id", "content"
+    )
+    h = mm.perceptual_ahash(media, fake=True)
+    a = h.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"),
+        *[F.col(f"band{b}").alias(f"a{b}") for b in range(4)],
+    )
+    b = h.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hb"),
+        *[F.col(f"band{b}").alias(f"b{b}") for b in range(4)],
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("media_a") < F.col("media_b"))
+            & (
+                (F.col("a0") == F.col("b0"))
+                | (F.col("a1") == F.col("b1"))
+                | (F.col("a2") == F.col("b2"))
+                | (F.col("a3") == F.col("b3"))
+            ),
+        )
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    ham = cand.select(
+        "media_a", "media_b",
+        F.bit_count(F.expr("ha ^ hb")).cast("long").alias("hamming"),
+    )
+    return (
+        ham.filter(F.col("hamming") <= 12)
+        .orderBy("hamming", "media_a", "media_b")
+        .limit(10)
+    )

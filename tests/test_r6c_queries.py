@@ -197,3 +197,37 @@ def test_page_hinkley_structure(spark):
     r = q.QUERIES["page_hinkley_events"](spark, SF_DIR).collect()[0]
     assert r.ph_stat >= 0.0 and getattr(r, "lambda") > 0.0
     assert r.detected == (r.detect_day is not None)
+
+
+def test_perceptual_ahash_real_path(spark):
+    from social_link_prediction_spark.pipelines import imagecodec
+    from social_link_prediction_spark.pipelines import multimodal as mm
+
+    def grad(w, h, flip=False):
+        rows = [
+            [
+                (
+                    (255 - (x * 255 // max(w - 1, 1))) if flip
+                    else (x * 255 // max(w - 1, 1)),
+                ) * 3
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        return imagecodec.encode_png_rgb(rows)
+
+    a = grad(20, 12)
+    c = grad(20, 12, flip=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(a)), (2, bytearray(a)), (3, bytearray(c))],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in mm.perceptual_ahash(df, fake=False).collect()}
+    assert rows[1].ahash == rows[2].ahash  # identical image, identical hash
+    ham = bin(rows[1].ahash ^ rows[3].ahash).count("1")
+    assert ham >= 20  # inverted gradient flips most blocks
+    for r in rows.values():  # bands re-pack to the hash
+        packed = (
+            r.band0 | (r.band1 << 15) | (r.band2 << 30) | (r.band3 << 45)
+        )
+        assert packed == r.ahash
