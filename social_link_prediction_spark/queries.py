@@ -23164,3 +23164,184 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "media_a", "media_b")
         .limit(10)
     )
+
+
+@query(
+    "fim_split_audit",
+    """
+    WITH d AS (
+        SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) > 0),
+    cuts AS (
+        SELECT doc_id, source, text, n,
+               least(CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'fim1')), 1, 15)) AS BIGINT) % n, CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'fim2')), 1, 15)) AS BIGINT) % n) AS lo,
+               greatest(CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'fim1')), 1, 15)) AS BIGINT) % n, CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), 'fim2')), 1, 15)) AS BIGINT) % n) AS hi
+        FROM d),
+    parts AS (
+        SELECT source, n, lo, hi,
+               substr(text, 1, CAST(lo AS INTEGER)) AS pre,
+               substr(text, CAST(lo + 1 AS INTEGER),
+                      CAST(hi - lo AS INTEGER)) AS mid,
+               substr(text, CAST(hi + 1 AS INTEGER)) AS suf,
+               text
+        FROM cuts)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(lo * 1.0 / n), 6) AS mean_prefix_frac,
+           round(avg((hi - lo) * 1.0 / n), 6) AS mean_middle_frac,
+           round(avg((n - hi) * 1.0 / n), 6) AS mean_suffix_frac,
+           CAST(sum(CASE WHEN pre || mid || suf = text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reassembly_ok
+    FROM parts GROUP BY source ORDER BY source
+    """,
+)
+def fim_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transformation audit: each document
+    is cut at two hash-deterministic character positions into
+    (prefix, middle, suffix) — the PSM reordering used to train
+    infilling code models (Bavarian et al.: train on
+    prefix+suffix->middle without losing left-to-right ability).
+    Reports per-source cut-fraction means (the uniform-two-cut law
+    puts ~1/3 in each part on average) and the reassembly-integrity
+    count: prefix||middle||suffix must equal the original for EVERY
+    doc — the lossless-transform guarantee checked, not assumed.
+    Cut points replay through hash60 so the oracle rebuilds the
+    exact same splits; one corpus pass, all integer/substr
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.length("text").cast("long")
+    c1 = mls.hash60(F.col("doc_id").cast("string"), F.lit("fim1")) % n
+    c2 = mls.hash60(F.col("doc_id").cast("string"), F.lit("fim2")) % n
+    cuts = docs.select(
+        "source", "text", n.alias("n"),
+        F.least(c1, c2).alias("lo"), F.greatest(c1, c2).alias("hi"),
+    )
+    parts = cuts.select(
+        "source", "n", "lo", "hi", "text",
+        F.expr("substr(text, 1, CAST(lo AS INT))").alias("pre"),
+        F.expr("substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))").alias("mid"),
+        F.expr("substr(text, CAST(hi + 1 AS INT))").alias("suf"),
+    )
+    return (
+        parts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(F.col("lo") * 1.0 / F.col("n")), 6).alias(
+                "mean_prefix_frac"
+            ),
+            F.round(
+                F.avg((F.col("hi") - F.col("lo")) * 1.0 / F.col("n")), 6
+            ).alias("mean_middle_frac"),
+            F.round(
+                F.avg((F.col("n") - F.col("hi")) * 1.0 / F.col("n")), 6
+            ).alias("mean_suffix_frac"),
+            F.sum(
+                (
+                    F.concat("pre", "mid", "suf") == F.col("text")
+                ).cast("int")
+            ).cast("long").alias("n_reassembly_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "span_corruption_plan",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n
+        FROM documents),
+    k AS (
+        SELECT doc_id, source, n,
+               greatest(CAST(floor(n * 0.15 / 3) AS BIGINT), 1) AS k
+        FROM d WHERE n >= 3),
+    spans AS (
+        SELECT doc_id, source, n, k, i,
+               (n // k) AS seg,
+               CASE WHEN (n // k) >= 3
+                    THEN least(3, n) ELSE 0 END AS span_len
+        FROM k, (SELECT unnest(generate_series(1, 1000)) AS i) ii
+        WHERE i <= k),
+    placed AS (
+        SELECT doc_id, source, n, k, i, span_len,
+               CASE WHEN span_len > 0
+                    THEN (i - 1) * seg + (CAST(concat('0x', substr(md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR), 'span')), 1, 15)) AS BIGINT) % (seg - span_len + 1))
+                    END AS start_tok
+        FROM spans)
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(span_len) AS BIGINT) AS n_corrupted_tokens,
+           round(sum(span_len) * 1.0 / max(tot.t), 6) AS corrupt_frac,
+           round(count(*) * 1.0 / count(DISTINCT doc_id), 6)
+               AS mean_spans_per_doc
+    FROM placed,
+         (SELECT sum(n) AS t FROM (SELECT DISTINCT doc_id, n, source
+                                   FROM placed) x) tot
+    GROUP BY source ORDER BY source
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning: per document, place
+    k = max(1, floor(0.15 n / 3)) mask spans of length 3 (the T5
+    defaults: 15% corruption, mean span 3) at hash-deterministic
+    offsets, one span per equal segment so spans can never overlap
+    by construction — the planning half of the masked-denoising
+    objective, run as data prep so the trainer streams pre-planned
+    spans. Reports per-source span counts, corrupted-token totals,
+    and the realized corruption fraction vs the 15% target (short
+    docs round k down — the report shows the shortfall instead of
+    hiding it). All integer arithmetic over one tokenize pass;
+    span placement replays in the oracle through hash60."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(
+        "doc_id", "source", F.size(tk).cast("long").alias("n")
+    ).filter(F.col("n") >= 3)
+    k = d.select(
+        "doc_id", "source", "n",
+        F.greatest(
+            F.floor(F.col("n") * 0.15 / 3).cast("long"), F.lit(1)
+        ).alias("k"),
+    )
+    spans = k.select(
+        "doc_id", "source", "n", "k",
+        F.explode(F.sequence(F.lit(1), F.col("k"))).alias("i"),
+        (F.col("n") / F.col("k")).cast("long").alias("seg"),
+    ).withColumn(
+        "span_len",
+        F.when(F.col("seg") >= 3, F.least(F.lit(3), F.col("n"))).otherwise(0),
+    )
+    placed = spans.withColumn(
+        "start_tok",
+        F.when(
+            F.col("span_len") > 0,
+            (F.col("i") - 1) * F.col("seg")
+            + mls.hash60(
+                F.col("doc_id").cast("string"),
+                F.col("i").cast("string"),
+                F.lit("span"),
+            )
+            % (F.col("seg") - F.col("span_len") + 1),
+        ),
+    )
+    tot = (
+        placed.select("doc_id", "n").distinct()
+        .agg(F.sum("n").alias("t"))
+    )
+    return (
+        placed.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("span_len").cast("long").alias("n_corrupted_tokens"),
+            F.round(F.sum("span_len") * 1.0 / F.max("t"), 6).alias(
+                "corrupt_frac"
+            ),
+            F.round(
+                F.count(F.lit(1)) * 1.0 / F.countDistinct("doc_id"), 6
+            ).alias("mean_spans_per_doc"),
+        )
+        .orderBy("source")
+    )

@@ -231,3 +231,22 @@ def test_perceptual_ahash_real_path(spark):
             r.band0 | (r.band1 << 15) | (r.band2 << 30) | (r.band3 << 45)
         )
         assert packed == r.ahash
+
+
+@needs_testdata
+def test_fim_split_is_lossless(spark):
+    rows = q.QUERIES["fim_split_audit"](spark, SF_DIR).collect()
+    for r in rows:
+        # the lossless-transform guarantee: every doc reassembles
+        assert r.n_reassembly_ok == r.n_docs
+        fracs = r.mean_prefix_frac + r.mean_middle_frac + r.mean_suffix_frac
+        assert abs(fracs - 1.0) < 1e-4
+
+
+@needs_testdata
+def test_span_corruption_plan_bounds(spark):
+    rows = q.QUERIES["span_corruption_plan"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.mean_spans_per_doc >= 1.0
+        # planner can only undershoot the 15% target (k rounds down)
+        assert 0.0 <= r.corrupt_frac <= 0.16
