@@ -23345,3 +23345,226 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "kruskal_wallis_price_segments",
+    """
+    WITH v AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS xc
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    dv AS (
+        SELECT xc, CAST(count(*) AS BIGINT) AS t FROM v GROUP BY xc),
+    rk AS (
+        SELECT xc, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY xc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + (t + 1) / 2.0 AS avg_rank
+        FROM dv),
+    gs AS (
+        SELECT v.seg, CAST(count(*) AS BIGINT) AS n_g,
+               sum(rk.avg_rank) AS rsum
+        FROM v JOIN rk ON rk.xc = v.xc GROUP BY v.seg),
+    ties AS (
+        SELECT sum(t * t * t - t) * 1.0 AS tie_sum FROM dv),
+    h AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               12.0 / (n.n * (n.n + 1.0))
+               * sum(rsum * rsum / n_g) - 3 * (n.n + 1.0) AS h_raw
+        FROM gs, n GROUP BY n.n)
+    SELECT h.k, n.n, CAST(h.k - 1 AS BIGINT) AS df,
+           round(h.h_raw, 6) AS h_stat,
+           round(h.h_raw / (1 - ties.tie_sum
+                 / (n.n * 1.0 * n.n * n.n - n.n)), 6) AS h_corrected
+    FROM h, n, ties
+    """,
+)
+def kruskal_wallis_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test across ALL FIVE market segments —
+    the k-group completion of mann_whitney_price_segments (2 groups)
+    and the distribution-free twin of anova_price_segments: H =
+    12/(N(N+1)) * sum n_g * rbar_g^2 - 3(N+1), tie-corrected. Ranks
+    come from the distinct-cents frame (mid-rank of each tie group
+    via an exclusive prefix sum — the bucketed_prefix_sums fallback
+    applies at 100 TB), so every average rank is an exact
+    half-integer and the rank sums are exact in double; the corpus
+    is touched by one join+groupBy and one rank join."""
+    o = _t(spark, sf_dir, "orders")
+    cst = _t(spark, sf_dir, "customer")
+    v = o.join(cst, o["o_custkey"] == cst["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+    )
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dv = v.groupBy("xc").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, -1)
+    rk = dv.select(
+        "xc", "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+            + (F.col("t") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    gs = (
+        v.join(rk.select("xc", "avg_rank"), "xc")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("avg_rank").alias("rsum"),
+        )
+    )
+    ties = dv.agg(
+        (F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")) * 1.0).alias(
+            "tie_sum"
+        )
+    )
+    h = gs.crossJoin(F.broadcast(n)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            12.0 / (F.max("n") * (F.max("n") + 1.0))
+            * F.sum(F.col("rsum") * F.col("rsum") / F.col("n_g"))
+            - 3 * (F.max("n") + 1.0)
+        ).alias("h_raw"),
+    )
+    return (
+        h.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "k", "n",
+            (F.col("k") - 1).cast("long").alias("df"),
+            F.round("h_raw", 6).alias("h_stat"),
+            F.round(
+                F.col("h_raw")
+                / (
+                    1
+                    - F.col("tie_sum")
+                    / (F.col("n") * 1.0 * F.col("n") * F.col("n") - F.col("n"))
+                ),
+                6,
+            ).alias("h_corrected"),
+        )
+    )
+
+
+@query(
+    "seasonal_mann_kendall_revenue",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(isodow(o_orderdate) AS BIGINT) AS wd,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY 1, 2),
+    s AS (
+        SELECT a.wd,
+               CAST(sum(CASE WHEN b.yc > a.yc THEN 1
+                             WHEN b.yc < a.yc THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_w
+        FROM daily a JOIN daily b ON b.wd = a.wd AND b.day > a.day
+        GROUP BY a.wd),
+    cnt AS (
+        SELECT wd, CAST(count(*) AS BIGINT) AS n_w FROM daily GROUP BY wd),
+    tie AS (
+        SELECT wd, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tadj
+        FROM (SELECT wd, yc, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY wd, yc) g
+        GROUP BY wd),
+    var_w AS (
+        SELECT c.wd,
+               (c.n_w * (c.n_w - 1.0) * (2 * c.n_w + 5)
+                - coalesce(t.tadj, 0)) / 18.0 AS v_w
+        FROM cnt c LEFT JOIN tie t ON t.wd = c.wd),
+    agg AS (
+        SELECT CAST((SELECT sum(s_w) FROM s) AS BIGINT) AS s_total,
+               (SELECT sum(v_w) FROM var_w) AS var_total,
+               CAST((SELECT count(*) FROM cnt) AS BIGINT) AS n_seasons)
+    SELECT n_seasons, s_total, round(var_total, 6) AS var_total,
+           round(CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+                      WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+                      ELSE 0.0 END, 6) AS z_sk,
+           (abs(CASE WHEN s_total > 0 THEN (s_total - 1) / sqrt(var_total)
+                     WHEN s_total < 0 THEN (s_total + 1) / sqrt(var_total)
+                     ELSE 0.0 END) > 1.96) AS significant
+    FROM agg
+    """,
+)
+def seasonal_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack) on DAILY revenue with
+    weekday seasons: the plain monthly MK compares every month to
+    every other and a weekly cycle reads as noise — the seasonal
+    variant only compares same-weekday days, sums the seven S_w
+    statistics, and tests S/sqrt(sum Var_w) with tie correction and
+    continuity correction. Every S_w and tie term is an exact int64
+    sum; only the final /18 and sqrt are floating. Scale shape: the
+    pair join is CALENDAR-bounded — (days/7)^2 x 7 pairs regardless
+    of corpus size, so cost is constant in data volume after the one
+    day-keyed rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").cast("long").alias("wd"),
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("yc"))
+    a = daily.select(
+        F.col("wd"), F.col("day").alias("da"), F.col("yc").alias("ya")
+    )
+    b = daily.select(
+        F.col("wd"), F.col("day").alias("db"), F.col("yc").alias("yb")
+    )
+    s = (
+        a.join(b, ["wd"])
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("wd")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_w")
+        )
+    )
+    cnt = daily.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    tie = (
+        daily.groupBy("wd", "yc")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("wd")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tadj")
+        )
+    )
+    var_w = cnt.join(tie, "wd", "left").select(
+        "wd",
+        (
+            (
+                F.col("n_w") * (F.col("n_w") - 1.0) * (2 * F.col("n_w") + 5)
+                - F.coalesce("tadj", F.lit(0))
+            )
+            / 18.0
+        ).alias("v_w"),
+    )
+    agg = (
+        s.agg(F.sum("s_w").cast("long").alias("s_total"))
+        .crossJoin(F.broadcast(var_w.agg(F.sum("v_w").alias("var_total"))))
+        .crossJoin(
+            F.broadcast(cnt.agg(F.count(F.lit(1)).cast("long").alias("n_seasons")))
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_total") > 0,
+            (F.col("s_total") - 1) / F.sqrt(F.col("var_total")),
+        )
+        .when(
+            F.col("s_total") < 0,
+            (F.col("s_total") + 1) / F.sqrt(F.col("var_total")),
+        )
+        .otherwise(0.0)
+    )
+    return agg.select(
+        "n_seasons", "s_total",
+        F.round("var_total", 6).alias("var_total"),
+        F.round(z, 6).alias("z_sk"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

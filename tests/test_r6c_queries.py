@@ -250,3 +250,20 @@ def test_span_corruption_plan_bounds(spark):
         assert r.mean_spans_per_doc >= 1.0
         # planner can only undershoot the 15% target (k rounds down)
         assert 0.0 <= r.corrupt_frac <= 0.16
+
+
+@needs_testdata
+def test_kruskal_wallis_structure(spark):
+    r = q.QUERIES["kruskal_wallis_price_segments"](spark, SF_DIR).collect()[0]
+    assert r.k == 5 and r.df == 4
+    assert r.h_stat >= 0.0
+    # tie correction can only inflate H
+    assert r.h_corrected >= r.h_stat - 1e-9
+
+
+@needs_testdata
+def test_seasonal_mk_structure(spark):
+    r = q.QUERIES["seasonal_mann_kendall_revenue"](spark, SF_DIR).collect()[0]
+    assert r.n_seasons == 7
+    assert r.var_total > 0
+    assert r.significant == (abs(r.z_sk) > 1.96)
