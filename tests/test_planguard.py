@@ -178,9 +178,34 @@ R5_QUERIES = [
     "containment_neardup_docs",
 ]
 
+# round-6 second continuation wave
+R6C_QUERIES = [
+    "runs_test_daily_revenue",
+    "hill_tail_index_price",
+    "bloom_join_prune_audit",
+    "skew_salting_plan",
+    "sax_motifs_daily",
+    "croston_forecast_urgent",
+    "permutation_test_events",
+    "salsa_partsupp",
+    "wasserstein_price_segments",
+    "energy_distance_embeddings",
+    "cooks_distance_influence",
+    "levene_test_price_segments",
+    "bowtie_structure_suppliers",
+    "dp_noisy_histogram",
+    "page_hinkley_events",
+    "image_ahash_neardup",
+    "fim_split_audit",
+    "span_corruption_plan",
+    "kruskal_wallis_price_segments",
+    "seasonal_mann_kendall_revenue",
+    "pacf_daily_events",
+]
+
 
 @needs_testdata
-@pytest.mark.parametrize("name", NEW_QUERIES + R5_QUERIES)
+@pytest.mark.parametrize("name", NEW_QUERIES + R5_QUERIES + R6C_QUERIES)
 def test_no_cartesian_or_python_rowloop(spark, name):
     df = q.QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
