@@ -23568,3 +23568,241 @@ def seasonal_mann_kendall_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(z, 6).alias("z_sk"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@query(
+    "weibull_fit_latency",
+    """
+    WITH lat AS (
+        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS d
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lat),
+    dv AS (SELECT d, CAST(count(*) AS BIGINT) AS t FROM lat GROUP BY d),
+    cdf AS (
+        SELECT d, t,
+               CAST(sum(t) OVER (ORDER BY d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM dv),
+    pts AS (
+        SELECT t * 1.0 AS w, ln(d * 1.0) AS x,
+               ln(-ln(1 - (cum - 0.3) / (n.n + 0.4))) AS y
+        FROM cdf, n WHERE cum < n.n),
+    s AS (
+        SELECT sum(w) AS sw, sum(w * x) AS sx, sum(w * y) AS sy,
+               sum(w * x * x) AS sxx, sum(w * x * y) AS sxy,
+               sum(w * y * y) AS syy
+        FROM pts),
+    fit AS (
+        SELECT (sw * sxy - sx * sy) / (sw * sxx - sx * sx) AS shape,
+               sy / sw - (sw * sxy - sx * sy) / (sw * sxx - sx * sx)
+                         * (sx / sw) AS icept,
+               (sw * sxy - sx * sy)
+               / sqrt((sw * sxx - sx * sx) * (sw * syy - sy * sy)) AS r
+        FROM s)
+    SELECT n.n, round(f.shape, 6) AS shape_k,
+           round(exp(-f.icept / f.shape), 6) AS scale_days,
+           round(f.r * f.r, 6) AS r2
+    FROM fit f, n
+    """,
+)
+def weibull_fit_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of order-to-ship latency by median-rank regression
+    (the reliability-engineering standard): empirical CDF from
+    Benard's median ranks F = (i - 0.3)/(n + 0.4) on the
+    distinct-day frame, then weighted OLS of ln(-ln(1-F)) on ln(t) —
+    slope IS the shape k (k < 1 infant-mortality, k ~ 1 memoryless,
+    k > 1 wear-out), exp(-intercept/k) the scale in days. Completes
+    the duration family: kaplan_meier is nonparametric, gumbel fits
+    MAXATTRACTION extremes, this fits the whole parametric hazard.
+    One corpus join+count to the distinct-latency frame (~120 rows,
+    calendar-bounded); regression is closed-form sums on it."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("long").alias("d")
+        )
+    )
+    n = lat.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dv = lat.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = dv.select("d", "t", F.sum("t").over(w).cast("long").alias("cum"))
+    pts = (
+        cdf.crossJoin(F.broadcast(n))
+        .filter(F.col("cum") < F.col("n"))
+        .select(
+            (F.col("t") * 1.0).alias("w"),
+            F.log(F.col("d") * 1.0).alias("x"),
+            F.log(-F.log(1 - (F.col("cum") - 0.3) / (F.col("n") + 0.4))).alias(
+                "y"
+            ),
+        )
+    )
+    s = pts.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("w") * F.col("y") * F.col("y")).alias("syy"),
+    )
+    shape = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = F.col("sy") / F.col("sw") - shape * (F.col("sx") / F.col("sw"))
+    r = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("sw") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        "n",
+        F.round(shape, 6).alias("shape_k"),
+        F.round(F.exp(-icept / shape), 6).alias("scale_days"),
+        F.round(r * r, 6).alias("r2"),
+    )
+
+
+@query(
+    "matrix_profile_daily",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY day),
+    ix AS (
+        SELECT yc, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+               day
+        FROM daily),
+    sub AS (
+        SELECT i, day,
+               yc * 1.0 AS x1,
+               lead(yc, 1) OVER w * 1.0 AS x2,
+               lead(yc, 2) OVER w * 1.0 AS x3,
+               lead(yc, 3) OVER w * 1.0 AS x4,
+               lead(yc, 4) OVER w * 1.0 AS x5,
+               lead(yc, 5) OVER w * 1.0 AS x6,
+               lead(yc, 6) OVER w * 1.0 AS x7
+        FROM ix WINDOW w AS (ORDER BY i)),
+    mom AS (
+        SELECT *,
+               (x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0 AS mu,
+               sqrt((x1 * x1 + x2 * x2 + x3 * x3 + x4 * x4 + x5 * x5
+                     + x6 * x6 + x7 * x7) / 7.0
+                    - ((x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0)
+                      * ((x1 + x2 + x3 + x4 + x5 + x6 + x7) / 7.0)) AS sd
+        FROM sub WHERE x7 IS NOT NULL),
+    z AS (
+        SELECT i, day,
+               (x1 - mu) / sd AS z1, (x2 - mu) / sd AS z2,
+               (x3 - mu) / sd AS z3, (x4 - mu) / sd AS z4,
+               (x5 - mu) / sd AS z5, (x6 - mu) / sd AS z6,
+               (x7 - mu) / sd AS z7
+        FROM mom WHERE sd > 0),
+    pd AS (
+        SELECT a.i, a.day, b.i AS j,
+               (a.z1 - b.z1) * (a.z1 - b.z1) + (a.z2 - b.z2) * (a.z2 - b.z2) + (a.z3 - b.z3) * (a.z3 - b.z3) + (a.z4 - b.z4) * (a.z4 - b.z4) + (a.z5 - b.z5) * (a.z5 - b.z5) + (a.z6 - b.z6) * (a.z6 - b.z6) + (a.z7 - b.z7) * (a.z7 - b.z7) AS d2
+        FROM z a JOIN z b ON abs(a.i - b.i) >= 7),
+    prof AS (
+        SELECT i, day, j, d2,
+               row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+        FROM pd)
+    SELECT 'discord' AS kind, day, j AS nn_index,
+           round(sqrt(d2), 6) AS profile_dist
+    FROM (SELECT *, row_number() OVER (ORDER BY d2 DESC, i) AS rd
+          FROM prof WHERE rn = 1) t
+    WHERE rd <= 5
+    UNION ALL
+    SELECT 'motif' AS kind, day, j AS nn_index,
+           round(sqrt(d2), 6) AS profile_dist
+    FROM (SELECT *, row_number() OVER (ORDER BY d2, i) AS rm
+          FROM prof WHERE rn = 1) t
+    WHERE rm <= 5
+    ORDER BY kind, profile_dist, day
+    """,
+)
+def matrix_profile_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile of the daily-revenue series (window 7,
+    z-normalized, exclusion zone |i-j| >= 7): for every week-shaped
+    subsequence, the distance to its nearest non-trivial neighbor —
+    the top-5 LARGEST profile entries are discords (the most
+    anomalous weeks: nothing else ever looked like them) and the
+    top-5 smallest are motif pairs (the most repeated week shape),
+    the UCR matrix-profile reading of the series that SAX's
+    symbol census approximates. Every z-value derives from exact
+    integer window sums through one fixed expression, and the 7-term
+    distance is evaluated in one fixed order, so both engines rank
+    identical doubles. Scale shape: the all-pairs join is
+    CALENDAR-bounded (days^2, constant in corpus size) after the one
+    day-keyed rollup; at a finer granularity the STOMP streaming
+    recurrence replaces the quadratic join."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("yc")
+    )
+    ix = daily.select(
+        "yc", "day",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    w = Window.orderBy("i")
+    xs = [(F.lead("yc", t).over(w) * 1.0).alias(f"x{t + 1}") for t in range(7)]
+    sub = ix.select("i", "day", (F.col("yc") * 1.0).alias("x1"), *xs[1:])
+    sub = sub.filter(F.col("x7").isNotNull())
+    tot = None
+    ss = None
+    for t in range(1, 8):
+        c = F.col(f"x{t}")
+        tot = c if tot is None else tot + c
+        ss = c * c if ss is None else ss + c * c
+    mu = tot / 7.0
+    sd = F.sqrt(ss / 7.0 - mu * mu)
+    z = sub.select(
+        "i", "day",
+        *[((F.col(f"x{t}") - mu) / sd).alias(f"z{t}") for t in range(1, 8)],
+    ).filter(sd > 0)
+    a = z.select(
+        F.col("i"), F.col("day"),
+        *[F.col(f"z{t}").alias(f"az{t}") for t in range(1, 8)],
+    )
+    b = z.select(
+        F.col("i").alias("j"),
+        *[F.col(f"z{t}").alias(f"bz{t}") for t in range(1, 8)],
+    )
+    d2 = None
+    for t in range(1, 8):
+        term = (F.col(f"az{t}") - F.col(f"bz{t}")) * (
+            F.col(f"az{t}") - F.col(f"bz{t}")
+        )
+        d2 = term if d2 is None else d2 + term
+    pd_ = (
+        a.join(F.broadcast(b), F.abs(F.col("i") - F.col("j")) >= 7)
+        .select("i", "day", "j", d2.alias("d2"))
+    )
+    prof = pd_.select(
+        "i", "day", "j", "d2",
+        F.row_number()
+        .over(Window.partitionBy("i").orderBy("d2", "j"))
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    discords = prof.select(
+        "day", "j", "d2",
+        F.row_number().over(Window.orderBy(F.col("d2").desc(), "i")).alias("r"),
+    ).filter(F.col("r") <= 5).select(
+        F.lit("discord").alias("kind"), "day",
+        F.col("j").alias("nn_index"),
+        F.round(F.sqrt("d2"), 6).alias("profile_dist"),
+    )
+    motifs = prof.select(
+        "day", "j", "d2",
+        F.row_number().over(Window.orderBy("d2", "i")).alias("r"),
+    ).filter(F.col("r") <= 5).select(
+        F.lit("motif").alias("kind"), "day",
+        F.col("j").alias("nn_index"),
+        F.round(F.sqrt("d2"), 6).alias("profile_dist"),
+    )
+    return discords.unionByName(motifs).orderBy("kind", "profile_dist", "day")

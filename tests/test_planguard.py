@@ -201,6 +201,8 @@ R6C_QUERIES = [
     "kruskal_wallis_price_segments",
     "seasonal_mann_kendall_revenue",
     "pacf_daily_events",
+    "weibull_fit_latency",
+    "matrix_profile_daily",
 ]
 
 

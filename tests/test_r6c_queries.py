@@ -267,3 +267,22 @@ def test_seasonal_mk_structure(spark):
     assert r.n_seasons == 7
     assert r.var_total > 0
     assert r.significant == (abs(r.z_sk) > 1.96)
+
+
+@needs_testdata
+def test_weibull_fit_laws(spark):
+    r = q.QUERIES["weibull_fit_latency"](spark, SF_DIR).collect()[0]
+    assert r.shape_k > 0 and r.scale_days > 0
+    assert 0.0 <= r.r2 <= 1.0
+
+
+@needs_testdata
+def test_matrix_profile_structure(spark):
+    rows = q.QUERIES["matrix_profile_daily"](spark, SF_DIR).collect()
+    ds = [r for r in rows if r.kind == "discord"]
+    ms = [r for r in rows if r.kind == "motif"]
+    assert len(ds) == 5 and len(ms) == 5
+    # every motif NN distance <= every discord NN distance
+    assert max(m.profile_dist for m in ms) <= min(d.profile_dist for d in ds)
+    for r in rows:
+        assert r.profile_dist >= 0.0
