@@ -203,6 +203,7 @@ R6C_QUERIES = [
     "pacf_daily_events",
     "weibull_fit_latency",
     "matrix_profile_daily",
+    "watermark_lateness_audit",
 ]
 
 

@@ -286,3 +286,14 @@ def test_matrix_profile_structure(spark):
     assert max(m.profile_dist for m in ms) <= min(d.profile_dist for d in ds)
     for r in rows:
         assert r.profile_dist >= 0.0
+
+
+@needs_testdata
+def test_watermark_lateness_monotone(spark):
+    rows = q.QUERIES["watermark_lateness_audit"](spark, SF_DIR).collect()
+    assert [r.watermark_s for r in rows] == [0, 60, 300, 900]
+    drops = [r.n_dropped for r in rows]
+    # a longer watermark can only drop fewer events
+    assert drops == sorted(drops, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.frac_dropped <= 1.0
