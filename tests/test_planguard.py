@@ -204,6 +204,8 @@ R6C_QUERIES = [
     "weibull_fit_latency",
     "matrix_profile_daily",
     "watermark_lateness_audit",
+    "price_elasticity_by_type",
+    "quantile_treatment_effects",
 ]
 
 

@@ -297,3 +297,24 @@ def test_watermark_lateness_monotone(spark):
     assert drops == sorted(drops, reverse=True)
     for r in rows:
         assert 0.0 <= r.frac_dropped <= 1.0
+
+
+@needs_testdata
+def test_price_elasticity_group_floor(spark):
+    rows = q.QUERIES["price_elasticity_by_type"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n >= 30
+    es = [r.elasticity for r in rows]
+    assert es == sorted(es)
+
+
+@needs_testdata
+def test_qte_deciles_monotone_within_group(spark):
+    rows = q.QUERIES["quantile_treatment_effects"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    qa = [r.q_building for r in rows]
+    qb = [r.q_machinery for r in rows]
+    assert qa == sorted(qa) and qb == sorted(qb)
+    for r in rows:
+        assert abs(r.qte - round(r.q_building - r.q_machinery, 2)) < 1e-6
