@@ -206,6 +206,8 @@ R6C_QUERIES = [
     "watermark_lateness_audit",
     "price_elasticity_by_type",
     "quantile_treatment_effects",
+    "hll_precision_sweep",
+    "null_rate_drift_audit",
 ]
 
 

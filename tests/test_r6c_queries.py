@@ -318,3 +318,23 @@ def test_qte_deciles_monotone_within_group(spark):
     assert qa == sorted(qa) and qb == sorted(qb)
     for r in rows:
         assert abs(r.qte - round(r.q_building - r.q_machinery, 2)) < 1e-6
+
+
+@needs_testdata
+def test_hll_sweep_bounds_tighten(spark):
+    rows = q.QUERIES["hll_precision_sweep"](spark, SF_DIR).collect()
+    assert [r.lg_k for r in rows] == [8, 10, 12, 14]
+    bounds = [r.bound_rel for r in rows]
+    assert bounds == sorted(bounds, reverse=True)  # bigger sketch, tighter band
+    assert all(r.within_bound for r in rows)
+    assert len({r.n_exact for r in rows}) == 1
+
+
+@needs_testdata
+def test_null_rate_drift_shape(spark):
+    r = q.QUERIES["null_rate_drift_audit"](spark, SF_DIR).collect()[0]
+    assert r.n_first > 0 and r.n_second > 0
+    assert r.null_status_first == 0.0 and r.null_status_second == 0.0
+    assert r.priority_domain_drift == (
+        r.nd_priority_first != r.nd_priority_second
+    )
