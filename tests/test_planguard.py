@@ -208,6 +208,8 @@ R6C_QUERIES = [
     "quantile_treatment_effects",
     "hll_precision_sweep",
     "null_rate_drift_audit",
+    "graph_deanonymization_risk",
+    "crosscorr_purchase_click",
 ]
 
 

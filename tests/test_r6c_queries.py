@@ -338,3 +338,21 @@ def test_null_rate_drift_shape(spark):
     assert r.priority_domain_drift == (
         r.nd_priority_first != r.nd_priority_second
     )
+
+
+@needs_testdata
+def test_deanonymization_risk_ordering(spark):
+    r = q.QUERIES["graph_deanonymization_risk"](spark, SF_DIR).collect()[0]
+    # the 1-neighborhood signature refines degree: it can only expose MORE
+    assert r.unique_by_neighborhood >= r.unique_by_degree
+    assert 0.0 <= r.frac_reidentifiable <= 1.0
+    assert r.k_anonymity >= 1
+
+
+@needs_testdata
+def test_crosscorr_bounds(spark):
+    rows = q.QUERIES["crosscorr_purchase_click"](spark, SF_DIR).collect()
+    assert [r.lag for r in rows] == list(range(-3, 4))
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.ccf <= 1.0 + 1e-9
+        assert r.n >= 2
