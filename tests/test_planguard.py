@@ -210,6 +210,8 @@ R6C_QUERIES = [
     "null_rate_drift_audit",
     "graph_deanonymization_risk",
     "crosscorr_purchase_click",
+    "minhash_accuracy_audit",
+    "write_partition_skew_audit",
 ]
 
 

@@ -356,3 +356,21 @@ def test_crosscorr_bounds(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r.ccf <= 1.0 + 1e-9
         assert r.n >= 2
+
+
+@needs_testdata
+def test_minhash_accuracy_audit_bounds(spark):
+    r = q.QUERIES["minhash_accuracy_audit"](spark, SF_DIR).collect()[0]
+    assert r.n_pairs > 0
+    assert 0.0 <= r.mean_abs_err <= 1.0
+    assert r.rmse >= r.mean_abs_err - 1e-9  # RMSE dominates MAE
+    assert r.within_band  # 8 permutations stay inside 2-sigma on average
+
+
+@needs_testdata
+def test_write_partition_skew_shape(spark):
+    r = q.QUERIES["write_partition_skew_audit"](spark, SF_DIR).collect()[0]
+    assert r.n_partitions > 0 and r.total_rows > 0
+    assert r.skew_ratio >= 1.0
+    assert r.cov >= 0.0
+    assert r.n_small_partitions <= r.n_partitions
