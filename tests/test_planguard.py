@@ -212,6 +212,8 @@ R6C_QUERIES = [
     "crosscorr_purchase_click",
     "minhash_accuracy_audit",
     "write_partition_skew_audit",
+    "otsu_quality_threshold",
+    "safety_stock_by_brand",
 ]
 
 

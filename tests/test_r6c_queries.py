@@ -374,3 +374,22 @@ def test_write_partition_skew_shape(spark):
     assert r.skew_ratio >= 1.0
     assert r.cov >= 0.0
     assert r.n_small_partitions <= r.n_partitions
+
+
+@needs_testdata
+def test_otsu_threshold_structure(spark):
+    r = q.QUERIES["otsu_quality_threshold"](spark, SF_DIR).collect()[0]
+    assert 0 <= r.threshold_bin <= 63
+    assert r.between_class_var > 0
+    assert 0.0 < r.frac_below < 1.0
+
+
+@needs_testdata
+def test_safety_stock_formula(spark):
+    rows = q.QUERIES["safety_stock_by_brand"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days >= 30
+        expect = r.mean_daily_qty * 7 + r.safety_stock
+        assert abs(r.reorder_point - expect) < 1e-3
+        assert r.safety_stock >= 0
