@@ -214,6 +214,7 @@ R6C_QUERIES = [
     "write_partition_skew_audit",
     "otsu_quality_threshold",
     "safety_stock_by_brand",
+    "longest_contamination_run",
 ]
 
 

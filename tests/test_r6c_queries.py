@@ -393,3 +393,14 @@ def test_safety_stock_formula(spark):
         expect = r.mean_daily_qty * 7 + r.safety_stock
         assert abs(r.reorder_point - expect) < 1e-3
         assert r.safety_stock >= 0
+
+
+@needs_testdata
+def test_longest_contamination_run_laws(spark):
+    rows = q.QUERIES["longest_contamination_run"](spark, SF_DIR).collect()
+    assert rows
+    lens = [r.longest_run_tokens for r in rows]
+    assert lens == sorted(lens, reverse=True)
+    for r in rows:
+        assert r.longest_run_tokens >= 3  # one shingle = 3 tokens minimum
+        assert r.id_a != r.id_b
