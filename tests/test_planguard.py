@@ -215,6 +215,8 @@ R6C_QUERIES = [
     "otsu_quality_threshold",
     "safety_stock_by_brand",
     "longest_contamination_run",
+    "markov_next_event_accuracy",
+    "median_polish_weekday_month",
 ]
 
 

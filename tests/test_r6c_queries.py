@@ -404,3 +404,26 @@ def test_longest_contamination_run_laws(spark):
     for r in rows:
         assert r.longest_run_tokens >= 3  # one shingle = 3 tokens minimum
         assert r.id_a != r.id_b
+
+
+@needs_testdata
+def test_markov_accuracy_bounds(spark):
+    r = q.QUERIES["markov_next_event_accuracy"](spark, SF_DIR).collect()[0]
+    assert r.n_train > 0 and r.n_test > 0
+    assert 0.0 <= r.accuracy <= 1.0
+    assert 0.0 <= r.baseline_accuracy <= 1.0
+    # per-source argmax can never lose to the single global argmax on
+    # the TRAIN set; on test it can, but both must be plausible rates
+    assert r.baseline_accuracy > 0.05
+
+
+@needs_testdata
+def test_median_polish_shape(spark):
+    rows = q.QUERIES["median_polish_weekday_month"](spark, SF_DIR).collect()
+    wd = [r for r in rows if r.kind == "weekday"]
+    mon = [r for r in rows if r.kind == "month"]
+    assert len(wd) == 7 and len(mon) == 12
+    # a full row sweep ran last-but-one: weekday effects bracket zero
+    assert min(r.effect_dollars for r in wd) <= max(
+        r.effect_dollars for r in wd
+    )
