@@ -217,6 +217,7 @@ R6C_QUERIES = [
     "longest_contamination_run",
     "markov_next_event_accuracy",
     "median_polish_weekday_month",
+    "rmst_conversion",
 ]
 
 

@@ -427,3 +427,12 @@ def test_median_polish_shape(spark):
     assert min(r.effect_dollars for r in wd) <= max(
         r.effect_dollars for r in wd
     )
+
+
+@needs_testdata
+def test_rmst_bounds(spark):
+    r = q.QUERIES["rmst_conversion"](spark, SF_DIR).collect()[0]
+    # RMST is an area under a [0,1] curve over [0, tau]
+    assert 0.0 <= r.rmst_days <= r.tau_days
+    assert 0.0 <= r.survival_at_tail <= 1.0
+    assert r.n_users > 0
