@@ -218,6 +218,8 @@ R6C_QUERIES = [
     "markov_next_event_accuracy",
     "median_polish_weekday_month",
     "rmst_conversion",
+    "randomized_response_estimate",
+    "approx_percentile_accuracy_sweep",
 ]
 
 

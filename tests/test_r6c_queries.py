@@ -436,3 +436,22 @@ def test_rmst_bounds(spark):
     assert 0.0 <= r.rmst_days <= r.tau_days
     assert 0.0 <= r.survival_at_tail <= 1.0
     assert r.n_users > 0
+
+
+@needs_testdata
+def test_randomized_response_recovery(spark):
+    r = q.QUERIES["randomized_response_estimate"](spark, SF_DIR).collect()[0]
+    assert r.q == 0.25
+    # the estimator must land within the binomial noise band:
+    # sd(p_est) = sd(p_obs)/0.5 <= (0.5/sqrt(n))/0.5 = 1/sqrt(n)
+    assert r.abs_err <= 4.0 / (r.n ** 0.5)
+    assert abs(r.p_est - round((r.p_obs - 0.25) / 0.5, 6)) < 2e-6
+
+
+@needs_testdata
+def test_approx_percentile_sweep_flags(spark):
+    rows = q.QUERIES["approx_percentile_accuracy_sweep"](spark, SF_DIR).collect()
+    assert [r.accuracy for r in rows] == [100, 1000, 10000]
+    errs = [r.max_rank_err for r in rows]
+    assert errs == sorted(errs, reverse=True)
+    assert all(r.within_bound for r in rows)
