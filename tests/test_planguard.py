@@ -220,6 +220,8 @@ R6C_QUERIES = [
     "rmst_conversion",
     "randomized_response_estimate",
     "approx_percentile_accuracy_sweep",
+    "peak_detection_daily",
+    "dedup_state_ttl_audit",
 ]
 
 

@@ -455,3 +455,26 @@ def test_approx_percentile_sweep_flags(spark):
     errs = [r.max_rank_err for r in rows]
     assert errs == sorted(errs, reverse=True)
     assert all(r.within_bound for r in rows)
+
+
+@needs_testdata
+def test_peak_detection_structure(spark):
+    rows = q.QUERIES["peak_detection_daily"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    proms = [r.prominence for r in rows]
+    assert proms == sorted(proms, reverse=True)
+    for r in rows:
+        assert r.prominence >= 0
+        assert r.revenue >= r.prominence  # rise can't exceed the height
+
+
+@needs_testdata
+def test_dedup_state_ttl_monotone(spark):
+    rows = q.QUERIES["dedup_state_ttl_audit"](spark, SF_DIR).collect()
+    assert [r.ttl_h for r in rows] == [1, 6, 24, 168]
+    keys = [r.n_keys for r in rows]
+    events = [r.n_events for r in rows]
+    assert keys == sorted(keys) and events == sorted(events)
+    for r in rows:
+        assert 0.0 <= r.frac_of_all_keys <= 1.0
+        assert r.n_keys <= r.n_events
