@@ -222,6 +222,7 @@ R6C_QUERIES = [
     "approx_percentile_accuracy_sweep",
     "peak_detection_daily",
     "dedup_state_ttl_audit",
+    "bradley_terry_source_ranking",
 ]
 
 

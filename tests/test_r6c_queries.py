@@ -478,3 +478,14 @@ def test_dedup_state_ttl_monotone(spark):
     for r in rows:
         assert 0.0 <= r.frac_of_all_keys <= 1.0
         assert r.n_keys <= r.n_events
+
+
+@needs_testdata
+def test_bradley_terry_leaderboard(spark):
+    rows = q.QUERIES["bradley_terry_source_ranking"](spark, SF_DIR).collect()
+    assert rows
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    strengths = [r.strength for r in rows]
+    assert strengths == sorted(strengths, reverse=True)
+    for r in rows:
+        assert r.strength > 0 and r.wins >= 0
