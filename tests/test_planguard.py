@@ -223,6 +223,7 @@ R6C_QUERIES = [
     "peak_detection_daily",
     "dedup_state_ttl_audit",
     "bradley_terry_source_ranking",
+    "encoding_advisor_orders",
 ]
 
 

@@ -489,3 +489,13 @@ def test_bradley_terry_leaderboard(spark):
     assert strengths == sorted(strengths, reverse=True)
     for r in rows:
         assert r.strength > 0 and r.wins >= 0
+
+
+@needs_testdata
+def test_encoding_advisor_laws(spark):
+    rows = q.QUERIES["encoding_advisor_orders"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 1 <= r.n_runs <= r.n_rows
+        assert r.n_distinct <= r.n_runs  # every value appears in >=1 run
+        assert r.recommendation in ("RLE", "DICT", "PLAIN")
