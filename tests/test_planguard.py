@@ -224,6 +224,7 @@ R6C_QUERIES = [
     "dedup_state_ttl_audit",
     "bradley_terry_source_ranking",
     "encoding_advisor_orders",
+    "twoway_anova_interaction",
 ]
 
 

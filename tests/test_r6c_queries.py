@@ -499,3 +499,13 @@ def test_encoding_advisor_laws(spark):
         assert 1 <= r.n_runs <= r.n_rows
         assert r.n_distinct <= r.n_runs  # every value appears in >=1 run
         assert r.recommendation in ("RLE", "DICT", "PLAIN")
+
+
+@needs_testdata
+def test_twoway_anova_decomposition(spark):
+    r = q.QUERIES["twoway_anova_interaction"](spark, SF_DIR).collect()[0]
+    assert r.ka == 5 and r.kb == 5
+    assert r.df_interaction == 16
+    # every SS component nonnegative and error positive
+    assert r.ss_priority >= 0 and r.ss_segment >= 0 and r.ss_error > 0
+    assert r.f_interaction >= 0.0
