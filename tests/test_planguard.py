@@ -225,6 +225,7 @@ R6C_QUERIES = [
     "bradley_terry_source_ranking",
     "encoding_advisor_orders",
     "twoway_anova_interaction",
+    "mediation_priority_quantity",
 ]
 
 

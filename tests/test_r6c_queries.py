@@ -509,3 +509,11 @@ def test_twoway_anova_decomposition(spark):
     # every SS component nonnegative and error positive
     assert r.ss_priority >= 0 and r.ss_segment >= 0 and r.ss_error > 0
     assert r.f_interaction >= 0.0
+
+
+@needs_testdata
+def test_mediation_decomposition_identity(spark):
+    r = q.QUERIES["mediation_priority_quantity"](spark, SF_DIR).collect()[0]
+    # OLS exact identity: total effect = direct + indirect
+    assert abs(r.total_dollars - (r.direct_dollars + r.indirect_dollars)) < 0.05
+    assert r.n > 0
