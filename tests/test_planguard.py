@@ -226,6 +226,7 @@ R6C_QUERIES = [
     "encoding_advisor_orders",
     "twoway_anova_interaction",
     "mediation_priority_quantity",
+    "kendall_w_nation_rankings",
 ]
 
 

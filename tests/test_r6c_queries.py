@@ -517,3 +517,12 @@ def test_mediation_decomposition_identity(spark):
     # OLS exact identity: total effect = direct + indirect
     assert abs(r.total_dollars - (r.direct_dollars + r.indirect_dollars)) < 0.05
     assert r.n > 0
+
+
+@needs_testdata
+def test_kendall_w_bounds(spark):
+    r = q.QUERIES["kendall_w_nation_rankings"](spark, SF_DIR).collect()[0]
+    assert r.k_years >= 2 and r.n_nations >= 3
+    assert 0.0 <= r.kendall_w <= 1.0
+    expect = r.k_years * (r.n_nations - 1) * r.kendall_w
+    assert abs(r.chi2_approx - expect) < 1e-3
