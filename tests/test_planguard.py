@@ -227,6 +227,8 @@ R6C_QUERIES = [
     "twoway_anova_interaction",
     "mediation_priority_quantity",
     "kendall_w_nation_rankings",
+    "granger_click_purchase",
+    "best_split_changepoint",
 ]
 
 

@@ -526,3 +526,19 @@ def test_kendall_w_bounds(spark):
     assert 0.0 <= r.kendall_w <= 1.0
     expect = r.k_years * (r.n_nations - 1) * r.kendall_w
     assert abs(r.chi2_approx - expect) < 1e-3
+
+
+@needs_testdata
+def test_granger_sse_nesting(spark):
+    r = q.QUERIES["granger_click_purchase"](spark, SF_DIR).collect()[0]
+    # the full model nests the restricted one: SSE can only drop
+    assert r.sse_full <= r.sse_restricted + 1e-6
+    assert r.f_granger >= 0.0
+    assert r.clicks_help == (r.f_granger > 3.84)
+
+
+@needs_testdata
+def test_best_split_changepoint_margins(spark):
+    r = q.QUERIES["best_split_changepoint"](spark, SF_DIR).collect()[0]
+    assert 7 <= r.split_index <= r.n_days - 7
+    assert r.between_ss_dollars2 >= 0.0
