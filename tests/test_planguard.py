@@ -229,6 +229,7 @@ R6C_QUERIES = [
     "kendall_w_nation_rankings",
     "granger_click_purchase",
     "best_split_changepoint",
+    "variance_ratio_test",
 ]
 
 

@@ -542,3 +542,12 @@ def test_best_split_changepoint_margins(spark):
     r = q.QUERIES["best_split_changepoint"](spark, SF_DIR).collect()[0]
     assert 7 <= r.split_index <= r.n_days - 7
     assert r.between_ss_dollars2 >= 0.0
+
+
+@needs_testdata
+def test_variance_ratio_structure(spark):
+    rows = q.QUERIES["variance_ratio_test"](spark, SF_DIR).collect()
+    assert [r.q for r in rows] == [2, 4, 8]
+    for r in rows:
+        assert r.vr > 0
+        assert r.n > 8
