@@ -230,6 +230,7 @@ R6C_QUERIES = [
     "granger_click_purchase",
     "best_split_changepoint",
     "variance_ratio_test",
+    "qn_scale_daily",
 ]
 
 

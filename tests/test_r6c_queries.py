@@ -551,3 +551,12 @@ def test_variance_ratio_structure(spark):
     for r in rows:
         assert r.vr > 0
         assert r.n > 8
+
+
+@needs_testdata
+def test_qn_scale_laws(spark):
+    r = q.QUERIES["qn_scale_daily"](spark, SF_DIR).collect()[0]
+    h = r.n_days // 2 + 1
+    assert r.k_order == h * (h - 1) // 2
+    assert r.qn_dollars > 0 and r.sd_dollars > 0
+    assert abs(r.qn_over_sd - r.qn_dollars / r.sd_dollars) < 1e-2
