@@ -231,6 +231,7 @@ R6C_QUERIES = [
     "best_split_changepoint",
     "variance_ratio_test",
     "qn_scale_daily",
+    "theil_index_decomposition",
 ]
 
 

@@ -560,3 +560,12 @@ def test_qn_scale_laws(spark):
     assert r.k_order == h * (h - 1) // 2
     assert r.qn_dollars > 0 and r.sd_dollars > 0
     assert abs(r.qn_over_sd - r.qn_dollars / r.sd_dollars) < 1e-2
+
+
+@needs_testdata
+def test_theil_decomposition_identity(spark):
+    r = q.QUERIES["theil_index_decomposition"](spark, SF_DIR).collect()[0]
+    assert r.theil_total >= 0 and r.theil_between >= 0
+    # additive decomposition is exact
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 2e-6
+    assert 0.0 <= r.between_share <= 1.0
