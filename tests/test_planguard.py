@@ -232,6 +232,7 @@ R6C_QUERIES = [
     "variance_ratio_test",
     "qn_scale_daily",
     "theil_index_decomposition",
+    "ipf_raking_weights",
 ]
 
 

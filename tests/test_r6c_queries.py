@@ -569,3 +569,15 @@ def test_theil_decomposition_identity(spark):
     # additive decomposition is exact
     assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 2e-6
     assert 0.0 <= r.between_share <= 1.0
+
+
+@needs_testdata
+def test_ipf_margins_converge(spark):
+    rows = q.QUERIES["ipf_raking_weights"](spark, SF_DIR).collect()
+    assert len(rows) == 25
+    n_sample = sum(r.n_sample for r in rows)
+    weighted = sum(r.weighted_n for r in rows)
+    # calibration preserves the sample total (targets scaled to it)
+    assert abs(weighted - n_sample) / n_sample < 0.02
+    for r in rows:
+        assert r.weight > 0
