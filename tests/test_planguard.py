@@ -233,6 +233,7 @@ R6C_QUERIES = [
     "qn_scale_daily",
     "theil_index_decomposition",
     "ipf_raking_weights",
+    "burrows_delta_sources",
 ]
 
 

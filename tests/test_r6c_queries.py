@@ -581,3 +581,14 @@ def test_ipf_margins_converge(spark):
     assert abs(weighted - n_sample) / n_sample < 0.02
     for r in rows:
         assert r.weight > 0
+
+
+@needs_testdata
+def test_burrows_delta_structure(spark):
+    rows = q.QUERIES["burrows_delta_sources"](spark, SF_DIR).collect()
+    assert rows
+    ds = [r.delta for r in rows]
+    assert ds == sorted(ds)
+    for r in rows:
+        assert r.delta >= 0.0
+        assert r.source_a < r.source_b
