@@ -234,6 +234,7 @@ R6C_QUERIES = [
     "theil_index_decomposition",
     "ipf_raking_weights",
     "burrows_delta_sources",
+    "avg_neighbor_degree_curve",
 ]
 
 

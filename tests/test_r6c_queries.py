@@ -592,3 +592,12 @@ def test_burrows_delta_structure(spark):
     for r in rows:
         assert r.delta >= 0.0
         assert r.source_a < r.source_b
+
+
+@needs_testdata
+def test_avg_neighbor_degree_curve(spark):
+    rows = q.QUERIES["avg_neighbor_degree_curve"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.k >= 1 and r.n_nodes >= 1
+        assert r.knn_k >= 1.0  # every neighbor has degree >= 1
