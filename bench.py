@@ -193,6 +193,18 @@ HEADLINE = [
     "embedding_covariance_spectrum",
     "densest_subgraph_suppliers",
     "containment_neardup_docs",
+    # round-6 third wave: recursion-shaped graph ops (closure,
+    # eigenvector, temporal reach), exact inference on shared lgamma
+    # text, AMS F2, leakage-free encoding, adstock MMM, compaction
+    "eigenvector_centrality_suppliers",
+    "hierarchy_rollup_parts",
+    "temporal_reach_suppliers",
+    "fisher_exact_priority_status",
+    "bayes_ab_conversion",
+    "ams_f2_tokens",
+    "target_encoding_oof",
+    "adstock_ols_events",
+    "compaction_packing_plan",
 ]
 
 

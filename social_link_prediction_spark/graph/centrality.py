@@ -204,3 +204,67 @@ def katz_centrality(
         # |V|-row frames in the cache for the life of the session.
         x = x.localCheckpoint()
     return x.select("id", F.col("x").alias("katz"))
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Eigenvector centrality by max-normalized power iteration.
+
+    Bonacich (1972): x proportional to A x — a node is central in
+    proportion to the centrality of its in-neighbors, with NO damping
+    (Katz's alpha) and NO degree normalization (PageRank's 1/deg):
+    the remaining member of the influence-ranking family the
+    reference's graph analysis exposes (core/analysis/
+    graph_analysis.py degree/pagerank). Fixed-round recursion
+
+        x_0(v) = 1;  y_{t+1}(v) = sum_{(u,v) in E} x_t(u);
+        x_{t+1} = y_{t+1} / max(y_{t+1})
+
+    L-infinity normalization instead of L2: the per-round max is a
+    single exactly-reproducible scalar (no summation-order drift in a
+    max), so the unrolled recursion replays verbatim in a SQL oracle;
+    the normalized fixed point is the same dominant eigenvector.
+
+    Per round: one keyed join (scores onto edge sources), one keyed
+    sum, one scalar max (driver-sized), one select — the Katz shuffle
+    shape plus a broadcastable 1-row reduction. Scores frame is |V|
+    rows, localCheckpointed per round (lineage cut, GC-reclaimable).
+    Isolated vertices keep score 0 after the first round. Rows:
+    (id, eig).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .dropDuplicates()
+        .persist()
+    )
+    vtx = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist()
+    )
+    x = vtx.select("id", F.lit(1.0).alias("x"))
+    for _ in range(rounds):
+        inflow = (
+            e.join(x.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("x").alias("s"))
+        )
+        y = vtx.join(inflow, "id", "left").select(
+            "id", F.coalesce(F.col("s"), F.lit(0.0)).alias("y")
+        )
+        mx = y.agg(F.max("y").alias("m"))
+        x = y.crossJoin(F.broadcast(mx)).select(
+            "id",
+            F.when(F.col("m") > 0, F.col("y") / F.col("m"))
+            .otherwise(F.lit(0.0))
+            .alias("x"),
+        )
+        x = x.localCheckpoint()
+    return x.select("id", F.col("x").alias("eig"))

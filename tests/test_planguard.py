@@ -238,8 +238,25 @@ R6C_QUERIES = [
 ]
 
 
+# round-6 third wave: recursion-shaped graph ops, exact combinatorial
+# inference on the shared-lgamma text, sketch/encoding/packing planners
+R6D_QUERIES = [
+    "eigenvector_centrality_suppliers",
+    "hierarchy_rollup_parts",
+    "temporal_reach_suppliers",
+    "fisher_exact_priority_status",
+    "bayes_ab_conversion",
+    "ams_f2_tokens",
+    "target_encoding_oof",
+    "adstock_ols_events",
+    "compaction_packing_plan",
+]
+
+
 @needs_testdata
-@pytest.mark.parametrize("name", NEW_QUERIES + R5_QUERIES + R6C_QUERIES)
+@pytest.mark.parametrize(
+    "name", NEW_QUERIES + R5_QUERIES + R6C_QUERIES + R6D_QUERIES
+)
 def test_no_cartesian_or_python_rowloop(spark, name):
     df = q.QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()

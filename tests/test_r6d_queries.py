@@ -1,0 +1,218 @@
+"""Law tests for the round-6 third-wave families — independent ground
+truth the DuckDB parity gate can't provide (it replays the same
+algebra): Fisher/Bayes exact probabilities recomputed with
+math.lgamma, closure rollups recomputed from the partkey digits,
+eigenvector normalization invariants, temporal-reachability seed
+laws, AMS moment inequalities, leakage-free-encoding identities,
+adstock OLS recomputed in numpy, and bin-packing conservation laws.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from social_link_prediction_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _lfact(k: float) -> float:
+    return math.lgamma(k + 1.0)
+
+
+@needs_testdata
+def test_fisher_exact_matches_lgamma_ground_truth(spark):
+    r = q.QUERIES["fisher_exact_priority_status"](spark, SF_DIR).collect()[0]
+    a, b, c, d = r.n11, r.n12, r.n21, r.n22
+    n, r1, c1 = a + b + c + d, a + b, a + c
+
+    def logp(k):
+        return (
+            _lfact(r1) - _lfact(k) - _lfact(r1 - k)
+            + _lfact(n - r1) - _lfact(c1 - k) - _lfact(n - r1 - c1 + k)
+            - (_lfact(n) - _lfact(c1) - _lfact(n - c1))
+        )
+
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    lobs = logp(a)
+    p_two = sum(math.exp(logp(k)) for k in range(lo, hi + 1)
+                if logp(k) <= lobs + 1e-7)
+    p_left = sum(math.exp(logp(k)) for k in range(lo, a + 1))
+    p_right = sum(math.exp(logp(k)) for k in range(a, hi + 1))
+    assert abs(r.p_two_sided - p_two) < 1e-5
+    assert abs(r.p_left - p_left) < 1e-5
+    assert abs(r.p_right - p_right) < 1e-5
+    # the tail identity: both one-sided tails include P(K = a)
+    assert r.p_left + r.p_right >= 1.0 - 1e-6
+    assert 0.0 <= r.p_two_sided <= 1.0 + 1e-9
+    assert r.odds_ratio >= 0.0
+
+
+@needs_testdata
+def test_bayes_ab_matches_lgamma_ground_truth(spark):
+    r = q.QUERIES["bayes_ab_conversion"](spark, SF_DIR).collect()[0]
+    aa, ba = 1.0 + r.conv_a, 1.0 + r.n_a - r.conv_a
+    ab, bb = 1.0 + r.conv_b, 1.0 + r.n_b - r.conv_b
+
+    def lbeta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    p = sum(
+        math.exp(
+            lbeta(aa + i, ba + bb) - math.log(bb + i)
+            - lbeta(1.0 + i, bb) - lbeta(aa, ba)
+        )
+        for i in range(int(ab))
+    )
+    assert abs(r.p_b_beats_a - p) < 1e-5
+    assert 0.0 <= r.p_b_beats_a <= 1.0 + 1e-9
+    # direction consistency: with symmetric priors and comparable n,
+    # the posterior favors the arm with the higher observed rate
+    if abs(r.rate_b - r.rate_a) > 0.01:
+        assert (r.p_b_beats_a > 0.5) == (r.rate_b > r.rate_a)
+
+
+@needs_testdata
+def test_hierarchy_rollup_partitions_the_forest(spark):
+    rows = q.QUERIES["hierarchy_rollup_parts"](spark, SF_DIR).collect()
+    part = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    n_parts = part.count()
+    total_retail = part.agg(F.sum("p_retailprice")).first()[0]
+    roots = [r for r in rows if r.anc_id < 10]
+    # every part reduces digit-by-digit to exactly one single-digit
+    # root, so the root subtrees PARTITION the forest
+    assert sum(r.n_subtree for r in roots) == n_parts
+    assert abs(sum(r.subtree_retail for r in roots) - total_retail) < 1e-2
+    # ancestor 1 holds the deepest chain: depth == digits(maxkey) - 1
+    max_key = part.agg(F.max("p_partkey")).first()[0]
+    got = {r.anc_id: r for r in rows}
+    assert got[1].max_depth == len(str(max_key)) - 1
+    # two-digit ancestors nest inside their own root strictly
+    for r in rows:
+        if 10 <= r.anc_id < 100:
+            assert r.n_subtree < got[r.anc_id // 10].n_subtree
+
+
+@needs_testdata
+def test_eigenvector_normalization_laws(spark):
+    rows = q.QUERIES["eigenvector_centrality_suppliers"](spark, SF_DIR).collect()
+    scores = [r.eig for r in rows]
+    assert max(scores) == pytest.approx(1.0, abs=1e-6)
+    assert all(0.0 <= s <= 1.0 + 1e-9 for s in scores)
+    # the dominant eigenvector of a connected non-bipartite graph is
+    # strictly positive; sampled graph may have isolates in vtx only
+    # if edges exist, so just require SOME mass beyond the max node
+    assert sum(1 for s in scores if s > 0) >= 2
+
+
+@needs_testdata
+def test_temporal_reachability_seed_laws(spark):
+    rows = q.QUERIES["temporal_reach_suppliers"](spark, SF_DIR).collect()
+    got = {r.id: r.arrival for r in rows}
+    sup = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    seeds = [
+        r.s_suppkey for r in sup.select("s_suppkey").collect()
+        if r.s_suppkey % 29 == 3
+    ]
+    for s in seeds:
+        assert got[s] == 0  # seeds are reached at t = 0
+    for v, t in got.items():
+        if v not in seeds:
+            assert 0 <= t < 1000  # arrivals ride edge timestamps
+
+
+@needs_testdata
+def test_ams_f2_moment_laws(spark):
+    r = q.QUERIES["ams_f2_tokens"](spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from social_link_prediction_spark.pipelines import text as ptx
+
+    total = docs.select(F.explode(ptx.tokens("text")).alias("t")).count()
+    # F2 >= F1^2 / F0 (Cauchy-Schwarz) and F2 >= F1 (counts >= 1)
+    assert r.f2_exact >= total
+    assert r.f2_exact * r.vocab >= total * total
+    assert r.f2_est > 0
+    # 16 averaged sign-counters: relative error stays well inside the
+    # AMS variance envelope sqrt(2/16) ~ 0.35 x a safety factor
+    assert r.rel_err < 1.0
+
+
+@needs_testdata
+def test_target_encoding_is_leakage_free(spark):
+    rows = q.QUERIES["target_encoding_oof"](spark, SF_DIR).collect()
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    cnts = defaultdict(int)
+    for r in o:
+        sums[(r.o_orderpriority, r.o_orderkey % 5)] += r.o_totalprice
+        cnts[(r.o_orderpriority, r.o_orderkey % 5)] += 1
+    for row in rows:
+        s_all = sum(v for (p, f), v in sums.items() if p == row.priority)
+        c_all = sum(v for (p, f), v in cnts.items() if p == row.priority)
+        s_f = sums[(row.priority, row.fold)]
+        c_f = cnts[(row.priority, row.fold)]
+        expect = (s_all - s_f) / (c_all - c_f)
+        assert row.oof_mean == pytest.approx(expect, rel=1e-9)
+        assert row.n_in_fold == c_f
+
+
+@needs_testdata
+def test_adstock_ols_matches_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["adstock_ols_events"](spark, SF_DIR).collect()[0]
+    ev = q._t(spark, SF_DIR, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    )
+    daily = (
+        ev.groupBy("d")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+        .collect()
+    )
+    days = sorted(daily, key=lambda x: x.d)
+    xs, ys = [], []
+    for i, a in enumerate(days):
+        ad = sum(
+            b.c * 0.6 ** (a.d - b.d).days
+            for b in days
+            if 0 <= (a.d - b.d).days <= 13
+        )
+        xs.append(ad)
+        ys.append(float(a.p))
+    x, y = np.array(xs), np.array(ys)
+    sxy = ((x - x.mean()) * (y - y.mean())).sum()
+    slope = sxy / ((x - x.mean()) ** 2).sum()
+    r2 = sxy * sxy / (((x - x.mean()) ** 2).sum() * ((y - y.mean()) ** 2).sum())
+    assert r.n_days == len(days)
+    assert r.slope == pytest.approx(slope, abs=1e-5)
+    assert r.r2 == pytest.approx(r2, abs=1e-5)
+    assert 0.0 <= r.r2 <= 1.0 + 1e-9
+
+
+@needs_testdata
+def test_compaction_packing_conservation(spark):
+    r = q.QUERIES["compaction_packing_plan"](spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    n_rows = li.count()
+    assert r.total_bytes == 128 * n_rows  # byte conservation
+    assert r.n_files == min(499, n_rows)
+    # cumulative-offset packing: bins cover the byte range exactly
+    assert r.n_bins >= math.ceil(r.total_bytes / 262144.0) - 1
+    assert r.n_bins <= r.n_files
+    # a bin overflows the target by at most one file's bytes
+    assert r.max_bin_bytes <= 262144 + 128 * n_rows
+    assert 0.0 < r.avg_fill
