@@ -205,6 +205,12 @@ HEADLINE = [
     "target_encoding_oof",
     "adstock_ols_events",
     "compaction_packing_plan",
+    # third wave part 4: Boruvka MST (Prim-CTE oracle), live-edge
+    # cascade, Cox PH by unrolled Newton, Kneser-Ney bigram scoring
+    "mst_nation_trade",
+    "independent_cascade_spread",
+    "cox_ph_conversion",
+    "kneser_ney_bigram_docs",
 ]
 
 

@@ -140,3 +140,41 @@ def temporal_reachability(
         )
     e.unpersist()
     return arrival
+
+
+def bfs_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Earliest-activation rounds of a multi-seed BFS: (id, round)
+    with round 0 = seed, round r = first reached in r hops (within
+    ``max_rounds``). The collective-frontier twin of the per-source
+    ``multi_source_shortest_paths`` — one frontier for ALL seeds, so
+    an independent-cascade / reachability job is max_rounds keyed
+    joins + min-merges regardless of seed count. Per round the
+    frontier joins the edge list, subtracts already-activated nodes
+    (one merge agg), and is checkpointed."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).persist()
+    act = seeds.select(
+        F.col("id").cast("long").alias("id"),
+        F.lit(0).cast("int").alias("round"),
+    ).localCheckpoint()
+    frontier = act
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"))
+            .distinct()
+            .join(act.select("id"), "id", "left_anti")
+            .select("id", F.lit(r).cast("int").alias("round"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        act = act.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return act

@@ -250,6 +250,10 @@ R6D_QUERIES = [
     "target_encoding_oof",
     "adstock_ols_events",
     "compaction_packing_plan",
+    "mst_nation_trade",
+    "independent_cascade_spread",
+    "cox_ph_conversion",
+    "kneser_ney_bigram_docs",
 ]
 
 

@@ -216,3 +216,173 @@ def test_compaction_packing_conservation(spark):
     # a bin overflows the target by at most one file's bytes
     assert r.max_bin_bytes <= 262144 + 128 * n_rows
     assert 0.0 < r.avg_fill
+
+
+@needs_testdata
+def test_mst_matches_python_kruskal(spark):
+    """Third-algorithm check: Boruvka (engine) == Prim (oracle) is the
+    parity gate; here Kruskal with the same (w, u, v) total order must
+    produce the identical tree from the raw pair weights."""
+    rows = q.QUERIES["mst_nation_trade"](spark, SF_DIR).collect()
+    got = {(r.u, r.v): r.w for r in rows}
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    s = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").cast("long").alias("u"),
+            F.greatest("c_nationkey", "s_nationkey").cast("long").alias("v"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("u", "v")
+        .agg(F.round(F.sum("rev"), 2).alias("w"))
+        .collect()
+    )
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = {}
+    for e in sorted(pairs, key=lambda e: (e.w, e.u, e.v)):
+        ru, rv = find(e.u), find(e.v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal[(e.u, e.v)] = e.w
+    assert got == kruskal
+    nodes = {e.u for e in pairs} | {e.v for e in pairs}
+    assert len(rows) == len(nodes) - 1  # spanning and connected
+
+
+@needs_testdata
+def test_cascade_matches_python_bfs(spark):
+    rows = q.QUERIES["independent_cascade_spread"](spark, SF_DIR).collect()
+    got = {r.round: r.n_activated for r in rows}
+    from social_link_prediction_spark.graph import testgraph as tg
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    sup = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    nodes = tg.supplier_nodes(sup)
+    live = (
+        tg.sampled_edges(nodes, 500, "casc", directed=True)
+        .filter(
+            hash60(F.format_string("%d-%d", "src", "dst"), F.lit("cascp"))
+            % 100
+            < 30
+        )
+        .collect()
+    )
+    adj = {}
+    for e in live:
+        adj.setdefault(e.src, []).append(e.dst)
+    seeds = {r.id for r in nodes.collect() if r.id % 37 == 5}
+    lvl, frontier, seen = {0: len(seeds)}, set(seeds), set(seeds)
+    for r in range(1, 5):
+        nxt = {w for u in frontier for w in adj.get(u, [])} - seen
+        if not nxt:
+            break
+        lvl[r] = len(nxt)
+        seen |= nxt
+        frontier = nxt
+    assert got == lvl
+
+
+@needs_testdata
+def test_cox_matches_numpy_newton(spark):
+    import numpy as np
+
+    r = q.QUERIES["cox_ph_conversion"](spark, SF_DIR).collect()[0]
+    ev = q._t(spark, SF_DIR, "events")
+    obs_end = ev.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("first_d"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("ts").cast("date")
+                )
+            ).alias("purch_d"),
+        )
+        .collect()
+    )
+    recs = []
+    for u in pu:
+        evn = 1 if u.purch_d is not None else 0
+        end = u.purch_d if evn else obs_end
+        recs.append(((end - u.first_d).days, u.user_id % 2, evn))
+    durs = sorted({d for d, x, e in recs if e})
+    beta = 0.0
+    for _ in range(6):
+        U = I = 0.0
+        for d in durs:
+            dk = sum(e for dd, x, e in recs if dd == d)
+            sx = sum(e * x for dd, x, e in recs if dd == d)
+            r1 = sum(x for dd, x, e in recs if dd >= d)
+            r0 = sum(1 - x for dd, x, e in recs if dd >= d)
+            w = r1 * np.exp(beta)
+            U += sx - dk * w / (w + r0)
+            I += dk * w * r0 / (w + r0) ** 2
+        beta += U / I
+    assert r.beta == pytest.approx(beta, abs=1e-4)
+    assert r.hazard_ratio == pytest.approx(float(np.exp(beta)), abs=1e-3)
+    assert r.n_users == len(recs)
+    assert r.n_events == sum(e for _, _, e in recs)
+    assert r.se > 0
+    assert r.z == pytest.approx(r.beta / r.se, abs=1e-3)
+
+
+@needs_testdata
+def test_kneser_ney_probabilities_normalize(spark):
+    """KN identity: for any seen context v, sum over the FULL vocab of
+    p(w|v) = [1 - D·N1+(v,·)/c(v)] + D·N1+(v,·)/c(v) · sum_w p_cont(w)
+    = 1, because continuation probabilities sum to exactly 1."""
+    r = q.QUERIES["kneser_ney_bigram_docs"](spark, SF_DIR).collect()[0]
+    assert r.n_test_bigrams > 0
+    assert 0.0 <= r.oov_context_rate <= 1.0
+    assert 0.0 <= r.oov_word_rate <= 1.0
+    assert r.perplexity == pytest.approx(
+        math.exp(-r.mean_logprob), rel=1e-3
+    )
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from social_link_prediction_spark.pipelines import text as ptx
+
+    t = docs.filter(F.col("doc_id") % 10 != 0).select(
+        ptx.tokens("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("v"), F.col("p.1").alias("w"))
+    bi = bg.groupBy("v", "w").count().collect()
+    from collections import defaultdict
+
+    c1 = defaultdict(int)
+    n1f = defaultdict(int)
+    n1r = defaultdict(int)
+    for row in bi:
+        c1[row.v] += row["count"]
+        n1f[row.v] += 1
+        n1r[row.w] += 1
+    T = len(bi)
+    ctxs = sorted(c1, key=lambda v: -c1[v])[:3]
+    for v in ctxs:
+        seen_mass = sum(
+            max(row["count"] - 0.75, 0.0) / c1[v]
+            for row in bi
+            if row.v == v
+        )
+        cont_mass = 0.75 * n1f[v] / c1[v] * sum(n1r.values()) / T
+        assert seen_mass + cont_mass == pytest.approx(1.0, abs=1e-9)
