@@ -211,6 +211,12 @@ HEADLINE = [
     "independent_cascade_spread",
     "cox_ph_conversion",
     "kneser_ney_bigram_docs",
+    # third wave part 5: calibration fit, sBG churn, LM retrieval,
+    # Good-Turing smoothing
+    "platt_calibration_scores",
+    "sbg_churn_fit",
+    "ql_dirichlet_search_docs",
+    "good_turing_counts",
 ]
 
 

@@ -254,6 +254,10 @@ R6D_QUERIES = [
     "independent_cascade_spread",
     "cox_ph_conversion",
     "kneser_ney_bigram_docs",
+    "platt_calibration_scores",
+    "sbg_churn_fit",
+    "ql_dirichlet_search_docs",
+    "good_turing_counts",
 ]
 
 

@@ -386,3 +386,138 @@ def test_kneser_ney_probabilities_normalize(spark):
         )
         cont_mass = 0.75 * n1f[v] / c1[v] * sum(n1r.values()) / T
         assert seen_mass + cont_mass == pytest.approx(1.0, abs=1e-9)
+
+
+@needs_testdata
+def test_platt_matches_numpy_newton(spark):
+    import numpy as np
+
+    r = q.QUERIES["platt_calibration_scores"](spark, SF_DIR).collect()[0]
+    cst = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_custkey"
+    ).distinct()
+    rows = (
+        cst.join(o, cst.c_custkey == o.o_custkey, "left")
+        .select(
+            (1.0 / (1.0 + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias("x"),
+            F.col("o_custkey").isNotNull().cast("int").alias("y"),
+        )
+        .collect()
+    )
+    x = np.array([w.x for w in rows])
+    y = np.array([float(w.y) for w in rows])
+    a = b = 0.0
+    for _ in range(8):
+        p = 1.0 / (1.0 + np.exp(-(a * x + b)))
+        g1, g2 = ((y - p) * x).sum(), (y - p).sum()
+        w = p * (1 - p)
+        h11, h12, h22 = (w * x * x).sum(), (w * x).sum(), w.sum()
+        det = h11 * h22 - h12 * h12
+        a += (h22 * g1 - h12 * g2) / det
+        b += (h11 * g2 - h12 * g1) / det
+    p = 1.0 / (1.0 + np.exp(-(a * x + b)))
+    logloss = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert r.a == pytest.approx(a, abs=1e-4)
+    assert r.b == pytest.approx(b, abs=1e-4)
+    assert r.logloss == pytest.approx(logloss, abs=1e-5)
+    # the MLE fit is at least as good as the uninformed p=0.5 model
+    assert r.logloss <= math.log(2.0) + 1e-9
+    assert r.n_pos + r.n_neg == len(rows)
+
+
+@needs_testdata
+def test_sbg_matches_python_grid_mle(spark):
+    r = q.QUERIES["sbg_churn_fit"](spark, SF_DIR).collect()[0]
+    ev = q._t(spark, SF_DIR, "events")
+    obs_end = ev.agg(F.max(F.col("ts").cast("date"))).first()[0]
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("f"),
+            F.max(F.col("ts").cast("date")).alias("l"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    byt = Counter()
+    for u in pu:
+        t = (u.l - u.f).days // 7 + 1
+        churned = (obs_end - u.l).days > 7
+        byt[(t, churned)] += 1
+
+    def lbeta(x, y):
+        return math.lgamma(x) + math.lgamma(y) - math.lgamma(x + y)
+
+    best = None
+    for ga in range(1, 21):
+        for gb in range(1, 21):
+            al, be = ga * 0.25, gb * 0.25
+            ll = 0.0
+            for (t, churned), n in byt.items():
+                if churned:
+                    ll += n * (lbeta(al + 1, be + t - 1) - lbeta(al, be))
+                else:
+                    ll += n * (lbeta(al, be + t) - lbeta(al, be))
+            key = (-ll, al, be)
+            if best is None or key < best[0]:
+                best = (key, al, be, ll)
+    assert r.alpha == pytest.approx(best[1])
+    assert r.beta == pytest.approx(best[2])
+    assert r.loglik == pytest.approx(best[3], abs=1e-4)
+    # retention curve laws: S(1) > S(2) > S(3), all in (0, 1)
+    assert 1.0 > r.retention_1 > r.retention_2 > r.retention_3 > 0.0
+
+
+@needs_testdata
+def test_ql_dirichlet_matches_python(spark):
+    rows = q.QUERIES["ql_dirichlet_search_docs"](spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 10
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    toks = [
+        (d.doc_id, [t for t in d.text.split(" ") if t])
+        for d in docs.collect()
+    ]
+    ctot = sum(len(t) for _, t in toks)
+    terms = ("spark", "join", "fast")
+    cf = {w: sum(t.count(w) for _, t in toks) for w in terms}
+    scores = {}
+    for doc_id, t in toks:
+        if not any(w in t for w in terms):
+            continue
+        s = sum(
+            math.log((t.count(w) + 100.0 * cf[w] / ctot) / (len(t) + 100.0))
+            for w in terms
+        )
+        scores[doc_id] = round(s, 6)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.doc_id, r.ql_score) for r in rows] == [
+        (d, pytest.approx(s, abs=1e-6)) for d, s in top
+    ]
+    # LM scores are log-probabilities of a 3-term query: all negative
+    assert all(r.ql_score < 0 for r in rows)
+
+
+@needs_testdata
+def test_good_turing_laws(spark):
+    rows = q.QUERIES["good_turing_counts"](spark, SF_DIR).collect()
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from collections import Counter
+
+    cnt = Counter()
+    for d in docs.collect():
+        cnt.update(t for t in d.text.split(" ") if t)
+    fof = Counter(cnt.values())
+    N = sum(cnt.values())
+    got = {r.r: r for r in rows}
+    for r_val, n_r in fof.items():
+        if r_val <= 10:
+            assert got[r_val].n_r == n_r
+            assert got[r_val].n_r_plus_1 == fof.get(r_val + 1, 0)
+            if fof.get(r_val + 1):
+                expect = (r_val + 1) * fof[r_val + 1] / n_r
+                assert got[r_val].r_star == pytest.approx(expect, abs=1e-6)
+    for r in rows:
+        assert r.p_unseen == pytest.approx(fof[1] / N, abs=1e-6)
+        assert 0.0 < r.p_unseen < 1.0
