@@ -217,6 +217,12 @@ HEADLINE = [
     "sbg_churn_fit",
     "ql_dirichlet_search_docs",
     "good_turing_counts",
+    # third wave part 6: off-policy eval, coherent forecasts, EM
+    # soft clustering, gamma-gamma CLV spend
+    "ips_policy_eval",
+    "hierarchical_forecast_reconciliation",
+    "em_gaussian_mixture_price",
+    "gamma_gamma_spend_fit",
 ]
 
 

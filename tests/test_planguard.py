@@ -258,6 +258,10 @@ R6D_QUERIES = [
     "sbg_churn_fit",
     "ql_dirichlet_search_docs",
     "good_turing_counts",
+    "ips_policy_eval",
+    "hierarchical_forecast_reconciliation",
+    "em_gaussian_mixture_price",
+    "gamma_gamma_spend_fit",
 ]
 
 

@@ -521,3 +521,152 @@ def test_good_turing_laws(spark):
     for r in rows:
         assert r.p_unseen == pytest.approx(fof[1] / N, abs=1e-6)
         assert 0.0 < r.p_unseen < 1.0
+
+
+@needs_testdata
+def test_ips_policy_eval_matches_python(spark):
+    r = q.QUERIES["ips_policy_eval"](spark, SF_DIR).collect()[0]
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    ev = q._t(spark, SF_DIR, "events")
+    pu = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("rw"),
+            (F.sum((F.col("event_type") == "click").cast("int")) % 3).alias(
+                "pi_arm"
+            ),
+        )
+        .select(
+            "*",
+            (hash60(F.col("user_id").cast("string"), F.lit("arm")) % 3).alias(
+                "arm"
+            ),
+        )
+        .collect()
+    )
+    qhat = {}
+    for a in (0, 1, 2):
+        xs = [u.rw for u in pu if u.arm == a]
+        qhat[a] = sum(xs) / len(xs) if xs else 0.0
+    n = len(pu)
+    logged = sum(u.rw for u in pu) / n
+    ips = sum(3.0 * u.rw for u in pu if u.arm == u.pi_arm) / n
+    dm = sum(qhat[u.pi_arm] for u in pu) / n
+    dr = (
+        sum(
+            qhat[u.pi_arm]
+            + (3.0 * (u.rw - qhat[u.pi_arm]) if u.arm == u.pi_arm else 0.0)
+            for u in pu
+        )
+        / n
+    )
+    assert r.n_users == n
+    assert r.logged_value == pytest.approx(logged, abs=1e-6)
+    assert r.ips_value == pytest.approx(ips, abs=1e-6)
+    assert r.dm_value == pytest.approx(dm, abs=1e-6)
+    assert r.dr_value == pytest.approx(dr, abs=1e-6)
+
+
+@needs_testdata
+def test_hierarchical_reconciliation_is_coherent(spark):
+    rows = q.QUERIES["hierarchical_forecast_reconciliation"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) >= 2
+    # coherence BY CONSTRUCTION: shares sum to 1, so reconciled
+    # forecasts sum to the top-level forecast exactly
+    assert sum(r.share_28d for r in rows) == pytest.approx(1.0, abs=1e-4)
+    total_rec = sum(r.reconciled_forecast for r in rows)
+    # recompute the top forecast independently
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    mx = daily.agg(F.max("d")).first()[0]
+    top = (
+        daily.filter(F.col("d") > F.date_sub(F.lit(mx), 7))
+        .agg(F.sum("rev") / 7.0)
+        .first()[0]
+    )
+    assert total_rec == pytest.approx(top, rel=1e-4)
+
+
+@needs_testdata
+def test_em_mixture_matches_numpy_and_is_monotone(spark):
+    import numpy as np
+
+    r = q.QUERIES["em_gaussian_mixture_price"](spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    y = np.array(
+        [w.y for w in o.filter(F.col("o_totalprice") > 0)
+         .select(F.log("o_totalprice").alias("y")).collect()]
+    )
+    m, s = y.mean(), math.sqrt((y * y).mean() - y.mean() ** 2)
+    mu1, mu2, s1, s2, p = m - s, m + s, s, s, 0.5
+    c = 1.0 / math.sqrt(2 * math.pi)
+
+    def ll(mu1, mu2, s1, s2, p):
+        d1 = np.exp(-((y - mu1) ** 2) / (2 * s1 * s1)) / s1
+        d2 = np.exp(-((y - mu2) ** 2) / (2 * s2 * s2)) / s2
+        return np.log(c * (p * d2 + (1 - p) * d1)).sum()
+
+    lls = [ll(mu1, mu2, s1, s2, p)]
+    for _ in range(4):
+        d1 = np.exp(-((y - mu1) ** 2) / (2 * s1 * s1)) / s1
+        d2 = np.exp(-((y - mu2) ** 2) / (2 * s2 * s2)) / s2
+        r2 = p * d2 / (p * d2 + (1 - p) * d1)
+        n2, n1 = r2.sum(), (1 - r2).sum()
+        mu2, mu1 = (r2 * y).sum() / n2, ((1 - r2) * y).sum() / n1
+        s2 = math.sqrt(max((r2 * y * y).sum() / n2 - mu2 * mu2, 1e-12))
+        s1 = math.sqrt(max(((1 - r2) * y * y).sum() / n1 - mu1 * mu1, 1e-12))
+        p = n2 / len(y)
+        lls.append(ll(mu1, mu2, s1, s2, p))
+    assert r.pi2 == pytest.approx(p, abs=1e-4)
+    assert r.mu1 == pytest.approx(mu1, abs=1e-4)
+    assert r.mu2 == pytest.approx(mu2, abs=1e-4)
+    assert r.sigma1 == pytest.approx(s1, abs=1e-4)
+    assert r.sigma2 == pytest.approx(s2, abs=1e-4)
+    assert r.loglik == pytest.approx(lls[-1], abs=1e-2)
+    # THE EM guarantee: the likelihood never decreases
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9
+
+
+@needs_testdata
+def test_gamma_gamma_matches_python_grid(spark):
+    r = q.QUERIES["gamma_gamma_spend_fit"](spark, SF_DIR).collect()[0]
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("xc"), F.avg("o_totalprice").alias("zb"))
+        .collect()
+    )
+    mz = sum(c.zb for c in cust) / len(cust)
+
+    def lg(v):
+        return math.lgamma(v)
+
+    best = None
+    for gp in range(1, 6):
+        for gq in range(1, 6):
+            for gg in range(1, 6):
+                p, qq, g = gp * 0.5, 1.0 + gq * 0.5, gg * mz / 2.0
+                llv = sum(
+                    lg(p * c.xc + qq) - lg(p * c.xc) - lg(qq)
+                    + qq * math.log(g) + (p * c.xc - 1) * math.log(c.zb)
+                    + p * c.xc * math.log(c.xc)
+                    - (p * c.xc + qq) * math.log(g + c.xc * c.zb)
+                    for c in cust
+                )
+                key = (-llv, p, qq, g)
+                if best is None or key < best[0]:
+                    best = (key, p, qq, g, llv)
+    assert r.p == pytest.approx(best[1])
+    assert r.q == pytest.approx(best[2])
+    assert r.g == pytest.approx(best[3], rel=1e-6)
+    assert r.loglik == pytest.approx(best[4], abs=1e-2)
+    assert r.expected_spend == pytest.approx(
+        best[1] * best[3] / (best[2] - 1.0), rel=1e-4
+    )
+    assert r.expected_spend > 0
