@@ -223,6 +223,12 @@ HEADLINE = [
     "hierarchical_forecast_reconciliation",
     "em_gaussian_mixture_price",
     "gamma_gamma_spend_fit",
+    # third wave part 7: probabilistic record linkage, competing
+    # risks, spectral bisection coordinates, panel FE elasticity
+    "fellegi_sunter_em",
+    "competing_risks_cif",
+    "fiedler_scores_suppliers",
+    "panel_fe_elasticity",
 ]
 
 

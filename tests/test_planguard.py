@@ -262,6 +262,10 @@ R6D_QUERIES = [
     "hierarchical_forecast_reconciliation",
     "em_gaussian_mixture_price",
     "gamma_gamma_spend_fit",
+    "fellegi_sunter_em",
+    "competing_risks_cif",
+    "fiedler_scores_suppliers",
+    "panel_fe_elasticity",
 ]
 
 

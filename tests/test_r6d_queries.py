@@ -670,3 +670,161 @@ def test_gamma_gamma_matches_python_grid(spark):
         best[1] * best[3] / (best[2] - 1.0), rel=1e-4
     )
     assert r.expected_spend > 0
+
+
+@needs_testdata
+def test_fellegi_sunter_matches_python_em(spark):
+    r = q.QUERIES["fellegi_sunter_em"](spark, SF_DIR).collect()[0]
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    c = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet")).collect()
+    import hashlib
+    from collections import Counter, defaultdict
+
+    def h60(s, salt):
+        m = hashlib.md5(f"{s}\x1f{salt}".encode()).hexdigest()[:15]
+        return int(m, 16)
+
+    by_nation = defaultdict(list)
+    for row in c:
+        by_nation[row.c_nationkey].append(row)
+    pat = Counter()
+    for rows in by_nation.values():
+        rows = sorted(rows, key=lambda x: x.c_custkey)
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i], rows[j]
+                if h60(f"{a.c_custkey}-{b.c_custkey}", "fs") % 10 >= 3:
+                    continue
+                g = (
+                    int(a.c_mktsegment == b.c_mktsegment),
+                    int(abs(a.c_acctbal - b.c_acctbal) < 500),
+                    int(a.c_custkey % 10 == b.c_custkey % 10),
+                )
+                pat[g] += 1
+    pm, m, u = 0.1, [0.9] * 3, [0.5] * 3
+    for _ in range(6):
+        sw = swn = 0.0
+        swg = [0.0] * 3
+        sug = [0.0] * 3
+        su = 0.0
+        for g, n in pat.items():
+            num = pm
+            den_u = 1 - pm
+            for i in range(3):
+                num *= m[i] if g[i] else 1 - m[i]
+                den_u *= u[i] if g[i] else 1 - u[i]
+            w = num / (num + den_u)
+            sw += w * n
+            su += (1 - w) * n
+            swn += n
+            for i in range(3):
+                swg[i] += w * n * g[i]
+                sug[i] += (1 - w) * n * g[i]
+        pm = sw / swn
+        m = [swg[i] / sw for i in range(3)]
+        u = [sug[i] / su for i in range(3)]
+    assert r.n_pairs == sum(pat.values())
+    assert r.p_match == pytest.approx(pm, abs=1e-5)
+    for i, (mv, uv) in enumerate(zip(m, u), 1):
+        assert getattr(r, f"m{i}") == pytest.approx(mv, abs=1e-5)
+        assert getattr(r, f"u{i}") == pytest.approx(uv, abs=1e-5)
+        assert 0.0 <= getattr(r, f"m{i}") <= 1.0
+        assert 0.0 <= getattr(r, f"u{i}") <= 1.0
+
+
+@needs_testdata
+def test_competing_risks_cif_laws(spark):
+    rows = q.QUERIES["competing_risks_cif"](spark, SF_DIR).collect()
+    assert rows
+    prev1 = prev2 = 0.0
+    for r in rows:
+        # CIFs are nondecreasing step functions that never sum past 1
+        assert r.cif_purchase >= prev1 - 1e-9
+        assert r.cif_click >= prev2 - 1e-9
+        assert r.cif_purchase + r.cif_click <= 1.0 + 1e-6
+        prev1, prev2 = r.cif_purchase, r.cif_click
+
+
+@needs_testdata
+def test_fiedler_scores_match_numpy(spark):
+    import numpy as np
+
+    rows = q.QUERIES["fiedler_scores_suppliers"](spark, SF_DIR).collect()
+    got = {r.id: r.fiedler for r in rows}
+    from social_link_prediction_spark.graph import testgraph as tg
+    from social_link_prediction_spark.ml.linksplit import hash60
+
+    sup = spark.read.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+    nodes = tg.supplier_nodes(sup)
+    e = tg.sampled_edges(nodes, 500, "fied").collect()
+    import hashlib
+
+    def h60(s, salt):
+        return int(
+            hashlib.md5(f"{s}\x1f{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    adj = {}
+    deg = {}
+    for r in e:
+        adj.setdefault(r.src, []).append(r.dst)
+        adj.setdefault(r.dst, []).append(r.src)
+    for k, v in adj.items():
+        deg[k] = len(v)
+    if not deg:
+        pytest.skip("sampled graph empty at this SF")
+    ids = sorted(deg)
+    c = 2 * max(deg.values()) + 1
+    x = {i: (h60(str(i), "fied0") % 1000) * 1e-3 - 0.5 for i in ids}
+    for _ in range(8):
+        y = {
+            i: (c - deg[i]) * x[i] + sum(x[j] for j in adj[i]) for i in ids
+        }
+        mean = sum(y.values()) / len(ids)
+        z = {i: y[i] - mean for i in ids}
+        mx = max(abs(v) for v in z.values())
+        x = {i: (z[i] / mx if mx > 0 else 0.0) for i in ids}
+    for i in ids:
+        assert got[i] == pytest.approx(x[i], abs=1e-4)
+    # deflation keeps the iterate centered; L-inf normalized
+    assert abs(sum(got.values())) / len(got) < 1e-3
+    assert max(abs(v) for v in got.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+@needs_testdata
+def test_panel_fe_matches_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["panel_fe_elasticity"](spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(SF_DIR, "part.parquet"))
+    obs = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            F.col("p_brand").alias("g"),
+            F.log("l_quantity").alias("y"),
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    gx = defaultdict(list)
+    gy = defaultdict(list)
+    for o in obs:
+        gx[o.g].append(o.x)
+        gy[o.g].append(o.y)
+    dx, dy = [], []
+    for g in gx:
+        mx, my = sum(gx[g]) / len(gx[g]), sum(gy[g]) / len(gy[g])
+        dx += [v - mx for v in gx[g]]
+        dy += [v - my for v in gy[g]]
+    dx, dy = np.array(dx), np.array(dy)
+    slope = (dx * dy).sum() / (dx * dx).sum()
+    r2w = (dx * dy).sum() ** 2 / ((dx * dx).sum() * (dy * dy).sum())
+    assert r.n == len(obs)
+    assert r.n_groups == len(gx)
+    assert r.elasticity == pytest.approx(slope, abs=1e-5)
+    assert r.r2_within == pytest.approx(r2w, abs=1e-5)
