@@ -229,6 +229,11 @@ HEADLINE = [
     "competing_risks_cif",
     "fiedler_scores_suppliers",
     "panel_fe_elasticity",
+    # third wave part 8: sketch-windowed WAU, web-scale backoff LM,
+    # propensity matching
+    "rolling_7d_hll_users",
+    "stupid_backoff_trigram_docs",
+    "psm_att_building",
 ]
 
 

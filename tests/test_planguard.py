@@ -266,6 +266,9 @@ R6D_QUERIES = [
     "competing_risks_cif",
     "fiedler_scores_suppliers",
     "panel_fe_elasticity",
+    "rolling_7d_hll_users",
+    "stupid_backoff_trigram_docs",
+    "psm_att_building",
 ]
 
 

@@ -828,3 +828,143 @@ def test_panel_fe_matches_numpy(spark):
     assert r.n_groups == len(gx)
     assert r.elasticity == pytest.approx(slope, abs=1e-5)
     assert r.r2_within == pytest.approx(r2w, abs=1e-5)
+
+
+@needs_testdata
+def test_rolling_hll_agrees_with_exact_twin(spark):
+    hll = q.QUERIES["rolling_7d_hll_users"](spark, SF_DIR).collect()
+    exact = q.QUERIES["rolling_7d_active_users"](spark, SF_DIR).collect()
+    ex = {r.activity_date: r.wau for r in exact}
+    assert len(hll) == len(ex)
+    for r in hll:
+        assert r.wau_exact == ex[r.activity_date]
+        assert r.approx_within_2pct  # the sketch stayed in its band
+
+
+@needs_testdata
+def test_stupid_backoff_matches_python(spark):
+    r = q.QUERIES["stupid_backoff_trigram_docs"](spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    from collections import Counter
+
+    tri, bi, uni = Counter(), Counter(), Counter()
+    test_tris = []
+    for d in docs.collect():
+        toks = [t for t in d.text.split(" ") if t]
+        tris = list(zip(toks, toks[1:], toks[2:]))
+        if d.doc_id % 10 == 0:
+            test_tris += tris
+        else:
+            tri.update(tris)
+            bi.update(zip(toks, toks[1:]))
+            uni.update(toks)
+    cuv = Counter()
+    for (u, v, w), c in tri.items():
+        cuv[(u, v)] += c
+    cv = Counter()
+    for (v, w), c in bi.items():
+        cv[v] += c
+    N = sum(uni.values())
+    logs, lvls = [], Counter()
+    for (u, v, w) in test_tris:
+        if (u, v, w) in tri:
+            s, lvl = tri[(u, v, w)] / cuv[(u, v)], 3
+        elif (v, w) in bi:
+            s, lvl = 0.4 * bi[(v, w)] / cv[v], 2
+        elif w in uni:
+            s, lvl = 0.16 * uni[w] / N, 1
+        else:
+            s, lvl = 1e-10, 0
+        logs.append(math.log(s))
+        lvls[lvl] += 1
+    n = len(test_tris)
+    assert r.n_test_trigrams == n
+    assert r.share_trigram == pytest.approx(lvls[3] / n, abs=1e-6)
+    assert r.share_bigram == pytest.approx(lvls[2] / n, abs=1e-6)
+    assert r.share_unigram == pytest.approx(lvls[1] / n, abs=1e-6)
+    assert r.share_oov == pytest.approx(lvls[0] / n, abs=1e-6)
+    assert r.mean_log_score == pytest.approx(sum(logs) / n, abs=1e-5)
+    # backoff shares partition the held-out trigrams
+    assert (
+        r.share_trigram + r.share_bigram + r.share_unigram + r.share_oov
+        == pytest.approx(1.0, abs=1e-5)
+    )
+    assert r.mean_log_score < 0
+
+
+@needs_testdata
+def test_psm_att_matches_python(spark):
+    import numpy as np
+
+    r = q.QUERIES["psm_att_building"](spark, SF_DIR).collect()[0]
+    cst = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    oc = {
+        w.o_custkey: w.cnt
+        for w in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    rows = [
+        (
+            c.c_custkey,
+            c.c_nationkey,
+            c.c_acctbal / 5000.0,
+            1 if c.c_mktsegment == "BUILDING" else 0,
+            float(oc.get(c.c_custkey, 0)),
+        )
+        for c in cst.collect()
+    ]
+    x = np.array([w[2] for w in rows])
+    t = np.array([float(w[3]) for w in rows])
+    a = b = 0.0
+    for _ in range(6):
+        p = 1.0 / (1.0 + np.exp(-(a * x + b)))
+        g1, g2 = ((t - p) * x).sum(), (t - p).sum()
+        w = p * (1 - p)
+        h11, h12, h22 = (w * x * x).sum(), (w * x).sum(), w.sum()
+        det = h11 * h22 - h12 * h12
+        a += (h22 * g1 - h12 * g2) / det
+        b += (h11 * g2 - h12 * g1) / det
+    p = 1.0 / (1.0 + np.exp(-(a * x + b)))
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for (ck, nk, _x, trt, y), pv in zip(rows, p):
+        blocks[nk].append((pv, ck, trt, y))
+    diffs = []
+    for nk, rws in blocks.items():
+        rws.sort()
+        controls = [(pv, ck, y) for pv, ck, trt, y in rws if trt == 0]
+        if not controls:
+            continue
+        for pv, ck, trt, y in rws:
+            if trt != 1:
+                continue
+            # nearest control in the propensity-sorted block, with the
+            # same prev-on-tie rule as the running windows
+            prev = max(
+                ((cp, cck, cy) for cp, cck, cy in controls
+                 if (cp, cck) <= (pv, ck)),
+                default=None,
+            )
+            nxt = min(
+                ((cp, cck, cy) for cp, cck, cy in controls
+                 if (cp, cck) > (pv, ck)),
+                default=None,
+            )
+            if prev is None:
+                my = nxt[2]
+            elif nxt is None:
+                my = prev[2]
+            else:
+                my = prev[2] if pv - prev[0] <= nxt[0] - pv else nxt[2]
+            diffs.append(y - my)
+    assert r.n_matched == len(diffs)
+    assert r.att == pytest.approx(sum(diffs) / len(diffs), abs=1e-5)
+    nt = [y for _, _, trt, y in
+          [(w[0], w[1], w[3], w[4]) for w in rows] if trt == 1]
+    nc = [y for _, _, trt, y in
+          [(w[0], w[1], w[3], w[4]) for w in rows] if trt == 0]
+    assert r.naive_diff == pytest.approx(
+        sum(nt) / len(nt) - sum(nc) / len(nc), abs=1e-5
+    )
+    assert r.n_treated == len(nt) and r.n_controls == len(nc)
