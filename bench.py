@@ -234,6 +234,11 @@ HEADLINE = [
     "rolling_7d_hll_users",
     "stupid_backoff_trigram_docs",
     "psm_att_building",
+    # third wave part 9: Markov absorption, threshold tuning,
+    # seasonal Holt-Winters
+    "markov_absorption_funnel",
+    "youden_f1_threshold",
+    "holt_winters_weekly",
 ]
 
 

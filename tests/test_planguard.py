@@ -269,6 +269,9 @@ R6D_QUERIES = [
     "rolling_7d_hll_users",
     "stupid_backoff_trigram_docs",
     "psm_att_building",
+    "markov_absorption_funnel",
+    "youden_f1_threshold",
+    "holt_winters_weekly",
 ]
 
 

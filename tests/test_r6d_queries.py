@@ -968,3 +968,117 @@ def test_psm_att_matches_python(spark):
         sum(nt) / len(nt) - sum(nc) / len(nc), abs=1e-5
     )
     assert r.n_treated == len(nt) and r.n_controls == len(nc)
+
+
+@needs_testdata
+def test_markov_absorption_matches_python(spark):
+    rows = q.QUERIES["markov_absorption_funnel"](spark, SF_DIR).collect()
+    got = {r.start_state: r.p_absorb for r in rows}
+    ev = q._t(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e)
+    counts = defaultdict(lambda: defaultdict(int))
+    for es in by_user.values():
+        es.sort(key=lambda e: (e.ts, e.event_id))
+        seq = [e.event_type for e in es] + ["END"]
+        for s, s2 in zip(seq, seq[1:]):
+            if s != "purchase":
+                counts[s][s2] += 1
+    P = {
+        s: {s2: n / sum(d.values()) for s2, n in d.items()}
+        for s, d in counts.items()
+    }
+    a = {s: 0.0 for s in P}
+    for _ in range(16):
+        a = {
+            s: P[s].get("purchase", 0.0)
+            + sum(
+                p * a[s2]
+                for s2, p in P[s].items()
+                if s2 not in ("purchase", "END") and s2 in a
+            )
+            for s in P
+        }
+    assert set(got) == set(a)
+    for s in a:
+        assert got[s] == pytest.approx(a[s], abs=1e-6)
+        assert 0.0 <= got[s] <= 1.0
+
+
+@needs_testdata
+def test_youden_f1_matches_python(spark):
+    rows = q.QUERIES["youden_f1_threshold"](spark, SF_DIR).collect()
+    got = {r.criterion: r for r in rows}
+    cst = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_custkey"
+    ).distinct()
+    sc = (
+        cst.join(o, cst.c_custkey == o.o_custkey, "left")
+        .select(
+            (1.0 / (1.0 + F.exp(-(F.col("c_acctbal") / 5000.0)))).alias("x"),
+            F.col("o_custkey").isNotNull().cast("int").alias("y"),
+        )
+        .collect()
+    )
+    np_, nn_ = sum(r.y for r in sc), sum(1 - r.y for r in sc)
+    from collections import defaultdict
+
+    d = defaultdict(lambda: [0, 0])
+    for r in sc:
+        d[r.x][0] += r.y
+        d[r.x][1] += 1
+    best_f1 = best_j = None
+    tp = fp = 0
+    for x in sorted(d, reverse=True):
+        c1, c = d[x]
+        tp += c1
+        fp += c - c1
+        f1 = 2.0 * tp / (2.0 * tp + fp + (np_ - tp)) if tp + fp else 0.0
+        j = (tp / np_ if np_ else 0.0) - (fp / nn_ if nn_ else 0.0)
+        if best_f1 is None or f1 > best_f1[0] + 1e-15:
+            best_f1 = (f1, x, tp, fp)
+        if best_j is None or j > best_j[0] + 1e-15:
+            best_j = (j, x, tp, fp)
+    assert got["f1"].value == pytest.approx(best_f1[0], abs=1e-6)
+    assert got["f1"].threshold == pytest.approx(best_f1[1], abs=1e-6)
+    assert got["f1"].tp == best_f1[2] and got["f1"].fp == best_f1[3]
+    assert got["youden_j"].value == pytest.approx(best_j[0], abs=1e-6)
+    assert got["youden_j"].threshold == pytest.approx(best_j[1], abs=1e-6)
+    # confusion cells are conserved
+    for r in rows:
+        assert r.tp + r.fn == np_ and r.fp + r.tn == nn_
+
+
+@needs_testdata
+def test_holt_winters_matches_independent_recursion(spark):
+    rows = q.QUERIES["holt_winters_weekly"](spark, SF_DIR).collect()
+    assert [r.h for r in rows] == list(range(1, 8))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    ys = [r.y for r in daily]
+    # independent formulation: modular seasonal indexing, no rotation
+    l = sum(ys[:7]) / 7.0
+    b = 0.0
+    s = {i % 7: ys[i] - l for i in range(7)}
+    for t in range(7, len(ys)):
+        y = ys[t]
+        lnew = 0.3 * (y - s[t % 7]) + 0.7 * (l + b)
+        bnew = 0.05 * (lnew - l) + 0.95 * b
+        s[t % 7] = 0.2 * (y - lnew) + 0.8 * s[t % 7]
+        l, b = lnew, bnew
+    T = len(ys)
+    for r in rows:
+        expect = l + r.h * b + s[(T + r.h - 1) % 7]
+        assert r.forecast == pytest.approx(expect, abs=1e-3)
+        assert math.isfinite(r.forecast)
