@@ -239,6 +239,12 @@ HEADLINE = [
     "markov_absorption_funnel",
     "youden_f1_threshold",
     "holt_winters_weekly",
+    # third wave part 10: fairness audit, optimizer-stats audit,
+    # data-skipping audit, HRU view advisor
+    "fairness_audit_scores",
+    "selectivity_independence_audit",
+    "minmax_pruning_audit",
+    "view_advisor_greedy",
 ]
 
 

@@ -272,6 +272,10 @@ R6D_QUERIES = [
     "markov_absorption_funnel",
     "youden_f1_threshold",
     "holt_winters_weekly",
+    "fairness_audit_scores",
+    "selectivity_independence_audit",
+    "minmax_pruning_audit",
+    "view_advisor_greedy",
 ]
 
 

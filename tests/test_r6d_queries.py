@@ -1082,3 +1082,112 @@ def test_holt_winters_matches_independent_recursion(spark):
         expect = l + r.h * b + s[(T + r.h - 1) % 7]
         assert r.forecast == pytest.approx(expect, abs=1e-3)
         assert math.isfinite(r.forecast)
+
+
+@needs_testdata
+def test_fairness_audit_matches_python(spark):
+    rows = q.QUERIES["fairness_audit_scores"](spark, SF_DIR).collect()
+    cst = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    nat = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    reg = spark.read.parquet(os.path.join(SF_DIR, "region.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_custkey"
+    ).distinct()
+    sc = (
+        cst.join(nat, cst.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .join(o, cst.c_custkey == o.o_custkey, "left")
+        .select(
+            F.col("r_name").alias("g"),
+            (F.col("c_acctbal") >= 0).cast("int").alias("pred"),
+            F.col("o_custkey").isNotNull().cast("int").alias("y"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, pred, y, pred&y, pred&!y
+    for r in sc:
+        a = agg[r.g]
+        a[0] += 1
+        a[1] += r.pred
+        a[2] += r.y
+        a[3] += r.pred * r.y
+        a[4] += r.pred * (1 - r.y)
+    sels = {g: a[1] / a[0] for g, a in agg.items()}
+    dp = min(sels.values()) / max(sels.values())
+    for r in rows:
+        a = agg[r.region]
+        assert r.n == a[0]
+        assert r.selection_rate == pytest.approx(a[1] / a[0], abs=1e-6)
+        if a[2] > 0:
+            assert r.tpr == pytest.approx(a[3] / a[2], abs=1e-6)
+        if a[0] - a[2] > 0:
+            assert r.fpr == pytest.approx(a[4] / (a[0] - a[2]), abs=1e-6)
+        assert r.dp_ratio == pytest.approx(dp, abs=1e-6)
+        assert r.passes_80pct_rule == (dp >= 0.8)
+        assert 0.0 <= r.dp_ratio <= 1.0 + 1e-9
+
+
+@needs_testdata
+def test_selectivity_audit_laws(spark):
+    rows = q.QUERIES["selectivity_independence_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # q-error is >= 1 by construction (max of a ratio and its inverse)
+        if r.q_error is not None:
+            assert r.q_error >= 1.0 - 1e-9
+        assert 0.0 <= r.actual_sel <= min(r.sel_1, r.sel_2) + 1e-6
+        assert r.est_sel == pytest.approx(r.sel_1 * r.sel_2, abs=2e-6)
+
+
+@needs_testdata
+def test_minmax_pruning_never_false_negative(spark):
+    rows = q.QUERIES["minmax_pruning_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # THE data-skipping guarantee: kept files contain every match
+        assert r.rows_scanned >= r.rows_matched
+        assert r.files_kept <= r.n_files
+        assert 0.0 <= r.prune_rate <= 1.0
+        if r.scan_amplification is not None:
+            assert r.scan_amplification >= 1.0 - 1e-9
+
+
+@needs_testdata
+def test_view_advisor_matches_python_hru(spark):
+    rows = q.QUERIES["view_advisor_greedy"](spark, SF_DIR).collect()
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.col("o_custkey") % 10).alias("cm"),
+    ).collect()
+    dims = ["p", "st", "yr", "cm"]
+    sizes = {0: 1}
+    for m in range(1, 16):
+        cols = [d for i, d in enumerate(dims) if m & (1 << i)]
+        sizes[m] = len({tuple(getattr(r, c) for c in cols) for r in o})
+    cost = {qm: sizes[15] for qm in range(16)}
+    expect = []
+    for t in range(1, 4):
+        best = None
+        for vm in range(16):
+            ben = sum(
+                max(0, cost[qm] - sizes[vm])
+                for qm in range(16)
+                if (qm & vm) == qm
+            )
+            key = (-ben, sizes[vm], vm)
+            if best is None or key < best[0]:
+                best = (key, vm, ben)
+        vm, ben = best[1], best[2]
+        expect.append((t, vm, sizes[vm], ben))
+        for qm in range(16):
+            if (qm & vm) == qm:
+                cost[qm] = min(cost[qm], sizes[vm])
+    got = [(r.pick_order, r.view_mask, r.view_size, r.benefit) for r in rows]
+    assert got == expect
+    # greedy benefits are non-increasing
+    bens = [r.benefit for r in rows]
+    assert bens == sorted(bens, reverse=True)
