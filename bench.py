@@ -245,6 +245,10 @@ HEADLINE = [
     "selectivity_independence_audit",
     "minmax_pruning_audit",
     "view_advisor_greedy",
+    # third wave part 11: data valuation, count GLM, kernel MMD
+    "knn_shapley_valuation",
+    "glm_poisson_orders",
+    "mmd_embeddings",
 ]
 
 

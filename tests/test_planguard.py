@@ -276,6 +276,9 @@ R6D_QUERIES = [
     "selectivity_independence_audit",
     "minmax_pruning_audit",
     "view_advisor_greedy",
+    "knn_shapley_valuation",
+    "glm_poisson_orders",
+    "mmd_embeddings",
 ]
 
 

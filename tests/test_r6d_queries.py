@@ -1191,3 +1191,114 @@ def test_view_advisor_matches_python_hru(spark):
     # greedy benefits are non-increasing
     bens = [r.benefit for r in rows]
     assert bens == sorted(bens, reverse=True)
+
+
+@needs_testdata
+def test_knn_shapley_matches_python(spark):
+    import numpy as np
+
+    rows = q.QUERIES["knn_shapley_valuation"](spark, SF_DIR).collect()
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).collect()
+    pts = [(r.vec_id, np.array(r.embedding, dtype=float), r.label) for r in emb]
+    test = [p for p in pts if p[0] % 10 == 0]
+    train = [p for p in pts if p[0] % 10 != 0]
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for tid, tv, tl in test:
+        scored = []
+        tn = float(np.dot(tv, tv)) ** 0.5
+        for sid, sv, sl in train:
+            cos = float(np.dot(tv, sv)) / (tn * float(np.dot(sv, sv)) ** 0.5)
+            scored.append((round(cos, 9), -sid, sid, 1 if sl == tl else 0))
+        scored.sort(reverse=True)  # cos desc, sid asc (via -sid desc)
+        n = len(scored)
+        v = [0.0] * n
+        v[n - 1] = scored[n - 1][3] / n
+        for i in range(n - 2, -1, -1):
+            v[i] = v[i + 1] + (scored[i][3] - scored[i + 1][3]) / (i + 1)
+        for (cos, _, sid, ind), val in zip(scored, v):
+            acc[sid].append(val)
+    vals = {sid: sum(vs) / len(vs) for sid, vs in acc.items()}
+    top = sorted(vals.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    assert [(r.vec_id, r.shapley_value) for r in rows] == [
+        (sid, pytest.approx(round(val, 6), abs=2e-6)) for sid, val in top
+    ]
+    # Shapley EFFICIENCY: per test point, train values sum to the
+    # 1-NN correctness indicator — so averaged values sum to 1-NN acc
+    total = sum(vals.values())
+    nn_acc = 0.0
+    for tid, tv, tl in test:
+        best = max(
+            train,
+            key=lambda p: (
+                round(
+                    float(np.dot(tv, p[1]))
+                    / (
+                        float(np.dot(tv, tv)) ** 0.5
+                        * float(np.dot(p[1], p[1])) ** 0.5
+                    ),
+                    9,
+                ),
+                -p[0],
+            ),
+        )
+        nn_acc += 1.0 if best[2] == tl else 0.0
+    nn_acc /= len(test)
+    assert total == pytest.approx(nn_acc, abs=1e-6)
+
+
+@needs_testdata
+def test_glm_poisson_matches_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["glm_poisson_orders"](spark, SF_DIR).collect()[0]
+    cst = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    oc = {
+        w.o_custkey: w.cnt
+        for w in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    rows = [(c.c_acctbal / 5000.0, float(oc.get(c.c_custkey, 0))) for c in cst.collect()]
+    x = np.array([w[0] for w in rows])
+    y = np.array([w[1] for w in rows])
+    a, b = math.log(y.mean()), 0.0
+    for _ in range(6):
+        mu = np.exp(a + b * x)
+        g1, g2 = ((y - mu) * x).sum(), (y - mu).sum()
+        h11, h12, h22 = (mu * x * x).sum(), (mu * x).sum(), mu.sum()
+        det = h11 * h22 - h12 * h12
+        a += (h11 * g2 - h12 * g1) / det
+        b += (h22 * g1 - h12 * g2) / det
+    mu = np.exp(a + b * x)
+    qll = (y * (a + b * x) - mu).sum()
+    assert r.n == len(rows)
+    assert r.a == pytest.approx(a, abs=1e-4)
+    assert r.b == pytest.approx(b, abs=1e-4)
+    assert r.rate_ratio == pytest.approx(math.exp(b), abs=1e-3)
+    assert r.quasi_loglik == pytest.approx(qll, abs=1e-2)
+
+
+@needs_testdata
+def test_mmd_matches_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["mmd_embeddings"](spark, SF_DIR).collect()[0]
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).collect()
+    X = np.array([e.embedding for e in emb if e.label < 5], dtype=float)
+    Y = np.array([e.embedding for e in emb if e.label >= 5], dtype=float)
+    A = np.vstack([X, Y])
+    sq = ((A[:, None, :] - A[None, :, :]) ** 2).sum(-1)
+    sigma2 = sq.mean()
+    K = np.exp(-sq / (2 * sigma2))
+    nx = len(X)
+    kxx = K[:nx, :nx].mean()
+    kyy = K[nx:, nx:].mean()
+    kxy = K[:nx, nx:].mean()
+    mmd2 = kxx + kyy - 2 * kxy
+    assert r.n_x == nx and r.n_y == len(Y)
+    assert r.sigma2 == pytest.approx(sigma2, rel=1e-6)
+    assert r.mmd2 == pytest.approx(mmd2, abs=1e-5)
+    assert r.mmd == pytest.approx(math.sqrt(max(mmd2, 0.0)), abs=1e-4)
+    # V-statistic MMD^2 with a PSD kernel is nonnegative
+    assert r.mmd2 >= -1e-9
