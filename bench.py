@@ -249,6 +249,10 @@ HEADLINE = [
     "knn_shapley_valuation",
     "glm_poisson_orders",
     "mmd_embeddings",
+    # third wave part 12: queueing, causal screening, robust fitting
+    "erlang_c_staffing",
+    "partial_correlation_screen",
+    "ransac_line_fit",
 ]
 
 

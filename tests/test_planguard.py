@@ -279,6 +279,9 @@ R6D_QUERIES = [
     "knn_shapley_valuation",
     "glm_poisson_orders",
     "mmd_embeddings",
+    "erlang_c_staffing",
+    "partial_correlation_screen",
+    "ransac_line_fit",
 ]
 
 

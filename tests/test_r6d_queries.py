@@ -1302,3 +1302,116 @@ def test_mmd_matches_numpy(spark):
     assert r.mmd == pytest.approx(math.sqrt(max(mmd2, 0.0)), abs=1e-4)
     # V-statistic MMD^2 with a PSD kernel is nonnegative
     assert r.mmd2 >= -1e-9
+
+
+@needs_testdata
+def test_erlang_c_matches_math(spark):
+    rows = q.QUERIES["erlang_c_staffing"](spark, SF_DIR).collect()
+    assert [r.c for r in rows] == list(range(1, 11))
+    ev = q._t(spark, SF_DIR, "events")
+    from social_link_prediction_spark.queries import _trunc_ntz
+
+    hourly = ev.groupBy(_trunc_ntz("hour", "ts").alias("h")).count().collect()
+    lam = sum(r["count"] for r in hourly) / len(hourly)
+    mu = 50.0
+    prev_wait = None
+    for r in rows:
+        a = lam / mu
+        rho = lam / (mu * r.c)
+        assert r.utilization == pytest.approx(rho, abs=1e-6)
+        assert r.stable == (rho < 1)
+        if rho < 1:
+            s0 = sum(
+                math.exp(k * math.log(a) - math.lgamma(k + 1))
+                for k in range(r.c)
+            )
+            ac = math.exp(r.c * math.log(a) - math.lgamma(r.c + 1))
+            pw = ac / ((1 - rho) * s0 + ac)
+            assert r.p_wait == pytest.approx(pw, abs=1e-5)
+            assert r.avg_wait_hours == pytest.approx(
+                pw / (mu * r.c - lam), abs=1e-5
+            )
+            # adding servers never increases the wait probability
+            if prev_wait is not None:
+                assert r.p_wait <= prev_wait + 1e-9
+            prev_wait = r.p_wait
+
+
+@needs_testdata
+def test_partial_correlation_matches_numpy(spark):
+    import numpy as np
+
+    rows = q.QUERIES["partial_correlation_screen"](spark, SF_DIR).collect()
+    o = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    po = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("y"), F.avg("l_discount").alias("z"))
+        .collect()
+    )
+    X = np.array([[r.o_totalprice, float(r.y), r.z] for r in po])
+    C = np.corrcoef(X.T)
+    rxy, rxz, ryz = C[0, 1], C[0, 2], C[1, 2]
+
+    def pc(rab, rac, rbc):
+        return (rab - rac * rbc) / math.sqrt((1 - rac**2) * (1 - rbc**2))
+
+    expect = {
+        "price_vs_items_given_disc": (rxy, pc(rxy, rxz, ryz)),
+        "price_vs_disc_given_items": (rxz, pc(rxz, rxy, ryz)),
+        "items_vs_disc_given_price": (ryz, pc(ryz, rxy, rxz)),
+    }
+    for r in rows:
+        er, ep = expect[r.pair]
+        assert r.r == pytest.approx(er, abs=1e-5)
+        assert r.partial_r == pytest.approx(ep, abs=1e-5)
+        assert r.cond_independent == (abs(ep) < 0.05)
+        assert -1.0 - 1e-9 <= r.partial_r <= 1.0 + 1e-9
+
+
+@needs_testdata
+def test_ransac_matches_python(spark):
+    import hashlib
+
+    r = q.QUERIES["ransac_line_fit"](spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    ).collect()
+
+    def h60(s, salt):
+        return int(
+            hashlib.md5(f"{s}\x1f{salt}".encode()).hexdigest()[:15], 16
+        )
+
+    pts = [(f"{w.l_orderkey}-{w.l_linenumber}", w.x, w.y) for w in li]
+    lines = []
+    for s in range(16):
+        pa = min(pts, key=lambda p: (h60(p[0], f"rsa{s}"), p[0], p[1], p[2]))
+        pb = min(pts, key=lambda p: (h60(p[0], f"rsb{s}"), p[0], p[1], p[2]))
+        if pa[1] == pb[1]:
+            continue
+        slope = (pb[2] - pa[2]) / (pb[1] - pa[1])
+        lines.append((s, slope, pa[2] - slope * pa[1]))
+    scored = []
+    for s, sl, ic in lines:
+        n_in = sum(1 for _, x, y in pts if abs(y - (sl * x + ic)) <= 1000.0)
+        scored.append((-n_in, s, sl, ic, n_in))
+    scored.sort()
+    _, s, sl, ic, n_in = scored[0]
+    assert r.best_set == s
+    assert r.n_inliers == n_in
+    assert r.slope0 == pytest.approx(sl, abs=1e-5)
+    inl = [(x, y) for _, x, y in pts if abs(y - (sl * x + ic)) <= 1000.0]
+    import numpy as np
+
+    xs = np.array([p[0] for p in inl])
+    ys = np.array([p[1] for p in inl])
+    slope = ((xs * ys).mean() - xs.mean() * ys.mean()) / (
+        (xs * xs).mean() - xs.mean() ** 2
+    )
+    assert r.slope == pytest.approx(slope, rel=1e-5)
+    assert r.intercept == pytest.approx(ys.mean() - slope * xs.mean(), rel=1e-4)
+    assert 0.0 < r.inlier_rate <= 1.0
