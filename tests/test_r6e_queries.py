@@ -141,3 +141,128 @@ def test_cmh_statistic_recomputed_from_stratified_cells(spark):
     p_exact = math.erfc(math.sqrt(chi2 / 2.0))
     assert r.p_value == pytest.approx(p_exact, abs=1e-5)
     assert 0.0 <= r.p_value <= 1.0
+
+
+def _h60(*parts: str) -> int:
+    import hashlib
+
+    joined = "\x1f".join(parts)
+    return int(hashlib.md5(joined.encode()).hexdigest()[:15], 16)
+
+
+@needs_testdata
+def test_rendezvous_sharding_replicated_in_pure_python(spark):
+    rows = q.QUERIES["rendezvous_sharding_audit"](spark, SF_DIR).collect()
+    assert [r.node for r in rows] == list(range(8))
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    n_total = sum(r.n_keys for r in rows)
+    keys = duckdb.sql(
+        f"""
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR)
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    assert n_total == len(keys)
+    counts = [0] * 8
+    mod_moved = 0
+    for (k,) in keys:
+        hs = [_h60(k, f"node{i}") for i in range(8)]
+        counts[hs.index(max(hs))] += 1
+        hm = _h60(k, "mod")
+        if hm % 8 != hm % 7:
+            mod_moved += 1
+    assert [r.n_keys for r in rows] == counts
+    assert rows[0].mod_move_frac == pytest.approx(
+        mod_moved / len(keys), abs=1e-5
+    )
+    # HRW minimal-movement law: a node's removal moves exactly its
+    # share; modulo resize moves ~7/8 — the gap is the point
+    assert rows[0].mod_move_frac > 3 * max(r.share for r in rows)
+
+
+@needs_testdata
+def test_morans_i_recomputed_with_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["morans_i_nation_revenue"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT n.n_nationkey, n.n_regionkey,
+               COALESCE(rv.s, 0) / 100.0
+        FROM '{SF_DIR}/nation.parquet' n
+        LEFT JOIN (
+            SELECT c.c_nationkey AS nk,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS s
+            FROM '{SF_DIR}/orders.parquet' o
+            JOIN '{SF_DIR}/customer.parquet' c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1) rv ON rv.nk = n.n_nationkey
+        """
+    ).fetchall()
+    nk = np.array([x[0] for x in rows])
+    rk = np.array([x[1] for x in rows])
+    x = np.array([float(x[2]) for x in rows])
+    n = len(x)
+    w = ((rk[:, None] == rk[None, :]) & (nk[:, None] != nk[None, :])).astype(
+        float
+    )
+    z = x - x.mean()
+    s0 = w.sum()
+    i_full = (n / s0) * (z @ w @ z) / (z @ z)
+    assert r.n_nations == n
+    assert r.n_weight_pairs == int(s0)
+    assert r.morans_i == pytest.approx(i_full, abs=1e-4)
+    assert r.expected_i == pytest.approx(-1.0 / (n - 1), abs=1e-6)
+    s1 = 0.5 * ((w + w.T) ** 2).sum()
+    s2 = ((w.sum(axis=0) + w.sum(axis=1)) ** 2).sum()
+    e_i = -1.0 / (n - 1)
+    var = (n * n * s1 - n * s2 + 3 * s0 * s0) / (
+        (n * n - 1) * s0 * s0
+    ) - e_i * e_i
+    assert r.var_i == pytest.approx(var, abs=1e-5)
+    assert r.z == pytest.approx((i_full - e_i) / math.sqrt(var), abs=1e-3)
+    assert 0.0 <= r.p_value <= 1.0
+
+
+@needs_testdata
+def test_brier_decomposition_identity_and_numpy_replica(spark):
+    import numpy as np
+
+    r = q.QUERIES["brier_decomposition_scores"](spark, SF_DIR).collect()[0]
+    assert r.identity_gap == pytest.approx(0.0, abs=2e-6)
+    rows = duckdb.sql(
+        f"""
+        SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))),
+               CASE WHEN o.o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END
+        FROM '{SF_DIR}/customer.parquet' c
+        LEFT JOIN (SELECT DISTINCT o_custkey
+                   FROM '{SF_DIR}/orders.parquet') o
+          ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    p = np.array([float(a) for a, _ in rows])
+    y = np.array([float(b) for _, b in rows])
+    bins = np.minimum(np.floor(p * 10).astype(int), 9)
+    brier = ((p - y) ** 2).mean()
+    ybar = y.mean()
+    unc = ybar * (1 - ybar)
+    rel = res = wbv = wbc = 0.0
+    for k in np.unique(bins):
+        m = bins == k
+        nk = m.sum()
+        pk, yk = p[m].mean(), y[m].mean()
+        rel += nk * (pk - yk) ** 2
+        res += nk * (yk - ybar) ** 2
+        wbv += ((p[m] - pk) ** 2).sum()
+        wbc += 2 * ((p[m] - pk) * (y[m] - yk)).sum()
+    nn = len(p)
+    rel, res, wbv, wbc = rel / nn, res / nn, wbv / nn, wbc / nn
+    assert r.brier == pytest.approx(brier, abs=1e-5)
+    assert r.uncertainty == pytest.approx(unc, abs=1e-5)
+    assert r.resolution == pytest.approx(res, abs=1e-5)
+    assert r.reliability == pytest.approx(rel, abs=1e-5)
+    assert r.within_bin_var == pytest.approx(wbv, abs=1e-5)
+    assert r.within_bin_cov2 == pytest.approx(wbc, abs=1e-5)
+    # the exact Murphy identity, from the independent replica
+    assert brier == pytest.approx(unc - res + rel + wbv - wbc, abs=1e-12)
