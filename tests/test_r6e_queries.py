@@ -266,3 +266,101 @@ def test_brier_decomposition_identity_and_numpy_replica(spark):
     assert r.within_bin_cov2 == pytest.approx(wbc, abs=1e-5)
     # the exact Murphy identity, from the independent replica
     assert brier == pytest.approx(unc - res + rel + wbv - wbc, abs=1e-12)
+
+
+@needs_testdata
+def test_theta_forecast_equals_literal_ses_recursion(spark):
+    rows = q.QUERIES["theta_forecast_daily"](spark, SF_DIR).collect()
+    assert [r.h for r in rows] == list(range(1, 8))
+    # independent replica: run the ACTUAL SES recursion (not the
+    # linearized weights) on the gap-filled 28-day cents series
+    series = duckdb.sql(
+        f"""
+        WITH m AS (SELECT max(CAST(o_orderdate AS DATE)) AS maxd
+                   FROM '{SF_DIR}/orders.parquet'),
+        days AS (SELECT unnest(generate_series(
+                     (SELECT maxd FROM m) - 27, (SELECT maxd FROM m),
+                     INTERVAL 1 DAY))::DATE AS day),
+        cnt AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+                FROM '{SF_DIR}/orders.parquet' GROUP BY 1)
+        SELECT coalesce(c.yc, 0) FROM days d
+        LEFT JOIN cnt c ON c.day = d.day ORDER BY d.day
+        """
+    ).fetchall()
+    y = [float(v[0]) for v in series]
+    n = len(y)
+    assert n == 28
+    st, stt = n * (n + 1) / 2, n * (n + 1) * (2 * n + 1) / 6
+    sy = sum(y)
+    sty = sum((i + 1) * v for i, v in enumerate(y))
+    b = (n * sty - st * sy) / (n * stt - st * st)
+    a = (sy - b * st) / n
+    z = [2 * v - (a + b * (i + 1)) for i, v in enumerate(y)]
+    s = z[0]
+    for t in range(1, n):
+        s = 0.3 * z[t] + 0.7 * s
+    for r in rows:
+        want = (0.5 * (a + b * (n + r.h)) + 0.5 * s) / 100.0
+        assert r.forecast == pytest.approx(want, abs=1e-2)
+
+
+@needs_testdata
+def test_croston_replicated_from_raw_parquet(spark):
+    r = q.QUERIES["croston_intermittent_demand"](spark, SF_DIR).collect()[0]
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(l_shipdate AS DATE) AS day,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS z
+        FROM '{SF_DIR}/lineitem.parquet'
+        WHERE l_suppkey = 1 GROUP BY 1 ORDER BY day
+        """
+    ).fetchall()
+    d0 = pts[0][0]
+    ts = [(d - d0).days + 1 for d, _ in pts]
+    zs = [float(z) for _, z in pts]
+    zh, ph = zs[0], float(ts[0])
+    for j in range(1, len(pts)):
+        zh += 0.2 * (zs[j] - zh)
+        ph += 0.2 * (ts[j] - ts[j - 1] - ph)
+    assert r.n_points == len(pts)
+    assert r.n_days == ts[-1]
+    assert r.z_hat == pytest.approx(zh, abs=1e-4)
+    assert r.p_hat == pytest.approx(ph, abs=1e-4)
+    assert r.croston_rate == pytest.approx(zh / ph, abs=1e-4)
+    assert r.sba_rate == pytest.approx(0.9 * zh / ph, abs=1e-4)
+    # the demand-size smoother must live inside the observed sizes,
+    # the interval smoother inside the observed gaps
+    gaps = [ts[j] - ts[j - 1] for j in range(1, len(ts))] + [ts[0]]
+    assert min(zs) <= r.z_hat <= max(zs)
+    assert min(gaps) <= r.p_hat <= max(gaps)
+    # intermittency precondition for Croston to be the right model
+    assert r.n_points < 0.5 * r.n_days
+
+
+@needs_testdata
+def test_capture_recapture_replicated_with_hashlib(spark):
+    r = q.QUERIES["capture_recapture_estimate"](spark, SF_DIR).collect()[0]
+    keys = duckdb.sql(
+        f"""
+        SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR)
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    n1 = n2 = m = 0
+    for (k,) in keys:
+        a = _h60(k, "cr1") % 10 == 0
+        b = _h60(k, "cr2") % 10 == 0
+        n1 += a
+        n2 += b
+        m += a and b
+    assert (r.n_true, r.n1, r.n2, r.m) == (len(keys), n1, n2, m)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert r.chapman_estimate == pytest.approx(nhat, abs=1e-3)
+    v = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / (
+        (m + 1) ** 2 * (m + 2)
+    )
+    assert r.ci_lo == pytest.approx(nhat - 1.96 * math.sqrt(v), abs=1e-3)
+    assert r.ci_hi == pytest.approx(nhat + 1.96 * math.sqrt(v), abs=1e-3)
+    assert r.within_ci == int(r.ci_lo <= r.n_true <= r.ci_hi)
