@@ -364,3 +364,105 @@ def test_capture_recapture_replicated_with_hashlib(spark):
     assert r.ci_lo == pytest.approx(nhat - 1.96 * math.sqrt(v), abs=1e-3)
     assert r.ci_hi == pytest.approx(nhat + 1.96 * math.sqrt(v), abs=1e-3)
     assert r.within_ci == int(r.ci_lo <= r.n_true <= r.ci_hi)
+
+
+@needs_testdata
+def test_association_rule_metric_laws(spark):
+    rows = q.QUERIES["association_rules_metrics"](spark, SF_DIR).collect()
+    assert len(rows) == 20  # 10 pairs x 2 directions
+    by_pair = {}
+    for r in rows:
+        key = tuple(sorted((r.antecedent, r.consequent)))
+        by_pair.setdefault(key, []).append(r)
+    for key, pair in by_pair.items():
+        assert len(pair) == 2
+        a, b = pair
+        # support, lift, leverage, jaccard are direction-symmetric
+        assert a.support == b.support
+        assert a.lift == b.lift
+        assert a.leverage == pytest.approx(b.leverage, abs=2e-6)
+        assert a.jaccard == b.jaccard
+        for r in pair:
+            assert 0.0 < r.support <= 1.0
+            assert 0.0 < r.confidence <= 1.0
+            assert r.lift > 0.0
+            # lift-leverage sign agreement
+            assert (r.lift >= 1.0) == (r.leverage >= -1e-9)
+            # conviction > 1 iff rule better than independence
+            if r.conviction is not None and r.lift > 1.0:
+                assert r.conviction > 1.0 - 1e-6
+
+
+@needs_testdata
+def test_newey_west_recomputed_with_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["newey_west_trend_se"](spark, SF_DIR).collect()[0]
+    days = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS yc
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY day
+        """
+    ).fetchall()
+    d0 = days[0][0]
+    n = (days[-1][0] - d0).days + 1
+    y = np.zeros(n)
+    for d, yc in days:
+        y[(d - d0).days] = float(yc) / 100.0
+    t = np.arange(1, n + 1, dtype=float)
+    b, a = np.polyfit(t, y, 1)
+    assert r.n_days == n
+    assert r.slope == pytest.approx(b, rel=1e-4, abs=1e-4)
+    e = y - (a + b * t)
+    xc = t - t.mean()
+    sxx = (xc * xc).sum()
+    se_ols = math.sqrt((e * e).sum() / (n - 2) / sxx)
+    g = (xc * xc * e * e).sum()
+    for lag in range(1, 8):
+        w = 1.0 - lag / 8.0
+        g += 2 * w * (xc[lag:] * xc[:-lag] * e[lag:] * e[:-lag]).sum()
+    se_nw = math.sqrt(g / (sxx * sxx))
+    assert r.se_ols == pytest.approx(se_ols, rel=1e-4)
+    assert r.se_nw == pytest.approx(se_nw, rel=1e-4)
+    assert r.se_ratio == pytest.approx(se_nw / se_ols, rel=1e-4)
+    assert r.t_nw == pytest.approx(b / se_nw, rel=1e-4)
+
+
+@needs_testdata
+def test_effect_sizes_recomputed_with_numpy(spark):
+    import numpy as np
+
+    r = q.QUERIES["effect_sizes_price_segments"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END,
+               o.o_totalprice
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """
+    ).fetchall()
+    x1 = np.array([float(x) for g, x in rows if g == 1])
+    x2 = np.array([float(x) for g, x in rows if g == 2])
+    n1, n2 = len(x1), len(x2)
+    assert (r.n1, r.n2) == (n1, n2)
+    sp = math.sqrt(
+        ((n1 - 1) * x1.var(ddof=1) + (n2 - 1) * x2.var(ddof=1))
+        / (n1 + n2 - 2)
+    )
+    d = (x1.mean() - x2.mean()) / sp
+    assert r.cohen_d == pytest.approx(d, abs=1e-4)
+    assert r.hedges_g == pytest.approx(
+        d * (1 - 3 / (4 * (n1 + n2) - 9)), abs=1e-4
+    )
+    assert r.glass_delta == pytest.approx(
+        (x1.mean() - x2.mean()) / x2.std(ddof=1), abs=1e-4
+    )
+    # Cliff's delta by brute-force dominance count
+    gt = sum((x1[:, None] > x2[None, :]).sum() for _ in [0])
+    lt = (x1[:, None] < x2[None, :]).sum()
+    assert r.cliffs_delta == pytest.approx((gt - lt) / (n1 * n2), abs=1e-4)
+    # |g| < |d| (bias correction shrinks), delta in [-1, 1]
+    assert abs(r.hedges_g) <= abs(r.cohen_d) + 1e-9
+    assert -1.0 <= r.cliffs_delta <= 1.0
