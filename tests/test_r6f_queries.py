@@ -1,0 +1,144 @@
+"""Law tests for the round-6 fourth wave — independent ground truth
+the DuckDB parity gate can't provide: the Slope One prediction
+rebuilt in pure Python from raw parquet, the Kalman steady-state
+gain checked against the closed-form Riccati fixed point, and the
+Yule-Walker AR(2) coefficients re-solved with numpy.linalg.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from social_link_prediction_spark import queries as q
+
+SF_DIR = "/root/testdata/sf0.001"
+needs_testdata = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@needs_testdata
+def test_slope_one_replicated_in_pure_python(spark):
+    out = q.QUERIES["slope_one_recommend_c1"](spark, SF_DIR).collect()
+    assert 0 < len(out) <= 10
+    # rebuild ratings + capped baskets + predictions from raw parquet
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_custkey, l.l_partkey,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    baskets: dict[int, list[tuple[int, int]]] = {}
+    for u, i, qty in rows:
+        baskets.setdefault(u, []).append((i, qty))
+    capped = {
+        u: dict(sorted(items, key=lambda t: (-t[1], t[0]))[:20])
+        for u, items in baskets.items()
+    }
+    b = capped[1]
+    # per-(j,i) co-rating stats restricted to i in the target basket
+    c: dict[tuple[int, int], int] = {}
+    dsum: dict[tuple[int, int], int] = {}
+    for items in capped.values():
+        for i, qi in items.items():
+            if i not in b:
+                continue
+            for j, qj in items.items():
+                if j == i or j in b:
+                    continue
+                c[(j, i)] = c.get((j, i), 0) + 1
+                dsum[(j, i)] = dsum.get((j, i), 0) + (qj - qi)
+    num: dict[int, int] = {}
+    sup: dict[int, int] = {}
+    for (j, i), cc in c.items():
+        num[j] = num.get(j, 0) + dsum[(j, i)] + b[i] * cc
+        sup[j] = sup.get(j, 0) + cc
+    want = sorted(
+        ((round(num[j] / sup[j], 6), sup[j], j) for j in num),
+        key=lambda t: (-t[0], -t[1], t[2]),
+    )[:10]
+    got = [(r.slope_one_score, r.support, r.p_partkey) for r in out]
+    assert got == [(s, c_, j) for s, c_, j in want]
+    # recommendations never include already-rated (capped-basket) items
+    assert all(r.p_partkey not in b for r in out)
+
+
+@needs_testdata
+def test_kalman_gain_converges_to_riccati_fixed_point(spark):
+    r = q.QUERIES["kalman_local_level_daily"](spark, SF_DIR).collect()[0]
+    # local-level steady state: Ppred* = (Q + sqrt(Q^2 + 4QR)) / 2,
+    # K* = Ppred* / (Ppred* + R); with Q = R/10 this is a pure number
+    # K* = x / (x + 1), x = (0.1 + sqrt(0.01 + 0.4)) / 2  ~ 0.270156
+    x = (0.1 + math.sqrt(0.01 + 0.4)) / 2.0
+    k_star = x / (x + 1.0)
+    # gain converges geometrically; the series is long enough that the
+    # final gain must sit essentially at the fixed point
+    assert abs(r.steady_gain - k_star) < 1e-4
+    assert r.n_points > 10
+    assert r.r_sd > 0
+    assert r.sum_abs_innov > 0
+    assert 0 <= r.n_alarms <= r.n_points
+    # the filtered level is a convex combination of observations, so it
+    # must lie inside the observed daily-revenue range
+    lo, hi = duckdb.sql(
+        f"""
+        SELECT min(v), max(v) FROM (
+            SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100e0
+                   AS v
+            FROM '{SF_DIR}/orders.parquet'
+            WHERE o_orderdate >= TIMESTAMP '2001-04-01'
+            GROUP BY CAST(o_orderdate AS DATE))
+        """
+    ).fetchone()
+    assert lo <= r.final_level <= hi
+
+
+@needs_testdata
+def test_yule_walker_resolved_with_numpy(spark):
+    r = q.QUERIES["yule_walker_ar2_forecast"](spark, SF_DIR).collect()[0]
+    counts = dict(
+        duckdb.sql(
+            f"""
+            SELECT CAST(ts AS DATE), CAST(count(*) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    )
+    d0, d1 = min(counts), max(counts)
+    n = (d1 - d0).days + 1
+    y = np.array(
+        [
+            counts.get(d0 + __import__("datetime").timedelta(days=k), 0)
+            for k in range(n)
+        ],
+        dtype=float,
+    )
+    assert r.n_days == n
+    z = y - y.mean()
+    c0 = float(z @ z)
+    c1 = float(z[:-1] @ z[1:])
+    c2 = float(z[:-2] @ z[2:])
+    phi = np.linalg.solve(
+        np.array([[c0, c1], [c1, c0]]), np.array([c1, c2])
+    )
+    assert abs(r.phi1 - phi[0]) < 1e-6
+    assert abs(r.phi2 - phi[1]) < 1e-6
+    assert abs(r.mean_daily - y.mean()) < 1e-6
+    # forecast recursion replicated
+    zn, znm1 = z[-1], z[-2]
+    f = [phi[0] * zn + phi[1] * znm1]
+    f.append(phi[0] * f[0] + phi[1] * zn)
+    for _ in range(5):
+        f.append(phi[0] * f[-1] + phi[1] * f[-2])
+    for h in range(1, 8):
+        assert abs(getattr(r, f"fc{h}") - (y.mean() + f[h - 1])) < 1e-5
+    # innovation variance is positive and no larger than the raw acvf0
+    assert 0 < r.sigma2 <= c0 / n + 1e-9
