@@ -142,3 +142,121 @@ def test_yule_walker_resolved_with_numpy(spark):
         assert abs(getattr(r, f"fc{h}") - (y.mean() + f[h - 1])) < 1e-5
     # innovation variance is positive and no larger than the raw acvf0
     assert 0 < r.sigma2 <= c0 / n + 1e-9
+
+
+@needs_testdata
+def test_hbos_replicated_in_pure_python(spark):
+    out = q.QUERIES["hbos_outlier_orders"](spark, SF_DIR).collect()
+    assert len(out) == 15
+    assert all(r.hbos_score >= 0 for r in out)  # log(maxbin/bin) >= 0
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    feats = list(zip(*[(pc, nl, sq) for _, pc, nl, sq in rows]))
+    bins = []
+    for f in feats:
+        lo, hi = min(f), max(f)
+        bins.append([min(15, ((v - lo) * 16) // (hi - lo + 1)) for v in f])
+    counts = [
+        {b: col.count(b) for b in set(col)} for col in bins
+    ]
+    maxc = [max(c.values()) for c in counts]
+    scored = sorted(
+        (
+            (
+                round(
+                    math.log10(maxc[0] / counts[0][bins[0][i]])
+                    + math.log10(maxc[1] / counts[1][bins[1][i]])
+                    + math.log10(maxc[2] / counts[2][bins[2][i]]),
+                    6,
+                ),
+                rows[i][0],
+            )
+            for i in range(len(rows))
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:15]
+    got = [(r.hbos_score, r.o_orderkey) for r in out]
+    assert got == scored
+
+
+@needs_testdata
+def test_lof_replicated_in_pure_python(spark):
+    out = q.QUERIES["lof_daily_revenue"](spark, SF_DIR).collect()
+    assert 0 < len(out) <= 10
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM '{SF_DIR}/orders.parquet'
+        WHERE o_orderdate >= TIMESTAMP '2001-04-01'
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    n = len(pts)
+    cents = [c for _, c in pts]
+    kdist, neigh = {}, {}
+    for i in range(n):
+        ds = sorted(
+            (abs(cents[i] - cents[j]), j) for j in range(n) if j != i
+        )
+        kdist[i] = ds[4][0]
+        neigh[i] = [j for dd, j in ds if dd <= kdist[i]]
+    lrd = {}
+    for i in range(n):
+        sr = sum(max(abs(cents[i] - cents[j]), kdist[j]) for j in neigh[i])
+        lrd[i] = len(neigh[i]) / sr if sr else None
+    lof = {}
+    for i in range(n):
+        s = 0.0
+        for j in sorted(neigh[i]):
+            s += lrd[j]
+        lof[i] = (s / len(neigh[i])) / lrd[i]
+    want = sorted(
+        ((round(lof[i], 6), pts[i][0]) for i in range(n)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(r.lof, r.day) for r in out]
+    assert got == want
+    # LOF near 1 means inlier; the census must contain values >= ~1
+    assert max(r.lof for r in out) >= 1.0
+
+
+@needs_testdata
+def test_sequential_pattern_supports_replicated(spark):
+    out = q.QUERIES["sequential_patterns_events"](spark, SF_DIR).collect()
+    assert len(out) > 0
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, CAST(ts AS DATE), event_type, min(ts)
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    sess: dict[tuple, dict[str, object]] = {}
+    for u, d, t, t0 in rows:
+        sess.setdefault((u, d), {})[t] = t0
+    pat: dict[tuple[str, str], int] = {}
+    with_t: dict[str, int] = {}
+    for types in sess.values():
+        for t in types:
+            with_t[t] = with_t.get(t, 0) + 1
+        for ta, t0a in types.items():
+            for tb, t0b in types.items():
+                if ta != tb and t0a < t0b:
+                    pat[(ta, tb)] = pat.get((ta, tb), 0) + 1
+    for r in out:
+        assert r.n_pattern == pat[(r.ante, r.cons)]
+        assert r.n_with_ante == with_t[r.ante]
+        # support laws: a pattern can't outnumber either marginal
+        assert r.n_pattern <= with_t[r.ante]
+        assert r.n_pattern <= with_t[r.cons]
+        assert 0 < r.confidence <= 1
