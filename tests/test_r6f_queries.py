@@ -260,3 +260,117 @@ def test_sequential_pattern_supports_replicated(spark):
         assert r.n_pattern <= with_t[r.ante]
         assert r.n_pattern <= with_t[r.cons]
         assert 0 < r.confidence <= 1
+
+
+@needs_testdata
+def test_interval_weekly_conservation_and_replica(spark):
+    out = q.QUERIES["interval_open_orders_weekly"](spark, SF_DIR).collect()
+    iv = duckdb.sql(
+        f"""
+        SELECT CAST(o.o_orderdate AS DATE),
+               max(CAST(l.l_shipdate AS DATE))
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+        """
+    ).fetchall()
+    import datetime
+
+    anchor = datetime.date(1994, 12, 26)
+    weeks: dict[int, int] = {}
+    total_len = 0
+    for s, e in iv:
+        ws = (s - anchor).days // 7
+        we = max(ws, (e - anchor).days // 7)
+        total_len += we - ws + 1
+        for wk in range(ws, we + 1):
+            weeks[wk] = weeks.get(wk, 0) + 1
+    got = {
+        (r.week_start - anchor).days // 7: r.n_open for r in out
+    }
+    assert got == weeks
+    # conservation: total open-week mass equals total interval length
+    assert sum(r.n_open for r in out) == total_len
+
+
+@needs_testdata
+def test_tail_dependence_replicated_in_pure_python(spark):
+    out = {
+        r.u_pct: r
+        for r in q.QUERIES["tail_dependence_qty_price"](
+            spark, SF_DIR
+        ).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(l_quantity) AS BIGINT),
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    xs = sorted(x for x, _ in rows)
+    ys = sorted(y for _, y in rows)
+    n = len(rows)
+    for u_pct, num, den in ((90, 9, 10), (95, 19, 20)):
+        # ceil(u n) upper, ceil((1-u) n) lower (type-1 order stats)
+        r_up = (num * n + num) // den
+        r_lo = ((den - num) * n + den - 1) // den
+        qxu, qyu = xs[r_up - 1], ys[r_up - 1]
+        qxl, qyl = xs[r_lo - 1], ys[r_lo - 1]
+        nxu = sum(1 for x, _ in rows if x > qxu)
+        nju = sum(1 for x, y in rows if x > qxu and y > qyu)
+        nxl = sum(1 for x, _ in rows if x <= qxl)
+        njl = sum(1 for x, y in rows if x <= qxl and y <= qyl)
+        r = out[u_pct]
+        assert (r.n_x_upper, r.n_joint_upper) == (nxu, nju)
+        assert (r.n_x_lower, r.n_joint_lower) == (nxl, njl)
+        assert r.lambda_upper == round(nju / nxu, 6)
+        assert r.lambda_lower == round(njl / nxl, 6)
+        assert 0 <= r.lambda_upper <= 1 and 0 <= r.lambda_lower <= 1
+
+
+@needs_testdata
+def test_sorted_neighborhood_blocking_replicated(spark):
+    r = q.QUERIES["sorted_neighborhood_blocking"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT p_partkey,
+               lower(p_name) || '|' || p_brand || '|' || lower(p_type)
+                   || '|' || lpad(CAST(p_size AS VARCHAR), 2, '0'),
+               lower(p_name) || '|' || p_brand
+        FROM '{SF_DIR}/part.parquet'
+        """
+    ).fetchall()
+    srt = sorted(rows, key=lambda t: (t[1], t[0]))
+    sn = set()
+    for i in range(len(srt)):
+        for d in range(1, 5):
+            if i + d < len(srt):
+                a, b = srt[i][0], srt[i + d][0]
+                sn.add((min(a, b), max(a, b)))
+    blocks: dict[str, list[int]] = {}
+    for pk, _, bk in rows:
+        blocks.setdefault(bk, []).append(pk)
+    blk = set()
+    for pks in blocks.values():
+        if len(pks) <= 200:
+            for i, a in enumerate(pks):
+                for b in pks[i + 1:]:
+                    blk.add((min(a, b), max(a, b)))
+    grams = {
+        pk: {k[i: i + 3] for i in range(len(k) - 2)} for pk, k, _ in rows
+    }
+    def is_match(p):
+        a, b = p
+        inter = len(grams[a] & grams[b])
+        union = len(grams[a]) + len(grams[b]) - inter
+        return 5 * inter >= 3 * union
+    cand = sn | blk
+    matches = {p for p in cand if is_match(p)}
+    assert r.n_parts == len(rows)
+    assert r.sn_candidates == len(sn)
+    assert r.block_candidates == len(blk)
+    assert r.overlap_candidates == len(sn & blk)
+    assert r.sn_matches == len(matches & sn)
+    assert r.block_matches == len(matches & blk)
+    assert r.union_matches == len(matches)
