@@ -374,3 +374,165 @@ def test_sorted_neighborhood_blocking_replicated(spark):
     assert r.sn_matches == len(matches & sn)
     assert r.block_matches == len(matches & blk)
     assert r.union_matches == len(matches)
+
+
+def _h60(*parts: str) -> int:
+    import hashlib
+
+    raw = "\x1f".join(parts).encode()
+    return int(hashlib.md5(raw).hexdigest()[:15], 16)
+
+
+@needs_testdata
+def test_heavy_hitter_guarantees_replicated(spark):
+    out = q.QUERIES["heavy_hitter_merge_audit"](spark, SF_DIR).collect()
+    assert len(out) == 10
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    shard_counts: dict[int, dict[str, int]] = {}
+    exact: dict[str, int] = {}
+    for doc_id, text in docs:
+        sh = _h60(str(doc_id), "mg") % 8
+        for t in text.split(" "):
+            if t:
+                shard_counts.setdefault(sh, {})[t] = (
+                    shard_counts.get(sh, {}).get(t, 0) + 1
+                )
+                exact[t] = exact.get(t, 0) + 1
+    est: dict[str, int] = {}
+    bound = 0
+    for sh, cnts in shard_counts.items():
+        ranked = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))
+        t_thr = ranked[20][1] if len(ranked) > 20 else 0
+        bound += t_thr
+        for tok, c in ranked[:20]:
+            if c - t_thr > 0:
+                est[tok] = est.get(tok, 0) + (c - t_thr)
+    want = sorted(est.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.token, r.est) for r in out]
+    assert got == want
+    for r in out:
+        assert r.n_exact == exact[r.token]
+        assert 0 <= r.err <= bound  # the MG two-sided guarantee
+        assert r.err_bound == bound
+        assert r.within_bound == 1
+    # no false negatives: every token with exact > bound must survive
+    for tok, c in exact.items():
+        if c > bound:
+            assert tok in est
+
+
+@needs_testdata
+def test_simrank_replicated_and_symmetric(spark):
+    out = q.QUERIES["simrank_panel_suppliers"](spark, SF_DIR).collect()
+    sup = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF_DIR}/supplier.parquet'"
+        ).fetchall()
+    ]
+    edges = [
+        (a, b)
+        for a in sup
+        for b in sup
+        if a != b and _h60(f"{a}-{b}", "smr") % 10000 < 250
+    ]
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    panel = [
+        n for n, _ in sorted(deg.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:32]
+    pset = set(panel)
+    ind = [(a, b) for a, b in edges if a in pset and b in pset]
+    inn: dict[int, list[int]] = {}
+    for a, b in ind:
+        inn.setdefault(b, []).append(a)
+    s = {(a, b): 1.0 if a == b else 0.0 for a in panel for b in panel}
+    for _ in range(3):
+        ns = {}
+        for a in panel:
+            for b in panel:
+                if a == b:
+                    ns[(a, b)] = 1.0
+                elif a not in inn or b not in inn:
+                    ns[(a, b)] = 0.0
+                else:
+                    # engine folds ordered by (i, j); replicate that
+                    terms = sorted(
+                        (i, j_, s[(i, j_)])
+                        for i in inn[a]
+                        for j_ in inn[b]
+                    )
+                    tot = 0.0
+                    for _, _, v in terms:
+                        tot += v
+                    ns[(a, b)] = (
+                        0.8 / (len(inn[a]) * len(inn[b])) * tot
+                    )
+        s = ns
+    want = sorted(
+        (
+            (round(v, 6), a, b)
+            for (a, b), v in s.items()
+            if a < b
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:15]
+    got = [(r.simrank, r.a, r.b) for r in out]
+    assert got == [(v, a, b) for v, a, b in want]
+    # symmetry law: SimRank is symmetric by construction
+    for (a, b), v in s.items():
+        assert abs(v - s[(b, a)]) < 1e-12
+        assert 0.0 <= v <= 1.0 + 1e-12
+
+
+@needs_testdata
+def test_dtw_replicated_and_bounded_by_lockstep(spark):
+    r = q.QUERIES["dtw_click_purchase"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(ts AS DATE) AS day,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END),
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    import datetime
+
+    cnt = {d: (int(x), int(y)) for d, x, y in rows}
+    d0, d1 = min(cnt), max(cnt)
+    days = [
+        d0 + datetime.timedelta(days=k) for k in range((d1 - d0).days + 1)
+    ]
+    xs = [cnt.get(d, (0, 0))[0] for d in days]
+    ys = [cnt.get(d, (0, 0))[1] for d in days]
+
+    def dtw(a, b):  # independent textbook 2-D table implementation
+        na, nb = len(a), len(b)
+        t = [[0] * nb for _ in range(na)]
+        for i in range(na):
+            for j in range(nb):
+                c = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    t[i][j] = c
+                elif i == 0:
+                    t[i][j] = c + t[i][j - 1]
+                elif j == 0:
+                    t[i][j] = c + t[i - 1][j]
+                else:
+                    t[i][j] = c + min(
+                        t[i - 1][j], t[i][j - 1], t[i - 1][j - 1]
+                    )
+        return t[-1][-1]
+
+    want = dtw(xs, ys)
+    lock = sum(abs(a - b) for a, b in zip(xs, ys))
+    assert r.n_days == len(days)
+    assert r.dtw_cost == want
+    assert r.lockstep_cost == lock
+    # laws: warping can only help; self-distance is zero
+    assert r.dtw_cost <= r.lockstep_cost
+    assert dtw(xs, xs) == 0
