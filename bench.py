@@ -253,6 +253,13 @@ HEADLINE = [
     "erlang_c_staffing",
     "partial_correlation_screen",
     "ransac_line_fit",
+    # fourth wave: deviation recommender, density outliers, ER
+    # blocking audit, mergeable heavy hitters, copula tails
+    "slope_one_recommend_c1",
+    "hbos_outlier_orders",
+    "sorted_neighborhood_blocking",
+    "heavy_hitter_merge_audit",
+    "tail_dependence_qty_price",
 ]
 
 
