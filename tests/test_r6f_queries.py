@@ -536,3 +536,154 @@ def test_dtw_replicated_and_bounded_by_lockstep(spark):
     # laws: warping can only help; self-distance is zero
     assert r.dtw_cost <= r.lockstep_cost
     assert dtw(xs, xs) == 0
+
+
+@needs_testdata
+def test_jsd_replicated_and_bounded(spark):
+    out = q.QUERIES["jensen_shannon_source_drift"](spark, SF_DIR).collect()
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    corp: dict[str, int] = {}
+    per: dict[str, dict[str, int]] = {}
+    for src, text in docs:
+        for t in text.split(" "):
+            if t:
+                corp[t] = corp.get(t, 0) + 1
+                per.setdefault(src, {})[t] = per.get(src, {}).get(t, 0) + 1
+    top = {
+        t
+        for t, _ in sorted(corp.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :200
+        ]
+    }
+
+    def bucketize(cnts):
+        out_ = {}
+        for t, c in cnts.items():
+            k = t if t in top else "~~other"
+            out_[k] = out_.get(k, 0) + c
+        return out_
+
+    qb = bucketize(corp)
+    nq = sum(qb.values())
+    for r in out:
+        pb = bucketize(per[r.source])
+        ns = sum(pb.values())
+        assert r.n_tokens == ns
+        jsd = 0.0
+        for tk in sorted(qb):
+            p = pb.get(tk, 0) / ns
+            qq = qb[tk] / nq
+            m = (p + qq) / 2
+            if p > 0:
+                jsd += 0.5 * p * math.log(p / m)
+            jsd += 0.5 * qq * math.log(qq / m)
+        assert abs(r.jsd_nats - jsd) < 1e-5
+        assert 0 <= r.jsd_nats <= math.log(2) + 1e-9
+
+
+@needs_testdata
+def test_lad_grid_replicated_and_optimal(spark):
+    r = q.QUERIES["lad_regression_grid"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(l_quantity) AS BIGINT),
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    n = len(rows)
+    sx = sum(x for x, _ in rows)
+    sy = sum(y for _, y in rows)
+    sxx = sum(x * x for x, _ in rows)
+    sxy = sum(x * y for x, y in rows)
+    ols = (n * float(sxy) - float(sx) * sy) / (n * float(sxx) - float(sx) * sx)
+    bc = round(ols)
+    step = max(1, bc // 20)
+    losses = {}
+    for k in range(41):
+        b = bc + (k - 20) * step
+        res = sorted(y - b * x for x, y in rows)
+        med = res[(n + 1) // 2 - 1]
+        losses[b] = (sum(abs(v - med) for v in res), med)
+    best_b = min(losses, key=lambda b: (losses[b][0], b))
+    assert r.n == n
+    assert r.ols_slope == round(ols / 100, 4)
+    assert r.lad_slope == round(best_b / 100, 2)
+    assert r.lad_intercept == round(losses[best_b][1] / 100, 2)
+    assert r.lad_loss == round(losses[best_b][0] / 100, 2)
+    assert r.center_loss == round(losses[bc][0] / 100, 2)
+    # optimality laws: best is no worse than center or any grid point
+    assert r.lad_loss <= r.center_loss
+    assert losses[best_b][0] == min(l for l, _ in losses.values())
+
+
+@needs_testdata
+def test_als_monotone_loss_and_numpy_replica(spark):
+    r = q.QUERIES["als_panel_factorization"](spark, SF_DIR).collect()[0]
+    # the regularized loss is exactly minimized block-wise each
+    # half-step, so it can never increase across alternations
+    assert r.loss_round2 <= r.loss_round1 + 1e-6
+    assert 0 < r.rmse_round2
+    # numpy replica of the full alternation
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_custkey, l.l_partkey,
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    from collections import Counter
+
+    icnt, ucnt = Counter(), Counter()
+    for u, i, _ in rows:
+        icnt[i] += 1
+        ucnt[u] += 1
+    itop = [
+        i for i, _ in sorted(icnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:16]
+    utop = [
+        u for u, _ in sorted(ucnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:64]
+    iset, uset = set(itop), set(utop)
+    pr = [(u, i, rv) for u, i, rv in rows if i in iset and u in uset]
+    assert r.n_ratings == len(pr)
+    H = {
+        i: np.array(
+            [
+                1 + (_h60(str(i), "als0") % 1000) / 1000.0,
+                1 + (_h60(str(i), "als1") % 1000) / 1000.0,
+            ]
+        )
+        for i in itop
+    }
+    lam = 0.1
+    W: dict[int, np.ndarray] = {}
+    losses = []
+    for _ in range(2):
+        for u in {u for u, _, _ in pr}:
+            items = [(i, rv) for uu, i, rv in pr if uu == u]
+            A = sum(np.outer(H[i], H[i]) for i, _ in items) + lam * np.eye(2)
+            d = sum(H[i] * rv for i, rv in items)
+            W[u] = np.linalg.solve(A, d)
+        for i in {i for _, i, _ in pr}:
+            users = [(u, rv) for u, ii, rv in pr if ii == i]
+            A = sum(np.outer(W[u], W[u]) for u, _ in users) + lam * np.eye(2)
+            d = sum(W[u] * rv for u, rv in users)
+            H[i] = np.linalg.solve(A, d)
+        sse = sum((rv - W[u] @ H[i]) ** 2 for u, i, rv in pr)
+        loss = (
+            sse
+            + lam * sum(w @ w for w in W.values())
+            + lam * sum(h @ h for h in H.values())
+        )
+        losses.append(loss)
+    assert abs(r.loss_round1 - losses[0]) / losses[0] < 1e-6
+    assert abs(r.loss_round2 - losses[1]) / losses[1] < 1e-6
+    n = len(pr)
+    assert abs(r.rmse_round2 - math.sqrt(
+        sum((rv - W[u] @ H[i]) ** 2 for u, i, rv in pr) / n
+    )) < 1e-4
