@@ -687,3 +687,130 @@ def test_als_monotone_loss_and_numpy_replica(spark):
     assert abs(r.rmse_round2 - math.sqrt(
         sum((rv - W[u] @ H[i]) ** 2 for u, i, rv in pr) / n
     )) < 1e-4
+
+
+@needs_testdata
+def test_mutual_nn_replicated_with_numpy(spark):
+    out = q.QUERIES["mutual_nn_pairs"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF_DIR}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = {r[0]: r[2] for r in rows}
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    np.fill_diagonal(S, -np.inf)
+    nn = {}
+    for k, i in enumerate(ids):
+        # round-then-rank like the engine; tie-break smallest vec_id
+        scores = sorted(
+            ((round(S[k, m], 6), -ids[m]) for m in range(len(ids))
+             if m != k),
+            reverse=True,
+        )
+        best = scores[0]
+        nn[i] = (-best[1], best[0])
+    mut = sorted(
+        (
+            (cos, a, bb)
+            for a, (bb, cos) in nn.items()
+            if a < bb and nn.get(bb, (None,))[0] == a
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(a, bb) for _, a, bb in mut] == [
+        (r.vec_a, r.vec_b) for r in out
+    ]
+    for (c, _, _), r in zip(mut, out):
+        assert abs(c - r.cosine) < 2e-6
+    # mutuality + label columns are faithful
+    for r in out:
+        assert r.label_a == labels[r.vec_a]
+        assert r.label_b == labels[r.vec_b]
+        assert r.same_label == int(r.label_a == r.label_b)
+
+
+@needs_testdata
+def test_clique4_census_replicated(spark):
+    r = q.QUERIES["clique4_census"](spark, SF_DIR).collect()[0]
+    sup = [
+        x[0]
+        for x in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF_DIR}/supplier.parquet'"
+        ).fetchall()
+    ]
+    edges = {
+        (a, b)
+        for a in sup
+        for b in sup
+        if a < b and _h60(f"{a}-{b}", "k4") % 10000 < 400
+    }
+    n = len(sup)
+    tri = [
+        (a, b, c)
+        for (a, b) in edges
+        for c in sup
+        if b < c and (b, c) in edges and (a, c) in edges
+    ]
+    k4 = sum(
+        1
+        for (a, b, c) in tri
+        for d in sup
+        if c < d and (c, d) in edges and (b, d) in edges and (a, d) in edges
+    )
+    assert r.n_nodes == n
+    assert r.n_edges == len(edges)
+    assert r.n_triangles == len(tri)
+    assert r.n_k4 == k4
+    if r.n_edges:
+        p = len(edges) / (n * (n - 1) / 2)
+        exp = n * (n - 1) * (n - 2) * (n - 3) / 24 * p**6
+        assert r.expected_k4_gnp == pytest.approx(exp, abs=1e-3)
+
+
+@needs_testdata
+def test_recsys_coverage_diversity_laws(spark):
+    r = q.QUERIES["recsys_coverage_diversity"](spark, SF_DIR).collect()[0]
+    # coverage and ILS are proper fractions; novelty is positive bits
+    assert 0 < r.coverage_at5 <= 1
+    assert 0 <= r.mean_ils <= 1
+    assert r.mean_novelty_bits > 0
+    assert 0 < r.items_with_list <= r.catalog_n
+    # novelty upper bound: no item can be rarer than 1/users_n
+    assert r.mean_novelty_bits <= math.log2(r.users_n) + 1e-9
+    # replicate coverage exactly from raw parquet
+    rows = duckdb.sql(
+        f"""
+        SELECT DISTINCT o.o_custkey, l.l_partkey % 500
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        """
+    ).fetchall()
+    from collections import Counter, defaultdict
+
+    bs = defaultdict(set)
+    for u, it in rows:
+        bs[u].add(it)
+    kept = {u: its for u, its in bs.items() if len(its) <= 50}
+    item_n = Counter(it for its in kept.values() for it in its)
+    pc = Counter()
+    for its in kept.values():
+        s_ = sorted(its)
+        for x in range(len(s_)):
+            for y in range(x + 1, len(s_)):
+                pc[(s_[x], s_[y])] += 1
+    best = defaultdict(list)
+    for (ia, ib), c in pc.items():
+        cos = round(c / math.sqrt(item_n[ia] * item_n[ib]), 6)
+        best[ia].append((-cos, -c, ib))
+        best[ib].append((-cos, -c, ia))
+    reco = set()
+    n_lists = 0
+    for it, cands in best.items():
+        n_lists += 1
+        for _, _, nb in sorted(cands)[:5]:
+            reco.add(nb)
+    assert r.items_with_list == n_lists
+    assert r.coverage_at5 == round(len(reco) / len(item_n), 6)
