@@ -814,3 +814,107 @@ def test_recsys_coverage_diversity_laws(spark):
             reco.add(nb)
     assert r.items_with_list == n_lists
     assert r.coverage_at5 == round(len(reco) / len(item_n), 6)
+
+
+@needs_testdata
+def test_cochran_armitage_replicated(spark):
+    r = q.QUERIES["cochran_armitage_trend"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT),
+               CASE WHEN min(CAST(l.l_shipdate AS DATE))
+                         <= CAST(o.o_orderdate AS DATE) + 30
+                    THEN 1 ELSE 0 END
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        """
+    ).fetchall()
+    from collections import Counter
+
+    n_i, r_i = Counter(), Counter()
+    for s, fast in rows:
+        n_i[s] += 1
+        r_i[s] += fast
+    N = sum(n_i.values())
+    R = sum(r_i.values())
+    pbar = R / N
+    t = sum(s * r_i[s] for s in n_i) - pbar * sum(s * n_i[s] for s in n_i)
+    v = (
+        pbar
+        * (1 - pbar)
+        * (
+            sum(s * s * n_i[s] for s in n_i)
+            - sum(s * n_i[s] for s in n_i) ** 2 / N
+        )
+    )
+    z = t / math.sqrt(v)
+    assert r.n_orders == N
+    assert r.n_fast == R
+    assert abs(r.z_stat - z) < 1e-5
+    assert 0 <= r.p_two_sided <= 1
+
+
+@needs_testdata
+def test_temporal_motif_replicated(spark):
+    out = q.QUERIES["temporal_motif_vcp"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT user_id, event_type, epoch_us(ts),
+               CAST(hour(ts) AS BIGINT)
+        FROM '{SF_DIR}/events.parquet'
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: defaultdict(list))
+    for u, et, tus, hr in rows:
+        per[u][et].append((tus, hr))
+    motifs = defaultdict(int)
+    users = defaultdict(set)
+    W = 3600000000
+    for u, ev in per.items():
+        for tv, hr in ev.get("view", []):
+            for tc, _ in ev.get("click", []):
+                if tv < tc <= tv + W:
+                    for tp, _ in ev.get("purchase", []):
+                        if tc < tp <= tv + W:
+                            motifs[hr] += 1
+                            users[hr].add(u)
+    got = {r.view_hour: (r.n_motifs, r.n_users) for r in out}
+    want = {h: (motifs[h], len(users[h])) for h in motifs}
+    assert got == want
+    # motif count always >= the users-with-motif count per bucket
+    for h, (m, uu) in got.items():
+        assert m >= uu > 0
+
+
+@needs_testdata
+def test_mahalanobis_replicated_with_numpy(spark):
+    out = q.QUERIES["mahalanobis_outliers"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    X = np.array([(pc, sq) for _, pc, sq in rows], dtype=np.float64)
+    mu = X.mean(axis=0)
+    S = np.cov(X.T, ddof=1)
+    Sinv = np.linalg.inv(S)
+    d2 = np.einsum("ij,jk,ik->i", X - mu, Sinv, X - mu)
+    want = sorted(
+        ((round(d2[k], 6), rows[k][0]) for k in range(len(rows))),
+        key=lambda tt: (-tt[0], tt[1]),
+    )[:15]
+    got = [(r.mahalanobis_d2, r.o_orderkey) for r in out]
+    assert [kk for _, kk in want] == [kk for _, kk in got]
+    for (dw, _), (dg, _) in zip(want, got):
+        assert abs(dw - dg) < 1e-4
+    # flag law: is_outlier exactly reflects the chi2(2, .975) cutoff
+    for r in out:
+        assert r.is_outlier == int(r.mahalanobis_d2 > 7.3777589082278725)
