@@ -918,3 +918,138 @@ def test_mahalanobis_replicated_with_numpy(spark):
     # flag law: is_outlier exactly reflects the chi2(2, .975) cutoff
     for r in out:
         assert r.is_outlier == int(r.mahalanobis_d2 > 7.3777589082278725)
+
+
+@needs_testdata
+def test_binseg_replicated_and_monotone(spark):
+    r = q.QUERIES["binseg_changepoints"](spark, SF_DIR).collect()[0]
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    y = np.array([v for _, v in pts], dtype=np.float64)
+    days = [d for d, _ in pts]
+    n = len(y)
+
+    def sse(seg):
+        return float((seg**2).sum() - seg.sum() ** 2 / len(seg))
+
+    total = sse(y)
+    best1 = min(
+        ((sse(y[:k]) + sse(y[k:]), k) for k in range(1, n)),
+        key=lambda t: (t[0], t[1]),
+    )
+    k1 = best1[1]
+    cands = []
+    for j in range(1, n):
+        if j == k1:
+            continue
+        if j < k1:
+            s = sse(y[:j]) + sse(y[j:k1]) + sse(y[k1:])
+        else:
+            s = sse(y[:k1]) + sse(y[k1:j]) + sse(y[j:])
+        cands.append((s, j))
+    best2 = min(cands, key=lambda t: (t[0], t[1]))
+    assert r.n_days == n
+    # split t is 1-based and marks the LAST day of the left segment
+    assert r.cp1_day == days[k1 - 1]
+    assert r.cp2_day == days[best2[1] - 1]
+    assert abs(r.var_explained_1 - (1 - best1[0] / total)) < 1e-5
+    assert abs(r.var_explained_2 - (1 - best2[0] / total)) < 1e-5
+    # monotone improvement law
+    assert 0 <= r.var_explained_1 <= r.var_explained_2 < 1
+    b1, b2 = sorted((k1, best2[1]))
+    assert r.seg1_mean == round(y[:b1].mean() / 100, 2)
+    assert r.seg2_mean == round(y[b1:b2].mean() / 100, 2)
+    assert r.seg3_mean == round(y[b2:].mean() / 100, 2)
+
+
+@needs_testdata
+def test_cp_rank1_monotone_and_numpy_replica(spark):
+    r = q.QUERIES["cp_rank1_tensor"](spark, SF_DIR).collect()[0]
+    # masked coordinate updates are exact minimizers: fit never drops
+    assert r.fit_round1 <= r.fit_round2 <= r.fit_round3
+    assert 0 < r.fit_round3 <= 1
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(date_diff('day', DATE '1994-12-25',
+                    CAST(o.o_orderdate AS DATE)) % 7 AS BIGINT),
+               CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT),
+               c.c_mktsegment,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    assert r.n_cells == len(rows)
+    cells = {(d, p, s): v for d, p, s, v in rows}
+    av = {d: 1.0 for d, _, _, _ in rows}
+    bv = {p: 1.0 for _, p, _, _ in rows}
+    cv = {s: 1.0 for _, _, s, _ in rows}
+    fits = []
+    tsq = sum(float(v) * v for v in cells.values())
+    for _ in range(3):
+        for key, others in (("d", 0), ("p", 1), ("s", 2)):
+            num: dict = {}
+            den: dict = {}
+            for (d, p, s), v in cells.items():
+                k = (d, p, s)[others]
+                if key == "d":
+                    prod = bv[p] * cv[s]
+                elif key == "p":
+                    prod = av[d] * cv[s]
+                else:
+                    prod = av[d] * bv[p]
+                num[k] = num.get(k, 0.0) + v * prod
+                den[k] = den.get(k, 0.0) + prod * prod
+            upd = {k: num[k] / den[k] for k in num}
+            if key == "d":
+                av = upd
+            elif key == "p":
+                bv = upd
+            else:
+                cv = upd
+        res = sum(
+            (v - av[d] * bv[p] * cv[s]) ** 2
+            for (d, p, s), v in cells.items()
+        )
+        fits.append(1 - res / tsq)
+    assert abs(r.fit_round1 - fits[0]) < 1e-4
+    assert abs(r.fit_round3 - fits[2]) < 1e-4
+    assert r.top_day == max(av, key=lambda k: (abs(av[k]), -k))
+    assert r.top_priority == max(bv, key=lambda k: (abs(bv[k]), -k))
+
+
+@needs_testdata
+def test_corr_eigenvalues_vs_numpy_eigvalsh(spark):
+    r = q.QUERIES["corr_matrix_eigenvalues"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+        """
+    ).fetchall()
+    X = np.array(rows, dtype=np.float64)
+    R = np.corrcoef(X.T)
+    ev = np.sort(np.linalg.eigvalsh(R))[::-1]
+    # the closed-form cubic is EXACT — tight tolerance, unlike power
+    # iteration (which this query replaced after the flat-spectrum trap)
+    assert abs(r.lambda1 - ev[0]) < 1e-5
+    assert abs(r.lambda2 - ev[1]) < 1e-5
+    assert abs(r.lambda3 - ev[2]) < 1e-5
+    assert abs((r.lambda1 + r.lambda2 + r.lambda3) - 3.0) < 1e-5
+    assert r.lambda1 >= r.lambda2 >= r.lambda3 > 0
+    assert abs(r.corr_price_qty - R[0, 1]) < 1e-5
+    assert abs(r.corr_price_lines - R[0, 2]) < 1e-5
+    assert abs(r.corr_qty_lines - R[1, 2]) < 1e-5
+    assert r.condition_number >= 1
