@@ -1053,3 +1053,129 @@ def test_corr_eigenvalues_vs_numpy_eigvalsh(spark):
     assert abs(r.corr_price_lines - R[0, 2]) < 1e-5
     assert abs(r.corr_qty_lines - R[1, 2]) < 1e-5
     assert r.condition_number >= 1
+
+
+@needs_testdata
+def test_median_bootstrap_replicated(spark):
+    r = q.QUERIES["median_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet'
+        """
+    ).fetchall()
+    xs = sorted(x for _, x in rows)
+    n = len(xs)
+    point = xs[(n + 1) // 2 - 1]
+    cuts = [
+        0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+        0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    ]
+
+    def pois_w(u):
+        for k, c in enumerate(cuts):
+            if u < c:
+                return k
+        return 6
+
+    meds = []
+    for b in range(20):
+        acc = []
+        for key, x in rows:
+            u = (_h60(str(key), f"boot{b}") % 1000000) / 1000000.0
+            w = pois_w(u)
+            if w:
+                acc.append((x, w))
+        tw = sum(w for _, w in acc)
+        target = (tw + 1) // 2
+        cum = 0
+        for x, w in sorted(acc):
+            cum += w
+            if cum >= target:
+                meds.append(x)
+                break
+    bn = len(meds)
+    sm, smm = sum(meds), sum(m * m for m in meds)
+    sd = math.sqrt((smm - sm * sm / bn) / (bn - 1))
+    assert r.n_orders == n
+    assert r.median_price == round(point / 100, 2)
+    assert r.n_replicates == 20
+    assert r.boot_se == round(sd / 100, 4)
+    assert r.boot_min == round(min(meds) / 100, 2)
+    assert r.boot_max == round(max(meds) / 100, 2)
+    # interval sanity: the point estimate sits inside its own CI
+    assert r.ci_lo <= r.median_price <= r.ci_hi
+
+
+@needs_testdata
+def test_edit_distance_one_join_exact(spark):
+    out = q.QUERIES["edit_distance_one_join"](spark, SF_DIR).collect()
+    ks = [
+        k
+        for (k,) in duckdb.sql(
+            f"""SELECT DISTINCT lower(p_name) || '|' || p_brand
+            FROM '{SF_DIR}/part.parquet'"""
+        ).fetchall()
+    ]
+
+    def ed1(s, t):  # exact check: edit distance == 1
+        if s == t:
+            return False
+        ls, lt = len(s), len(t)
+        if abs(ls - lt) > 1:
+            return False
+        if ls == lt:
+            return sum(1 for a, b in zip(s, t) if a != b) == 1
+        if ls > lt:
+            s, t, ls, lt = t, s, lt, ls
+        i = 0
+        while i < ls and s[i] == t[i]:
+            i += 1
+        return s[i:] == t[i + 1:]
+
+    want_pairs = {
+        (min(a, b), max(a, b))
+        for i, a in enumerate(ks)
+        for b in ks[i + 1:]
+        if ed1(a, b)
+    }
+    assert out[0].n_strings == len(ks)
+    assert out[0].n_pairs_ed1 == len(want_pairs)
+    got_pairs = [(r.sa, r.sb) for r in out]
+    assert got_pairs == sorted(want_pairs)[:10]
+    for a, b in got_pairs:
+        assert ed1(a, b)
+
+
+@needs_testdata
+def test_knn_loo_replicated_with_numpy(spark):
+    out = {
+        r.label: r
+        for r in q.QUERIES["knn_loo_accuracy"](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{SF_DIR}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    labels = [r[2] for r in rows]
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    from collections import Counter, defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for k in range(len(ids)):
+        cands = sorted(
+            ((round(S[k, m], 6), -ids[m], labels[m])
+             for m in range(len(ids)) if m != k),
+            key=lambda t: (-t[0], -t[1]),
+        )[:5]
+        votes = Counter(lb for _, _, lb in cands)
+        pred = min(votes, key=lambda lb: (-votes[lb], lb))
+        per[labels[k]][0] += 1
+        per[labels[k]][1] += int(pred == labels[k])
+    for lb, (nn_, nc) in per.items():
+        assert out[lb].n == nn_
+        assert out[lb].n_correct == nc
+        assert out[lb].accuracy == round(nc / nn_, 6)
