@@ -1179,3 +1179,102 @@ def test_knn_loo_replicated_with_numpy(spark):
         assert out[lb].n == nn_
         assert out[lb].n_correct == nc
         assert out[lb].accuracy == round(nc / nn_, 6)
+
+
+@needs_testdata
+def test_kleinberg_burst_replicated(spark):
+    r = q.QUERIES["kleinberg_burst_detection"](spark, SF_DIR).collect()[0]
+    counts = dict(
+        duckdb.sql(
+            f"""SELECT CAST(ts AS DATE), CAST(count(*) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet' GROUP BY 1"""
+        ).fetchall()
+    )
+    import datetime
+
+    d0, d1 = min(counts), max(counts)
+    days = [
+        d0 + datetime.timedelta(days=k) for k in range((d1 - d0).days + 1)
+    ]
+    ys = [counts.get(d, 0) for d in days]
+    n = len(ys)
+    l0 = sum(ys) / n
+    l1 = 2.0 * sum(ys) / n
+    c0 = l0 - ys[0] * math.log(l0)
+    c1 = (l1 - ys[0] * math.log(l1)) + 1.0
+    p0, p1 = [0], [1]
+    for j in range(1, n):
+        nc0 = (l0 - ys[j] * math.log(l0)) + min(c0, c1)
+        nc1 = (l1 - ys[j] * math.log(l1)) + min(c1, c0 + 1.0)
+        np0 = (p0 if c0 <= c1 else p1) + [0]
+        np1 = (p1 if c1 <= c0 + 1.0 else p0) + [1]
+        c0, c1, p0, p1 = nc0, nc1, np0, np1
+    path = p0 if c0 <= c1 else p1
+    burst = [d for d, b in zip(days, path) if b]
+    assert r.n_days == n
+    assert r.n_burst_days == len(burst)
+    assert r.viterbi_cost == round(min(c0, c1), 6)
+    if burst:
+        assert r.first_burst_day == burst[0]
+        assert r.last_burst_day == burst[-1]
+    # optimality law: the Viterbi cost never exceeds the all-base path
+    all_base = sum(l0 - y * math.log(l0) for y in ys)
+    assert min(c0, c1) <= all_base + 1e-9
+
+
+@needs_testdata
+def test_aa_calibration_replicated(spark):
+    r = q.QUERIES["aa_calibration_audit"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT user_id, CAST(count(*) AS BIGINT)
+        FROM '{SF_DIR}/events.parquet' GROUP BY 1"""
+    ).fetchall()
+    fps = 0
+    for s in range(20):
+        arms = {0: [], 1: []}
+        for u, m in rows:
+            arms[_h60(str(u), f"aa{s}") % 2].append(m)
+        n0, n1 = len(arms[0]), len(arms[1])
+        m0 = sum(arms[0]) / n0
+        m1 = sum(arms[1]) / n1
+        v0 = sum((x - m0) ** 2 for x in arms[0]) / (n0 - 1)
+        v1 = sum((x - m1) ** 2 for x in arms[1]) / (n1 - 1)
+        z = (m0 - m1) / math.sqrt(v0 / n0 + v1 / n1)
+        p = math.erfc(abs(z) / math.sqrt(2))
+        if p < 0.05:
+            fps += 1
+    assert r.n_users == len(rows)
+    assert r.n_splits == 20
+    # math.erfc is exact; the engine uses the A&S polynomial (~1e-7):
+    # the FP count can only differ if a p-value sits within 1e-6 of
+    # 0.05, which these splits don't — assert equality
+    assert r.n_false_positives == fps
+    assert r.within_band in (0, 1)
+
+
+@needs_testdata
+def test_session_step_transitions_replicated(spark):
+    out = q.QUERIES["session_step_transitions"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""SELECT user_id, CAST(ts AS DATE), event_type, ts, event_id
+        FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    from collections import defaultdict
+
+    sess = defaultdict(list)
+    for u, d, et, ts, eid in rows:
+        sess[(u, d)].append((ts, eid, et))
+    counts: dict = {}
+    for evs in sess.values():
+        evs.sort()
+        for k in range(min(5, len(evs) - 1)):
+            key = (k + 1, evs[k][2], evs[k + 1][2])
+            counts[key] = counts.get(key, 0) + 1
+    for r in out:
+        assert counts[(r.step, r.from_type, r.to_type)] == r.n
+    # conservation: step-k transition mass never exceeds step-(k-1)'s
+    per_step = {}
+    for (st, _, _), n in counts.items():
+        per_step[st] = per_step.get(st, 0) + n
+    for st in range(2, max(per_step) + 1):
+        assert per_step[st] <= per_step[st - 1]
