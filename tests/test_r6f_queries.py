@@ -1278,3 +1278,112 @@ def test_session_step_transitions_replicated(spark):
         per_step[st] = per_step.get(st, 0) + n
     for st in range(2, max(per_step) + 1):
         assert per_step[st] <= per_step[st - 1]
+
+
+@needs_testdata
+def test_selinger_replicated(spark):
+    out = q.QUERIES["selinger_join_order"](spark, SF_DIR).collect()
+    assert len(out) == 8
+    con = duckdb.connect()
+    for t in ("nation", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    tNC = con.sql(
+        "SELECT count(*) FROM customer c JOIN nation n"
+        " ON n.n_nationkey = c.c_nationkey"
+    ).fetchone()[0]
+    tCO = con.sql(
+        "SELECT count(*) FROM orders o JOIN customer c"
+        " ON c.c_custkey = o.o_custkey"
+    ).fetchone()[0]
+    tOL = con.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o"
+        " ON o.o_orderkey = l.l_orderkey"
+    ).fetchone()[0]
+    tNCO = con.sql(
+        "SELECT count(*) FROM orders o JOIN customer c"
+        " ON c.c_custkey = o.o_custkey JOIN nation n"
+        " ON n.n_nationkey = c.c_nationkey"
+    ).fetchone()[0]
+    tCOL = con.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o"
+        " ON o.o_orderkey = l.l_orderkey JOIN customer c"
+        " ON c.c_custkey = o.o_custkey"
+    ).fetchone()[0]
+    tNCOL = con.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o"
+        " ON o.o_orderkey = l.l_orderkey JOIN customer c"
+        " ON c.c_custkey = o.o_custkey JOIN nation n"
+        " ON n.n_nationkey = c.c_nationkey"
+    ).fetchone()[0]
+    tcost = {
+        "N-C-O-L": tNC + tNCO + tNCOL, "C-N-O-L": tNC + tNCO + tNCOL,
+        "C-O-N-L": tCO + tNCO + tNCOL, "C-O-L-N": tCO + tCOL + tNCOL,
+        "O-C-N-L": tCO + tNCO + tNCOL, "O-C-L-N": tCO + tCOL + tNCOL,
+        "O-L-C-N": tOL + tCOL + tNCOL, "L-O-C-N": tOL + tCOL + tNCOL,
+    }
+    for r in out:
+        assert r.true_cost == tcost[r.join_order]
+        assert r.est_cost > 0
+    # ranks are a permutation and the flag is consistent across rows
+    assert sorted(r.true_rank for r in out) == list(range(1, 9))
+    assert sorted(r.est_rank for r in out) == list(range(1, 9))
+    assert len({r.optimizer_correct for r in out}) == 1
+    best_true = min(out, key=lambda r: (r.true_cost, r.join_order))
+    best_est = min(out, key=lambda r: (r.est_cost, r.join_order))
+    want_flag = int(best_true.join_order == best_est.join_order)
+    assert out[0].optimizer_correct == want_flag
+
+
+@needs_testdata
+def test_fieller_interval_contains_ratio_and_brackets_delta(spark):
+    r = q.QUERIES["fieller_ratio_ci"](spark, SF_DIR).collect()[0]
+    assert r.n_users > 0
+    assert r.revenue_per_click > 0
+    # both intervals must contain the point estimate
+    assert r.delta_lo <= r.revenue_per_click <= r.delta_hi
+    if r.fieller_lo is not None:
+        assert r.fieller_lo <= r.revenue_per_click <= r.fieller_hi
+        # Fieller is exact and at least as wide as first-order delta
+        # in the direction of denominator noise; widths are comparable
+        assert (r.fieller_hi - r.fieller_lo) > 0
+
+
+@needs_testdata
+def test_chi2_residuals_replicated(spark):
+    out = q.QUERIES["chi2_cell_residuals"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_orderpriority, c.c_mktsegment, count(*)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    from collections import Counter
+
+    rm, cm = Counter(), Counter()
+    n = 0
+    for p, s, o_ in rows:
+        rm[p] += o_
+        cm[s] += o_
+        n += o_
+    want = {}
+    for p, s, o_ in rows:
+        e = rm[p] * cm[s] / n
+        sr = (o_ - e) / math.sqrt(
+            e * (1 - rm[p] / n) * (1 - cm[s] / n)
+        )
+        want[(p, s)] = (o_, round(e, 4), round(sr, 6))
+    for r in out:
+        o_, e, sr = want[(r.prio, r.seg)]
+        assert r.obs == o_
+        assert r.expected == e
+        assert r.std_resid == sr
+        assert r.significant == int(abs(sr) > 1.96)
+    # residuals of a full cross-table roughly sum to zero by margin
+    # construction — the returned top cells are the extremes
+    top_abs = sorted((abs(v[2]) for v in want.values()), reverse=True)
+    got_abs = [abs(r.std_resid) for r in out]
+    assert got_abs == top_abs[: len(got_abs)]
