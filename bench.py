@@ -260,6 +260,14 @@ HEADLINE = [
     "sorted_neighborhood_blocking",
     "heavy_hitter_merge_audit",
     "tail_dependence_qty_price",
+    # fifth wave: grid LAD, panel ALS, exact ED-1 join, mutual-NN,
+    # Poisson-bootstrap median, optimizer plan audit
+    "lad_regression_grid",
+    "als_panel_factorization",
+    "edit_distance_one_join",
+    "mutual_nn_pairs",
+    "median_bootstrap_ci",
+    "selinger_join_order",
 ]
 
 
