@@ -1387,3 +1387,113 @@ def test_chi2_residuals_replicated(spark):
     top_abs = sorted((abs(v[2]) for v in want.values()), reverse=True)
     got_abs = [abs(r.std_resid) for r in out]
     assert got_abs == top_abs[: len(got_abs)]
+
+
+@needs_testdata
+def test_ridge_cv_replicated_with_numpy(spark):
+    out = {
+        r.lambda_ratio: r
+        for r in q.QUERIES["ridge_cv_path"](spark, SF_DIR).collect()
+    }
+    assert len(out) == 8
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR),
+               CAST(round(l_quantity) AS BIGINT),
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'
+        """
+    ).fetchall()
+    folds = {}
+    for key, x, y in rows:
+        folds.setdefault(_h60(key, "cv") % 5, []).append((x, y))
+    allx = np.array([x for _, x, _ in rows], dtype=float)
+    sxx0 = float(((allx - allx.mean()) ** 2).sum())
+    for ratio, r in out.items():
+        lam = ratio * sxx0
+        sse_tot, n_tot = 0.0, 0
+        for f in folds:
+            tr = [xy for g, v in folds.items() if g != f for xy in v]
+            te = folds[f]
+            tx = np.array([x for x, _ in tr], dtype=float)
+            ty = np.array([y for _, y in tr], dtype=float)
+            b = float(((tx - tx.mean()) * (ty - ty.mean())).sum()) / (
+                float(((tx - tx.mean()) ** 2).sum()) + lam
+            )
+            a = ty.mean() - b * tx.mean()
+            sse_tot += sum((y - a - b * x) ** 2 for x, y in te)
+            n_tot += len(te)
+        assert abs(r.cv_mse - sse_tot / n_tot / 1e4) < 0.1
+    ranks = sorted(out.values(), key=lambda r: r.cv_rank)
+    mses = [r.cv_mse for r in ranks]
+    assert mses == sorted(mses)
+    assert sum(r.is_best for r in out.values()) == 1
+
+
+@needs_testdata
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    out = q.QUERIES["james_stein_nation_means"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT c.c_nationkey, CAST(round(o.o_totalprice * 100) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for nat, x in rows:
+        per[nat].append(x)
+    grand = sum(x for _, x in rows) / len(rows)
+    k = len(per)
+    nn = len(rows)
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in per.values()
+    )
+    vbar = (ssw / (nn - k)) * (sum(1 / len(v) for v in per.values()) / k)
+    sq = sum((sum(v) / len(v) - grand) ** 2 for v in per.values())
+    c = max(0.0, 1 - (k - 3) * vbar / sq)
+    for r in out:
+        raw = sum(per[r.nation]) / len(per[r.nation])
+        assert r.raw_mean == round(raw / 100, 2)
+        want = grand + c * (raw - grand)
+        assert abs(r.js_mean - want / 100) < 0.02
+        assert abs(r.shrink_factor - c) < 1e-4
+        # shrinkage law: js estimate lies between raw and grand mean
+        lo, hi = sorted((r.raw_mean, round(grand / 100, 2)))
+        assert lo - 0.02 <= r.js_mean <= hi + 0.02
+
+
+@needs_testdata
+def test_gpd_pot_replicated_with_numpy(spark):
+    r = q.QUERIES["gpd_pot_fit"](spark, SF_DIR).collect()[0]
+    xs = [
+        x
+        for (x,) in duckdb.sql(
+            f"""SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM '{SF_DIR}/orders.parquet'"""
+        ).fetchall()
+    ]
+    xs.sort()
+    n = len(xs)
+    u = xs[(19 * n + 19) // 20 - 1]
+    exc = sorted(x - u for x in xs if x > u)
+    ne = len(exc)
+    b0 = sum(exc) / ne
+    b1 = sum((ne - i) * e for i, e in enumerate(exc, start=1)) / (
+        ne * (ne - 1)
+    )
+    kk = b0 / (b0 - 2 * b1) - 2
+    aa = 2 * b0 * b1 / (b0 - 2 * b1)
+    assert r.threshold_p95 == round(u / 100, 2)
+    assert r.n_exceed == ne
+    assert abs(r.pwm_b0 - b0 / 100) < 1e-3
+    assert abs(r.pwm_b1 - b1 / 100) < 1e-3
+    assert abs(r.xi_shape - (-kk)) < 1e-5
+    assert abs(r.scale - aa / 100) < 1e-3
+    level = u + (aa / kk) * (1 - 0.02**kk)
+    assert abs(r.level_p999 - level / 100) < 0.02
+    # the extrapolated p99.9 level must exceed the p95 threshold
+    assert r.level_p999 > r.threshold_p95
