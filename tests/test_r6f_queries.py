@@ -1497,3 +1497,113 @@ def test_gpd_pot_replicated_with_numpy(spark):
     assert abs(r.level_p999 - level / 100) < 0.02
     # the extrapolated p99.9 level must exceed the p95 threshold
     assert r.level_p999 > r.threshold_p95
+
+
+@needs_testdata
+def test_fagin_ta_replicated_in_pure_python(spark):
+    r = q.QUERIES["fagin_ta_depth_audit"](spark, SF_DIR).collect()[0]
+    rows = duckdb.sql(
+        f"""SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT),
+        CAST(p_size AS BIGINT) FROM '{SF_DIR}/part.parquet'"""
+    ).fetchall()
+    m1 = max(s1 for _, s1, _ in rows)
+    m2 = max(s2 for _, _, s2 in rows)
+    comb = {pk: s1 * m2 + s2 * m1 for pk, s1, s2 in rows}
+    la = sorted(rows, key=lambda t: (-t[1], t[0]))
+    lb = sorted(rows, key=lambda t: (-t[2], t[0]))
+    ra = {pk: i + 1 for i, (pk, _, _) in enumerate(la)}
+    rb = {pk: i + 1 for i, (pk, _, _) in enumerate(lb)}
+    stop = None
+    for d in range(1, 513):
+        seen = [comb[pk] for pk in comb if min(ra[pk], rb[pk]) <= d]
+        if len(seen) < 10:
+            continue
+        kth = sorted(seen, reverse=True)[9]
+        tthr = la[d - 1][1] * m2 + lb[d - 1][2] * m1
+        if kth >= tthr:
+            stop = d
+            break
+    assert r.stop_depth == stop
+    assert r.n_items == len(rows)
+    best = min(comb, key=lambda pk: (-comb[pk], pk))
+    assert (r.top1_part, r.top1_score) == (best, comb[best])
+    # instance-optimality sanity: TA reads far less than the corpus
+    assert r.stop_depth < r.n_items
+    assert r.kth_at_stop >= r.threshold_at_stop
+
+
+@needs_testdata
+def test_rolling_trend_replicated(spark):
+    out = q.QUERIES["rolling_30d_trend"](spark, SF_DIR).collect()
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    ys = [y for _, y in pts]
+    days = [d for d, _ in pts]
+    want = {}
+    for i in range(29, len(ys)):
+        t = np.arange(i - 28, i + 2, dtype=float)
+        y = np.array(ys[i - 29: i + 1], dtype=float)
+        b = float(
+            (30 * (t * y).sum() - t.sum() * y.sum())
+            / (30 * (t * t).sum() - t.sum() ** 2)
+        )
+        want[days[i]] = (round(y.sum() / 100, 2), round(b / 100, 2))
+    for r in out:
+        wr, ws = want[r.day]
+        assert r.window_revenue == wr
+        assert abs(r.slope_per_day - ws) < 0.02
+    assert len(out) == min(15, len(want))
+
+
+@needs_testdata
+def test_domain_auc_replicated_and_self_test_is_half(spark):
+    out = {
+        r.feature: r
+        for r in q.QUERIES["domain_classifier_auc"](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(o.o_orderdate AS DATE),
+               CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """
+    ).fetchall()
+    dts = sorted(d for d, _, _, _ in rows)
+    sd = dts[(len(dts) + 1) // 2 - 1]
+
+    def auc(vals1, vals2):
+        pooled = sorted(vals1 + vals2)
+        # average ranks with ties
+        from collections import Counter
+
+        cnt = Counter(pooled)
+        rank = {}
+        start = 1
+        for v in sorted(cnt):
+            c = cnt[v]
+            rank[v] = start + (c - 1) / 2
+            start += c
+        r1 = sum(rank[v] for v in vals1)
+        n1, n2 = len(vals1), len(vals2)
+        return (r1 - n1 * (n1 + 1) / 2) / (n1 * n2)
+
+    for idx, name in ((1, "price"), (2, "lines"), (3, "quantity")):
+        v1 = [r[idx] for r in rows if r[0] <= sd]
+        v2 = [r[idx] for r in rows if r[0] > sd]
+        want = auc(v1, v2)
+        assert abs(out[name].domain_auc - want) < 1e-6
+        assert out[name].n_first_half == len(v1)
+        assert out[name].drift_flag == int(abs(want - 0.5) > 0.02)
+    # self-test law: a feature compared against itself has AUC 0.5
+    v = [r[1] for r in rows]
+    assert abs(auc(v, v) - 0.5) < 1e-12
