@@ -1607,3 +1607,152 @@ def test_domain_auc_replicated_and_self_test_is_half(spark):
     # self-test law: a feature compared against itself has AUC 0.5
     v = [r[1] for r in rows]
     assert abs(auc(v, v) - 0.5) < 1e-12
+
+
+@needs_testdata
+def test_decision_tree_depth2_replicated(spark):
+    out = {
+        r.node: r
+        for r in q.QUERIES["decision_tree_depth2"](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT),
+               CAST(max(CASE WHEN CAST(l.l_shipdate AS DATE)
+                             <= CAST(o.o_orderdate AS DATE) + 30
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+        """
+    ).fetchall()
+    feats = ["price", "lines", "quantity"]
+
+    def best_split(data):
+        best = None
+        for fi, fname in enumerate(feats):
+            vals = sorted({r[fi] for r in data})
+            pos = {v: 0 for v in vals}
+            cnt = {v: 0 for v in vals}
+            for r in data:
+                pos[r[fi]] += r[3]
+                cnt[r[fi]] += 1
+            tp = sum(pos.values())
+            tc = sum(cnt.values())
+            cp = cc = 0
+            for v in vals:
+                cp += pos[v]
+                cc += cnt[v]
+                if cc >= tc:
+                    break
+                s = (cp * cp + (cc - cp) ** 2) / cc + (
+                    (tp - cp) ** 2 + ((tc - cc) - (tp - cp)) ** 2
+                ) / (tc - cc)
+                key = (-s, fname, v)
+                if best is None or key < best:
+                    best = key
+        return (-best[0], best[1], best[2]) if best else None
+
+    s, f, v = best_split(rows)
+    assert out["root"].feature == f
+    want_thr = round(v / 100, 2) if f == "price" else float(v)
+    assert out["root"].threshold == want_thr
+    fi = feats.index(f)
+    left = [r for r in rows if r[fi] <= v]
+    right = [r for r in rows if r[fi] > v]
+    for side, data in (("left", left), ("right", right)):
+        got = out[side]
+        assert got.n == len(data)
+        assert got.n_pos == sum(r[3] for r in data)
+        sb = best_split(data)
+        assert got.feature == sb[1]
+        wt = round(sb[2] / 100, 2) if sb[1] == "price" else float(sb[2])
+        assert got.threshold == wt
+        # splitting can never increase impurity
+        assert got.gini_after <= got.gini_before + 1e-9
+    assert out["root"].gini_after <= out["root"].gini_before + 1e-9
+
+
+@needs_testdata
+def test_edge_embeddedness_identity(spark):
+    out = q.QUERIES["edge_embeddedness"](spark, SF_DIR).collect()
+    sup = [
+        x[0]
+        for x in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF_DIR}/supplier.parquet'"
+        ).fetchall()
+    ]
+    edges = {
+        (a, b)
+        for a in sup
+        for b in sup
+        if a < b and _h60(f"{a}-{b}", "k4") % 10000 < 400
+    }
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    emb = {
+        (a, b): len(adj[a] & adj[b]) for a, b in edges
+    }
+    from collections import Counter
+
+    hist = Counter(emb.values())
+    got = {r.embeddedness: r.n_edges for r in out}
+    assert got == dict(hist)
+    # identity: total embeddedness mass = 3 x triangle count
+    tri = sum(
+        1
+        for (a, b) in edges
+        for c in (adj[a] & adj[b])
+        if b < c
+    )
+    assert sum(k * v for k, v in hist.items()) == 3 * tri
+    for r in out:
+        assert r.is_local_bridge == int(r.embeddedness == 0)
+
+
+@needs_testdata
+def test_subgroup_wracc_replicated(spark):
+    out = q.QUERIES["subgroup_wracc_scan"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT o.o_orderpriority, c.c_mktsegment, r.r_name,
+               CAST(max(CASE WHEN CAST(l.l_shipdate AS DATE)
+                             <= CAST(o.o_orderdate AS DATE) + 30
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{SF_DIR}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+        JOIN '{SF_DIR}/region.parquet' r ON r.r_regionkey = n.n_regionkey
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, 1, 2, 3, o.o_orderdate
+        """
+    ).fetchall()
+    n = len(rows)
+    p = sum(r[3] for r in rows)
+    from collections import Counter
+
+    grp: Counter = Counter()
+    pos: Counter = Counter()
+    for pr, sg, rg, y in rows:
+        for key in (
+            (pr, "*", "*"), ("*", sg, "*"), ("*", "*", rg),
+            (pr, sg, "*"), (pr, "*", rg), ("*", sg, rg),
+        ):
+            grp[key] += 1
+            pos[key] += y
+    want = {
+        k: round((grp[k] / n) * (pos[k] / grp[k] - p / n), 6)
+        for k in grp
+        if grp[k] >= 30
+    }
+    for r in out:
+        k = (r.prio, r.seg, r.region)
+        assert r.n_subgroup == grp[k]
+        assert r.wracc == want[k]
+    got_abs = [abs(r.wracc) for r in out]
+    top_abs = sorted((abs(v) for v in want.values()), reverse=True)
+    assert got_abs == top_abs[: len(got_abs)]
