@@ -1756,3 +1756,123 @@ def test_subgroup_wracc_replicated(spark):
     got_abs = [abs(r.wracc) for r in out]
     top_abs = sorted((abs(v) for v in want.values()), reverse=True)
     assert got_abs == top_abs[: len(got_abs)]
+
+
+@needs_testdata
+def test_adaboost_replicated_in_pure_python(spark):
+    out = {
+        r.round: r
+        for r in q.QUERIES["adaboost_two_stumps"](spark, SF_DIR).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        SELECT CAST(round(o.o_totalprice * 100) AS BIGINT),
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT),
+               CAST(max(CASE WHEN CAST(l.l_shipdate AS DATE)
+                             <= CAST(o.o_orderdate AS DATE) + 30
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' o
+        JOIN '{SF_DIR}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+        """
+    ).fetchall()
+    feats = ["price", "lines", "quantity"]
+    data = [(r[0], r[1], r[2], 1 if r[3] else -1) for r in rows]
+    n = len(data)
+
+    def best_stump(weights):
+        best = None
+        for fi, fname in enumerate(feats):
+            order = sorted(range(n), key=lambda i: data[i][fi])
+            vals = sorted({data[i][fi] for i in range(n)})
+            # weighted err for polarity +1 (left => +1): wrong =
+            # pos right + neg left
+            wpos_left = 0.0
+            wneg_left = 0.0
+            tot_pos = sum(weights[i] for i in range(n) if data[i][3] == 1)
+            tot_neg = sum(weights[i] for i in range(n) if data[i][3] == -1)
+            by_val: dict = {}
+            for i in range(n):
+                by_val.setdefault(data[i][fi], [0.0, 0.0])
+                if data[i][3] == 1:
+                    by_val[data[i][fi]][0] += weights[i]
+                else:
+                    by_val[data[i][fi]][1] += weights[i]
+            for v in vals[:-1]:
+                wpos_left += by_val[v][0]
+                wneg_left += by_val[v][1]
+                errA = wneg_left + (tot_pos - wpos_left)
+                errB = wpos_left + (tot_neg - wneg_left)
+                for pol, err in ((1, errA), (-1, errB)):
+                    key = (err, fname, v, pol)
+                    if best is None or key < best:
+                        best = key
+        return best
+
+    w = [1.0] * n
+    e1, f1, v1, p1 = best_stump(w)
+    assert out[1].feature == f1
+    assert out[1].polarity == p1
+    assert abs(out[1].weighted_err - e1 / n) < 1e-6
+    alpha1 = 0.5 * math.log((n - e1) / e1)
+    assert abs(out[1].alpha - alpha1) < 1e-5
+    fi1 = feats.index(f1)
+    h1 = [p1 if d[fi1] <= v1 else -p1 for d in data]
+    w = [
+        math.exp(-alpha1) if h1[i] == data[i][3] else math.exp(alpha1)
+        for i in range(n)
+    ]
+    e2, f2, v2, p2 = best_stump(w)
+    tw = sum(w)
+    assert out[2].feature == f2
+    assert out[2].polarity == p2
+    assert abs(out[2].weighted_err - e2 / tw) < 1e-6
+    alpha2 = 0.5 * math.log((tw - e2) / e2)
+    assert abs(out[2].alpha - alpha2) < 1e-5
+    fi2 = feats.index(f2)
+    correct = 0
+    for i, d in enumerate(data):
+        h2 = p2 if d[fi2] <= v2 else -p2
+        hh = 1 if alpha1 * h1[i] + alpha2 * h2 >= 0 else -1
+        correct += hh == d[3]
+    assert out[1].ensemble_train_acc == round(correct / n, 6)
+    # boosting law: round-2 weighted error is ~1/2 under the new
+    # weights for the ROUND-1 stump, so alpha decreases
+    assert out[2].alpha < out[1].alpha
+
+
+@needs_testdata
+def test_newsvendor_optimality(spark):
+    r = q.QUERIES["newsvendor_quantile"](spark, SF_DIR).collect()[0]
+    dem = [
+        x[0]
+        for x in duckdb.sql(
+            f"""SELECT CAST(count(*) AS BIGINT)
+            FROM '{SF_DIR}/orders.parquet'
+            GROUP BY CAST(o_orderdate AS DATE)"""
+        ).fetchall()
+    ]
+
+    def cost(qq):
+        return sum(3 * max(d - qq, 0) + max(qq - d, 0) for d in dem)
+
+    ds = sorted(dem)
+    q_star = ds[(3 * len(ds) + 3) // 4 - 1]
+    assert r.q_star == q_star
+    assert r.cost_at_qstar == cost(q_star)
+    # optimality: q* minimizes the piecewise-linear cost globally
+    assert all(cost(q_star) <= cost(qq) for qq in range(min(dem), max(dem) + 1))
+    assert r.cost_saving >= 0
+
+
+@needs_testdata
+def test_shift_share_identity(spark):
+    out = q.QUERIES["shift_share_decomposition"](spark, SF_DIR).collect()
+    # contributions sum exactly to total growth (decomposition law)
+    total = out[0].total_growth
+    assert abs(sum(r.growth_contribution for r in out) - total) < 5e-6
+    # share changes sum to ~zero by construction
+    assert abs(sum(r.share_change for r in out)) < 5e-6
+    for r in out:
+        assert r.rev_1996 > 0 and r.rev_1997 > 0
