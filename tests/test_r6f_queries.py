@@ -1876,3 +1876,113 @@ def test_shift_share_identity(spark):
     assert abs(sum(r.share_change for r in out)) < 5e-6
     for r in out:
         assert r.rev_1996 > 0 and r.rev_1997 > 0
+
+
+@needs_testdata
+def test_fisher_index_between_laspeyres_and_paasche(spark):
+    r = q.QUERIES["fisher_price_index"](spark, SF_DIR).collect()[0]
+    lo, hi = sorted((r.laspeyres, r.paasche))
+    assert lo - 1e-9 <= r.fisher <= hi + 1e-9
+    assert abs(r.fisher - math.sqrt(r.laspeyres * r.paasche)) < 1e-5
+    # replicate from raw parquet
+    rows = duckdb.sql(
+        f"""
+        SELECT l.l_partkey, year(o.o_orderdate),
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT),
+               CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    per: dict = {}
+    for pk, yr, s, qv in rows:
+        per.setdefault(pk, {})[yr] = (s, qv)
+    both = {
+        pk: v for pk, v in per.items() if 1996 in v and 1997 in v
+        and v[1996][1] > 0 and v[1997][1] > 0
+    }
+    assert r.n_parts == len(both)
+    p1q0 = sum(v[1997][0] / v[1997][1] * v[1996][1] for v in both.values())
+    p0q0 = sum(v[1996][0] for v in both.values())
+    p1q1 = sum(v[1997][0] for v in both.values())
+    p0q1 = sum(v[1996][0] / v[1996][1] * v[1997][1] for v in both.values())
+    assert abs(r.laspeyres - p1q0 / p0q0) < 1e-5
+    assert abs(r.paasche - p1q1 / p0q1) < 1e-5
+
+
+@needs_testdata
+def test_dunning_llr_replicated(spark):
+    out = q.QUERIES["dunning_llr_keyness"](spark, SF_DIR).collect()
+    docs = duckdb.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    src_counts = Counter(s for s, _ in docs)
+    top = min(
+        src_counts, key=lambda s: (-src_counts[s], s)
+    )
+    a_cnt: Counter = Counter()
+    b_cnt: Counter = Counter()
+    for s, text in docs:
+        tgt = a_cnt if s == top else b_cnt
+        for t in text.split(" "):
+            if t:
+                tgt[t] += 1
+    n1, n2 = sum(a_cnt.values()), sum(b_cnt.values())
+
+    def g2(a, b):
+        nn = n1 + n2
+        tot = 0.0
+        for o_, e in (
+            (a, (a + b) * n1 / nn),
+            (b, (a + b) * n2 / nn),
+            (n1 - a, (nn - a - b) * n1 / nn),
+            (n2 - b, (nn - a - b) * n2 / nn),
+        ):
+            if o_ > 0:
+                tot += o_ * math.log(o_ / e)
+        return 2 * tot
+
+    for r in out:
+        a, b = a_cnt.get(r.token, 0), b_cnt.get(r.token, 0)
+        assert r.n_target == a and r.n_rest == b
+        assert abs(r.llr_g2 - g2(a, b)) < 1e-4
+        assert r.direction == (1 if a / n1 > b / n2 else -1)
+        assert r.llr_g2 >= 0
+
+
+@needs_testdata
+def test_ratio_to_ma_indices_normalized(spark):
+    out = q.QUERIES["ratio_to_ma_seasonal"](spark, SF_DIR).collect()
+    assert len(out) == 7
+    # normalization law: the seven indices sum exactly to 7
+    assert abs(sum(r.seasonal_index for r in out) - 7.0) < 5e-6
+    assert all(r.seasonal_index > 0 for r in out)
+    # replicate one weekday's raw index from raw parquet
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    import datetime
+
+    ys = [y for _, y in pts]
+    days = [d for d, _ in pts]
+    anchor = datetime.date(1994, 12, 25)
+    per: dict = {}
+    for i in range(3, len(ys) - 3):
+        ws = sum(ys[i - 3: i + 4])
+        dow = (days[i] - anchor).days % 7
+        per.setdefault(dow, []).append(ys[i] * 7.0 / ws)
+    got = {r.day_of_week: (r.n_obs, r.raw_index) for r in out}
+    for dow, ratios in per.items():
+        n_obs, raw = got[dow]
+        assert n_obs == len(ratios)
+        assert abs(raw - sum(sorted(ratios)) / len(ratios)) < 1e-6
