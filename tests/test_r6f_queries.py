@@ -1986,3 +1986,76 @@ def test_ratio_to_ma_indices_normalized(spark):
         n_obs, raw = got[dow]
         assert n_obs == len(ratios)
         assert abs(raw - sum(sorted(ratios)) / len(ratios)) < 1e-6
+
+
+@needs_testdata
+def test_hampel_filter_replicated(spark):
+    out = q.QUERIES["hampel_filter_daily"](spark, SF_DIR).collect()
+    pts = duckdb.sql(
+        f"""
+        SELECT CAST(o_orderdate AS DATE),
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    ys = [y for _, y in pts]
+    days = [d for d, _ in pts]
+    flagged = []
+    for i in range(7, len(ys) - 7):
+        arr = sorted(ys[i - 7: i + 8])
+        m = arr[7]
+        md = sorted(abs(x - m) for x in arr)[7]
+        if abs(ys[i] - m) > 3 * 1.4826 * md:
+            flagged.append((days[i], ys[i], m, md))
+    got = [(r.day, r.revenue, r.window_median, r.window_mad) for r in out]
+    want = [
+        (d, round(y / 100, 2), round(m / 100, 2), round(md / 100, 2))
+        for d, y, m, md in flagged
+    ][:20]
+    assert got == want
+    # robustness law: a flagged point is never the window median
+    for r in out:
+        assert r.revenue != r.window_median
+
+
+@needs_testdata
+def test_anomalous_sessions_replicated(spark):
+    out = q.QUERIES["anomalous_sessions_markov"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""SELECT user_id, CAST(ts AS DATE), event_type, ts, event_id
+        FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    from collections import defaultdict, Counter
+
+    sess = defaultdict(list)
+    for u, d, et, ts, eid in rows:
+        sess[(u, d)].append((ts, eid, et))
+    trans = Counter()
+    per_sess = defaultdict(list)
+    for key, evs in sess.items():
+        evs.sort()
+        for i in range(len(evs) - 1):
+            pair = (evs[i][2], evs[i + 1][2])
+            trans[pair] += 1
+            per_sess[key].append(pair)
+    fmarg = Counter()
+    for (f, _), c in trans.items():
+        fmarg[f] += c
+    logp = {p: math.log(c / fmarg[p[0]]) for p, c in trans.items()}
+    scored = []
+    for key, pairs in per_sess.items():
+        if len(pairs) >= 5:
+            s = 0.0
+            for p in sorted(pairs):
+                s += logp[p]
+            scored.append((round(s / len(pairs), 6), key[0], key[1],
+                           len(pairs)))
+    want = sorted(scored)[:10]
+    got = [
+        (r.mean_transition_logp, r.user_id, r.day, r.n_steps)
+        for r in out
+    ]
+    assert got == want
+    # all scores are negative log-probabilities
+    assert all(r.mean_transition_logp < 0 for r in out)
