@@ -584,39 +584,48 @@ def test_jsd_replicated_and_bounded(spark):
 
 
 @needs_testdata
-def test_lad_grid_replicated_and_optimal(spark):
+def test_lad_grid_replicated_two_stage(spark):
     r = q.QUERIES["lad_regression_grid"](spark, SF_DIR).collect()[0]
     rows = duckdb.sql(
         f"""
-        SELECT CAST(round(l_quantity) AS BIGINT),
+        SELECT CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR),
+               CAST(round(l_quantity) AS BIGINT),
                CAST(round(l_extendedprice * 100) AS BIGINT)
         FROM '{SF_DIR}/lineitem.parquet'
         """
     ).fetchall()
     n = len(rows)
-    sx = sum(x for x, _ in rows)
-    sy = sum(y for _, y in rows)
-    sxx = sum(x * x for x, _ in rows)
-    sxy = sum(x * y for x, y in rows)
+    sx = sum(x for _, x, _ in rows)
+    sy = sum(y for _, _, y in rows)
+    sxx = sum(x * x for _, x, _ in rows)
+    sxy = sum(x * y for _, x, y in rows)
     ols = (n * float(sxy) - float(sx) * sy) / (n * float(sxx) - float(sx) * sx)
     bc = round(ols)
     step = max(1, bc // 20)
-    losses = {}
-    for k in range(41):
-        b = bc + (k - 20) * step
-        res = sorted(y - b * x for x, y in rows)
-        med = res[(n + 1) // 2 - 1]
-        losses[b] = (sum(abs(v - med) for v in res), med)
-    best_b = min(losses, key=lambda b: (losses[b][0], b))
+    sample = [(x, y) for k, x, y in rows if _h60(k, "ladg") % 5 == 0]
+
+    def lad(data, b):
+        res = sorted(y - b * x for x, y in data)
+        med = res[(len(res) + 1) // 2 - 1]
+        return sum(abs(v - med) for v in res), med
+
+    slosses = {
+        bc + (k - 20) * step: lad(sample, bc + (k - 20) * step)[0]
+        for k in range(41)
+    }
+    best_b = min(slosses, key=lambda b: (slosses[b], b))
+    full = [(x, y) for _, x, y in rows]
+    bl, bmed = lad(full, best_b)
+    cl, _ = lad(full, bc)
     assert r.n == n
     assert r.ols_slope == round(ols / 100, 4)
     assert r.lad_slope == round(best_b / 100, 2)
-    assert r.lad_intercept == round(losses[best_b][1] / 100, 2)
-    assert r.lad_loss == round(losses[best_b][0] / 100, 2)
-    assert r.center_loss == round(losses[bc][0] / 100, 2)
-    # optimality laws: best is no worse than center or any grid point
-    assert r.lad_loss <= r.center_loss
-    assert losses[best_b][0] == min(l for l, _ in losses.values())
+    assert r.lad_intercept == round(bmed / 100, 2)
+    assert r.lad_loss == round(bl / 100, 2)
+    assert r.center_loss == round(cl / 100, 2)
+    # optimality ON THE SAMPLE: the chosen slope minimizes sample loss
+    assert slosses[best_b] == min(slosses.values())
 
 
 @needs_testdata
