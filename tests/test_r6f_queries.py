@@ -2068,3 +2068,85 @@ def test_anomalous_sessions_replicated(spark):
     assert got == want
     # all scores are negative log-probabilities
     assert all(r.mean_transition_logp < 0 for r in out)
+
+
+@needs_testdata
+def test_duplicate_payment_audit_replicated(spark):
+    out = q.QUERIES["duplicate_payment_audit"](spark, SF_DIR).collect()
+    rows = duckdb.sql(
+        f"""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT),
+               CAST(o_orderdate AS DATE)
+        FROM '{SF_DIR}/orders.parquet'
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for ok, ck, pc, d in rows:
+        by_key[(ck, pc)].append((ok, d))
+    want = []
+    for (ck, pc), lst in by_key.items():
+        for i, (oa, da) in enumerate(lst):
+            for ob, db in lst[i + 1:]:
+                x, y = sorted((oa, ob))
+                gap = abs((da - db).days)
+                if gap <= 7:
+                    want.append((gap, ck, x, y, round(pc / 100, 2)))
+    want.sort()
+    got = [
+        (r.gap_days, r.custkey, r.order_a, r.order_b, r.amount)
+        for r in out
+    ]
+    assert got == want[: len(got)]
+    # every pair really is same customer, same exact amount
+    amounts = {(ok): (ck, pc) for ok, ck, pc, _ in rows}
+    for r in out:
+        assert amounts[r.order_a] == amounts[r.order_b]
+
+
+@needs_testdata
+def test_price_dispersion_decomposition_identity(spark):
+    r = q.QUERIES["price_dispersion_within_part"](spark, SF_DIR).collect()[0]
+    # decomposition laws: explained share is a proper fraction and
+    # both sums are nonnegative
+    assert 0 <= r.eta2_segment_given_part < 1
+    assert r.ss_explained_by_segment >= 0
+    assert r.ss_within_part > r.ss_explained_by_segment
+    # replicate eta2 from raw parquet
+    rows = duckdb.sql(
+        f"""
+        SELECT l.l_partkey, c.c_mktsegment,
+               CAST(round(l.l_extendedprice * 100
+                          / round(l.l_quantity)) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet' l
+        JOIN '{SF_DIR}/orders.parquet' o ON o.o_orderkey = l.l_orderkey
+        JOIN '{SF_DIR}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        WHERE round(l.l_quantity) > 0
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    per_part = defaultdict(list)
+    for pk, seg, u in rows:
+        per_part[pk].append((seg, u))
+    ssw = 0.0
+    ssb = 0.0
+    n_parts = 0
+    for pk, lst in per_part.items():
+        segs = {s for s, _ in lst}
+        if len(segs) < 2 or len(lst) < 10:
+            continue
+        n_parts += 1
+        us = [u for _, u in lst]
+        m = sum(us) / len(us)
+        ssw += sum((u - m) ** 2 for u in us)
+        per_seg = defaultdict(list)
+        for s_, u in lst:
+            per_seg[s_].append(u)
+        ssb += sum(
+            len(v) * (sum(v) / len(v) - m) ** 2 for v in per_seg.values()
+        )
+    assert r.n_parts == n_parts
+    assert abs(r.eta2_segment_given_part - ssb / ssw) < 1e-5
