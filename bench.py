@@ -268,6 +268,14 @@ HEADLINE = [
     "mutual_nn_pairs",
     "median_bootstrap_ci",
     "selinger_join_order",
+    # sixth wave: CV-by-moment-subtraction, exact CART, boosting,
+    # subgroup cube scan, C2ST drift AUC, EVT tail fit
+    "ridge_cv_path",
+    "decision_tree_depth2",
+    "adaboost_two_stumps",
+    "subgroup_wracc_scan",
+    "domain_classifier_auc",
+    "gpd_pot_fit",
 ]
 
 
