@@ -531,6 +531,7 @@ def six_degrees_experiment(
     seed: int = 42,
     max_hops: int = 8,
     weight: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """G9: the six-degrees statistics job — sample random vertex pairs,
     compute degrees-of-separation, aggregate mean/median/unreachable
@@ -538,6 +539,14 @@ def six_degrees_experiment(
     NB cells 143-153). ONE Spark job replaces the reference's
     process-pool experiment (analysis_service.py:223-262); a 100k-pair
     run at cluster scale is the same code.
+
+    ``exact=True`` switches the summary to exact-INTEGER sufficient
+    statistics (sum instead of rounded avg, 2×median instead of the
+    continuous-quantile double, and the raw (n_nodes, adjacency-row
+    count) pair instead of the transcendental ln N/ln⟨k⟩): every
+    hashed value is a BIGINT, so a cross-engine oracle comparison is
+    immune to libm/quantile-interpolation drift. mean/median/L are
+    one division away for presentation.
 
     Returns a single-row DataFrame of the experiment summary.
     """
@@ -586,6 +595,28 @@ def six_degrees_experiment(
         .localCheckpoint()
     )
     deg = degrees_of_separation(edges, pairs, vertices, weight=weight, max_hops=max_hops)
+    if exact:
+        # Integer-only contract (VERDICT r6 item 1): sums not means,
+        # 2×percentile (a median over integers is k or k+0.5, so the
+        # doubled value is an exact FP integer -> lossless long cast),
+        # and (n_nodes, degree_sum) as the raw inputs to L-theory.
+        # degree_sum counts adjacency rows of the both-orientation
+        # view — the same integer any engine gets from COUNT(*).
+        degree_sum = undirected(edges).count()
+        return deg.agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("dist").isNull().cast("long")).alias("unreachable"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+            F.max("dist").cast("long").alias("max_dist"),
+            F.sum("degree").cast("long").alias("sum_degree_sep"),
+            (F.expr("percentile(degree, 0.5)") * 2).cast("long")
+            .alias("median_degree_sep_x2"),
+            F.max("degree").cast("long").alias("max_degree_sep"),
+        ).select(
+            "*",
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            F.lit(degree_sum).cast("long").alias("degree_sum"),
+        )
     mean_k = (
         undirected(edges).groupBy("src").count().agg(F.avg("count")).first()[0]
     )
