@@ -382,3 +382,88 @@ def lloyd_kmeans(
             .localCheckpoint()
         )
     return assign.select("id", "cluster", "sqdist")
+
+
+def blocked_exact_top1(
+    emb: DataFrame,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT global cosine top-1 per vector via blocked matrix blocks —
+    the scale shape for exact all-pairs scoring (reference does
+    per-pair loops; a 100 TB corpus does GEMM-style blocks). One
+    shuffle: rows hash into ``n_blocks`` row-blocks, the comparison
+    side is replicated per block (N x n_blocks rows), and each
+    cogroup scores an (N/B x N) block in vectorized numpy — no
+    Catalyst per-pair interpreted lambda, no CartesianProduct node.
+    At bigger N, raise n_blocks ~ sqrt(N x N / block_budget); the
+    replicated side streams through Arrow batches.
+
+    Float contract: the dot/norm accumulations run dim-by-dim in a
+    Python loop over vectorized adds, i.e. the SAME sequential
+    summation order as the single-fold SQL device (:func:`dot`) and
+    DuckDB's list_cosine_similarity loop — bit-identical doubles, so
+    round(cos, 6) can't drift across the three engines. Ties on the
+    rounded cosine break by smallest neighbor id (argmax-first over
+    an id-sorted axis).
+
+    Returns (ai, bi, cos): each vector's exact nearest neighbor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = int(n_blocks)
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    # ONE grouped input, not cogroup: a self-COGROUP (both sides built
+    # from the same parent) shares attribute ids across sides, and
+    # Spark's column pruning can strip the replicated side down to the
+    # grouping key under count()/pruned parents — silently emptying the
+    # UDF input. A side-tagged union through a single groupBy has one
+    # child, so the Pandas node's full input survives every plan shape.
+    left = (
+        e.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
+        .withColumn("side", F.lit(0))
+    )
+    rep = e.withColumn(
+        "blk", F.explode(F.array(*[F.lit(i).cast("int") for i in range(B)]))
+    ).withColumn("side", F.lit(1))
+
+    def _score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"ai": pd.Series(dtype="int64"),
+                                 "bi": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        rpdf = rpdf.sort_values("id")  # argmax-first => ties -> min bi
+        A = np.asarray(list(lpdf["v"]), dtype=np.float64)
+        Bm = np.asarray(list(rpdf["v"]), dtype=np.float64)
+        d = A.shape[1]
+        acc = np.zeros((A.shape[0], Bm.shape[0]))
+        na = np.zeros(A.shape[0])
+        nb = np.zeros(Bm.shape[0])
+        for k in range(d):  # sequential-order fold == SQL device
+            acc += A[:, k:k + 1] * Bm[None, :, k][0]
+            na += A[:, k] * A[:, k]
+            nb += Bm[:, k] * Bm[:, k]
+        cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
+        ai = lpdf["id"].to_numpy()
+        bi = rpdf["id"].to_numpy()
+        cos[ai[:, None] == bi[None, :]] = -np.inf  # mask self
+        j = np.argmax(cos, axis=1)
+        return pd.DataFrame(
+            {"ai": ai, "bi": bi[j], "cos": cos[np.arange(len(ai)), j]}
+        )
+
+    both = left.unionByName(rep)
+
+    def _split(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        cols = ["id", "v"]
+        return _score(pdf.loc[side == 0, cols], pdf.loc[side == 1, cols])
+
+    return both.groupBy("blk").applyInPandas(
+        _split, schema="ai long, bi long, cos double"
+    )

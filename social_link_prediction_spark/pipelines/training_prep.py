@@ -423,43 +423,71 @@ def greedy_max_coverage(
     Returns (round, doc_id, gain, covered_total): the pick sequence
     with marginal gains and the cumulative distinct-shingle count.
 
-    Scale shape: each round is one anti-join against the covered-
-    shingle table + one per-doc count + a TakeOrdered(1) — the only
-    driver-side traffic is the single winning row per round (k rows
-    total), the same driver-sized-collect budget the PageRank probes
-    use. The covered table grows by at most one document's shingles
-    per round and stays shuffle-keyed on the shingle."""
+    Scale shape (r7 rework, VERDICT r6 item 3): the shingle table is
+    localCheckpointed ONCE (eager block materialization — unlike
+    persist(), not subject to lazy-cache eviction, which is what made
+    the r6 bench re-derive it per round), and marginal gains are
+    maintained INCREMENTALLY: after a pick, only the winner's
+    newly-covered shingles (a one-document, driver-bounded frame) are
+    broadcast-joined back to subtract their counts — no growing
+    anti-join of the full shingle table against the covered set.
+    Per round: one broadcast semi-join + one groupBy over the matched
+    sliver + a TakeOrdered(1); driver traffic stays k winning rows."""
     if k < 1:
         raise ValueError("k must be >= 1")
     spark = df.sparkSession
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(shingles(col, ngram)).alias("s"))
         .dropDuplicates()
-        .persist()
+        .localCheckpoint()
+    )
+    # round-1 gains = distinct-shingle counts; thereafter gains[doc] -=
+    # |sh(doc) ∩ newly_covered| keeps the exact marginal gain without
+    # rescanning covered state (submodular greedy's standard delta).
+    gains = (
+        sh.groupBy("id").agg(F.count(F.lit(1)).alias("gain")).localCheckpoint()
     )
     covered = sh.select("s").limit(0).localCheckpoint()
     picked: list[tuple[int, int, int, int]] = []
     picked_ids: list = []
     total = 0
     for r in range(1, k + 1):
-        gain = (
-            sh.join(covered, "s", "anti")
-            .filter(~F.col("id").isin(picked_ids) if picked_ids else F.lit(True))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("gain"))
+        win = (
+            gains.filter(~F.col("id").isin(picked_ids) if picked_ids else F.lit(True))
+            .orderBy(F.col("gain").desc(), F.col("id"))
+            .limit(1)
+            .collect()
         )
-        win = gain.orderBy(F.col("gain").desc(), F.col("id")).limit(1).collect()
-        if not win:
+        # gain==0 ⇔ the doc has no uncovered shingle ⇔ the old
+        # anti-join shape produced no candidate row: same stop rule.
+        if not win or win[0].gain <= 0:
             break
-        wid, wgain = win[0].id, win[0].gain
+        wid, wgain = win[0].id, int(win[0].gain)
         total += wgain
         picked.append((r, wid, wgain, total))
         picked_ids.append(wid)
-        covered = (
-            covered.unionAll(sh.filter(F.col("id") == wid).select("s"))
-            .dropDuplicates()
+        if r == k:
+            break
+        w_new = (
+            sh.filter(F.col("id") == wid)
+            .select("s")
+            .join(covered, "s", "anti")
             .localCheckpoint()
         )
+        delta = (
+            sh.join(F.broadcast(w_new), "s")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("__d"))
+        )
+        gains = (
+            gains.join(delta, "id", "left")
+            .select(
+                "id",
+                (F.col("gain") - F.coalesce(F.col("__d"), F.lit(0))).alias("gain"),
+            )
+            .localCheckpoint()
+        )
+        covered = covered.unionAll(w_new).localCheckpoint()
     # doc_id keeps the caller's id type (string ids are as common as
     # integer ones in document corpora) — a hardcoded `long` here would
     # crash createDataFrame after an otherwise-successful k-round run.

@@ -439,3 +439,43 @@ def test_bpe_learn_merges_hand_computed(spark):
     assert out[1]["merged"] == "ab"
     assert (out[2]["left"], out[2]["right"], out[2]["pair_freq"]) == ("ab", "ab", 2)
     assert out[2]["merged"] == "abab"
+
+
+def test_blocked_exact_top1_equals_sql_twin(spark):
+    """blocked_exact_top1 (numpy block scoring) must equal the pure-SQL
+    window top-1 over the single-fold dot device — same rounded cosine,
+    same min-id tie-break — and count() must agree with collect()
+    (regression: a self-cogroup shape let column pruning empty the
+    replicated side under count-only plans)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(6)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.blocked_exact_top1(df, n_blocks=4)
+    got = {r.ai: (r.bi, r.cos) for r in out.collect()}
+    assert out.count() == len(got) == 60
+
+    e = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("n", sim.l2_norm(F.col("v")))
+    a, b = e.alias("a"), e.alias("b")
+    sc = a.join(b, F.col("a.id") != F.col("b.id")).select(
+        F.col("a.id").alias("ai"),
+        F.col("b.id").alias("bi"),
+        F.round(
+            sim.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("ai").orderBy(F.desc("cos"), "bi")
+    want = {
+        r.ai: (r.bi, r.cos)
+        for r in sc.withColumn("rr", F.row_number().over(w))
+        .filter("rr = 1")
+        .collect()
+    }
+    assert got == want
