@@ -58,7 +58,7 @@ _PRIORITY = [
     "energy_distance_embeddings", "best_split_changepoint",
     "sequential_patterns_events", "skyline_parts", "join_ivm_nation_orders",
     "information_value_acctbal", "dedup_state_ttl_audit", "ams_f2_tokens",
-    "chi2_priority_segment", "qini_uplift_deciles", "six_degrees_summary",
+    "chi2_priority_segment", "etl_pipeline_counts", "six_degrees_summary",
 ]
 
 
