@@ -6581,3 +6581,41 @@ def price_dispersion_within_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eta2_segment_given_part"),
         )
     )
+
+
+# =====================================================================
+# Round-7 addition: exact kNN graph over the embedding table via the
+# blocked numpy scoring device (similarity.blocked_exact_topk — the
+# generalization of mutual_nn_pairs' top-1 rework, VERDICT r6 item 4).
+# The kNN graph is the substrate for graph-based dedup clustering,
+# label propagation over embeddings, and ANN recall audits; the
+# blocked-GEMM shape is the 100 TB exact path (at bigger N switch the
+# replicated side to block-pair tiling, same UDF).
+# =====================================================================
+@query(
+    "knn_graph_embeddings",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    nn AS (
+        SELECT ai, bi, cos,
+               CAST(row_number() OVER (PARTITION BY ai
+                                       ORDER BY cos DESC, bi) AS INTEGER)
+                   AS rank
+        FROM sc)
+    SELECT ai, bi, cos, rank FROM nn WHERE rank <= 3
+    ORDER BY ai, rank
+    """,
+)
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine 3-NN graph: every vector's top-3 neighbors with
+    ranks, computed by the blocked exact scorer (one shuffle into row
+    blocks, vectorized numpy per block, sequential-fold float contract
+    bit-identical to the oracle's list_cosine_similarity; stable
+    argsort over the id-sorted axis == row_number(cos DESC, bi) ties).
+    The brute all-pairs shape survives only as the DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.blocked_exact_topk(emb, k=3, n_blocks=8).orderBy("ai", "rank")

@@ -384,46 +384,17 @@ def lloyd_kmeans(
     return assign.select("id", "cluster", "sqdist")
 
 
-def blocked_exact_top1(
-    emb: DataFrame,
-    n_blocks: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """EXACT global cosine top-1 per vector via blocked matrix blocks —
-    the scale shape for exact all-pairs scoring (reference does
-    per-pair loops; a 100 TB corpus does GEMM-style blocks). One
-    shuffle: rows hash into ``n_blocks`` row-blocks, the comparison
-    side is replicated per block (N x n_blocks rows), and each
-    cogroup scores an (N/B x N) block in vectorized numpy — no
-    Catalyst per-pair interpreted lambda, no CartesianProduct node.
-    At bigger N, raise n_blocks ~ sqrt(N x N / block_budget); the
-    replicated side streams through Arrow batches.
-
-    Float contract: the dot/norm accumulations run dim-by-dim in a
-    Python loop over vectorized adds, i.e. the SAME sequential
-    summation order as the single-fold SQL device (:func:`dot`) and
-    DuckDB's list_cosine_similarity loop — bit-identical doubles, so
-    round(cos, 6) can't drift across the three engines. Ties on the
-    rounded cosine break by smallest neighbor id (argmax-first over
-    an id-sorted axis).
-
-    Returns (ai, bi, cos): each vector's exact nearest neighbor.
-    """
-    import numpy as np
-    import pandas as pd
-
+def _side_tagged_blocks(e: DataFrame, n_blocks: int) -> DataFrame:
+    """Side-tagged union for blocked all-pairs scoring: side-0 rows
+    hash into ``n_blocks`` row-blocks, side-1 is the comparison copy
+    replicated once per block. ONE grouped input through a single
+    groupBy-applyInPandas, deliberately NOT a cogroup: a self-COGROUP
+    (both sides built from the same parent) shares attribute ids
+    across sides, and Spark's column pruning can strip the replicated
+    side down to the grouping key under count()/pruned parents —
+    silently emptying the UDF input. A single-child union survives
+    every plan shape. ``e`` must carry an ``id`` column."""
     B = int(n_blocks)
-    e = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    # ONE grouped input, not cogroup: a self-COGROUP (both sides built
-    # from the same parent) shares attribute ids across sides, and
-    # Spark's column pruning can strip the replicated side down to the
-    # grouping key under count()/pruned parents — silently emptying the
-    # UDF input. A side-tagged union through a single groupBy has one
-    # child, so the Pandas node's full input survives every plan shape.
     left = (
         e.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(B)).cast("int"))
         .withColumn("side", F.lit(0))
@@ -431,39 +402,107 @@ def blocked_exact_top1(
     rep = e.withColumn(
         "blk", F.explode(F.array(*[F.lit(i).cast("int") for i in range(B)]))
     ).withColumn("side", F.lit(1))
+    return left.unionByName(rep)
 
-    def _score(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+
+def _block_cosine(lpdf, rpdf):
+    """Rounded cosine matrix of a block pair, with the dot/norm
+    accumulations run dim-by-dim over vectorized adds — the SAME
+    sequential summation order as the single-fold SQL device
+    (:func:`dot`) and DuckDB's list_cosine_similarity loop, so the
+    doubles are bit-identical across the three engines and
+    round(cos, 6) can't drift. Self-pairs masked to -inf."""
+    import numpy as np
+
+    A = np.asarray(list(lpdf["v"]), dtype=np.float64)
+    Bm = np.asarray(list(rpdf["v"]), dtype=np.float64)
+    acc = np.zeros((A.shape[0], Bm.shape[0]))
+    na = np.zeros(A.shape[0])
+    nb = np.zeros(Bm.shape[0])
+    for k in range(A.shape[1]):  # sequential-order fold == SQL device
+        acc += A[:, k:k + 1] * Bm[:, k][None, :]
+        na += A[:, k] * A[:, k]
+        nb += Bm[:, k] * Bm[:, k]
+    cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
+    ai = lpdf["id"].to_numpy()
+    bi = rpdf["id"].to_numpy()
+    cos[ai[:, None] == bi[None, :]] = -np.inf
+    return ai, bi, cos
+
+
+def blocked_exact_topk(
+    emb: DataFrame,
+    k: int = 1,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT global cosine top-k per vector via blocked matrix blocks —
+    the scale shape for exact kNN-graph construction (and the exact
+    twin the ANN serving path is audited against). One shuffle: rows
+    hash into ``n_blocks`` row-blocks, the comparison side is
+    replicated per block (N x n_blocks rows), and each block scores an
+    (N/B x N) slab in vectorized numpy — no Catalyst per-pair
+    interpreted lambda, no CartesianProduct node. At bigger N, raise
+    n_blocks ~ sqrt(N x N / block_budget); the replicated side streams
+    through Arrow batches. Within-block top-k uses a stable argsort on
+    the ROUNDED cosine over an id-sorted axis, i.e. exactly SQL's
+    row_number() OVER (ORDER BY cos DESC, bi) tie-break.
+
+    Returns (ai, bi, cos, rank) with rank in [1, k]: vector ai's
+    rank-th nearest neighbor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    kk = int(k)
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        lpdf = pdf.loc[side == 0, ["id", "v"]]
+        rpdf = pdf.loc[side == 1, ["id", "v"]].sort_values("id")
         if len(lpdf) == 0 or len(rpdf) == 0:
             return pd.DataFrame({"ai": pd.Series(dtype="int64"),
                                  "bi": pd.Series(dtype="int64"),
-                                 "cos": pd.Series(dtype="float64")})
-        rpdf = rpdf.sort_values("id")  # argmax-first => ties -> min bi
-        A = np.asarray(list(lpdf["v"]), dtype=np.float64)
-        Bm = np.asarray(list(rpdf["v"]), dtype=np.float64)
-        d = A.shape[1]
-        acc = np.zeros((A.shape[0], Bm.shape[0]))
-        na = np.zeros(A.shape[0])
-        nb = np.zeros(Bm.shape[0])
-        for k in range(d):  # sequential-order fold == SQL device
-            acc += A[:, k:k + 1] * Bm[None, :, k][0]
-            na += A[:, k] * A[:, k]
-            nb += Bm[:, k] * Bm[:, k]
-        cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
-        ai = lpdf["id"].to_numpy()
-        bi = rpdf["id"].to_numpy()
-        cos[ai[:, None] == bi[None, :]] = -np.inf  # mask self
-        j = np.argmax(cos, axis=1)
-        return pd.DataFrame(
-            {"ai": ai, "bi": bi[j], "cos": cos[np.arange(len(ai)), j]}
-        )
+                                 "cos": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int32")})
+        ai, bi, cos = _block_cosine(lpdf, rpdf)
+        take = min(kk, cos.shape[1] - 1) if cos.shape[1] > 1 else 0
+        if take <= 0:
+            return pd.DataFrame({"ai": pd.Series(dtype="int64"),
+                                 "bi": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int32")})
+        # stable sort over the id-ascending axis == (cos DESC, bi ASC)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(ai, take)
+        cols = order.ravel()
+        return pd.DataFrame({
+            "ai": rows,
+            "bi": bi[cols],
+            "cos": cos[np.repeat(np.arange(len(ai)), take), cols],
+            "rank": np.tile(np.arange(1, take + 1), len(ai)),
+        })
 
-    both = left.unionByName(rep)
-
-    def _split(pdf: pd.DataFrame) -> pd.DataFrame:
-        side = pdf["side"].to_numpy()
-        cols = ["id", "v"]
-        return _score(pdf.loc[side == 0, cols], pdf.loc[side == 1, cols])
-
-    return both.groupBy("blk").applyInPandas(
-        _split, schema="ai long, bi long, cos double"
+    return _side_tagged_blocks(e, n_blocks).groupBy("blk").applyInPandas(
+        _score, schema="ai long, bi long, cos double, rank int"
     )
+
+
+def blocked_exact_top1(
+    emb: DataFrame,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT global cosine top-1 per vector (see blocked_exact_topk
+    for the block design and the float/tie-break contract). Kept as
+    the named single-NN entry point: mutual-NN mining and the NN
+    recall audits consume exactly this frame."""
+    return blocked_exact_topk(
+        emb, k=1, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col
+    ).drop("rank")
