@@ -276,6 +276,10 @@ HEADLINE = [
     "subgroup_wracc_scan",
     "domain_classifier_auc",
     "gpd_pot_fit",
+    # round-7 addition — appended at the END so the r7 anchor's
+    # cache-accumulation convention is undisturbed for every earlier
+    # entry (the r6 lesson: mid-list insertions shift bench context)
+    "knn_graph_embeddings",
 ]
 
 
