@@ -104,59 +104,30 @@ def main() -> None:
         "  show the WHOLE multi-round DAG in one plan (hence the high",
         "  join/exchange counts — that is 3+ rounds of triangle or",
         "  BFS joins, not one bad join).",
-        "- winnow_dedup_clusters at sf0.1 splits 30s pair generation /",
-        "  7s clustering (measured): the synthetic corpus is",
-        "  pathologically self-similar (907k true near-dup pairs among",
-        "  5000 docs, tiny 31-token vocabulary), so the fingerprint",
-        "  equi-join's quadratic OUTPUT is inherent to the data, not a",
-        "  plan defect; on real text fingerprint collisions are rare",
-        "  and the blocking join's cost tracks collisions, not |docs|².",
-        "- gapfill_locf_hourly's BroadcastNestedLoopJoin is the 1-row",
-        "  bounds-frame cross join (grid synthesis);",
-        "  rolling_7d_active_users' BNLJ is the broadcast day-grid",
-        "  range join — range predicates cannot hash, and the",
-        "  broadcast side is one row per distinct day.",
-        "- Per-query bench deltas vs the r2 anchor redistribute cold",
-        "  costs, not plan quality: adjacent queries share persisted",
-        "  frames (partsupp edge cache, document shingles, embedding",
-        "  casts), so adding/reordering bench entries shifts which query",
-        "  pays the materialization. Verified by cold/warm A/B at sf0.1:",
-        "  embedding_topk_pairs runs 4.2s cold / 1.3s warm with IDENTICAL",
-        "  plans across the r2 and r3 query bodies; simhash+minhash pair",
-        "  sums are flat round-over-round (9.32s r2, 9.47s r3) while the",
-        "  split between them moved.",
+        "- Blocked numpy scorers (mutual_nn_pairs, mmd_embeddings,",
+        "  knn_graph_embeddings) appear as FlatMapGroupsInPandas over",
+        "  one side-tagged union shuffle — Arrow-batched, never",
+        "  BatchEvalPython, never CartesianProduct.",
+        "- BroadcastNestedLoopJoin flags on 1-row bounds frames",
+        "  (gapfill grids, day spines, sigma/threshold scalars) are",
+        "  broadcast scalar joins, not scale hazards: range predicates",
+        "  cannot hash and the broadcast side is O(1).",
         "",
-        "## Round 4 re-measure (VERDICT-r3 #5)",
-        "",
-        "Against the refreshed r3 anchor (BENCH_ANCHOR.json, sf0.1,",
-        "local[32]): common-28 subset 66.3s vs 74.0s anchor = 0.90x (10%",
-        "faster). The five queries flagged as nominal regressions in r3",
-        "all REVERSED under the new anchor, confirming the",
-        "cold-cost-redistribution explanation: degree_ccdf 1.22->0.61",
-        "(-50%), top10_customers_by_orders 1.00->0.69 (-31%),",
-        "canonical_edge_groups 3.48->2.15 (-38%), token_cooccurrence",
-        "1.98->1.44 (-28%), cumulative_daily_revenue 0.62->0.43 (-30%).",
-        "Closed: no real plan-level regression existed.",
-        "",
-        "Remaining >15% upticks are sub-second and noise-band-adjacent:",
-        "quality_filter_summary 0.53->0.67 (+27%, plan unchanged — one",
-        "codegen stage). mixture_rebalance_langs showed +21% from this",
-        "round's left-join fix (broadcast hint had landed on the",
-        "PRESERVED side of the left-outer, which Spark cannot broadcast",
-        "-> silent SMJ fallback); re-hinted onto the counts side,",
-        "restoring the broadcast plan.",
-        "",
-        "New r4 bench entries (first cold measurements, no anchor yet):",
-        "cleaning_normalize_customers 0.20s, relation_maintenance_counts",
-        "2.79s, media_audio_features 1.43s (real WAV decode through",
-        "Arrow), decorated_path_s1 5.09s (3-hop BFS loop + parent",
-        "backtrack + decoration joins — same per-round shape as",
-        "weighted_sssp_s1 at 5.8s; the loop dominates, the decoration is",
-        "broadcast joins).",
     ]
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    # Preserve the accumulated narrative: everything from the first
+    # round-note heading onward survives a table refresh (the pre-r7
+    # tool overwrote the whole file and embedded stale r3/r4 notes).
+    tail = ""
+    try:
+        old = open(out_path).read()
+        marks = [m for m in (old.find("## Round"), old.find("**Round")) if m != -1]
+        if marks:
+            tail = old[min(marks):]
+    except OSError:
+        pass
     with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(f"wrote {out_path}")
     spark.stop()
 
