@@ -479,3 +479,25 @@ def test_blocked_exact_top1_equals_sql_twin(spark):
         .collect()
     }
     assert got == want
+
+
+def test_blocked_exact_topk_laws(spark):
+    """k>1 path: per-vector ranks are exactly 1..k, cosine is
+    non-increasing in rank, and rank-1 agrees with blocked_exact_top1."""
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(5)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.blocked_exact_topk(df, k=3, n_blocks=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.ai, []).append((r.rank, r.cos, r.bi))
+    assert len(per) == 40
+    for ai, lst in per.items():
+        lst.sort()
+        assert [x[0] for x in lst] == [1, 2, 3]
+        assert lst[0][1] >= lst[1][1] >= lst[2][1]
+    top1 = {r.ai: (r.bi, r.cos) for r in sim.blocked_exact_top1(df, n_blocks=4).collect()}
+    assert top1 == {ai: (lst[0][2], lst[0][1]) for ai, lst in
+                    ((a, sorted(l)) for a, l in per.items())}
