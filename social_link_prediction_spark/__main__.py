@@ -121,9 +121,11 @@ def _get_spark(app: str):
     return get_spark(app)
 
 
-def run_etl(raw_dir: str, warehouse: str) -> dict:
+def run_etl(raw_dir: str, warehouse: str, quiet: bool = False) -> dict:
     """EP1: extract (fixture fetcher) → flatten → clean/dedup →
-    nodes/edges parquet."""
+    nodes/edges parquet. ``quiet`` suppresses the CLI's stdout JSON
+    line (the driver-gated etl_pipeline_counts query runs this inside
+    a correctness harness whose stdout must stay clean)."""
     from pyspark.sql import functions as F
 
     from social_link_prediction_spark.pipelines import transformer as tr
@@ -164,7 +166,8 @@ def run_etl(raw_dir: str, warehouse: str) -> dict:
         "nodes": spark.read.parquet(os.path.join(warehouse, "nodes")).count(),
         "warehouse": warehouse,
     }
-    print(json.dumps(out))
+    if not quiet:
+        print(json.dumps(out))
     return out
 
 

@@ -2479,7 +2479,7 @@ def etl_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw_dir = tempfile.mkdtemp(prefix="slp_etl_raw_")
     wh = tempfile.mkdtemp(prefix="slp_etl_wh_")
-    run_etl(raw_dir, wh)
+    run_etl(raw_dir, wh, quiet=True)
     edges = spark.read.parquet(os.path.join(wh, "edges"))
     nodes = spark.read.parquet(os.path.join(wh, "nodes"))
     e_cnt = edges.groupBy("relationship_label").agg(
