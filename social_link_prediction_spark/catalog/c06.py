@@ -3090,21 +3090,27 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(y) AS BIGINT) AS s
         FROM ser),
     lam AS (
+        -- ln() quantized at 12dp: the ONLY transcendentals in the
+        -- recursion; with both engines recursing on the identically
+        -- rounded doubles, every +/*/min/compare is bit-identical
+        -- (libm-ulp immunity — the six_degrees r6 lesson)
         SELECT n, yv,
                CAST(s AS DOUBLE) / n AS l0,
-               2e0 * CAST(s AS DOUBLE) / n AS l1
+               2e0 * CAST(s AS DOUBLE) / n AS l1,
+               round(ln(CAST(s AS DOUBLE) / n), 12) AS lnl0,
+               round(ln(2e0 * CAST(s AS DOUBLE) / n), 12) AS lnl1
         FROM vecs),
     rec AS (
         SELECT CAST(1 AS BIGINT) AS j,
-               (l0 - yv[1] * ln(l0)) AS c0,
-               (l1 - yv[1] * ln(l1)) + 1e0 AS c1,
+               (l0 - yv[1] * lnl0) AS c0,
+               (l1 - yv[1] * lnl1) + 1e0 AS c1,
                [0] AS p0, [1] AS p1
         FROM lam
         UNION ALL
         SELECT r.j + 1,
-               (m.l0 - m.yv[CAST(r.j + 1 AS INTEGER)] * ln(m.l0))
+               (m.l0 - m.yv[CAST(r.j + 1 AS INTEGER)] * m.lnl0)
                    + least(r.c0, r.c1),
-               (m.l1 - m.yv[CAST(r.j + 1 AS INTEGER)] * ln(m.l1))
+               (m.l1 - m.yv[CAST(r.j + 1 AS INTEGER)] * m.lnl1)
                    + least(r.c1, r.c0 + 1e0),
                list_append(CASE WHEN r.c0 <= r.c1 THEN r.p0
                                 ELSE r.p1 END, 0),
@@ -3140,7 +3146,11 @@ def kleinberg_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on the collected calendar-bounded series in Python
     doubles, the IDENTICAL IEEE sequence as the oracle's list-state
     recursive CTE (the DTW device), so every tie-break compare
-    agrees bit-for-bit."""
+    agrees bit-for-bit. The two ln() emissions — the only
+    transcendentals — are quantized at 12dp on BOTH sides before the
+    recursion, so a Python-libm vs DuckDB-libm last-ulp difference
+    (the class that flipped six_degrees' r6 driver hash) cannot
+    reach the cost accumulation or any min() decision."""
     ev = _t(spark, sf_dir, "events")
     dc = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
@@ -3157,12 +3167,14 @@ def kleinberg_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sum(ys)
     l0 = s / n
     l1 = 2e0 * s / n
-    c0 = l0 - ys[0] * math.log(l0)
-    c1 = (l1 - ys[0] * math.log(l1)) + 1e0
+    lnl0 = round(math.log(l0), 12)  # 12dp quantization == oracle's
+    lnl1 = round(math.log(l1), 12)  # round(ln(x), 12): libm-ulp-proof
+    c0 = l0 - ys[0] * lnl0
+    c1 = (l1 - ys[0] * lnl1) + 1e0
     p0, p1 = [0], [1]
     for j in range(1, n):
-        nc0 = (l0 - ys[j] * math.log(l0)) + min(c0, c1)
-        nc1 = (l1 - ys[j] * math.log(l1)) + min(c1, c0 + 1e0)
+        nc0 = (l0 - ys[j] * lnl0) + min(c0, c1)
+        nc1 = (l1 - ys[j] * lnl1) + min(c1, c0 + 1e0)
         np0 = (p0 if c0 <= c1 else p1) + [0]
         np1 = (p1 if c1 <= c0 + 1e0 else p0) + [1]
         c0, c1, p0, p1 = nc0, nc1, np0, np1
