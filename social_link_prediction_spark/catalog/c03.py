@@ -5424,7 +5424,10 @@ def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     know. Each induced subgraph's CC uses the same 16-round unrolled
     min-label device as component_size_distribution (monotone — extra
     rounds are no-ops); degrees are one aggregation; everything
-    iterates on the sampled-nodes-sized frame."""
+    iterates on the sampled-nodes-sized frame. r7: all three removal
+    fractions ride ONE frac-tagged label frame through a single
+    16-round loop — 16 checkpointed jobs instead of 3 x 16 (labels
+    can't cross fractions: every join/group keys on (frac, node))."""
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id")
     )
@@ -5447,50 +5450,64 @@ def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    out = None
+    keeps = None
     for f in _PERC_FRACS:
-        keep = dr.filter(
+        k = dr.filter(
             F.col("rk") > F.floor(F.col("n") * f / 100.0).cast("long")
-        ).select("id").persist()
-        ek = (
-            e0.join(keep.select(F.col("id").alias("src")), "src")
-            .join(keep.select(F.col("id").alias("dst")), "dst")
-        )
-        sym = (
-            ek.select("src", "dst")
-            .unionByName(
-                ek.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            )
-            .unionByName(
-                keep.select(F.col("id").alias("src"), F.col("id").alias("dst"))
-            )
-            .persist()
-        )
-        lbl = keep.select("id", F.col("id").alias("lbl"))
-        for _ in range(_CC_ROUNDS):
-            lbl = (
-                sym.join(lbl.select(F.col("id").alias("dst"), "lbl"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint()
-            )
-        lcc = lbl.groupBy("lbl").agg(F.count(F.lit(1)).alias("c")).agg(
-            F.max("c").cast("long").alias("lcc_size")
-        )
-        nk = keep.agg(F.count(F.lit(1)).cast("long").alias("n_remaining"))
-        row = (
-            nk.crossJoin(F.broadcast(lcc))
-            .select(
-                F.lit(f / 100.0).alias("removal_frac"),
-                "n_remaining",
-                "lcc_size",
-                F.round(F.col("lcc_size") / F.col("n_remaining"), 6).alias(
-                    "lcc_frac"
-                ),
+        ).select(F.lit(f).cast("int").alias("frac"), "id")
+        keeps = k if keeps is None else keeps.unionByName(k)
+    keeps = keeps.persist()
+    ek = (
+        e0.join(
+            keeps.select("frac", F.col("id").alias("src")), "src"
+        ).join(keeps.select("frac", F.col("id").alias("dst")), ["frac", "dst"])
+    )
+    sym = (
+        ek.select("frac", "src", "dst")
+        .unionByName(
+            ek.select(
+                "frac", F.col("dst").alias("src"), F.col("src").alias("dst")
             )
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("removal_frac")
+        .unionByName(
+            keeps.select(
+                "frac", F.col("id").alias("src"), F.col("id").alias("dst")
+            )
+        )
+        .persist()
+    )
+    lbl = keeps.select("frac", "id", F.col("id").alias("lbl"))
+    for _ in range(_CC_ROUNDS):
+        lbl = (
+            sym.join(
+                lbl.select("frac", F.col("id").alias("dst"), "lbl"),
+                ["frac", "dst"],
+            )
+            .groupBy("frac", F.col("src").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    lcc = (
+        lbl.groupBy("frac", "lbl")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("frac")
+        .agg(F.max("c").cast("long").alias("lcc_size"))
+    )
+    nk = keeps.groupBy("frac").agg(
+        F.count(F.lit(1)).cast("long").alias("n_remaining")
+    )
+    return (
+        nk.join(F.broadcast(lcc), "frac")
+        .select(
+            (F.col("frac") / 100.0).alias("removal_frac"),
+            "n_remaining",
+            "lcc_size",
+            F.round(F.col("lcc_size") / F.col("n_remaining"), 6).alias(
+                "lcc_frac"
+            ),
+        )
+        .orderBy("removal_frac")
+    )
 
 
 ORACLES["percolation_hub_removal"] = _duck_percolation_sql()
