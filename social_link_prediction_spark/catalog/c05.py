@@ -2804,7 +2804,11 @@ def markov_absorption_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (held-out lift) — this is the funnel-conversion number product
     teams quote. One corpus pass builds transitions (the same lag
     window as the transition matrix); everything after is
-    states-squared arithmetic."""
+    states-squared arithmetic on a DRIVER-BOUNDED frame
+    (|event_types|^2 <= ~36 rows), so the 16 rounds recurse in Python
+    doubles (the Durbin-Levinson device — r6's lesson that unrolling
+    a tiny recursion as 16 chained lazy joins buys seconds of pure
+    Catalyst planning for a 5-row frame)."""
     evt = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = evt.select(
@@ -2816,43 +2820,30 @@ def markov_absorption_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", F.coalesce("s2", F.lit("END")).alias("s2"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    tp = tr.select(
+    # driver-bounded collect: |event_types|^2 transition cells (<= ~36
+    # rows) — the one corpus-sized pass is the groupBy above
+    cells = tr.select(
         "s", "s2",
         (F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy("s"))).alias("p"),
-    ).persist()
-    st = tp.select("s").distinct()
-    direct = tp.filter(F.col("s2") == "purchase").select(
-        "s", F.col("p").alias("pd")
-    )
-    trans = tp.filter(
-        (F.col("s2") != "purchase") & (F.col("s2") != "END")
-    ).persist()
-    a = st.select("s", F.lit(0.0).alias("a"))
+    ).collect()
+    states = sorted({r.s for r in cells})
+    pd_ = {s: 0.0 for s in states}
+    trans: dict = {s: [] for s in states}
+    for r in sorted(cells, key=lambda r: (r.s, r.s2)):
+        if r.s2 == "purchase":
+            pd_[r.s] = r.p
+        elif r.s2 != "END":
+            trans[r.s].append((r.s2, r.p))
+    a = {s: 0.0 for s in states}
     for _ in range(16):
-        flow = (
-            trans.join(
-                a.select(F.col("s").alias("s2"), F.col("a").alias("ap")), "s2"
-            )
-            .groupBy("s")
-            .agg(F.sum(F.col("p") * F.col("ap")).alias("flow"))
-        )
-        # no per-round checkpoint: the value frame is states-sized and
-        # the lineage grows LINEARLY (two joins per round over cached
-        # inputs), so one final action evaluates the whole 16-round
-        # chain in a single job — 16 eager checkpoints of a 5-row
-        # frame cost a driver-blocking job each for nothing
-        a = (
-            st.join(F.broadcast(direct), "s", "left")
-            .join(F.broadcast(flow), "s", "left")
-            .select(
-                "s",
-                (
-                    F.coalesce("pd", F.lit(0.0)) + F.coalesce("flow", F.lit(0.0))
-                ).alias("a"),
-            )
-        )
-    return a.select(
-        F.col("s").alias("start_state"), F.round("a", 6).alias("p_absorb")
+        flow = {
+            s: sum(p * a[s2] for s2, p in trans[s] if s2 in a)
+            for s in states
+        }
+        a = {s: pd_[s] + flow[s] for s in states}
+    return spark.createDataFrame(
+        [(s, round(a[s], 6)) for s in states],
+        "start_state string, p_absorb double",
     ).orderBy("start_state")
 
 
