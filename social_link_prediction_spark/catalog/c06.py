@@ -6631,3 +6631,102 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     The brute all-pairs shape survives only as the DuckDB oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.blocked_exact_topk(emb, k=3, n_blocks=8).orderBy("ai", "rank")
+
+
+# =====================================================================
+# Round-7 capstone composition: mutual-kNN clustering — the kNN graph
+# (blocked exact scorer) -> reciprocal edges -> min-label connected
+# components -> cluster-size histogram. This is the graph-clustering
+# flavor of semantic dedup (mutual-kNN clusters are the conservative,
+# hub-resistant grouping bitext mining and near-dup clustering use
+# before a keep-one-per-cluster rewrite); every stage is a device the
+# catalog already proves separately (blocked_exact_topk, the mutual
+# join of mutual_nn_pairs, the 16-round min-label CC of
+# connected_components_cnr/percolation).
+# =====================================================================
+def _duck_mknn_sql(k: int = 3, rounds: int = 16) -> str:
+    ctes = [
+        """e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sc AS MATERIALIZED (
+        SELECT a.vec_id AS ai, b.vec_id AS bi,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+    nn AS MATERIALIZED (
+        SELECT ai, bi FROM (
+            SELECT ai, bi,
+                   row_number() OVER (PARTITION BY ai
+                                      ORDER BY cos DESC, bi) AS rr
+            FROM sc) WHERE rr <= %d),
+    mut AS MATERIALIZED (
+        SELECT n1.ai AS a, n1.bi AS b
+        FROM nn n1 JOIN nn n2 ON n2.ai = n1.bi AND n2.bi = n1.ai
+        WHERE n1.ai < n1.bi),
+    sym AS MATERIALIZED (
+        SELECT a AS src, b AS dst FROM mut
+        UNION ALL SELECT b, a FROM mut
+        UNION ALL SELECT vec_id, vec_id FROM e),
+    l0 AS (SELECT vec_id AS id, vec_id AS lbl FROM e)""" % k
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+        SELECT sym.src AS id, min(l.lbl) AS lbl
+        FROM sym JOIN l{r - 1} l ON l.id = sym.dst
+        GROUP BY sym.src)"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body},
+    cs AS (SELECT lbl, CAST(count(*) AS BIGINT) AS size
+           FROM l{rounds} GROUP BY lbl)
+    SELECT size AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(size) AS BIGINT) AS n_vectors
+    FROM cs GROUP BY size ORDER BY size
+    """
+
+
+@query("mutual_knn_clusters", _duck_mknn_sql())
+def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-3NN cluster-size histogram over the embedding table:
+    blocked exact top-3 per vector, reciprocal-pair edges (a in
+    top3(b) AND b in top3(a) — the hub-resistant near-dup grouping),
+    16-round min-label connected components over the mutual edge set
+    plus singleton self-loops, then (cluster_size, n_clusters,
+    n_vectors). Scale shape: the only corpus-quadratic work is inside
+    the blocked scorer; the mutual join and CC rounds run on the
+    (N x k)-bounded edge frame. 16 rounds >= any mutual-kNN cluster
+    diameter here (monotone: extra rounds are no-ops), matching the
+    oracle's unrolled device."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = sim.blocked_exact_topk(emb, k=3, n_blocks=8).select("ai", "bi")
+    rev = nn.select(F.col("bi").alias("ai"), F.col("ai").alias("bi"))
+    mut = (
+        nn.join(rev, ["ai", "bi"])
+        .filter(F.col("ai") < F.col("bi"))
+        .select(F.col("ai").alias("a"), F.col("bi").alias("b"))
+    )
+    ids = emb.select(F.col("vec_id").alias("id"))
+    sym = (
+        mut.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(mut.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .unionByName(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .persist()
+    )
+    lbl = ids.select("id", F.col("id").alias("lbl"))
+    for _ in range(16):
+        lbl = (
+            sym.join(lbl.select(F.col("id").alias("dst"), "lbl"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return (
+        lbl.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .groupBy(F.col("size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_vectors"),
+        )
+        .orderBy("cluster_size")
+    )
