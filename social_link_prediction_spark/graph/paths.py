@@ -550,11 +550,33 @@ def six_degrees_experiment(
 
     Returns a single-row DataFrame of the experiment summary.
     """
+    from pyspark import StorageLevel
+
     from social_link_prediction_spark.ml.linksplit import hash60
 
     # one materialization of the edge table: the BFS levels, the
-    # mean-degree job, and the stitch all re-scan it otherwise
-    edges = edges.localCheckpoint()
+    # mean-degree job, and the stitch all re-scan it otherwise —
+    # unless the caller already persisted it (the query path passes
+    # the shared persisted partsupp view; a second checkpoint would
+    # just burn one more eager job on the same rows)
+    if edges.storageLevel == StorageLevel.NONE:
+        edges = edges.localCheckpoint()
+    # BFS traverses undirected(bfs_edges): canonicalizing to one row
+    # per unordered pair halves every level-join's build side while
+    # undirected() reconstructs the IDENTICAL adjacency set (and
+    # identical min-parent candidates) — distances cannot change.
+    # mean-k / degree_sum keep the caller's original edge view.
+    if weight is None:
+        bfs_edges = (
+            edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+    else:  # weighted relaxation needs the per-edge weight rows as-is
+        bfs_edges = edges
     ids = vertices.select("id")
     n_nodes = vertices.count()
     # Deterministic hash-threshold sampling (same pattern as the
@@ -594,7 +616,9 @@ def six_degrees_experiment(
         .filter(F.col("src") != F.col("dst"))
         .localCheckpoint()
     )
-    deg = degrees_of_separation(edges, pairs, vertices, weight=weight, max_hops=max_hops)
+    deg = degrees_of_separation(
+        bfs_edges, pairs, vertices, weight=weight, max_hops=max_hops
+    )
     if exact:
         # Integer-only contract (VERDICT r6 item 1): sums not means,
         # 2×percentile (a median over integers is k or k+0.5, so the
