@@ -6690,13 +6690,16 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual-3NN cluster-size histogram over the embedding table:
     blocked exact top-3 per vector, reciprocal-pair edges (a in
     top3(b) AND b in top3(a) — the hub-resistant near-dup grouping),
-    16-round min-label connected components over the mutual edge set
-    plus singleton self-loops, then (cluster_size, n_clusters,
-    n_vectors). Scale shape: the only corpus-quadratic work is inside
-    the blocked scorer; the mutual join and CC rounds run on the
-    (N x k)-bounded edge frame. 16 rounds >= any mutual-kNN cluster
-    diameter here (monotone: extra rounds are no-ops), matching the
-    oracle's unrolled device."""
+    16-round min-label connected components over the mutual edge set,
+    then (cluster_size, n_clusters, n_vectors). Scale shape: the only
+    corpus-quadratic work is inside the blocked scorer; the CC rounds
+    iterate ONLY the vectors touched by a mutual edge (a small
+    fraction of the corpus — reciprocity is rare by construction),
+    and the untouched majority enters the histogram as one arithmetic
+    singleton row, so per-round state is |touched| labels, not N.
+    16 rounds >= any mutual-kNN cluster diameter here (monotone:
+    extra rounds are no-ops), matching the oracle's unrolled device
+    (which iterates all N — identical fixed point)."""
     emb = _t(spark, sf_dir, "embeddings")
     nn = sim.blocked_exact_topk(emb, k=3, n_blocks=8).select("ai", "bi")
     rev = nn.select(F.col("bi").alias("ai"), F.col("ai").alias("bi"))
@@ -6704,15 +6707,22 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn.join(rev, ["ai", "bi"])
         .filter(F.col("ai") < F.col("bi"))
         .select(F.col("ai").alias("a"), F.col("bi").alias("b"))
+        .localCheckpoint()
     )
-    ids = emb.select(F.col("vec_id").alias("id"))
+    touched = (
+        mut.select(F.col("a").alias("id"))
+        .unionByName(mut.select(F.col("b").alias("id")))
+        .dropDuplicates()
+    )
     sym = (
         mut.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(mut.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .unionByName(ids.select(F.col("id").alias("src"), F.col("id").alias("dst")))
+        .unionByName(
+            touched.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+        )
         .persist()
     )
-    lbl = ids.select("id", F.col("id").alias("lbl"))
+    lbl = touched.select("id", F.col("id").alias("lbl"))
     for _ in range(16):
         lbl = (
             sym.join(lbl.select(F.col("id").alias("dst"), "lbl"), "dst")
@@ -6720,13 +6730,32 @@ def mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-    return (
+    hist = (
         lbl.groupBy("lbl")
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
         .groupBy(F.col("size").alias("cluster_size"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_clusters"),
             F.sum("size").cast("long").alias("n_vectors"),
+        )
+    )
+    n_total = emb.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    n_touch = touched.agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    singles = (
+        n_total.crossJoin(F.broadcast(n_touch))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("nt") - F.col("nu")).alias("n_clusters"),
+            (F.col("nt") - F.col("nu")).alias("n_vectors"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(
+            F.sum("n_clusters").cast("long").alias("n_clusters"),
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
         )
         .orderBy("cluster_size")
     )
