@@ -3854,15 +3854,9 @@ def mmd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rp = pdf[pdf["side"] == 1]
         if len(lp) == 0 or len(rp) == 0:
             return None
-        A = np.asarray(list(lp["v"]), dtype=np.float64)
-        Bm = np.asarray(list(rp["v"]), dtype=np.float64)
-        acc = np.zeros((A.shape[0], Bm.shape[0]))
-        na = np.zeros(A.shape[0])
-        nb = np.zeros(Bm.shape[0])
-        for k in range(A.shape[1]):  # sequential fold == SQL device
-            acc += A[:, k:k + 1] * Bm[:, k][None, :]
-            na += A[:, k] * A[:, k]
-            nb += Bm[:, k] * Bm[:, k]
+        # shared sequential-fold device (sim._block_dots): bit-identical
+        # doubles vs the SQL dot across all three engines
+        acc, na, nb = sim._block_dots(lp, rp)
         d2 = na[:, None] + nb[None, :] - 2.0 * acc
         return lp, rp, d2
 

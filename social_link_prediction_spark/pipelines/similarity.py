@@ -405,17 +405,17 @@ def _side_tagged_blocks(e: DataFrame, n_blocks: int) -> DataFrame:
     return left.unionByName(rep)
 
 
-def _block_cosine(lpdf, rpdf):
-    """Rounded cosine matrix of a block pair, with the dot/norm
-    accumulations run dim-by-dim over vectorized adds — the SAME
-    sequential summation order as the single-fold SQL device
-    (:func:`dot`) and DuckDB's list_cosine_similarity loop, so the
-    doubles are bit-identical across the three engines and
-    round(cos, 6) can't drift. Self-pairs masked to -inf."""
+def _block_dots(lpdf, rpdf, vec_col: str = "v"):
+    """Raw block-pair products: (dot matrix, |a|^2 row, |b|^2 row),
+    with every accumulation run dim-by-dim over vectorized adds — the
+    SAME sequential summation order as the single-fold SQL device
+    (:func:`dot`) and DuckDB's list loops, so the doubles are
+    bit-identical across the three engines. Shared by the cosine
+    top-k scorer and the squared-distance consumers (RBF-MMD)."""
     import numpy as np
 
-    A = np.asarray(list(lpdf["v"]), dtype=np.float64)
-    Bm = np.asarray(list(rpdf["v"]), dtype=np.float64)
+    A = np.asarray(list(lpdf[vec_col]), dtype=np.float64)
+    Bm = np.asarray(list(rpdf[vec_col]), dtype=np.float64)
     acc = np.zeros((A.shape[0], Bm.shape[0]))
     na = np.zeros(A.shape[0])
     nb = np.zeros(Bm.shape[0])
@@ -423,6 +423,16 @@ def _block_cosine(lpdf, rpdf):
         acc += A[:, k:k + 1] * Bm[:, k][None, :]
         na += A[:, k] * A[:, k]
         nb += Bm[:, k] * Bm[:, k]
+    return acc, na, nb
+
+
+def _block_cosine(lpdf, rpdf):
+    """Rounded cosine matrix of a block pair over :func:`_block_dots`
+    (see there for the float contract); round(cos, 6) can't drift
+    across engines. Self-pairs masked to -inf."""
+    import numpy as np
+
+    acc, na, nb = _block_dots(lpdf, rpdf)
     cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
     ai = lpdf["id"].to_numpy()
     bi = rpdf["id"].to_numpy()
