@@ -3345,10 +3345,17 @@ def _duck_huber_sql(rounds: int = _HUBER_ROUNDS) -> str:
     fa AS (
         SELECT (sum(w * y) - (SELECT b FROM ff) * sum(w * x)) / sum(w) AS a
         FROM w{rounds})
+    -- rounding coarsened r7: slopes are O(1e3-1e6) and the intercept
+    -- is money-scale O(1e8+) at sf0.1 — 6dp there demands ~1e-14
+    -- relative float-sum agreement across engines, past what
+    -- partial-agg-vs-sequential summation guarantees (observed 1-ulp
+    -- hash flip at sf0.1). 4dp/2dp keep all information a robust
+    -- trend consumer uses while staying orders of magnitude inside
+    -- the cross-engine drift envelope.
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_points,
-           round((SELECT b FROM f0), 6) AS ols_slope,
-           round((SELECT b FROM ff), 6) AS huber_slope,
-           round((SELECT a FROM fa), 6) AS huber_intercept
+           round((SELECT b FROM f0), 4) AS ols_slope,
+           round((SELECT b FROM ff), 4) AS huber_slope,
+           round((SELECT a FROM fa), 2) AS huber_intercept
     """
 
 
@@ -3430,9 +3437,9 @@ def huber_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ff))
         .select(
             "n_points",
-            F.round("ols_b", 6).alias("ols_slope"),
-            F.round("b", 6).alias("huber_slope"),
-            F.round("a", 6).alias("huber_intercept"),
+            F.round("ols_b", 4).alias("ols_slope"),
+            F.round("b", 4).alias("huber_slope"),
+            F.round("a", 2).alias("huber_intercept"),
         )
     )
 
