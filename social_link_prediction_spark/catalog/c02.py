@@ -4580,36 +4580,85 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ols_revenue_trend",
     """
-    WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS day_idx,
-                      sum(o_totalprice) AS revenue
-               FROM orders GROUP BY 1)
-    SELECT CAST(count(*) AS BIGINT) AS n_days,
-           round(regr_slope(revenue, day_idx), 6) AS slope,
-           round(regr_intercept(revenue, day_idx), 6) AS intercept,
-           round(regr_r2(revenue, day_idx), 6) AS r2,
-           round(corr(revenue, day_idx), 6) AS pearson_r
-    FROM d
+    WITH d AS (SELECT CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS x,
+                      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+               FROM orders GROUP BY 1),
+    s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+                 CAST(sum(yc) AS BIGINT) AS sy,
+                 CAST(sum(x * yc) AS BIGINT) AS sxy,
+                 CAST(sum(yc::DECIMAL(38,0) * yc) AS DOUBLE) AS syy
+          FROM d),
+    f AS (SELECT n,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS b,
+                 (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * syy - CAST(sy AS DOUBLE) * sy)) AS r,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+          FROM s)
+    SELECT n AS n_days,
+           round(b / 100e0, 6) AS slope,
+           round((syd - b * sxd) / n / 100e0, 6) AS intercept,
+           round(r * r, 6) AS r2,
+           round(r, 6) AS pearson_r
+    FROM f
     """,
 )
 def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form simple linear regression of daily revenue on the
-    day index — the regression-aggregate family (regr_slope /
-    regr_intercept / regr_r2 / corr), all single-pass mergeable
-    sufficient statistics (Σx, Σy, Σxy, Σx², Σy²), so the whole fit
-    is ONE map-side-combinable aggregation at any scale — no driver
-    math, no iteration. The trend test every metrics warehouse ships."""
+    day index from INTEGER sufficient statistics (n, Σx, Σx², Σy_c,
+    Σx·y_c, Σy_c² over integer-cents daily revenue) — one map-side-
+    combinable aggregation at any scale, no driver math, no
+    iteration. r7 hardening (the huber lesson): the old regr_* over
+    float revenue let engine-order float-sum drift reach a 6dp
+    rounding of a money-scale intercept; exact integer sums make the
+    derived slope/intercept/r identical doubles on every engine."""
     orders = _t(spark, sf_dir, "orders")
     d = orders.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
-            "day_idx"
+            "x"
         )
-    ).agg(F.sum("o_totalprice").alias("revenue"))
-    return d.agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.round(F.regr_slope("revenue", "day_idx"), 6).alias("slope"),
-        F.round(F.regr_intercept("revenue", "day_idx"), 6).alias("intercept"),
-        F.round(F.regr_r2("revenue", "day_idx"), 6).alias("r2"),
-        F.round(F.corr("revenue", "day_idx"), 6).alias("pearson_r"),
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("yc"))
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x").cast("long") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc"))
+        .cast("double")
+        .alias("syy"),
+    )
+    b = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    r = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (F.col("n") * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(b / 100.0, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - b * F.col("sx").cast("double"))
+            / F.col("n")
+            / 100.0,
+            6,
+        ).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+        F.round(r, 6).alias("pearson_r"),
     )
 
 
@@ -5647,11 +5696,15 @@ def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "theil_sen_revenue_trend",
     """
+    -- integer-cents rollup (r7, the huber lesson): every pairwise
+    -- slope and residual derives from exact BIGINTs, so the median
+    -- SELECTIONS and the rounded outputs are engine-identical; the
+    -- final /100 returns to dollars after the operator's rounding.
     WITH m AS (SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
                           AS mi,
-                      sum(o_totalprice) AS rev
+                      CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS rev
                FROM orders GROUP BY mi),
-    p AS (SELECT (b.rev - a.rev) / (b.mi - a.mi) AS s
+    p AS (SELECT (CAST(b.rev AS DOUBLE) - a.rev) / (b.mi - a.mi) AS s
           FROM m a JOIN m b ON b.mi > a.mi),
     cnt AS (SELECT CAST(count(*) AS BIGINT) AS np FROM p),
     ms AS (SELECT s FROM (SELECT s, row_number() OVER (ORDER BY s) AS rk FROM p)
@@ -5660,8 +5713,8 @@ def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     res AS (SELECT rev - (SELECT s FROM ms) * mi AS r FROM m),
     mr AS (SELECT r FROM (SELECT r, row_number() OVER (ORDER BY r) AS rk FROM res)
            WHERE rk = CAST(floor(((SELECT n FROM nm) + 1) / 2.0) AS BIGINT))
-    SELECT round((SELECT s FROM ms), 6) AS slope,
-           round((SELECT r FROM mr), 6) AS intercept,
+    SELECT round(round((SELECT s FROM ms), 6) / 100e0, 6) AS slope,
+           round(round((SELECT r FROM mr), 6) / 100e0, 6) AS intercept,
            (SELECT n FROM nm) AS n_points,
            (SELECT np FROM cnt) AS n_pairs
     """,
@@ -5680,8 +5733,14 @@ def theil_sen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
         ).alias("mi")
-    ).agg(F.sum("o_totalprice").alias("rev"))
-    return st.theil_sen(m, "mi", "rev")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("rev"))
+    ts = st.theil_sen(m, "mi", "rev")
+    return ts.select(
+        F.round(F.col("slope") / 100.0, 6).alias("slope"),
+        F.round(F.col("intercept") / 100.0, 6).alias("intercept"),
+        "n_points",
+        "n_pairs",
+    )
 
 
 # =====================================================================
