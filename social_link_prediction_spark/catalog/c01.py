@@ -2473,13 +2473,27 @@ def etl_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyg_id (shape check: ids are contiguous [0, n) per type). sf_dir
     is unused by design: EP1's input is the offline fixture endpoint,
     the same at every scale."""
+    import shutil
     import tempfile
 
     from social_link_prediction_spark.__main__ import run_etl
 
-    raw_dir = tempfile.mkdtemp(prefix="slp_etl_raw_")
-    wh = tempfile.mkdtemp(prefix="slp_etl_wh_")
-    run_etl(raw_dir, wh, quiet=True)
+    # Fixed per-session paths, overwritten each run: this query sits in
+    # the driver gate and bench loops, so mkdtemp-per-call would leak a
+    # fresh fixture+parquet payload every invocation (ADVICE r7). The
+    # warehouse must outlive this function (the returned DataFrame reads
+    # it lazily), so it is bounded to ONE copy rather than deleted; the
+    # raw fixtures are consumed eagerly by run_etl and removed here.
+    base = os.path.join(tempfile.gettempdir(), "slp_etl_pipeline")
+    raw_dir = os.path.join(base, "raw")
+    wh = os.path.join(base, "wh")
+    for d in (raw_dir, wh):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+    try:
+        run_etl(raw_dir, wh, quiet=True)
+    finally:
+        shutil.rmtree(raw_dir, ignore_errors=True)
     edges = spark.read.parquet(os.path.join(wh, "edges"))
     nodes = spark.read.parquet(os.path.join(wh, "nodes"))
     e_cnt = edges.groupBy("relationship_label").agg(

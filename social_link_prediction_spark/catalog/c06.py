@@ -3097,8 +3097,8 @@ def knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n, yv,
                CAST(s AS DOUBLE) / n AS l0,
                2e0 * CAST(s AS DOUBLE) / n AS l1,
-               round(ln(CAST(s AS DOUBLE) / n), 12) AS lnl0,
-               round(ln(2e0 * CAST(s AS DOUBLE) / n), 12) AS lnl1
+               floor(ln(CAST(s AS DOUBLE) / n) * 1e12) / 1e12 AS lnl0,
+               floor(ln(2e0 * CAST(s AS DOUBLE) / n) * 1e12) / 1e12 AS lnl1
         FROM vecs),
     rec AS (
         SELECT CAST(1 AS BIGINT) AS j,
@@ -3148,9 +3148,13 @@ def kleinberg_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE (the DTW device), so every tie-break compare
     agrees bit-for-bit. The two ln() emissions — the only
     transcendentals — are quantized at 12dp on BOTH sides before the
-    recursion, so a Python-libm vs DuckDB-libm last-ulp difference
-    (the class that flipped six_degrees' r6 driver hash) cannot
-    reach the cost accumulation or any min() decision."""
+    recursion via floor(ln(x)*1e12)/1e12 (exact double ops on both
+    engines, unlike round() whose decimal semantics differ between
+    Python and DuckDB), so a Python-libm vs DuckDB-libm last-ulp
+    difference (the class that flipped six_degrees' r6 driver hash)
+    is confined to the rare floor-boundary straddle instead of every
+    rounding boundary, and cannot otherwise reach the cost
+    accumulation or any min() decision."""
     ev = _t(spark, sf_dir, "events")
     dc = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("y")
@@ -3167,8 +3171,14 @@ def kleinberg_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sum(ys)
     l0 = s / n
     l1 = 2e0 * s / n
-    lnl0 = round(math.log(l0), 12)  # 12dp quantization == oracle's
-    lnl1 = round(math.log(l1), 12)  # round(ln(x), 12): libm-ulp-proof
+    # 12dp quantization via floor(x*1e12)/1e12 — exact double ops on
+    # BOTH engines (Python round() is correctly-rounded decimal while
+    # DuckDB ROUND is multiply-based; they can disagree by 1 ulp on the
+    # SAME input, so round() is not an engine-identical primitive —
+    # ADVICE r7). floor/scale is: *1e12 and /1e12 are the same IEEE
+    # multiply/divide, floor is exact, and ln(x)*1e12 < 2^53 here.
+    lnl0 = math.floor(math.log(l0) * 1e12) / 1e12
+    lnl1 = math.floor(math.log(l1) * 1e12) / 1e12
     c0 = l0 - ys[0] * lnl0
     c1 = (l1 - ys[0] * lnl1) + 1e0
     p0, p1 = [0], [1]

@@ -429,11 +429,19 @@ def _block_dots(lpdf, rpdf, vec_col: str = "v"):
 def _block_cosine(lpdf, rpdf):
     """Rounded cosine matrix of a block pair over :func:`_block_dots`
     (see there for the float contract); round(cos, 6) can't drift
-    across engines. Self-pairs masked to -inf."""
+    across engines. Self-pairs masked to -inf. Zero-norm (degenerate)
+    vectors yield 0/0 = NaN — numpy's argsort ranks NaN LAST while
+    DuckDB's total order ranks NaN FIRST under cos DESC, so NaN is
+    mapped to -inf here: a degenerate vector loses every ranking on
+    both engines identically (the SQL twins filter or never emit
+    zero norms; this keeps the numpy side safe if the corpus ever
+    gains one)."""
     import numpy as np
 
     acc, na, nb = _block_dots(lpdf, rpdf)
-    cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.round(acc / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :]), 6)
+    cos[~np.isfinite(cos)] = -np.inf
     ai = lpdf["id"].to_numpy()
     bi = rpdf["id"].to_numpy()
     cos[ai[:, None] == bi[None, :]] = -np.inf

@@ -115,19 +115,29 @@ def main() -> None:
         "",
     ]
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
-    # Preserve the accumulated narrative: everything from the first
-    # round-note heading onward survives a table refresh (the pre-r7
-    # tool overwrote the whole file and embedded stale r3/r4 notes).
+    # Preserve the accumulated narrative: everything from the sentinel
+    # comment onward survives a table refresh (the pre-r7 tool overwrote
+    # the whole file and embedded stale r3/r4 notes). The sentinel is
+    # written by THIS tool — unlike matching "## Round" prose headings,
+    # it can't be duplicated into the regenerated static block or
+    # spoofed by table text (ADVICE r7). Legacy files without the
+    # sentinel fall back to the old prose-heading scan once; the
+    # rewrite then installs the sentinel.
+    sentinel = "<!-- round-notes: everything below survives plan_audit refreshes -->"
     tail = ""
     try:
         old = open(out_path).read()
-        marks = [m for m in (old.find("## Round"), old.find("**Round")) if m != -1]
-        if marks:
-            tail = old[min(marks):]
+        at = old.find(sentinel)
+        if at != -1:
+            tail = old[at + len(sentinel):].lstrip("\n")
+        else:
+            marks = [m for m in (old.find("## Round"), old.find("**Round")) if m != -1]
+            if marks:
+                tail = old[min(marks):]
     except OSError:
         pass
     with open(out_path, "w") as f:
-        f.write("\n".join(lines) + "\n" + tail)
+        f.write("\n".join(lines) + "\n" + sentinel + "\n\n" + tail)
     print(f"wrote {out_path}")
     spark.stop()
 
