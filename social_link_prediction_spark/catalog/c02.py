@@ -357,10 +357,14 @@ def gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ntile_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-spend decile table (ntile + per-bucket stats) — the
-    quantile-bucketing step of feature binning / LTV reporting. The
-    ntile window is a single global sort; tie-break on c_custkey makes
-    bucket assignment deterministic. Reference analog: degree-decile
-    reporting (SURVEY §2.5 A14 family)."""
+    quantile-bucketing step of feature binning / LTV reporting.
+    Tie-break on c_custkey makes bucket assignment deterministic.
+    The per-customer frame grows with the corpus, so the decile
+    assignment routes through global_row_number + exact_ntile
+    (range-partitioned parallel numbering) rather than an ntile
+    window's single global sort (VERDICT r7 item 2 family).
+    Reference analog: degree-decile reporting (SURVEY §2.5 A14
+    family)."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     spend = (
@@ -368,11 +372,12 @@ def ntile_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
-    tiled = spend.select(
+    numbered, n_cust = win.global_row_number(
+        spend, [F.col("total_spend").desc(), F.col("c_custkey")], out="__rn"
+    )
+    tiled = numbered.select(
         "total_spend",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("total_spend").desc(), "c_custkey"))
-        .alias("decile"),
+        win.exact_ntile(F.col("__rn"), n_cust, 10).alias("decile"),
     )
     return (
         tiled.groupBy("decile")
@@ -5649,14 +5654,19 @@ def heaps_law_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows as you scale the crawl. The only corpus-sized work is one
     explode + a (token, first_doc) min-aggregate; checkpoints are 10
     rows, so the prefix counts are broadcast range-joins against
-    marginal-sized frames."""
+    marginal-sized frames. The decile assignment routes through
+    global_row_number + exact_ntile (range-partitioned, parallel)
+    rather than ntile() OVER (ORDER BY doc_id) — that global window
+    is a one-task sort of every doc_id at 100 TB (VERDICT r7 item
+    2); the composed device is bit-identical to the window ntile."""
     docs = _t(spark, sf_dir, "documents")
     toks = ptx.tokens("text")
     t = docs.select("doc_id", toks.alias("toks"))
-    dl = t.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("ntok"),
-        F.ntile(10).over(Window.orderBy("doc_id")).cast("long").alias("dec"),
+    base = t.select("doc_id", F.size("toks").cast("long").alias("ntok"))
+    numbered, n_docs = win.global_row_number(base, "doc_id", out="__rn")
+    dl = numbered.select(
+        "doc_id", "ntok",
+        win.exact_ntile(F.col("__rn"), n_docs, 10).alias("dec"),
     )
     cps = dl.groupBy(F.col("dec").alias("cdec")).agg(F.max("doc_id").alias("cp"))
     fd = (
@@ -6634,9 +6644,13 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet row groups carry), and count the files a range predicate
     on EACH dimension would have to read. Z-order reads a small
     fraction for BOTH predicates from one layout; the linear layout
-    prunes neither. This simulation uses a global row_number to assign
-    files (audit-sized device); the production write path is
-    repartitionByRange(z).sortWithinPartitions(z) — no global window
+    prunes neither. File assignment routes through global_row_number
+    (range-partitioned parallel numbering, the real z-order writer's
+    shape: repartitionByRange(z) + within-partition order + offset) —
+    the previous ntile-style global window was a one-task sort of the
+    whole part table, run twice (VERDICT r7 item 2 + nit 4). The
+    production write path remains
+    repartitionByRange(z).sortWithinPartitions(z)
     (warehouse.write_bucketed / compact_parquet)."""
     from social_link_prediction_spark.warehouse import zorder_key
 
@@ -6653,13 +6667,12 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = p.withColumn("z", zorder_key("s", "pb", bits=6)).persist()
     stats = None
     for layout, order in (
-        ("zorder", [F.col("z"), F.col("p_partkey")]),
-        ("linear", [F.col("p_partkey")]),
+        ("zorder", ["z", "p_partkey"]),
+        ("linear", ["p_partkey"]),
     ):
-        f = k.select(
-            F.floor(
-                (F.row_number().over(Window.orderBy(*order)) - 1) / _Z_FILE_ROWS
-            ).alias("f"),
+        numbered, _n = win.global_row_number(k, order, out="__rn")
+        f = numbered.select(
+            F.floor((F.col("__rn") - 1) / _Z_FILE_ROWS).alias("f"),
             "s",
             "pb",
         )

@@ -241,13 +241,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical CRM scoring grid: per-customer last-order age,
     order count, and lifetime spend, each bucketed into quintiles
     (5 = best), rolled up to the 125-cell score grid with a named
-    segment label for the classic quadrants. Three ntile windows
-    with c_custkey tie-breaks make bucket assignment deterministic
-    in both engines (the ntile_decile_spend discipline); the
-    corpus-sized work is one custkey-keyed rollup. At 100 TB the
-    per-customer frame still fits a shuffle (customers ≪ orders) and
-    the quintile boundaries could swap to approx percentiles — the
-    exact ntile is the oracle-checkable tier."""
+    segment label for the classic quadrants. c_custkey tie-breaks
+    make bucket assignment deterministic in both engines; the
+    corpus-sized work is one custkey-keyed rollup. The per-customer
+    frame grows with the corpus, so each quintile assignment routes
+    through global_row_number + exact_ntile (three range-partitioned
+    parallel numberings, bit-identical to the ntile windows they
+    replace — VERDICT r7 item 2 family) instead of three single-task
+    global sorts."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.to_date("o_orderdate")).alias("mday"))
     rfm = (
@@ -268,17 +269,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents",
         )
     )
-    scored = rfm.select(
+    rfm = rfm.persist()
+    s1, n_cust = win.global_row_number(
+        rfm, [F.col("recency").desc(), F.col("o_custkey")], out="__rn_r"
+    )
+    s2, _ = win.global_row_number(
+        s1, [F.col("freq").asc(), F.col("o_custkey")], out="__rn_f"
+    )
+    s3, _ = win.global_row_number(
+        s2, [F.col("cents").asc(), F.col("o_custkey")], out="__rn_m"
+    )
+    scored = s3.select(
         "cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("recency").desc(), "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("freq").asc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("cents").asc(), "o_custkey"))
-        .alias("m_score"),
+        win.exact_ntile(F.col("__rn_r"), n_cust, 5).alias("r_score"),
+        win.exact_ntile(F.col("__rn_f"), n_cust, 5).alias("f_score"),
+        win.exact_ntile(F.col("__rn_m"), n_cust, 5).alias("m_score"),
     )
     seg = (
         F.when(
@@ -3506,12 +3511,13 @@ def qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
     )
-    ranked = f.select(
+    numbered, n_cust = win.global_row_number(
+        f, [F.col("score").desc(), F.col("c_custkey")], out="__rn"
+    )
+    ranked = numbered.select(
         "t",
         "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "c_custkey"))
-        .alias("decile"),
+        win.exact_ntile(F.col("__rn"), n_cust, 10).alias("decile"),
     )
     d = ranked.groupBy("decile").agg(
         F.sum("t").cast("long").alias("nt"),
@@ -4360,11 +4366,12 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0).alias("y"),
     )
-    ranked = scored.select(
+    numbered, n_cust = win.global_row_number(
+        scored, [F.col("score").desc(), F.col("c_custkey")], out="__rn"
+    )
+    ranked = numbered.select(
         "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), "c_custkey"))
-        .alias("decile"),
+        win.exact_ntile(F.col("__rn"), n_cust, 10).alias("decile"),
     )
     d = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -5270,9 +5277,12 @@ def lorenz_curve_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
     )
-    ranked = spend.select(
+    numbered, n_cust = win.global_row_number(
+        spend, ["cents", "o_custkey"], out="__rn"
+    )
+    ranked = numbered.select(
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "o_custkey")).alias("d"),
+        win.exact_ntile(F.col("__rn"), n_cust, 10).alias("d"),
     )
     g = ranked.groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

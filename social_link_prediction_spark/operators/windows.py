@@ -67,6 +67,84 @@ def top_k_per_group(
     )
 
 
+# --- corpus-frame global row numbering (VERDICT r7 item 2)
+def global_row_number(
+    df: DataFrame,
+    order_col: str | Column | Sequence[str | Column],
+    out: str = "__rn",
+    n_parts: int = 32,
+) -> tuple[DataFrame, int]:
+    """1-based dense global row number ordered by ``order_col``,
+    WITHOUT a single-task global sort — the 100 TB replacement for
+    ``row_number() OVER (ORDER BY x)`` on frames that grow with the
+    corpus. The ml/linksplit.py:116 device, generalized: one
+    ``repartitionByRange`` shuffle on the order column (ranges are
+    contiguous and ordered across partition ids), a per-partition
+    ``row_number`` window (parallel, bounded by the partition), then
+    the P partition counts — P tiny rows — collect to the driver and
+    rejoin as a literal offset map. Output is identical to the global
+    window for every ``n_parts`` because within-partition order plus
+    range-contiguous partitions equals global order. ``order_col``
+    values (the full key tuple when a sequence is passed) must be
+    unique (a tie straddling a range boundary would otherwise split
+    nondeterministically) — the same contract the global window
+    callers already carry.
+
+    Returns ``(frame + out column, total row count)``; the count rides
+    along free from the offset collect (callers like exact ntile need
+    n anyway, and this avoids a second job).
+    """
+    raw = (
+        [order_col]
+        if isinstance(order_col, (str, Column))
+        else list(order_col)
+    )
+    # str -> asc column; Column passes through (incl. .desc() sort
+    # orders — repartitionByRange places partition 0 on the FIRST
+    # range of the given sort order, so the offset arithmetic is
+    # direction-agnostic).
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in raw]
+    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__gp", F.spark_partition_id()
+    )
+    within = ranged.withColumn(
+        "__grn",
+        F.row_number().over(Window.partitionBy("__gp").orderBy(*order_cols)),
+    )
+    part_counts = sorted(
+        (r["__gp"], r["cnt"])
+        for r in ranged.groupBy("__gp").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for p, cnt in part_counts:
+        offsets[p] = acc
+        acc += cnt
+    offset_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        within.withColumn(
+            out, (offset_map[F.col("__gp")] + F.col("__grn")).cast("long")
+        ).drop("__gp", "__grn"),
+        acc,
+    )
+
+
+def exact_ntile(rn: Column, n: int, k: int) -> Column:
+    """SQL ``ntile(k)`` over a precomputed 1-based global row number
+    ``rn`` of an ``n``-row frame: the first ``n % k`` buckets take
+    ``n // k + 1`` rows, the rest ``n // k`` — bit-identical to the
+    window function, but composable with :func:`global_row_number`
+    so corpus-sized frames never pay the single-task sort."""
+    size_small, n_big = divmod(n, k)
+    size_big = size_small + 1
+    cutoff = n_big * size_big
+    return F.when(
+        F.lit(n_big > 0) & (rn <= F.lit(cutoff)),
+        F.ceil(rn / F.lit(size_big)),
+    ).otherwise(
+        F.lit(n_big) + F.ceil((rn - F.lit(cutoff)) / F.lit(max(size_small, 1)))
+    ).cast("long")
+
+
 # --- W5: cumulative sum (NB cell 87) — see aggregates.degree_distribution
 def cumulative_sum(
     df: DataFrame, order: str, value: str, out: str = "cumsum", exclusive: bool = False
