@@ -2047,12 +2047,21 @@ def linkpred_heuristic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("adamic_adar", F.col("aa")),
         ("jaccard", F.col("jac")),
     ):
-        r = sc.select(
-            F.lit(name).alias("heuristic"),
-            "u",
-            "v",
-            F.row_number().over(Window.orderBy(col.desc(), "u", "v")).alias("rk"),
-        ).filter(F.col("rk") <= _LP_K)
+        # head via TakeOrderedAndProject, then rank the _LP_K-row
+        # head — no global window over the candidate-pair frame
+        # (r8 lint)
+        r = (
+            sc.orderBy(col.desc(), "u", "v")
+            .limit(_LP_K)
+            .select(
+                F.lit(name).alias("heuristic"),
+                "u",
+                "v",
+                F.row_number()
+                .over(Window.orderBy(col.desc(), "u", "v"))
+                .alias("rk"),
+            )
+        )
         ranked = r if ranked is None else ranked.unionByName(r)
     hits = (
         ranked.join(
@@ -2637,15 +2646,16 @@ def zipf_law_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(F.explode(ptx.tokens("text")).alias("t"))
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     vocab = cnt.agg(F.count(F.lit(1)).cast("long").alias("vocab"))
-    top = (
-        cnt.select(
-            "c",
-            F.row_number()
-            .over(Window.orderBy(F.col("c").desc(), "t"))
-            .cast("long")
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= _ZIPF_TOP)
+    # head via TakeOrderedAndProject, then rank the bounded head —
+    # rank-then-filter over the distinct-token frame was a one-task
+    # global sort (r8 lint)
+    head = cnt.orderBy(F.col("c").desc(), "t").limit(_ZIPF_TOP)
+    top = head.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "t"))  # <=100-row frame
+        .cast("long")
+        .alias("rk"),
     )
     pts = top.select(
         F.log(F.col("rk").cast("double")).alias("lx"),
@@ -3291,10 +3301,18 @@ def token_burstiness_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).cast("long").alias("df2"),
         F.sum("k").cast("long").alias("cf"),
     )
-    top = agg.select(
-        "*",
-        F.row_number().over(Window.orderBy(F.col("cf").desc(), "t")).alias("rk"),
-    ).filter(F.col("rk") <= 20)
+    # limit-first (TakeOrderedAndProject), then rank the 20-row head
+    # — no global window over the distinct-token frame (r8 lint)
+    top = (
+        agg.orderBy(F.col("cf").desc(), "t")
+        .limit(20)
+        .select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("cf").desc(), "t"))
+            .alias("rk"),
+        )
+    )
     return top.select(
         F.col("t").alias("token"),
         F.col("cf").alias("corpus_freq"),
@@ -3709,15 +3727,14 @@ def interarrival_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame
         ((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu"))).alias("b")
     ).persist()
     n = b.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    med = (
-        b.select(
-            "b",
-            F.row_number().over(Window.orderBy("b")).alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
-        .filter(F.col("rk") == F.floor((F.col("n") + 1) / 2.0).cast("long"))
-        .select(F.col("b").alias("median_b"))
-    )
+    # median by rank via the range-partitioned numbering device: the
+    # per-user frame grows with the corpus (r8 lint). Ties in b are
+    # fine — equal values occupy a contiguous rank block under any
+    # range split, so the selected VALUE is deterministic.
+    ranked_b, n_b = win.global_row_number(b, ["b"], out="rk")
+    med = ranked_b.filter(
+        F.col("rk") == F.lit((n_b + 1) // 2)
+    ).select(F.col("b").alias("median_b"))
     stats = b.agg(
         F.round(F.avg("b"), 6).alias("mean_b"),
         F.round(F.min("b"), 6).alias("min_b"),
@@ -5455,18 +5472,15 @@ def percolation_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
-    dr = (
-        sup.join(deg, "id", "left")
-        .select("id", F.coalesce(F.col("d"), F.lit(0)).alias("d"))
-        .select(
-            "id",
-            F.row_number()
-            .over(Window.orderBy(F.col("d").desc(), "id"))
-            .alias("rk"),
-            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        )
-        .persist()
+    dd = sup.join(deg, "id", "left").select(
+        "id", F.coalesce(F.col("d"), F.lit(0)).alias("d")
     )
+    # hub rank via the range-partitioned numbering device — the node
+    # frame grows with the corpus, so no global window (r8 lint)
+    ranked, n_nodes = win.global_row_number(
+        dd, [F.col("d").desc(), F.col("id")], out="rk"
+    )
+    dr = ranked.select("id", "rk", F.lit(n_nodes).cast("long").alias("n")).persist()
     keeps = None
     for f in _PERC_FRACS:
         k = dr.filter(
@@ -5915,10 +5929,14 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice") * 100).cast("long").alias("w")
     )
     tot = spend.agg(F.sum("w").cast("long").alias("tw"))
-    w = Window.orderBy("o_custkey").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spend.select(
-        "o_custkey", "w", F.sum("w").over(w).cast("long").alias("cw")
-    ).crossJoin(F.broadcast(tot)).persist()
+    # cumulative weight axis via the bucketed device — the customer
+    # frame grows with the corpus, so no global window (r8 lint)
+    cum = (
+        st.bucketed_prefix_sums(spend, "o_custkey", ["w"], n_buckets=32)
+        .select("o_custkey", "w", F.col("cum_w").cast("long").alias("cw"))
+        .crossJoin(F.broadcast(tot))
+        .persist()
+    )
     pts = spark.range(_PPS_K).select(F.col("id").alias("k"))
     sel = (
         pts.crossJoin(cum)

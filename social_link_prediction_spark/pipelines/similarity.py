@@ -343,10 +343,16 @@ def lloyd_kmeans(
     from social_link_prediction_spark.ml.linksplit import hash60
 
     e = embs.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
-    w0 = Window.orderBy(hash60(F.col("id").cast("string"), F.lit("km")), "id")
+    # seed pick: top-k by hash order via orderBy().limit(k) — Spark
+    # plans TakeOrderedAndProject (per-task k-heap, driver merge of
+    # k x parts rows), so the corpus is never globally sorted; the
+    # row_number window then runs on the k-row frame only (r8 lint —
+    # the pre-r8 rank-then-filter shape was a one-task global sort).
+    hcol = hash60(F.col("id").cast("string"), F.lit("km"))
+    seeds = e.select("v", hcol.alias("__h"), "id").orderBy("__h", "id").limit(k)
+    w0 = Window.orderBy("__h", "id")
     cent = (
-        e.withColumn("__r", F.row_number().over(w0))
-        .filter(F.col("__r") <= k)
+        seeds.withColumn("__r", F.row_number().over(w0))
         .select((F.col("__r") - 1).alias("cluster"), F.col("v").alias("c"))
     )
     sqd = F.aggregate(
