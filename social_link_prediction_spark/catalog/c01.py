@@ -1634,17 +1634,24 @@ def cube_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface (ntile/percent_rank/cume_dist) over a
-    global ordering. A single global window funnels all rows through
-    one task — fine for a dimension table; for a 100 TB fact rank use
-    the range-partition + offset composition in ml.linksplit's
-    scalable index instead."""
+    global ordering — computed from the range-partitioned numbering
+    device (global_row_number) instead of one global window, so the
+    frame never funnels through a single task (r8: the customer
+    frame grows with the corpus). With a unique ordering key the
+    window functions reduce to exact row-number arithmetic:
+    ntile = exact_ntile(rn), percent_rank = (rn-1)/(n-1),
+    cume_dist = rn/n — bit-identical to the window forms."""
     cust = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return cust.select(
+    numbered, n = win.global_row_number(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        out="__rn",
+    )
+    return numbered.select(
         "c_custkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        win.exact_ntile(F.col("__rn"), n, 10).cast("int").alias("decile"),
+        F.round((F.col("__rn") - 1) / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+        F.round(F.col("__rn") / F.lit(n), 6).alias("cume"),
     )
 
 

@@ -6245,12 +6245,21 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_months"),
     ).persist()
     tot = p.agg(F.sum("rev").cast("long").alias("trev"))
-    w = Window.orderBy(F.col("rev").desc(), "part").rowsBetween(
-        Window.unboundedPreceding, 0
+    # cumulative revenue over the part-dimension frame (grows with
+    # the corpus): range-partitioned numbering gives the (rev desc,
+    # part) order as a unique integer axis, bucketed prefix sums give
+    # the running total — no global window (r8 lint)
+    numbered, _n = win.global_row_number(
+        p, [F.col("rev").desc(), F.col("part")], out="__rn"
     )
-    r = p.select(
-        "part", "rev", "mq", "sq", "n_months", F.sum("rev").over(w).alias("crev")
-    ).crossJoin(F.broadcast(tot))
+    r = (
+        st.bucketed_prefix_sums(numbered, "__rn", ["rev"], n_buckets=32)
+        .select(
+            "part", "rev", "mq", "sq", "n_months",
+            F.col("cum_rev").alias("crev"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     abc = (
         F.when(F.col("crev") * 100 <= F.col("trev") * 80, "A")
         .when(F.col("crev") * 100 <= F.col("trev") * 95, "B")

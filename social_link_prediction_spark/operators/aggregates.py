@@ -144,7 +144,7 @@ def degree_distribution(df: DataFrame, key: str) -> DataFrame:
     deg = degree(df, key)
     dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n"))
     total = Window.partitionBy()
-    w = Window.partitionBy().orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, -1)
     return (
         dist.withColumn("pdf", F.col("n") / F.sum("n").over(total))
         .withColumn("ccdf", F.lit(1.0) - F.coalesce(F.sum("pdf").over(w), F.lit(0.0)))

@@ -150,7 +150,7 @@ def cumulative_sum(
     df: DataFrame, order: str, value: str, out: str = "cumsum", exclusive: bool = False
 ) -> DataFrame:
     upper = -1 if exclusive else Window.currentRow
-    w = Window.partitionBy().orderBy(order).rowsBetween(Window.unboundedPreceding, upper)
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, upper)
     return df.withColumn(out, F.coalesce(F.sum(value).over(w), F.lit(0.0)))
 
 
@@ -161,7 +161,7 @@ def is_sorted(df: DataFrame, cols: Sequence[str]) -> bool:
     comparison — returns True iff no inversions exist.
     """
     key = F.struct(*[F.col(c) for c in cols])
-    w = Window.partitionBy().orderBy(F.monotonically_increasing_id())
+    w = Window.orderBy(F.monotonically_increasing_id())
     inversions = (
         df.withColumn("__key", key)
         .withColumn("__prev", F.lag("__key").over(w))
