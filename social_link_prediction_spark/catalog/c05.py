@@ -1483,9 +1483,14 @@ def ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hierarchical_forecast_reconciliation",
     """
+    -- integer-cents rollup (r8, the huber lesson): every forecast
+    -- and share derives from exact BIGINT cent sums through one
+    -- fixed float expression, so the rounded outputs are engine-
+    -- identical at any magnitude (the pre-r8 FLOAT revenue sums
+    -- rounded at 6dp were the r7 hazard class).
     WITH daily AS MATERIALIZED (
         SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS d,
-               sum(o.o_totalprice) AS rev
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -1494,21 +1499,20 @@ def ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff AS (SELECT max(d) AS mx FROM daily),
     base AS MATERIALIZED (
         SELECT region,
-               sum(CASE WHEN d > (SELECT mx FROM cutoff) - 7
-                        THEN rev ELSE 0 END) / 7e0 AS fc_bottom,
-               sum(CASE WHEN d > (SELECT mx FROM cutoff) - 28
-                        THEN rev ELSE 0 END) AS rev28
+               CAST(sum(CASE WHEN d > (SELECT mx FROM cutoff) - 7
+                        THEN cents ELSE 0 END) AS BIGINT) AS c7,
+               CAST(sum(CASE WHEN d > (SELECT mx FROM cutoff) - 28
+                        THEN cents ELSE 0 END) AS BIGINT) AS c28
         FROM daily GROUP BY region),
-    top_ AS (
-        SELECT sum(fc_bottom) AS sum_bottom, sum(rev28) AS rev28_all
-        FROM base),
+    top_ AS (SELECT CAST(sum(c28) AS BIGINT) AS c28_all FROM base),
     tot_daily AS (
-        SELECT sum(rev) / 7e0 AS fc_top FROM daily
+        SELECT CAST(sum(cents) AS BIGINT) AS c7_all FROM daily
         WHERE d > (SELECT mx FROM cutoff) - 7)
     SELECT b.region,
-           round(b.fc_bottom, 6) AS base_forecast,
-           round(b.rev28 / t.rev28_all, 6) AS share_28d,
-           round(td.fc_top * (b.rev28 / t.rev28_all), 6)
+           round(CAST(b.c7 AS DOUBLE) / 7e0 / 100e0, 6) AS base_forecast,
+           round(CAST(b.c28 AS DOUBLE) / t.c28_all, 6) AS share_28d,
+           round((CAST(td.c7_all AS DOUBLE) / 7e0 / 100e0)
+                 * (CAST(b.c28 AS DOUBLE) / t.c28_all), 6)
                AS reconciled_forecast
     FROM base b, top_ t, tot_daily td
     ORDER BY b.region
@@ -1527,7 +1531,10 @@ def hierarchical_forecast_reconciliation(
     tests). One corpus rollup to (region, day); everything after is
     region-count-sized. The time-series twins are holt/croston
     (single series) — this is the many-series coherence layer a
-    100 TB revenue mart actually publishes."""
+    100 TB revenue mart actually publishes. r8: integer-cents
+    sufficient statistics end-to-end (the r7 huber lesson — FLOAT
+    money sums rounded at 6dp flip across engines); every output is
+    one fixed float expression over exact BIGINTs."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -1540,7 +1547,9 @@ def hierarchical_forecast_reconciliation(
             F.col("r_name").alias("region"),
             F.col("o_orderdate").cast("date").alias("d"),
         )
-        .agg(F.sum("o_totalprice").alias("rev"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+        )
         .persist()
     )
     cutoff = daily.agg(F.max("d").alias("mx"))
@@ -1548,36 +1557,41 @@ def hierarchical_forecast_reconciliation(
         daily.crossJoin(F.broadcast(cutoff))
         .groupBy("region")
         .agg(
-            (
-                F.sum(
-                    F.when(
-                        F.col("d") > F.date_sub(F.col("mx"), 7), F.col("rev")
-                    ).otherwise(0.0)
-                )
-                / 7.0
-            ).alias("fc_bottom"),
             F.sum(
                 F.when(
-                    F.col("d") > F.date_sub(F.col("mx"), 28), F.col("rev")
-                ).otherwise(0.0)
-            ).alias("rev28"),
+                    F.col("d") > F.date_sub(F.col("mx"), 7), F.col("cents")
+                ).otherwise(0)
+            ).cast("long").alias("c7"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.date_sub(F.col("mx"), 28), F.col("cents")
+                ).otherwise(0)
+            ).cast("long").alias("c28"),
         )
     )
-    top = base.agg(F.sum("rev28").alias("rev28_all"))
+    top = base.agg(F.sum("c28").cast("long").alias("c28_all"))
     tot_daily = (
         daily.crossJoin(F.broadcast(cutoff))
         .filter(F.col("d") > F.date_sub(F.col("mx"), 7))
-        .agg((F.sum("rev") / 7.0).alias("fc_top"))
+        .agg(F.sum("cents").cast("long").alias("c7_all"))
     )
+    # one fixed float expression per output, same op order as the
+    # oracle, over exact BIGINTs — identical doubles by construction
     return (
         base.crossJoin(F.broadcast(top))
         .crossJoin(F.broadcast(tot_daily))
         .select(
             "region",
-            F.round("fc_bottom", 6).alias("base_forecast"),
-            F.round(F.col("rev28") / F.col("rev28_all"), 6).alias("share_28d"),
             F.round(
-                F.col("fc_top") * (F.col("rev28") / F.col("rev28_all")), 6
+                F.col("c7").cast("double") / 7.0 / 100.0, 6
+            ).alias("base_forecast"),
+            F.round(
+                F.col("c28").cast("double") / F.col("c28_all"), 6
+            ).alias("share_28d"),
+            F.round(
+                (F.col("c7_all").cast("double") / 7.0 / 100.0)
+                * (F.col("c28").cast("double") / F.col("c28_all")),
+                6,
             ).alias("reconciled_forecast"),
         )
         .orderBy("region")
