@@ -55,7 +55,7 @@ _PRIORITY = [
     "heaps_law_vocab", "hhi_market_concentration", "kruskal_wallis_price_segments",
     "langid_confusion_matrix", "time_decay_attribution", "watermark_lateness_audit",
     "ann_recall_audit", "brier_decomposition", "kaplan_meier_conversion",
-    "matryoshka_truncation_audit", "pacf_daily_events",
+    "matryoshka_truncation_audit", "ml_pipeline_ledger",
 ]
 
 

@@ -280,6 +280,10 @@ HEADLINE = [
     # cache-accumulation convention is undisturbed for every earlier
     # entry (the r6 lesson: mid-list insertions shift bench context)
     "knn_graph_embeddings",
+    # round-8 addition — M-layer lifecycle ledger (split, negative
+    # sample, MLlib fit, eval, flip, embedding-store round trip);
+    # appended at the END per the anchor convention
+    "ml_pipeline_ledger",
 ]
 
 
