@@ -105,10 +105,17 @@ def negative_sample(
         )
     else:
         n_parts = max(32, n_nodes // 2_000_000)
+        # eager localCheckpoint: the ranged frame is consumed twice
+        # (per-partition counts + the window scan) and
+        # repartitionByRange's sampled boundaries are not stable
+        # across re-executions — without pinning one materialization
+        # the offsets can disagree with the assignment (the r8
+        # global_row_number lesson; see operators/windows.py)
         ranged = (
             nodes.select(node_id)
             .repartitionByRange(n_parts, F.col(node_id))
             .withColumn("__p", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
         rn = F.row_number().over(Window.partitionBy("__p").orderBy(node_id))
         within = ranged.withColumn("__rn", rn)

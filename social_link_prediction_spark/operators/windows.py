@@ -104,8 +104,20 @@ def global_row_number(
     # range of the given sort order, so the offset arithmetic is
     # direction-agnostic).
     order_cols = [F.col(c) if isinstance(c, str) else c for c in raw]
-    ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
-        "__gp", F.spark_partition_id()
+    # EAGER localCheckpoint: repartitionByRange picks its range
+    # boundaries from a reservoir SAMPLE of its input, and that sample
+    # is not stable across re-executions of the same plan — the
+    # counts collect below and the window scan would otherwise
+    # evaluate the shuffle TWICE and can land rows in different
+    # partitions than the offsets were computed from (caught by the
+    # r8 sf0.1 sweep: duplicate/missing row numbers). Checkpointing
+    # pins ONE materialized partitioning for both consumers and
+    # fails loudly (instead of silently renumbering) if storage is
+    # lost.
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("__gp", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     within = ranged.withColumn(
         "__grn",
