@@ -4794,8 +4794,14 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = c.agg(
         F.sum("w").alias("tw"), F.count(F.lit(1)).alias("n_distinct_prices")
     )
-    win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
-    s = c.withColumn("cw", F.sum("w").over(win)).crossJoin(F.broadcast(tot))
+    # bucketed prefix sums (r8: support -> bucketed). Weights are
+    # integer-valued doubles (quantity sums), so any accumulation
+    # order yields the same exact cumulative values.
+    s = (
+        st.bucketed_prefix_sums(c, "p", ["w"], n_buckets=32)
+        .select("p", F.col("cum_w").alias("cw"))
+        .crossJoin(F.broadcast(tot))
+    )
     return (
         s.filter(F.col("cw") >= F.col("tw") / 2)
         .agg(

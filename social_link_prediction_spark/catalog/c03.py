@@ -1404,8 +1404,11 @@ def median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.groupBy(F.col("o_totalprice").alias("x")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = d.select("x", F.sum("c").over(w).cast("long").alias("cum"))
+    # bucketed prefix sums — distinct-value frame grows with the
+    # corpus until value-support saturation (r8: support -> bucketed)
+    cum = st.bucketed_prefix_sums(d, "x", ["c"], n_buckets=32).select(
+        "x", F.col("cum_c").cast("long").alias("cum")
+    )
     ks = n.select(
         "n",
         F.floor((F.col("n") + 1) / 2.0).cast("long").alias("k_med"),
@@ -1478,10 +1481,16 @@ def trimmed_winsorized_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.groupBy(F.col("o_totalprice").alias("x")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = d.select(
-        "x", "c", (F.sum("c").over(w).cast("long") - F.col("c")).alias("cb")
-    ).crossJoin(F.broadcast(n)).persist()
+    # bucketed prefix sums (r8: support -> bucketed)
+    cum = (
+        st.bucketed_prefix_sums(d, "x", ["c"], n_buckets=32)
+        .select(
+            "x", "c",
+            (F.col("cum_c").cast("long") - F.col("c")).alias("cb"),
+        )
+        .crossJoin(F.broadcast(n))
+        .persist()
+    )
     wts = cum.select(
         "x",
         "c",

@@ -2779,12 +2779,12 @@ def median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
     dv = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    cdf = dv.select(
+    # bucketed prefix sums (r8: support -> bucketed); exclusive
+    # prefix = inclusive - own count
+    cdf = st.bucketed_prefix_sums(dv, "x", ["c"], n_buckets=32).select(
         "x",
-        F.sum("c").over(wc).cast("long").alias("cum"),
-        F.coalesce(F.sum("c").over(wp), F.lit(0)).cast("long").alias("prev"),
+        F.col("cum_c").cast("long").alias("cum"),
+        (F.col("cum_c") - F.col("c")).cast("long").alias("prev"),
     )
     mrank = F.expr("(n + 1) div 2")
     pt = (
@@ -4294,12 +4294,12 @@ def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
     dv = v.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    cdf = dv.select(
+    # bucketed prefix sums (r8: support -> bucketed); exclusive
+    # prefix = inclusive - own count
+    cdf = st.bucketed_prefix_sums(dv, "x", ["c"], n_buckets=32).select(
         "x",
-        F.sum("c").over(wc).cast("long").alias("cum"),
-        F.coalesce(F.sum("c").over(wp), F.lit(0)).cast("long").alias("prev"),
+        F.col("cum_c").cast("long").alias("cum"),
+        (F.col("cum_c") - F.col("c")).cast("long").alias("prev"),
     )
     rk = F.expr("(19 * n + 19) div 20")
     u = (
@@ -4313,11 +4313,15 @@ def gpd_pot_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("x") - F.col("u")).alias("e"))
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    wr = Window.orderBy("e").rowsBetween(Window.unboundedPreceding, -1)
     netot = exc.agg(F.sum("c").cast("long").alias("netot"))
-    ranked = exc.crossJoin(F.broadcast(netot)).select(
-        "e", "c", "netot",
-        F.coalesce(F.sum("c").over(wr), F.lit(0)).cast("long").alias("r"),
+    # bucketed prefix sums (r8: support -> bucketed)
+    ranked = (
+        st.bucketed_prefix_sums(exc, "e", ["c"], n_buckets=32)
+        .crossJoin(F.broadcast(netot))
+        .select(
+            "e", "c", "netot",
+            (F.col("cum_c") - F.col("c")).cast("long").alias("r"),
+        )
     )
     b1term = F.col("e").cast("decimal(38,0)") * (
         F.col("c") * F.col("netot")

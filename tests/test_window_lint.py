@@ -69,9 +69,6 @@ LEDGER = {
     'catalog/c02.py|wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)':
         ('bounded',
          'duration frame (calendar-span-bounded)'),
-    'catalog/c02.py|win = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct price-weight CDF; bucketed_prefix_sums is the corpus route'),
     'catalog/c02.py|wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)':
         ('bounded',
          'duration frame (calendar-span-bounded)'),
@@ -156,9 +153,6 @@ LEDGER = {
     'catalog/c04.py|F.datediff("day", F.lag("day").over(Window.orderBy("day")))':
         ('bounded',
          'calendar-day frame'),
-    'catalog/c04.py|F.lead("xc").over(Window.orderBy("xc")).alias("nxt"),':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
     'catalog/c04.py|F.row_number().over(Window.orderBy("d2", "i")).alias("r"),':
         ('bounded',
          'matrix-profile day frame (calendar-bounded)'),
@@ -189,9 +183,6 @@ LEDGER = {
     'catalog/c04.py|w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)':
         ('bounded',
          '64-bin frame'),
-    'catalog/c04.py|w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct latency-value CDF; value-support-bounded'),
     'catalog/c04.py|w = Window.orderBy("day")':
         ('bounded',
          'calendar-day frame'),
@@ -201,12 +192,6 @@ LEDGER = {
     'catalog/c04.py|w = Window.orderBy("i")':
         ('bounded',
          'calendar-day frame'),
-    'catalog/c04.py|w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
-    'catalog/c04.py|w = Window.orderBy("xc").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
     'catalog/c04.py|wbnd = Window.orderBy("b")':
         ('bounded',
          'fixed bucket frame'),
@@ -288,9 +273,6 @@ LEDGER = {
     'catalog/c06.py|wc = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)':
         ('support',
          'distinct feature-value CDF; value-support-bounded'),
-    'catalog/c06.py|wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
     'catalog/c06.py|wd = Window.orderBy("day")  # calendar-bounded frame':
         ('bounded',
          'calendar-day frame'),
@@ -306,12 +288,6 @@ LEDGER = {
     'catalog/c06.py|wp = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, -1)':
         ('support',
          'distinct feature-value CDF; value-support-bounded'),
-    'catalog/c06.py|wp = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
-    'catalog/c06.py|wr = Window.orderBy("e").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct exceedance-value frame; value-support-bounded'),
     'catalog/c06.py|wr = Window.orderBy("mse", "lam_ratio")  # 8-row frame':
         ('bounded',
          '8-row CV-grid frame'),
