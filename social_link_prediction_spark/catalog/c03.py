@@ -5150,11 +5150,12 @@ def auc_exact_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
-    r1 = d.select(
+    # bucketed prefix sums (r8: support -> bucketed); exclusive
+    # prefix = inclusive - own count
+    r1 = st.bucketed_prefix_sums(d, "x", ["c"], n_buckets=32).select(
         "c1",
         "c",
-        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("cb"),
+        (F.col("cum_c") - F.col("c")).alias("cb"),
     ).agg(
         F.sum(F.col("c1") * (F.col("cb") + (F.col("c") + 1) / F.lit(2.0))).alias(
             "r1"
@@ -5229,11 +5230,11 @@ def ks_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("long").alias("c1"),
         F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("long").alias("c2"),
     )
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    c = d.select(
+    # bucketed prefix sums (r8: support -> bucketed)
+    c = st.bucketed_prefix_sums(d, "x", ["c1", "c2"], n_buckets=32).select(
         "x",
-        F.sum("c1").over(w).cast("double").alias("a1"),
-        F.sum("c2").over(w).cast("double").alias("a2"),
+        F.col("cum_c1").cast("double").alias("a1"),
+        F.col("cum_c2").cast("double").alias("a2"),
     )
     k = c.crossJoin(F.broadcast(n)).select(
         "x",
@@ -5245,13 +5246,9 @@ def ks_score_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sep"),
     )
     return (
-        k.select(
-            "*",
-            F.row_number()
-            .over(Window.orderBy(F.col("sep").desc(), "x"))
-            .alias("rk"),
-        )
-        .filter(F.col("rk") == 1)
+        # argmax via TakeOrderedAndProject, not a rank window (r8 lint)
+        k.orderBy(F.col("sep").desc(), "x")
+        .limit(1)
         .select(
             F.col("n1").alias("n_pos"),
             F.col("n2").alias("n_neg"),

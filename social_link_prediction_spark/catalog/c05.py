@@ -2929,13 +2929,24 @@ def youden_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("c"),
     )
-    wc = Window.orderBy(F.col("x").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = d.select(
+    # bucketed prefix sums (r8: support -> bucketed): the DESCENDING
+    # cumulative at x is the total minus the ascending EXCLUSIVE
+    # prefix — tp(x) = np - (cum_c1 - c1); fp likewise over (c - c1).
+    pre = st.bucketed_prefix_sums(d, "x", ["c1", "c"], n_buckets=32)
+    cum = pre.crossJoin(F.broadcast(tot)).select(
         "x",
-        F.sum("c1").over(wc).cast("long").alias("tp"),
-        F.sum(F.col("c") - F.col("c1")).over(wc).cast("long").alias("fp"),
+        (F.col("np") - (F.col("cum_c1") - F.col("c1")))
+        .cast("long")
+        .alias("tp"),
+        (
+            F.col("nn")
+            - (
+                (F.col("cum_c") - F.col("c"))
+                - (F.col("cum_c1") - F.col("c1"))
+            )
+        )
+        .cast("long")
+        .alias("fp"),
     )
     m = cum.crossJoin(F.broadcast(tot)).select(
         F.col("x").alias("threshold"),

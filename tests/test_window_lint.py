@@ -87,9 +87,6 @@ LEDGER = {
     'catalog/c03.py|.over(Window.orderBy(F.col("jaccard").desc(), "sa", "sb"))':
         ('bounded',
          'source-pair frame (|sources|^2, enum-sized)'),
-    'catalog/c03.py|.over(Window.orderBy(F.col("sep").desc(), "x"))':
-        ('support',
-         'distinct separation-value frame; value-support-bounded'),
     'catalog/c03.py|.over(Window.orderBy(col.desc(), "u", "v"))':
         ('bounded',
          'runs on the _LP_K-row head (limit upstream)'),
@@ -114,15 +111,9 @@ LEDGER = {
     'catalog/c03.py|w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)':
         ('bounded',
          'decile frame (10 rows)'),
-    'catalog/c03.py|w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
     'catalog/c03.py|w10 = Window.orderBy(F.col("n").desc(), F.col("part").asc())':
         ('bounded',
          'runs on the 10-row head (limit upstream)'),
-    'catalog/c03.py|wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct-value CDF over money cents; bucketed_prefix_sums is the corpus route'),
     'catalog/c03.py|wprev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)':
         ('bounded',
          'duration frame (calendar-span-bounded)'),
@@ -237,9 +228,6 @@ LEDGER = {
     'catalog/c05.py|w_incl = Window.orderBy("t").rowsBetween(':
         ('bounded',
          'duration frame (calendar-span-bounded)'),
-    'catalog/c05.py|wc = Window.orderBy(F.col("x").desc()).rowsBetween(':
-        ('support',
-         'distinct score-value CDF; value-support-bounded'),
     'catalog/c06.py|) if keys else Window.orderBy(F.desc("score"), "feature", "v")':
         ('support',
          'split-candidate frame over distinct feature values; value-support-bounded'),
