@@ -5021,9 +5021,15 @@ def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tc") - F.col("cc"))
         )
         scored = cum.withColumn("score", score)
+        if not keys:
+            # global argmax via TakeOrderedAndProject, not a rank
+            # window over the split-candidate frame (r8 lint)
+            return scored.orderBy(F.desc("score"), "feature", "v").limit(
+                1
+            ).select("feature", "v", "score", "tp", "tc")
         wb = Window.partitionBy(*keys).orderBy(
             F.desc("score"), "feature", "v"
-        ) if keys else Window.orderBy(F.desc("score"), "feature", "v")
+        )
         return scored.withColumn("rr", F.row_number().over(wb)).filter(
             F.col("rr") == 1
         ).select(*keys, "feature", "v", "score", "tp", "tc")
@@ -5543,10 +5549,8 @@ def adaboost_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err"),
         )
     )
-    ws1 = Window.orderBy("err", "feature", "v", "pol")
-    s1 = cand1.withColumn("rr", F.row_number().over(ws1)).filter(
-        F.col("rr") == 1
-    ).select(
+    # argmin via TakeOrderedAndProject (r8 lint)
+    s1 = cand1.orderBy("err", "feature", "v", "pol").limit(1).select(
         F.col("feature").alias("f1"), F.col("v").alias("v1"),
         F.col("pol").alias("p1"), F.col("err").alias("err1"),
     )
@@ -5629,10 +5633,8 @@ def adaboost_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wc") * F.col("ncorr") + F.col("ww") * F.col("nwrong")
         ).alias("tw_")
     )
-    ws2 = Window.orderBy("werr", "feature", "v", "pol")
-    s2 = cand2.withColumn("rr", F.row_number().over(ws2)).filter(
-        F.col("rr") == 1
-    ).select(
+    # argmin via TakeOrderedAndProject (r8 lint)
+    s2 = cand2.orderBy("werr", "feature", "v", "pol").limit(1).select(
         F.col("feature").alias("f2"), F.col("v").alias("v2"),
         F.col("pol").alias("p2"), F.col("werr").alias("werr2"),
     )

@@ -228,9 +228,6 @@ LEDGER = {
     'catalog/c05.py|w_incl = Window.orderBy("t").rowsBetween(':
         ('bounded',
          'duration frame (calendar-span-bounded)'),
-    'catalog/c06.py|) if keys else Window.orderBy(F.desc("score"), "feature", "v")':
-        ('support',
-         'split-candidate frame over distinct feature values; value-support-bounded'),
     'catalog/c06.py|.over(Window.orderBy(F.desc("s1"), "pk"))':
         ('bounded',
          'runs on the 512-row list head (limit upstream)'),
@@ -256,11 +253,11 @@ LEDGER = {
         ('bounded',
          '41-row slope grid'),
     'catalog/c06.py|wc = Window.orderBy("dem").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct-value CDF; bucketed_prefix_sums is the corpus route'),
+        ('bounded',
+         'distinct daily-demand values (calendar-bounded frame)'),
     'catalog/c06.py|wc = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)':
-        ('support',
-         'distinct feature-value CDF; value-support-bounded'),
+        ('bounded',
+         'distinct order DATES (calendar-bounded frame)'),
     'catalog/c06.py|wd = Window.orderBy("day")  # calendar-bounded frame':
         ('bounded',
          'calendar-day frame'),
@@ -271,20 +268,14 @@ LEDGER = {
         ('bounded',
          'first-char bucket frame (~36 rows)'),
     'catalog/c06.py|wp = Window.orderBy("dem").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct-value CDF; bucketed_prefix_sums is the corpus route'),
+        ('bounded',
+         'distinct daily-demand values (calendar-bounded frame)'),
     'catalog/c06.py|wp = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, -1)':
-        ('support',
-         'distinct feature-value CDF; value-support-bounded'),
+        ('bounded',
+         'distinct order DATES (calendar-bounded frame)'),
     'catalog/c06.py|wr = Window.orderBy("mse", "lam_ratio")  # 8-row frame':
         ('bounded',
          '8-row CV-grid frame'),
-    'catalog/c06.py|ws1 = Window.orderBy("err", "feature", "v", "pol")':
-        ('support',
-         'split-candidate frame over distinct feature values; value-support-bounded'),
-    'catalog/c06.py|ws2 = Window.orderBy("werr", "feature", "v", "pol")':
-        ('support',
-         'split-candidate frame over distinct feature values; value-support-bounded'),
     'catalog/c06.py|wt = Window.orderBy("true_cost", "name")':
         ('bounded',
          '8-row plan frame'),
