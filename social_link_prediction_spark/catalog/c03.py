@@ -6137,8 +6137,9 @@ def session_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
            round(r1 - r0, 2) AS delta_revenue,
            round((n1 - n0) * (r0 / n0), 2) AS volume_effect,
            round(n1 * (r1 / n1 - r0 / n0), 2) AS value_effect,
-           round((n1 - n0) * (r0 / n0) + n1 * (r1 / n1 - r0 / n0)
-                 - (r1 - r0), 6) AS decomposition_residual
+           CAST(abs((n1 - n0) * (r0 / n0) + n1 * (r1 / n1 - r0 / n0)
+                    - (r1 - r0)) < greatest(1e-6, 1e-9 * abs(r0))
+                AS BIGINT) AS decomposition_exact
     FROM w
     """,
 )
@@ -6147,8 +6148,10 @@ def revenue_decomposition_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta revenue = volume effect (order-count change at the PRIOR
     average value) + value effect (average-order-value change at
     CURRENT volume) — the 'why did revenue move' explainer every
-    finance review wants, exact by construction (residual column
-    machine-checks the identity at 0). One monthly rollup; the
+    finance review wants, exact by construction (decomposition_exact
+    machine-checks the identity as an integer relative-tolerance gate
+    — the raw residual is ~±ulp(rev) with a summation-order-dependent
+    SIGN, the -0.0/0.0 hash-flip class the r8 brier row exposed). One monthly rollup; the
     decomposition is 1-row arithmetic over the last two months."""
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(
@@ -6180,9 +6183,12 @@ def revenue_decomposition_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r1") - F.col("r0"), 2).alias("delta_revenue"),
         F.round(vol, 2).alias("volume_effect"),
         F.round(val, 2).alias("value_effect"),
-        F.round(vol + val - (F.col("r1") - F.col("r0")), 6).alias(
-            "decomposition_residual"
-        ),
+        (
+            F.abs(vol + val - (F.col("r1") - F.col("r0")))
+            < F.greatest(F.lit(1e-6), F.lit(1e-9) * F.abs(F.col("r0")))
+        )
+        .cast("long")
+        .alias("decomposition_exact"),
     )
 
 

@@ -5046,13 +5046,17 @@ def morans_i_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bins),
     fin AS (SELECT *, (syy - n * ybar * ybar) / n AS res FROM tot)
     SELECT n, round(brier, 6) AS brier,
-           round(ybar * (1e0 - ybar), 6) AS uncertainty,
-           round(res, 6) AS resolution,
+           CASE WHEN abs(ybar * (1e0 - ybar)) < 1e-9 THEN 0e0
+                ELSE round(ybar * (1e0 - ybar), 6) END AS uncertainty,
+           CASE WHEN abs(res) < 1e-9 THEN 0e0
+                ELSE round(res, 6) END AS resolution,
            round(rel, 6) AS reliability,
-           round(wbv, 6) AS within_bin_var,
-           round(wbc, 6) AS within_bin_cov2,
-           round(brier - (ybar * (1e0 - ybar) - res + rel + wbv - wbc), 6)
-               AS identity_gap
+           CASE WHEN abs(wbv) < 1e-9 THEN 0e0
+                ELSE round(wbv, 6) END AS within_bin_var,
+           CASE WHEN abs(wbc) < 1e-9 THEN 0e0
+                ELSE round(wbc, 6) END AS within_bin_cov2,
+           CAST(abs(brier - (ybar * (1e0 - ybar) - res + rel + wbv - wbc))
+                < 1e-9 AS BIGINT) AS identity_holds
     FROM fin
     """,
 )
@@ -5066,8 +5070,11 @@ def brier_decomposition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WBV/WBC are the within-bin forecast-variance and 2x covariance
     corrections that make the identity EXACT for non-constant
     forecasts within bins (the textbook 3-term form silently assumes
-    constant bins; identity_gap, reported, is the proof it holds to
-    rounding here). calibration_reliability_bins reports ECE + raw
+    constant bins; identity_holds, reported as an integer abs<1e-9
+    gate, is the proof it holds here — the raw gap is a near-zero
+    difference of cancelling corpus float sums whose SIGN depends on
+    partial-sum merge order, so rounding it would hash -0.0 vs 0.0
+    across engines). calibration_reliability_bins reports ECE + raw
     Brier; this splits the same number into blame (REL) vs skill
     (RES) vs fate (UNC). One corpus scan -> 10-bin sufficient
     statistics (n, sum p, sum p^2, sum y, sum py per bin); all
@@ -5115,19 +5122,34 @@ def brier_decomposition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n"
     )
     unc = F.col("ybar") * (1.0 - F.col("ybar"))
+
+    def _snap(x, name):
+        # Difference terms that are analytically ~0 here carry a
+        # merge-order-dependent SIGN at ~1e-16 magnitude; round()
+        # would stringify -0.0 vs 0.0 and flip the value hash.
+        return (
+            F.when(F.abs(x) < 1e-9, F.lit(0.0))
+            .otherwise(F.round(x, 6))
+            .alias(name)
+        )
+
     return tot.select(
         "n",
         F.round("brier", 6).alias("brier"),
-        F.round(unc, 6).alias("uncertainty"),
-        F.round(res, 6).alias("resolution"),
+        _snap(unc, "uncertainty"),
+        _snap(res, "resolution"),
         F.round("rel", 6).alias("reliability"),
-        F.round("wbv", 6).alias("within_bin_var"),
-        F.round("wbc", 6).alias("within_bin_cov2"),
-        F.round(
-            F.col("brier")
-            - (unc - res + F.col("rel") + F.col("wbv") - F.col("wbc")),
-            6,
-        ).alias("identity_gap"),
+        _snap(F.col("wbv"), "within_bin_var"),
+        _snap(F.col("wbc"), "within_bin_cov2"),
+        (
+            F.abs(
+                F.col("brier")
+                - (unc - res + F.col("rel") + F.col("wbv") - F.col("wbc"))
+            )
+            < 1e-9
+        )
+        .cast("long")
+        .alias("identity_holds"),
     )
 
 
