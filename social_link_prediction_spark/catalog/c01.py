@@ -2457,6 +2457,23 @@ def etl_clean_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     2 educational institutions (Q100, Q101) = 6, with per-type
 #     contiguous pyg_id ranges [0,n_type).
 # =====================================================================
+def _session_tmp(spark: SparkSession, name: str) -> str:
+    """Scratch dir stable WITHIN a session, disjoint ACROSS sessions
+    and users (ADVICE r8): a world-shared fixed path under
+    gettempdir() that each run rmtree's lets two concurrent drivers
+    on one host (bench + verify) delete a warehouse the other
+    session's lazily-evaluated DataFrame is still reading, and
+    multi-user hosts hit ownership collisions. Suffix with the uid
+    and the Spark applicationId — per-process-stable, so repeated
+    calls in one gate/bench loop still overwrite ONE copy rather
+    than leaking a payload per invocation."""
+    import tempfile
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"{name}_{uid}_{app}")
+
+
 @query(
     "etl_pipeline_counts",
     """
@@ -2481,7 +2498,6 @@ def etl_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unused by design: EP1's input is the offline fixture endpoint,
     the same at every scale."""
     import shutil
-    import tempfile
 
     from social_link_prediction_spark.__main__ import run_etl
 
@@ -2491,7 +2507,7 @@ def etl_pipeline_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warehouse must outlive this function (the returned DataFrame reads
     # it lazily), so it is bounded to ONE copy rather than deleted; the
     # raw fixtures are consumed eagerly by run_etl and removed here.
-    base = os.path.join(tempfile.gettempdir(), "slp_etl_pipeline")
+    base = _session_tmp(spark, "slp_etl_pipeline")
     raw_dir = os.path.join(base, "raw")
     wh = os.path.join(base, "wh")
     for d in (raw_dir, wh):

@@ -127,7 +127,6 @@ def ml_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     on this topology), so an untrained or regressed model fails the
     row. Seeds fixed; zero RNG outside the hash devices."""
     import shutil
-    import tempfile
 
     from pyspark.sql.types import StringType
 
@@ -193,7 +192,7 @@ def ml_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"),
         "embedding",
     )
-    store = os.path.join(tempfile.gettempdir(), "slp_ml_ledger_store")
+    store = _session_tmp(spark, "slp_ml_ledger_store")
     shutil.rmtree(store, ignore_errors=True)
     mlp.write_embeddings(emb, store)
     back = mlp.read_embeddings(spark, store).persist()

@@ -104,7 +104,11 @@ def negative_sample(
             )
         )
     else:
-        n_parts = max(32, n_nodes // 2_000_000)
+        n_parts = max(
+            nodes.sparkSession.sparkContext.defaultParallelism,
+            32,
+            n_nodes // 2_000_000,
+        )
         # eager localCheckpoint: the ranged frame is consumed twice
         # (per-partition counts + the window scan) and
         # repartitionByRange's sampled boundaries are not stable

@@ -72,7 +72,7 @@ def global_row_number(
     df: DataFrame,
     order_col: str | Column | Sequence[str | Column],
     out: str = "__rn",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> tuple[DataFrame, int]:
     """1-based dense global row number ordered by ``order_col``,
     WITHOUT a single-task global sort — the 100 TB replacement for
@@ -86,14 +86,33 @@ def global_row_number(
     window for every ``n_parts`` because within-partition order plus
     range-contiguous partitions equals global order. ``order_col``
     values (the full key tuple when a sequence is passed) must be
-    unique (a tie straddling a range boundary would otherwise split
-    nondeterministically) — the same contract the global window
-    callers already carry.
+    unique for per-row rank IDENTITY — the same contract the global
+    window callers already carry. Tied keys are still safe for
+    rank-based VALUE selection (medians, quantile cutpoints, CDF
+    thresholds): RangePartitioner assigns equal keys to one
+    partition, so ties form one contiguous rank block and the value
+    at any rank is deterministic — only WHICH tied row carries WHICH
+    rank within the block is not (interarrival_burstiness_users
+    relies on this blessing).
+
+    ``n_parts`` defaults to the session's ``defaultParallelism``
+    (floor 32): the offset map stays P tiny driver rows either way,
+    and a corpus-sized frame must spread across the cluster's
+    actual slot count — a fixed 32-partition ranged shuffle would
+    itself be the bottleneck at 100 TB.
 
     Returns ``(frame + out column, total row count)``; the count rides
     along free from the offset collect (callers like exact ntile need
     n anyway, and this avoids a second job).
+
+    Storage note: the eager checkpoint's blocks are retained until the
+    returned frame becomes unreachable (Spark's ContextCleaner frees
+    checkpointed RDD blocks on GC); a long-lived session sweeping
+    hundreds of queries reclaims them between queries, so retention is
+    bounded by the live query, not the session.
     """
+    if n_parts is None:
+        n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 32)
     raw = (
         [order_col]
         if isinstance(order_col, (str, Column))
