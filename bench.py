@@ -321,8 +321,19 @@ def main() -> None:
     # warmup: spin the JVM, parquet footers, codegen
     run_query(catalog.QUERIES["pricing_summary"], spark, sf_dir)
 
+    # Heaviest entries get a LOWER retry threshold (VERDICT r8 item 4):
+    # six_degrees at 1.71x was the r8 record's largest absolute delta
+    # (+14.7s) yet never re-ran because it sat under the flat 2x bar.
+    # Anchors should be regenerated under this same min-of-two policy
+    # (ADVICE r8) so the comparison stays apples-to-apples.
+    heavy = set(
+        sorted(anchor_q, key=lambda n: -anchor_q[n])[:10]
+    )
+    max_reruns = 40  # cap: a fully-loaded host must not double the run
+
     timings: dict[str, float] = {}
     reruns: dict[str, list[float]] = {}
+    load_before = os.getloadavg() if hasattr(os, "getloadavg") else None
     for name in HEADLINE:
         fn = catalog.QUERIES.get(name)
         if fn is None:
@@ -331,16 +342,18 @@ def main() -> None:
         # Noise guard (VERDICT r7): the driver's bench runs under
         # unknown concurrent load, and r7's record showed 2-7x
         # inflations on entries whose plans had no post-anchor commits.
-        # A single same-session retry of any entry landing >2x its
-        # anchor, reporting the min, makes the printed number reflect
-        # the PLAN rather than a transient CPU spike; genuinely
+        # A single same-session retry of any entry landing over the
+        # threshold, reporting the min, makes the printed number
+        # reflect the PLAN rather than a transient CPU spike; genuinely
         # regressed plans stay slow on the retry and still show up.
         base = anchor_q.get(name)
-        if base and t > 2.0 * base:
+        bar = 1.3 if name in heavy else 2.0
+        if base and t > bar * base and len(reruns) < max_reruns:
             t2 = run_query(fn, spark, sf_dir)
             reruns[name] = [round(t, 3), round(t2, 3)]
             t = min(t, t2)
         timings[name] = round(t, 3)
+    load_after = os.getloadavg() if hasattr(os, "getloadavg") else None
 
     total = round(sum(timings.values()), 3)
     # The driver captures ONE stdout JSON line; r4/r5 proved a ~6 KB
@@ -360,6 +373,10 @@ def main() -> None:
     }
     if reruns:
         out["n_reruns"] = len(reruns)
+    # one-line load context so a heavy-rerun session (37 in r8) is
+    # self-diagnosing: 1-min loadavg at start and end of the loop
+    if load_before and load_after:
+        out["loadavg"] = [round(load_before[0], 2), round(load_after[0], 2)]
     # per-query deltas vs the stored anchor (BENCH_ANCHOR.json) — only
     # the 5 largest shifts beyond the ±15% machine-noise band, as pct
     deltas = {}
