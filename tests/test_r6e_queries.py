@@ -230,7 +230,7 @@ def test_brier_decomposition_identity_and_numpy_replica(spark):
     import numpy as np
 
     r = q.QUERIES["brier_decomposition_scores"](spark, SF_DIR).collect()[0]
-    assert r.identity_gap == pytest.approx(0.0, abs=2e-6)
+    assert r.identity_holds == 1
     rows = duckdb.sql(
         f"""
         SELECT 1.0 / (1.0 + exp(-(c.c_acctbal / 5000.0))),
