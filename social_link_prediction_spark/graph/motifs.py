@@ -46,22 +46,81 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
 
 
+def _oriented_adjacency(e: DataFrame) -> DataFrame:
+    """Attach both oriented adjacency arrays to every oriented edge
+    (a, b): ``o`` = all x with (a, x) an edge, ``i`` = all x with
+    (x, b) an edge. ``array_intersect(o, i)`` is then exactly the set
+    of wedge middles m with a < m < b closing a triangle over (a, b).
+
+    BOUNDED-NODE contract: the adjacency tables carry one array per
+    vertex, hinted broadcast — correct at any size Spark can broadcast
+    (8 GB cap), intended for graphs whose NODE set is bounded by
+    construction (the modulus-folded lineitem graph: <= 2000 ids at any
+    sf; the sampled test graphs). For unbounded graphs keep the
+    ``triangles`` wedge-join enumeration, whose per-key state is one
+    edge, not one adjacency row."""
+    out_a = e.groupBy("a").agg(F.collect_list("b").alias("o"))
+    in_b = e.groupBy("b").agg(F.collect_list("a").alias("i"))
+    return e.join(F.broadcast(out_a), "a").join(F.broadcast(in_b), "b")
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """1-row global triangle count."""
-    return triangles(edges, src, dst).agg(F.count(F.lit(1)).alias("n_triangles"))
+    """1-row global triangle count.
+
+    Edge-iterator formulation (bounded-node contract, see
+    ``_oriented_adjacency``): each oriented edge (a, b) counts its
+    closing wedge middles via one array intersection, so the count is
+    one pass over |E| edge rows — the wedge-join alternative
+    materializes and SHUFFLES every wedge (r9 measured 30M+ rows and
+    an 18s exchange at sf0.1 on the folded lineitem graph vs ~2s for
+    this shape; identical integer result)."""
+    withm = _oriented_adjacency(_oriented(edges, src, dst))
+    return withm.agg(
+        F.sum(F.size(F.array_intersect("o", "i")))
+        .cast("long")
+        .alias("n_triangles")
+    )
 
 
 def vertex_triangle_counts(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
     """(id, n_triangles) per vertex — the numerator of the local
-    clustering coefficient. Each (a,b,c) triangle credits all three
-    corners: one explode + one count aggregation."""
-    t = triangles(edges, src, dst)
-    corners = t.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+    clustering coefficient; only vertices in >= 1 triangle appear.
+
+    Edge-iterator formulation (bounded-node contract, see
+    ``_oriented_adjacency``): for each oriented edge (a, b) the
+    closing middles m are one array intersection; the edge credits
+    a and b with |mids| and every m with 1, exploded in-task straight
+    into a map-side-combinable count — per-vertex credit totals are
+    IDENTICAL to exploding the enumerated (a, b, c) corners (each
+    triangle still credits its three corners exactly once), without
+    the wedge exchange."""
+    withm = _oriented_adjacency(_oriented(edges, src, dst))
+    sz = F.size("mids").cast("long")
+    credits = withm.select(
+        F.array_intersect("o", "i").alias("mids"), "a", "b"
+    ).select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("a").alias("id"), sz.alias("c")),
+                    F.struct(F.col("b").alias("id"), sz.alias("c")),
+                ),
+                F.transform(
+                    "mids",
+                    lambda m: F.struct(
+                        m.alias("id"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("x")
     )
-    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        credits.groupBy(F.col("x.id").alias("id"))
+        .agg(F.sum("x.c").alias("n_triangles"))
+        .filter(F.col("n_triangles") > 0)
+    )
 
 
 def degree_assortativity(
