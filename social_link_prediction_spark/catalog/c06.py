@@ -1042,13 +1042,32 @@ def lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b")
     )
 
-    def _loss_per_slope(rows: DataFrame, slopes: DataFrame) -> DataFrame:
+    # r9 perf: rc feeds FOUR consumers (cdf's window, tot's agg, med,
+    # atm) whose projections differ, so Catalyst cannot ReusedExchange
+    # them — unpinned, the ~|sample|x41 crossJoin+partial-agg map stage
+    # ran four times. One localCheckpoint materializes it once. The
+    # repartition before the 41x fan-out lifts the explode off the
+    # handful of cached-v partitions onto the full core count (the
+    # testdata parquet is one row group, so scan stages are ~1-3 tasks
+    # at any SPARK_GRAFT_CPUS; at cluster scale the input splits
+    # already provide the parallelism and the repartition of the small
+    # sample is noise). Measured 1.34x med / 1.38x min interleaved A/B
+    # at sf0.1; values bit-identical (oracle PASS both tiers).
+    sp = spark.sparkContext.defaultParallelism
+
+    def _loss_per_slope(
+        rows: DataFrame, slopes: DataFrame, fan: bool = False
+    ) -> DataFrame:
+        if fan:
+            rows = rows.repartition(sp)
         res = rows.crossJoin(F.broadcast(slopes)).select(
             "b", (F.col("y") - F.col("b") * F.col("x")).alias("r")
         )
         rc = res.groupBy("b", "r").agg(
             F.count(F.lit(1)).cast("long").alias("c")
-        ).withColumn("rcs", (F.col("r") * F.col("c")).cast("long"))
+        ).withColumn(
+            "rcs", (F.col("r") * F.col("c")).cast("long")
+        ).localCheckpoint()
         wc = Window.partitionBy("b").orderBy("r").rowsBetween(
             Window.unboundedPreceding, 0
         )
@@ -1089,7 +1108,7 @@ def lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - 2 * F.col("s_le")
             ).cast("long").alias("l1"),
         )
-    sloss = _loss_per_slope(v.filter(F.col("smp") == 1), grid)
+    sloss = _loss_per_slope(v.filter(F.col("smp") == 1), grid, fan=True)
     wbest = Window.orderBy("l1", "b")  # 41-row frame
     pick = sloss.withColumn("rr", F.row_number().over(wbest)).filter(
         F.col("rr") == 1
@@ -2810,8 +2829,17 @@ def median_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < cuts[5], 5)
         .otherwise(6)
     )
+    # r9 perf: the 20x replicate fan-out (|orders| x 20 md5 hash60
+    # evaluations) otherwise executes inside the scan stage, which the
+    # single-row-group testdata parquet caps at 1-3 tasks regardless of
+    # SPARK_GRAFT_CPUS; lifting it onto defaultParallelism uses every
+    # core. At cluster scale the input splits already parallelize the
+    # scan and this round-robin exchange of the slim (key, cents) frame
+    # is noise. Interleaved A/B at sf0.1: 1.71x med / 1.70x min.
+    sp = spark.sparkContext.defaultParallelism
     wts = (
-        v.crossJoin(F.broadcast(reps))
+        v.repartition(sp)
+        .crossJoin(F.broadcast(reps))
         .select("b", "x", wexpr.alias("w"))
         .groupBy("b", "x")
         .agg(F.sum("w").cast("long").alias("wt"))
