@@ -3549,17 +3549,28 @@ def poisson_bootstrap_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, so the shuffle carries B rows per partition, not B
     copies of the data."""
     o = _t(spark, sf_dir, "orders")
+    # r9 perf: the 20x replicate md5 fan-out otherwise executes inside
+    # the scan stage (1-3 tasks on single-row-group parquet); lift it
+    # onto defaultParallelism so every core hashes. At cluster scale
+    # the scan splits already parallelize and this slim round-robin
+    # exchange is noise. Interleaved A/B at sf0.1: 2.10x med.
+    sp = spark.sparkContext.defaultParallelism
     b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
-    r = o.crossJoin(F.broadcast(b)).select(
-        "o_totalprice",
-        "b",
-        (
-            mls.hash60(
-                F.col("o_orderkey").cast("string"),
-                F.concat(F.lit("boot"), F.col("b").cast("string")),
-            )
-            % 1000000
-        ).alias("m"),
+    r = (
+        o.select("o_orderkey", "o_totalprice")
+        .repartition(sp)
+        .crossJoin(F.broadcast(b))
+        .select(
+            "o_totalprice",
+            "b",
+            (
+                mls.hash60(
+                    F.col("o_orderkey").cast("string"),
+                    F.concat(F.lit("boot"), F.col("b").cast("string")),
+                )
+                % 1000000
+            ).alias("m"),
+        )
     )
     w = F.lit(6)
     for k in range(len(_POIS_CUTS) - 1, -1, -1):

@@ -3644,11 +3644,15 @@ def knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("tv"),
         F.col("label").alias("tl"),
     )
+    # r9 perf: the |train| x |test| cosine fan-out otherwise executes
+    # inside the 1-3-task scan stage (single-row-group parquet);
+    # repartition the train side to defaultParallelism so the pair
+    # scoring uses every core. Interleaved A/B at sf0.1: 1.58x med.
     tr = emb.filter(F.col("vec_id") % 10 != 0).select(
         F.col("vec_id").alias("sid"),
         F.col("v").alias("sv"),
         F.col("label").alias("sl"),
-    )
+    ).repartition(emb.sparkSession.sparkContext.defaultParallelism)
     pairs = tr.crossJoin(F.broadcast(te)).select(
         "tid", "sid",
         F.round(sim.cosine_similarity(F.col("tv"), F.col("sv")), 9).alias(
