@@ -35,7 +35,30 @@ _DUCK_H60 = (
 )
 
 
+# Session-scoped table-HANDLE cache (r9 perf). A DataFrameReader call
+# costs ~150-250 ms of driver time (py4j + file listing + footer/schema
+# resolution) and the bench's 194 entries issue 291 `_t` calls — ~50 s
+# of pure re-resolution per pass. Caching the LAZY DataFrame handle per
+# (session, dir, table) is table registration (cf. session.register_views),
+# not result caching: no rows are materialized and every action still
+# computes from the parquet inputs. Keyed by applicationId so a new
+# session never receives handles of a stopped one.
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir), name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        if _T_CACHE and next(iter(_T_CACHE))[0] != app:
+            _T_CACHE.clear()  # previous session's handles are dead
+        df = _t_load(spark, sf_dir, name)
+        _T_CACHE[key] = df
+    return df
+
+
+def _t_load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The events table has been written both as TIMESTAMP(NANOS)
         # (vectorized reader rejects it by default → read nanos as long)

@@ -390,9 +390,14 @@ def _pair_paths_bidirectional(
         .select(
             "src", "dst", F.col("c.dist").alias("dist"), F.col("c.m").alias("m")
         )
-        # lazy: referenced by half_targets AND stitched, but both sit
-        # in the SAME final job over the checkpointed best table and
-        # the identical meet subtree dedups via ReusedExchange
+        # r9: eager pin. meet is |pairs| rows but its subtree joins the
+        # ~|sources|x|V| best table twice; it is referenced by BOTH
+        # half-path target branches AND the stitch, and the per-branch
+        # column pruning makes the three subtrees non-identical, so
+        # ReusedExchange does NOT dedup them (r9 plan audit: the meet
+        # SMJ chain appeared 3x in one job). One tiny checkpoint runs
+        # it once. Interleaved A/B on six_degrees: 1.21x med.
+        .localCheckpoint()
     )
     half_targets = (
         meet.select(F.col("src").alias("source"), F.col("m").alias("id"))
@@ -401,7 +406,10 @@ def _pair_paths_bidirectional(
         )
         .dropDuplicates()
     )
-    half = _static_reconstruct(best, half_targets, f_hops)
+    # r9: eager pin for the same reason — half (≤2|pairs| rows) feeds
+    # both the fpath and bpath branches; unpinned, the whole unrolled
+    # reconstruct chain over best executed twice in the final job.
+    half = _static_reconstruct(best, half_targets, f_hops).localCheckpoint()
     fpaths = half.select(
         F.col("source").alias("src"), F.col("id").alias("m"),
         F.col("path").alias("fpath"),
