@@ -1904,12 +1904,19 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses it to 8 sufficient rows, and EM is bounded arithmetic
     the oracle replays verbatim."""
     c = _t(spark, sf_dir, "customer")
+    # r9 perf: the blocked self-join auto-broadcasts the build side, so
+    # the ~|block|^2/2 pair fan-out and its md5 thinning hash ran
+    # inside the 1-3-task scan stage (single-row-group parquet).
+    # Repartition the probe side to defaultParallelism so every core
+    # hashes; at cluster scale the scan splits already parallelize and
+    # the slim exchange is noise. Cold interleaved A/B at sf0.1:
+    # 1.91x med (8.54s -> 4.46s).
     a = c.select(
         F.col("c_custkey").alias("ik"),
         F.col("c_nationkey").alias("nk"),
         F.col("c_mktsegment").alias("sa"),
         F.col("c_acctbal").alias("ba"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = c.select(
         F.col("c_custkey").alias("jk"),
         F.col("c_nationkey").alias("nk"),
@@ -1917,7 +1924,7 @@ def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("bb"),
     )
     cp = (
-        a.join(b, "nk")
+        a.join(F.broadcast(b), "nk")
         .filter(F.col("ik") < F.col("jk"))
         .filter(
             mls.hash60(F.format_string("%d-%d", "ik", "jk"), F.lit("fs")) % 10

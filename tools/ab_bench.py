@@ -46,10 +46,15 @@ def main() -> None:
     run(old, spark, sf_dir)
     run(new, spark, sf_dir)
 
+    cold = os.environ.get("AB_COLD", "") == "1"
     at, bt = [], []
     for i in range(reps):
+        if cold:
+            spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(f"A:{name}#{i}")
         at.append(run(old, spark, sf_dir))
+        if cold:
+            spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(f"B:{name}#{i}")
         bt.append(run(new, spark, sf_dir))
         print(

@@ -1,187 +1,81 @@
-"""Candidate: six_degrees_summary with the tiny meet (50 rows) and
-half-path (~100 rows) frames localCheckpointed — the final job's plan
-shows the meet subtree (SMJs over the ~1M-row best table) executed ~3x
-and the reconstruct chain 2x because the fpaths/bpaths branches
-duplicate it (only 2 ReusedExchange fire)."""
+"""Candidate: fellegi_sunter_em with the blocked self-join's probe side
+repartitioned to defaultParallelism — the broadcast join otherwise runs
+the ~4.5M-pair fan-out + md5 thinning inside the 1-3-task scan stage."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from social_link_prediction_spark.catalog.c01 import _partsupp_edges
-from social_link_prediction_spark.graph import paths as gp
-
-
-def _bfs_static_bcast(edges, sources, hops):
-    """_bfs_static with the frontier broadcast into each level join
-    (local candidate; the frontier is sources x reach, bounded by the
-    50-pair sample at this scale)."""
-    id_type = dict(sources.dtypes)["source"]
-    e = edges.select("src", "dst")
-    lvl = sources.select(
-        "source",
-        F.col("source").alias("id"),
-        F.lit(None).cast(id_type).alias("parent"),
-    )
-    levels = [lvl.withColumn("dist", F.lit(0.0))]
-    for h in range(1, hops + 1):
-        lvl = (
-            F.broadcast(lvl).join(e.withColumnRenamed("src", "id"), "id")
-            .groupBy("source", F.col("dst").alias("nid"))
-            .agg(F.min("id").alias("parent"))
-            .select("source", F.col("nid").alias("id"), "parent")
-        )
-        levels.append(lvl.withColumn("dist", F.lit(float(h))))
-    allv = levels[0]
-    for d in levels[1:]:
-        allv = allv.unionByName(d)
-    return (
-        allv.select(
-            "source", "id", F.struct("dist", "parent").alias("c")
-        )
-        .groupBy("source", "id")
-        .agg(F.min("c").alias("c"))
-        .select(
-            "source", "id",
-            F.col("c.dist").alias("dist"), F.col("c.parent").alias("parent"),
-        )
-    )
-
-
-def _static_reconstruct_bcast(best, targets, max_hops):
-    """_static_reconstruct with the tiny accumulating chain broadcast
-    (right-outer build-left form of the same left join)."""
-    cur = (
-        F.broadcast(targets).join(best, ["source", "id"])
-        .select(
-            "source",
-            F.col("id").alias("target"),
-            "dist",
-            F.array("id").alias("path"),
-            "parent",
-        )
-    )
-    b = best.select(
-        F.col("source").alias("b_source"),
-        F.col("id").alias("b_id"),
-        F.col("parent").alias("b_parent"),
-    )
-    for _ in range(max_hops):
-        cur = (
-            b.join(
-                F.broadcast(cur),
-                (F.col("source") == F.col("b_source"))
-                & (F.col("parent") == F.col("b_id")),
-                "right",
-            )
-            .select(
-                "source",
-                "target",
-                "dist",
-                F.when(
-                    F.col("parent").isNotNull(),
-                    F.concat(F.array("parent"), F.col("path")),
-                )
-                .otherwise(F.col("path"))
-                .alias("path"),
-                F.col("b_parent").alias("parent"),
-            )
-        )
-    return cur.select("source", F.col("target").alias("id"), "dist", "path")
-
-
-def _pair_paths_bidi_ckpt(
-    edges: DataFrame, pairs: DataFrame, max_hops: int
-) -> DataFrame:
-    f_hops = (max_hops + 1) // 2
-    b_hops = max_hops // 2
-    und = gp.undirected(edges)
-    srcs = pairs.select(F.col("src").alias("source")).dropDuplicates()
-    dsts = pairs.select(F.col("dst").alias("source")).dropDuplicates()
-    both = srcs.unionByName(dsts).dropDuplicates()
-    if f_hops <= 4:
-        best = _bfs_static_bcast(und, both, f_hops).localCheckpoint()
-    else:
-        best = gp.multi_source_shortest_paths(und, both, None, f_hops, directed=True)
-    bb = best.filter(F.col("dist") <= b_hops)
-
-    meet = (
-        pairs.join(
-            best.select(
-                F.col("source").alias("src"), F.col("id").alias("m"),
-                F.col("dist").alias("df"),
-            ),
-            "src",
-        )
-        .join(
-            bb.select(
-                F.col("source").alias("dst"), F.col("id").alias("m"),
-                F.col("dist").alias("db"),
-            ),
-            ["dst", "m"],
-        )
-        .select(
-            "src", "dst",
-            F.struct(
-                (F.col("df") + F.col("db")).alias("dist"), F.col("m").alias("m")
-            ).alias("c"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.min("c").alias("c"))
-        .select(
-            "src", "dst", F.col("c.dist").alias("dist"), F.col("c.m").alias("m")
-        )
-        .localCheckpoint()
-    )
-    half_targets = (
-        meet.select(F.col("src").alias("source"), F.col("m").alias("id"))
-        .unionByName(
-            meet.select(F.col("dst").alias("source"), F.col("m").alias("id"))
-        )
-        .dropDuplicates()
-    )
-    half = _static_reconstruct_bcast(best, half_targets, f_hops).localCheckpoint()
-    fpaths = half.select(
-        F.col("source").alias("src"), F.col("id").alias("m"),
-        F.col("path").alias("fpath"),
-    )
-    bpaths = half.select(
-        F.col("source").alias("dst"), F.col("id").alias("m"),
-        F.col("path").alias("bpath"),
-    )
-    stitched = (
-        meet.join(fpaths, ["src", "m"])
-        .join(bpaths, ["dst", "m"])
-        .withColumn(
-            "path",
-            F.concat(
-                F.col("fpath"),
-                F.expr("slice(reverse(bpath), 2, greatest(size(bpath) - 1, 0))"),
-            ),
-        )
-        .select("src", "dst", "dist", "path")
-    )
-    return pairs.join(stitched, ["src", "dst"], "left")
+from social_link_prediction_spark.catalog.c05 import _FS_W, _t
+from social_link_prediction_spark.ml import linksplit as mls
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orig = gp._pair_paths_bidirectional
-    gp._pair_paths_bidirectional = _pair_paths_bidi_ckpt
-    try:
-        edges = _partsupp_edges(spark, sf_dir)
-        vertices = (
-            edges.select(F.col("src").alias("id"))
-            .dropDuplicates()
-            .withColumn(
-                "type",
-                F.when(F.col("id").startswith("s:"), F.lit("human")).otherwise(
-                    F.lit("part")
-                ),
-            )
+    c = _t(spark, sf_dir, "customer")
+    sp = spark.sparkContext.defaultParallelism
+    a = c.select(
+        F.col("c_custkey").alias("ik"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sa"),
+        F.col("c_acctbal").alias("ba"),
+    ).repartition(sp)
+    b = c.select(
+        F.col("c_custkey").alias("jk"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("sb"),
+        F.col("c_acctbal").alias("bb"),
+    )
+    cp = (
+        a.join(F.broadcast(b), "nk")
+        .filter(F.col("ik") < F.col("jk"))
+        .filter(
+            mls.hash60(F.format_string("%d-%d", "ik", "jk"), F.lit("fs")) % 10
+            < 3
         )
-        return gp.six_degrees_experiment(
-            edges, vertices, n_pairs=50, seed=7, max_hops=4, exact=True
+        .select(
+            (F.col("sa") == F.col("sb")).cast("int").alias("g1"),
+            (F.abs(F.col("ba") - F.col("bb")) < 500).cast("int").alias("g2"),
+            (F.col("ik") % 10 == F.col("jk") % 10).cast("int").alias("g3"),
         )
-    finally:
-        gp._pair_paths_bidirectional = orig
+    )
+    pat = cp.groupBy("g1", "g2", "g3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
+    e = pat.limit(1).select(
+        F.lit(0.1).alias("pm"),
+        F.lit(0.9).alias("m1"), F.lit(0.9).alias("m2"), F.lit(0.9).alias("m3"),
+        F.lit(0.5).alias("u1"), F.lit(0.5).alias("u2"), F.lit(0.5).alias("u3"),
+    )
+    for _ in range(6):
+        wdf = pat.crossJoin(F.broadcast(e)).select(
+            "g1", "g2", "g3", "n", F.expr(_FS_W).alias("w")
+        )
+        e = wdf.agg(
+            (F.sum(F.col("w") * F.col("n")) / F.sum("n")).alias("pm"),
+            *[
+                (
+                    F.sum(F.col("w") * F.col("n") * F.col(f"g{i}"))
+                    / F.sum(F.col("w") * F.col("n"))
+                ).alias(f"m{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                (
+                    F.sum((1.0 - F.col("w")) * F.col("n") * F.col(f"g{i}"))
+                    / F.sum((1.0 - F.col("w")) * F.col("n"))
+                ).alias(f"u{i}")
+                for i in (1, 2, 3)
+            ],
+        )
+    n_pairs = pat.agg(F.sum("n").cast("long").alias("n_pairs"))
+    return n_pairs.crossJoin(F.broadcast(e)).select(
+        "n_pairs",
+        F.round("pm", 6).alias("p_match"),
+        F.round("m1", 6).alias("m1"),
+        F.round("m2", 6).alias("m2"),
+        F.round("m3", 6).alias("m3"),
+        F.round("u1", 6).alias("u1"),
+        F.round("u2", 6).alias("u2"),
+        F.round("u3", 6).alias("u3"),
+    )
