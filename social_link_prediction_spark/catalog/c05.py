@@ -2211,7 +2211,9 @@ def fiedler_scores_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = ue.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     ).persist()
-    cc = deg.agg((2 * F.max("d") + 1).alias("c"))
+    # The shift constant is an exact integer; one driver-bounded 1-row
+    # collect replaces a per-round broadcast-subtree rebuild (r9).
+    c_val = int(deg.agg((2 * F.max("d") + 1).alias("c")).first()["c"])
     x = deg.select(
         "id",
         (
@@ -2226,18 +2228,21 @@ def fiedler_scores_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum("x").alias("s"))
         )
+        # Pin y: it feeds the mean broadcast, the mx broadcast (via z)
+        # and the final projection, and the branches' column pruning
+        # defeats ReusedExchange — unpinned, the join chain above ran
+        # ~3x per round (r9: 1.79x med from this pin + the c_val hoist).
         y = (
             deg.join(x, "id")
             .join(inflow, "id", "left")
-            .crossJoin(F.broadcast(cc))
             .select(
                 "id",
                 (
-                    (F.col("c") - F.col("d")) * F.col("x")
+                    (F.lit(c_val) - F.col("d")) * F.col("x")
                     + F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("y"),
             )
-        )
+        ).localCheckpoint()
         mean = y.agg(F.avg("y").alias("my"))
         z = y.crossJoin(F.broadcast(mean)).select(
             "id", (F.col("y") - F.col("my")).alias("z")
