@@ -47,8 +47,17 @@ def sampled_edges(
     cond = (
         F.col("src") != F.col("dst") if directed else F.col("src") < F.col("dst")
     )
+    # Repartition the NLJ stream side: the probe is otherwise the 1-3
+    # task node scan (single-row-group parquet locally), so the O(N^2)
+    # pair fan-out and its md5 thinning hash would run nearly
+    # single-threaded for every consumer (r9: 1.31x med on
+    # scc_suppliers, shared by every sampled-graph query). The
+    # round-robin exchange moves |N| slim rows — noise next to the
+    # fan-out it parallelizes.
+    sp = nodes.sparkSession.sparkContext.defaultParallelism
     return (
         nodes.select(F.col("id").alias("src"))
+        .repartition(sp)
         .join(nodes.select(F.col("id").alias("dst")), cond)
         .filter(
             hash60(F.format_string("%d-%d", "src", "dst"), F.lit(seed)) % 10000
