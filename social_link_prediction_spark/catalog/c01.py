@@ -1853,9 +1853,13 @@ def pair_features_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").cast("long").alias("id"))
         .dropDuplicates()
     )
-    a, b = sups.alias("a"), sups.alias("b")
-    # the non-equi (a < b) pair generation is a nested-loop join; persist
-    # so downstream references reuse it instead of re-running the NLJ
+    # The non-equi (a < b) pair generation is a nested-loop join; persist
+    # so downstream references reuse it instead of re-running the NLJ.
+    # Repartition the stream side first: the distinct-suppkey frame
+    # AQE-coalesces to ~1 partition, which would serialize the 500k-pair
+    # fan-out and the cache build (r9: 1.26x med).
+    sp = spark.sparkContext.defaultParallelism
+    a, b = sups.repartition(sp).alias("a"), sups.alias("b")
     pairs = (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))

@@ -1,38 +1,41 @@
-"""Candidate: scc_suppliers with tg.sampled_edges patched to
-repartition the NLJ stream side to defaultParallelism — the probe is
-otherwise the 1-task supplier scan, so the O(N^2) pair fan-out and its
-md5 thinning hash run single-threaded for every sampled-graph query."""
+"""Candidate: pair_features_suppliers with the supplier-pair NLJ's
+stream side repartitioned to defaultParallelism (the distinct-suppkey
+frame AQE-coalesces to ~1 partition, so the 500k-pair fan-out and the
+persisted pair cache build run nearly single-threaded)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import social_link_prediction_spark.graph.testgraph as tg
-from social_link_prediction_spark import queries as catalog
-from social_link_prediction_spark.ml.linksplit import hash60
-
-
-def _patched(nodes, rate_bp, seed, directed=False):
-    cond = (
-        F.col("src") != F.col("dst") if directed else F.col("src") < F.col("dst")
-    )
-    sp = nodes.sparkSession.sparkContext.defaultParallelism
-    return (
-        nodes.select(F.col("id").alias("src"))
-        .repartition(sp)
-        .join(nodes.select(F.col("id").alias("dst")), cond)
-        .filter(
-            hash60(F.format_string("%d-%d", "src", "dst"), F.lit(seed)) % 10000
-            < rate_bp
-        )
-    )
+from social_link_prediction_spark.catalog.c01 import (
+    _fmt_node,
+    _partsupp_edges_int,
+    _t,
+)
+from social_link_prediction_spark.ml import predict as mlp
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orig = tg.sampled_edges
-    tg.sampled_edges = _patched
-    try:
-        return catalog.QUERIES["scc_suppliers"](spark, sf_dir)
-    finally:
-        tg.sampled_edges = orig
+    edges = _partsupp_edges_int(spark, sf_dir)
+    sups = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").cast("long").alias("id"))
+        .dropDuplicates()
+    )
+    sp = spark.sparkContext.defaultParallelism
+    a, b = sups.repartition(sp).alias("a"), sups.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .persist()
+    )
+    out = mlp.pair_features(pairs, edges, edges_symmetric=True)
+    return out.select(
+        _fmt_node(F.col("src")).alias("src"),
+        _fmt_node(F.col("dst")).alias("dst"),
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("neighbor_jaccard", 6).alias("neighbor_jaccard"),
+        "pref_attachment", "src_deg", "dst_deg",
+    )
