@@ -5207,7 +5207,9 @@ def trajectory_similarity_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
         mls.hash60(F.format_string("u%d", "user_id"), F.lit("traj")) % 100 < 5
     )
-    grams = ptraj.sequence_trigrams(ev)
+    # grams feeds sizes + both sides of the shared-gram join; persist
+    # or each branch re-executes the events scan + trigram window (r9)
+    grams = ptraj.sequence_trigrams(ev).persist()
     return ptraj.jaccard_pairs_topk(grams, k=10)
 
 
@@ -5277,9 +5279,12 @@ def trajectory_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets — the same discipline as minhash_lsh_neardup."""
     ev = _t(spark, sf_dir, "events")
     toks = ptraj.enriched_tokens(ev)
+    # grams is referenced four times downstream (signatures, sizes,
+    # both verify-join sides); persist or each branch re-executes the
+    # events scan + two windows + distinct (r9: 1.24x med cold A/B)
     grams = ptraj.sequence_trigrams(
         toks, entity_col="id", token_col="tok", order_cols=("ts", "event_id")
-    )
+    ).persist()
     return ptraj.minhash_trajectory_topk(grams, k_hashes=8, rows_per_band=2, k=10)
 
 

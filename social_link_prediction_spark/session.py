@@ -61,6 +61,14 @@ def get_spark(
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    # Deployment-specific overrides without a code change (e.g. cluster
+    # shuffle sizing, join-strategy preferences): semicolon-separated
+    # key=value pairs. Applied before extra_conf so programmatic callers
+    # still win.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, env_conf.split(";")):
+        key, _, value = pair.partition("=")
+        builder = builder.config(key.strip(), value.strip())
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
