@@ -1246,12 +1246,18 @@ def als_panel_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # r9 perf: r0 (the lineitem x orders join + groupBy — the heaviest
+    # subtree here) feeds itop, utop AND pr; pr feeds both half-steps
+    # of both rounds, the residual join, and the panel count (~7
+    # references). Unpinned, every reference re-executed the join
+    # (2.56x med cold A/B from these two persists).
     r0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
         )
         .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("rv"))
+        .persist()
     )
     # both top-k supports via TakeOrderedAndProject — no global
     # windows over the item/user count frames (r8 lint)
@@ -1267,7 +1273,7 @@ def als_panel_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(64)
         .select("u")
     )
-    pr = r0.join(F.broadcast(itop), "i").join(F.broadcast(utop), "u")
+    pr = r0.join(F.broadcast(itop), "i").join(F.broadcast(utop), "u").persist()
     h = itop.select(
         "i",
         (

@@ -1,11 +1,11 @@
-"""Candidate: lad_regression_grid with med+atm collapsed to one cdf
-pass — exactly one row per slope satisfies prev < mrank <= cum (the
-median row) and it already carries cum/cums, so the min-agg, the medr
-join, and the second execution of the cdf window subtree all drop."""
+"""Candidate: als_panel_factorization with the rating aggregate r0 and
+the panel frame pr persisted — r0 (lineitem x orders join + groupBy,
+the heaviest subtree) is referenced 3x (itop, utop, pr) and pr ~7x
+(both half-steps of both rounds, the residual join, the count)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from social_link_prediction_spark.catalog.c06 import _t
@@ -13,125 +13,131 @@ from social_link_prediction_spark.ml.linksplit import hash60
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    v = li.select(
-        F.round("l_quantity").cast("long").alias("x"),
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
-        F.when(
-            hash60(
-                F.concat_ws(
-                    "-",
-                    F.col("l_orderkey").cast("string"),
-                    F.col("l_linenumber").cast("string"),
-                ),
-                F.lit("ladg"),
-            )
-            % 5
-            == 0,
-            1,
-        ).otherwise(0).alias("smp"),
-    ).persist()
-    s = v.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("x").cast("decimal(30,0)") * F.col("y")).alias("sxy"),
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
     )
-    ols = (
-        F.col("n") * F.col("sxy").cast("double")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
-        F.col("n") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    r0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("rv"))
+        .persist()
     )
-    ctr = s.select(
-        "n", "sx", "sy", "sxx", "sxy",
-        F.round(ols).cast("long").alias("bc"),
-    ).localCheckpoint()
-    grid = ctr.select(
-        F.explode(F.sequence(F.lit(0), F.lit(40))).alias("k"), "bc"
-    ).select(
+    itop = (
+        r0.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "i")
+        .limit(16)
+        .select("i")
+    )
+    utop = (
+        r0.groupBy("u").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "u")
+        .limit(64)
+        .select("u")
+    )
+    pr = r0.join(F.broadcast(itop), "i").join(F.broadcast(utop), "u").persist()
+    h = itop.select(
+        "i",
         (
-            F.col("bc")
-            + (F.col("k") - 20) * F.greatest(F.lit(1), F.expr("bc div 20"))
-        ).alias("b")
+            1e0
+            + (hash60(F.col("i").cast("string"), F.lit("als0")) % 1000)
+            / 1000e0
+        ).alias("h1"),
+        (
+            1e0
+            + (hash60(F.col("i").cast("string"), F.lit("als1")) % 1000)
+            / 1000e0
+        ).alias("h2"),
     )
-    sp = spark.sparkContext.defaultParallelism
+    lam = F.lit(0.1)
 
-    def _loss_per_slope(
-        rows: DataFrame, slopes: DataFrame, fan: bool = False
-    ) -> DataFrame:
-        if fan:
-            rows = rows.repartition(sp)
-        res = rows.crossJoin(F.broadcast(slopes)).select(
-            "b", (F.col("y") - F.col("b") * F.col("x")).alias("r")
+    def _solve(grp: DataFrame) -> tuple[Column, Column]:
+        det = (F.col("a") + lam) * (F.col("c") + lam) - F.col("b") * F.col("b")
+        s1 = ((F.col("c") + lam) * F.col("d1") - F.col("b") * F.col("d2")) / det
+        s2 = ((F.col("a") + lam) * F.col("d2") - F.col("b") * F.col("d1")) / det
+        return s1, s2
+
+    def _folds(df: DataFrame, key: str, ordk: str, f1: str, f2: str):
+        arr = F.array_sort(
+            F.collect_list(F.struct(ordk, f1, f2, "rv"))
         )
-        rc = res.groupBy("b", "r").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
-        ).withColumn(
-            "rcs", (F.col("r") * F.col("c")).cast("long")
-        ).localCheckpoint()
-        wc = Window.partitionBy("b").orderBy("r").rowsBetween(
-            Window.unboundedPreceding, 0
+        return df.groupBy(key).agg(
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x[f1]).alias("a"),
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x[f2]).alias("b"),
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f2] * x[f2]).alias("c"),
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x["rv"]).alias("d1"),
+            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f2] * x["rv"]).alias("d2"),
         )
-        wp = Window.partitionBy("b").orderBy("r").rowsBetween(
-            Window.unboundedPreceding, -1
+
+    stats = []
+    for _ in (1, 2):
+        wagg = _folds(pr.join(h, "i"), "u", "i", "h1", "h2")
+        s1, s2 = _solve(wagg)
+        w = wagg.select("u", s1.alias("w1"), s2.alias("w2")).localCheckpoint()
+        hagg = _folds(
+            pr.join(w, "u").select(
+                "i", "u", F.col("w1").alias("h1"),
+                F.col("w2").alias("h2"), "rv",
+            ),
+            "i", "u", "h1", "h2",
         )
-        cdf = rc.select(
-            "b", "r",
-            F.sum("c").over(wc).cast("long").alias("cum"),
-            F.coalesce(F.sum("c").over(wp), F.lit(0))
-            .cast("long")
-            .alias("prev"),
-            F.sum("rcs").over(wc).cast("long").alias("cums"),
+        t1, t2 = _solve(hagg)
+        h = hagg.select("i", t1.alias("h1"), t2.alias("h2")).localCheckpoint()
+        joined = pr.join(w, "u").join(h, "i")
+        resid = F.col("rv") - (
+            F.col("w1") * F.col("h1") + F.col("w2") * F.col("h2")
         )
-        tot = rc.groupBy("b").agg(
-            F.sum("c").cast("long").alias("tn"),
-            F.sum("rcs").cast("long").alias("s_tot"),
+        sse = joined.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("u", "i", resid.alias("e")))
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["e"] * x["e"],
+            ).alias("sse")
         )
-        mrank = F.expr("(tn + 1) div 2")
-        atm = (
-            cdf.join(F.broadcast(tot), "b")
-            .filter((F.col("cum") >= mrank) & (F.col("prev") < mrank))
-            .select(
-                "b", F.col("r").alias("medr"),
-                F.col("cum").alias("c_le"), F.col("cums").alias("s_le"),
-                "tn", "s_tot",
+        wn = w.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("u", "w1", "w2"))),
+                F.lit(0.0),
+                lambda a, x: a + x["w1"] * x["w1"] + x["w2"] * x["w2"],
+            ).alias("wnm")
+        )
+        hn = h.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("i", "h1", "h2"))),
+                F.lit(0.0),
+                lambda a, x: a + x["h1"] * x["h1"] + x["h2"] * x["h2"],
+            ).alias("hnm")
+        )
+        stats.append((sse, wn, hn))
+    cnt = pr.agg(
+        F.countDistinct("u").cast("long").alias("n_users"),
+        F.countDistinct("i").cast("long").alias("n_items"),
+        F.count(F.lit(1)).cast("long").alias("n_ratings"),
+    )
+    out = cnt
+    for r_, (sse, wn, hn) in enumerate(stats, start=1):
+        out = (
+            out.crossJoin(F.broadcast(sse))
+            .crossJoin(F.broadcast(wn))
+            .crossJoin(F.broadcast(hn))
+            .withColumn(
+                f"rmse_round{r_}",
+                F.round(F.sqrt(F.col("sse") / F.col("n_ratings")), 6),
             )
+            .withColumn(
+                f"loss_round{r_}",
+                F.round(
+                    F.col("sse") + F.lit(0.1) * (F.col("wnm") + F.col("hnm")),
+                    4,
+                ),
+            )
+            .drop("sse", "wnm", "hnm")
         )
-        return atm.select(
-            "b", "medr",
-            (
-                F.col("medr") * (2 * F.col("c_le") - F.col("tn"))
-                + F.col("s_tot")
-                - 2 * F.col("s_le")
-            ).cast("long").alias("l1"),
-        )
-
-    sloss = _loss_per_slope(v.filter(F.col("smp") == 1), grid, fan=True)
-    wbest = Window.orderBy("l1", "b")  # 41-row frame
-    pick = sloss.withColumn("rr", F.row_number().over(wbest)).filter(
-        F.col("rr") == 1
-    ).select(F.col("b").alias("b")).localCheckpoint()
-    two = pick.unionAll(ctr.select(F.col("bc").alias("b"))).distinct()
-    floss = _loss_per_slope(v, two).localCheckpoint()
-    best = pick.join(floss, "b").select(
-        F.col("b").alias("bb"), F.col("medr").alias("bmed"),
-        F.col("l1").alias("bl1"),
-    )
-    center = ctr.select(F.col("bc").alias("b")).join(floss, "b").select(
-        F.col("l1").alias("cl1")
-    )
-    return (
-        ctr.crossJoin(F.broadcast(best))
-        .crossJoin(F.broadcast(center))
-        .select(
-            "n",
-            F.round(ols / 100e0, 4).alias("ols_slope"),
-            F.round(F.col("bb") / 100e0, 2).alias("lad_slope"),
-            F.round(F.col("bmed") / 100e0, 2).alias("lad_intercept"),
-            F.round(F.col("bl1") / 100e0, 2).alias("lad_loss"),
-            F.round(F.col("cl1") / 100e0, 2).alias("center_loss"),
-        )
+    return out.select(
+        "n_users", "n_items", "n_ratings",
+        "rmse_round1", "rmse_round2", "loss_round1", "loss_round2",
     )
