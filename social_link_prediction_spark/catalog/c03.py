@@ -2109,17 +2109,21 @@ def linkpred_heuristic_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sa.nat AS ni, sb.nat AS nj, CAST(count(*) AS BIGINT) AS c
         FROM sym JOIN s sa ON sa.id = sym.src JOIN s sb ON sb.id = sym.dst
         GROUP BY 1, 2),
-    m AS (SELECT CAST(sum(c) AS BIGINT) AS m2 FROM mix),
-    diag AS (SELECT sum(c * 1.0 / (SELECT m2 FROM m)) AS tr
-             FROM mix WHERE ni = nj),
-    marg AS (SELECT ni, sum(c * 1.0 / (SELECT m2 FROM m)) AS a
-             FROM mix GROUP BY ni),
-    ab AS (SELECT sum(a * a) AS sab FROM marg)
-    SELECT (SELECT m2 FROM m) / 2 AS n_edges,
-           round((SELECT tr FROM diag), 6) AS same_nation_frac,
-           round(((SELECT tr FROM diag) - (SELECT sab FROM ab))
-                 / (1.0 - (SELECT sab FROM ab)), 6) AS assortativity
-    FROM m
+    -- All sufficient statistics are EXACT integers (mixing-matrix
+    -- counts); each output is ONE IEEE division of exact integers so
+    -- Spark and DuckDB agree bit-for-bit regardless of partial-sum
+    -- merge order: tr = sd/m2, sab = sr2/m2^2, and Newman's
+    -- r = (tr - sab)/(1 - sab) = (m2*sd - sr2)/(m2^2 - sr2).
+    m AS (SELECT CAST(sum(c) AS BIGINT) AS m2,
+                 CAST(sum(CASE WHEN ni = nj THEN c ELSE 0 END) AS BIGINT)
+                     AS sd
+          FROM mix),
+    marg AS (SELECT ni, CAST(sum(c) AS BIGINT) AS r FROM mix GROUP BY ni),
+    sq AS (SELECT CAST(sum(r * r) AS BIGINT) AS sr2 FROM marg)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           round(sd / m2, 6) AS same_nation_frac,
+           round((m2 * sd - sr2) / (m2 * m2 - sr2), 6) AS assortativity
+    FROM m, sq
     """,
 )
 def attribute_assortativity_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2129,8 +2133,13 @@ def attribute_assortativity_nation(spark: SparkSession, sf_dir: str) -> DataFram
     most-cited social-network statistic ('do suppliers link within
     their country?'), complementing degree_assortativity (which mixes
     by degree, not attribute). The mixing matrix is nations² (<= 625
-    cells) from ONE edge-endpoint join; everything after is broadcast
-    arithmetic on exact-integer ratios."""
+    cells) from ONE edge-endpoint join; every sufficient statistic is
+    an EXACT integer and each output is ONE IEEE division, so the hash
+    matches DuckDB bit-for-bit regardless of partial-sum merge order:
+    tr = sd/m2, sab = sr2/m2², and Newman's
+    r = (tr - sab)/(1 - sab) = (m2·sd - sr2)/(m2² - sr2).
+    (Long products are exact here: m2² stays far below 2^63 for any
+    bounded-sample graph this device produces.)"""
     sup = _t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id"),
         F.col("s_nationkey").cast("long").alias("nat"),
@@ -2148,28 +2157,22 @@ def attribute_assortativity_nation(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .persist()
     )
-    m = mix.agg(F.sum("c").cast("long").alias("m2"))
-    diag = (
-        mix.filter(F.col("ni") == F.col("nj"))
-        .crossJoin(F.broadcast(m))
-        .agg(F.sum(F.col("c") / F.col("m2")).alias("tr"))
+    m = mix.agg(
+        F.sum("c").cast("long").alias("m2"),
+        F.sum(F.when(F.col("ni") == F.col("nj"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("sd"),
     )
-    marg = (
-        mix.crossJoin(F.broadcast(m))
-        .groupBy("ni")
-        .agg(F.sum(F.col("c") / F.col("m2")).alias("a"))
-        .agg(F.sum(F.col("a") * F.col("a")).alias("sab"))
+    sq = (
+        mix.groupBy("ni")
+        .agg(F.sum("c").cast("long").alias("r"))
+        .agg(F.sum(F.col("r") * F.col("r")).cast("long").alias("sr2"))
     )
-    return (
-        m.crossJoin(F.broadcast(diag))
-        .crossJoin(F.broadcast(marg))
-        .select(
-            (F.col("m2") / 2).cast("long").alias("n_edges"),
-            F.round("tr", 6).alias("same_nation_frac"),
-            F.round(
-                (F.col("tr") - F.col("sab")) / (1.0 - F.col("sab")), 6
-            ).alias("assortativity"),
-        )
+    m2, sd, sr2 = F.col("m2"), F.col("sd"), F.col("sr2")
+    return m.crossJoin(F.broadcast(sq)).select(
+        (m2 / 2).cast("long").alias("n_edges"),
+        F.round(sd / m2, 6).alias("same_nation_frac"),
+        F.round((m2 * sd - sr2) / (m2 * m2 - sr2), 6).alias("assortativity"),
     )
 
 

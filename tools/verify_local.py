@@ -128,6 +128,27 @@ def main():
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        # Int-vs-float column drift (r9 red-row class): the driver's
+        # value hash does NOT normalize 206 vs 206.0, so a column that
+        # is BIGINT on one engine and DOUBLE on the other fails the
+        # driver hash even when every value is numerically equal
+        # (attribute_assortativity_nation, CORRECTNESS_r09). _norm()
+        # hides it locally; flag it explicitly.
+        if not problems:
+            sord = sorted(range(len(scols)), key=lambda i: scols[i])
+            oord = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            for si, oi in zip(sord, oord):
+                sv = next((r[si] for r in srows if r[si] is not None), None)
+                ov = next((r[oi] for r in orows if r[oi] is not None), None)
+                if sv is None or ov is None:
+                    continue
+                s_num = isinstance(sv, (int, float)) and not isinstance(sv, bool)
+                o_num = isinstance(ov, (int, float)) and not isinstance(ov, bool)
+                if s_num and o_num and (isinstance(sv, int) != isinstance(ov, int)):
+                    problems.append(
+                        f"type drift col {scols[si]}: spark "
+                        f"{type(sv).__name__} vs oracle {type(ov).__name__}"
+                    )
         if not problems and value_hash(scols, srows) != value_hash(ocols, orows):
             problems.append("value hash mismatch")
             sset = {tuple(_norm(v) for v in r) for r in srows}
