@@ -2213,7 +2213,11 @@ def fiedler_scores_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     # The shift constant is an exact integer; one driver-bounded 1-row
     # collect replaces a per-round broadcast-subtree rebuild (r9).
-    c_val = int(deg.agg((2 * F.max("d") + 1).alias("c")).first()["c"])
+    # max(d) is NULL when the sampled graph has no edges (tiny SFs) —
+    # deg is then empty, every loop frame is empty regardless of the
+    # shift, so any placeholder preserves the (empty) result.
+    c_row = deg.agg((2 * F.max("d") + 1).alias("c")).first()
+    c_val = int(c_row["c"]) if c_row["c"] is not None else 1
     x = deg.select(
         "id",
         (

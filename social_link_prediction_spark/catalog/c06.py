@@ -4000,7 +4000,14 @@ def ridge_cv_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_link_prediction_spark.ml.linksplit import hash60
 
     li = _t(spark, sf_dir, "lineitem")
-    v = li.select(
+    # r10: project slim + round-robin off the 1-3-task single-row-group
+    # scan stage so the per-row md5 runs on all cores (the r9
+    # bootstrap-family lift, guide §2.5/§6); at cluster scale the scan
+    # splits provide the parallelism and this exchange is noise.
+    slim = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    v = slim.select(
         (
             hash60(
                 F.concat_ws(
@@ -4022,7 +4029,11 @@ def ridge_cv_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
-    )
+        # r10: pin the 5-row fold-moment frame — its full-scan subtree
+        # otherwise executes ~3x (broadcast(tot), broadcast(sxx0) whose
+        # plan contains tot, and the folds branch); the fiedler/r9
+        # multi-branch double-execution shape (guide §5.4). A/B 1.20x.
+    ).localCheckpoint()
     tot = fm.agg(
         F.sum("n").cast("long").alias("tn_"),
         F.sum("sx").cast("long").alias("tsx_"),

@@ -49,46 +49,49 @@ def pagerank(
     # here is one select over the input, so checkpoint's truncation
     # buys nothing.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionAll(e.select(F.col("dst").alias("id")))
-        .dropDuplicates()
-        .cache()
+    # ONE (id, out-degree, has-in-edge) aggregation replaces the three
+    # separate setup passes the r9 shape paid (nodes dedup + count, the
+    # dangling/sourceless countDistinct probe, and the out-degree
+    # groupBy): ~5.9M rows shuffled in setup drops to ~2.4M at bench
+    # scale and three probe jobs become one (r10; A/B 1.14x med).
+    # Out-degree still attaches to the RANK frame (|V| rows), not the
+    # edge table — ranks ⋈ outdeg is a small-small join, so the big
+    # edge table is never materialized with an extra column and each
+    # round scans the 2-column persisted edges directly.
+    deg = (
+        e.select(F.col("src").alias("id"), F.lit(1).alias("o"))
+        .unionAll(e.select(F.col("dst").alias("id"), F.lit(0).alias("o")))
+        .groupBy("id")
+        .agg(
+            F.sum("o").cast("long").alias("od"),
+            F.max(1 - F.col("o")).alias("has_in"),
+        )
+        .persist()
     )
-    n = nodes.count()
-    # Out-degree attaches to the RANK frame (|V| rows), not the edge
-    # table: ranks ⋈ outdeg is a small-small join that broadcasts, so
-    # the big edge table is never materialized with an extra column
-    # and each round scans the 2-column persisted edges directly. (The
-    # earlier e ⋈ outdeg formulation persisted an |E|-row 3-column
-    # join output — a whole extra |E| materialization, and at 100 TB
-    # an |E|-sized shuffle, for data derivable from the |V|-sized
-    # side.)
-    # |V|-sized frames get a partition count that tracks |V| (one
-    # partition per ~500k rows), not the session's shuffle setting —
-    # a 4k-row rank frame has no business occupying 32 shuffle
-    # partitions' worth of per-round task launches and checkpoint
-    # blocks, and at 1e9 vertices the same formula returns to full
-    # parallelism. coalesce() narrows the shuffle read without adding
-    # an exchange. At bench scale the effect is within noise (the loop
-    # cost is the edge-side join); the win is checkpoint block count
-    # and task-launch pressure on wide-but-tiny frames.
-    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od")).coalesce(n_part).persist()
-
     # Dangling nodes (no out-edges) exist iff some vertex never appears
     # as a src; sourceless nodes (no in-edges) iff some vertex never
     # appears as a dst. On symmetric graphs (the common case here:
     # undirected part-supplier / co-occurrence views) neither exists,
     # and both per-iteration fixups — the dangling-mass aggregation and
     # the completeness join (nodes ⟕ contribs, a full |V| shuffle per
-    # round on big directed graphs) — can be skipped. Both probes fold
-    # into ONE aggregation job: a vertex set of size n has danglers
-    # exactly when |distinct src| < n, sourceless exactly when
-    # |distinct dst| < n.
-    n_src, n_dst = e.agg(
-        F.countDistinct("src"), F.countDistinct("dst")
+    # round on big directed graphs) — can be skipped. All three counts
+    # read the one materialized degree frame.
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("od") > 0).cast("long")).alias("n_src"),
+        F.sum("has_in").cast("long").alias("n_dst"),
     ).first()
+    n, n_src, n_dst = row["n"], row["n_src"], row["n_dst"]
+    # |V|-sized frames get a partition count that tracks |V| (one
+    # partition per ~500k rows), not the session's shuffle setting —
+    # a 4k-row rank frame has no business occupying 32 shuffle
+    # partitions' worth of per-round task launches and checkpoint
+    # blocks, and at 1e9 vertices the same formula returns to full
+    # parallelism. coalesce() narrows the shuffle read without adding
+    # an exchange.
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
+    nodes = deg.select("id")
+    outdeg = deg.filter(F.col("od") > 0).select(F.col("id").alias("src"), "od")
     has_dangling = n_src < n
     has_sourceless = n_dst < n
 

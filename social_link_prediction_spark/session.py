@@ -65,9 +65,17 @@ def get_spark(
     # shuffle sizing, join-strategy preferences): semicolon-separated
     # key=value pairs. Applied before extra_conf so programmatic callers
     # still win.
+    # Note: values containing ';' cannot be expressed through this hook.
     env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
-    for pair in filter(None, env_conf.split(";")):
-        key, _, value = pair.partition("=")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        key, sep, value = pair.partition("=")
+        if not sep or not key.strip() or not value.strip():
+            # a bare key would silently set the conf to "" and
+            # misconfigure Spark with no diagnostic — fail loudly
+            raise ValueError(
+                f"SPARK_GRAFT_CONF: malformed pair {pair!r} "
+                "(expected ';'-separated key=value entries)"
+            )
         builder = builder.config(key.strip(), value.strip())
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -1,143 +1,91 @@
-"""Candidate: als_panel_factorization with the rating aggregate r0 and
-the panel frame pr persisted — r0 (lineitem x orders join + groupBy,
-the heaviest subtree) is referenced 3x (itop, utop, pr) and pr ~7x
-(both half-steps of both rounds, the residual join, the count)."""
+"""Candidate: pagerank with the THREE setup passes over the edge table
+(nodes dedup+count, the dangling/sourceless countDistinct probe, and
+the out-degree groupBy) fused into ONE (id, od, has_in) aggregation —
+~5.9M rows shuffled in setup drops to ~2.4M, and three probe jobs
+become one."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from social_link_prediction_spark.catalog.c06 import _t
-from social_link_prediction_spark.ml.linksplit import hash60
+from social_link_prediction_spark.catalog.c01 import (
+    _fmt_node, _partsupp_edges_int,
+)
+
+
+def _pagerank_fused(
+    edges, damping=0.85, iterations=10, src="src", dst="dst",
+    broadcast_max_rows=2_000_000,
+):
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = (
+        e.select(F.col("src").alias("id"), F.lit(1).alias("o"))
+        .unionAll(e.select(F.col("dst").alias("id"), F.lit(0).alias("o")))
+        .groupBy("id")
+        .agg(
+            F.sum("o").cast("long").alias("od"),
+            F.max(1 - F.col("o")).alias("has_in"),
+        )
+        .persist()
+    )
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("od") > 0).cast("long")).alias("n_src"),
+        F.sum("has_in").cast("long").alias("n_dst"),
+    ).first()
+    n, n_src, n_dst = row["n"], row["n_src"], row["n_dst"]
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
+    nodes = deg.select("id")
+    outdeg = deg.filter(F.col("od") > 0).select(
+        F.col("id").alias("src"), "od"
+    )
+    has_dangling = n_src < n
+    has_sourceless = n_dst < n
+    small = n <= broadcast_max_rows
+
+    def _v(df):
+        return F.broadcast(df) if small else df
+
+    every_round = has_dangling or has_sourceless
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for it in range(iterations):
+        r_od = ranks.withColumnRenamed("id", "src").join(outdeg, "src")
+        contribs = (
+            e.join(_v(r_od), "src")
+            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("od")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("flow"))
+            .coalesce(n_part)
+        )
+        if every_round or it % 3 == 2:
+            contribs = contribs.localCheckpoint()
+        if has_sourceless:
+            base = nodes.join(_v(contribs), "id", "left").na.fill({"flow": 0.0})
+        else:
+            base = contribs
+        if has_dangling:
+            dangling = contribs.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("flow"), F.lit(0.0))).alias("dm")
+            )
+            ranks = base.crossJoin(F.broadcast(dangling)).select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * (F.col("flow") + F.col("dm") / n)
+                ).alias("pr"),
+            )
+        else:
+            ranks = base.select(
+                "id",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("flow")).alias("pr"),
+            )
+    return ranks.select("id", F.col("pr").alias("pagerank"))
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    r0 = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
-        )
-        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("rv"))
-        .persist()
-    )
-    itop = (
-        r0.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "i")
-        .limit(16)
-        .select("i")
-    )
-    utop = (
-        r0.groupBy("u").agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "u")
-        .limit(64)
-        .select("u")
-    )
-    pr = r0.join(F.broadcast(itop), "i").join(F.broadcast(utop), "u").persist()
-    h = itop.select(
-        "i",
-        (
-            1e0
-            + (hash60(F.col("i").cast("string"), F.lit("als0")) % 1000)
-            / 1000e0
-        ).alias("h1"),
-        (
-            1e0
-            + (hash60(F.col("i").cast("string"), F.lit("als1")) % 1000)
-            / 1000e0
-        ).alias("h2"),
-    )
-    lam = F.lit(0.1)
-
-    def _solve(grp: DataFrame) -> tuple[Column, Column]:
-        det = (F.col("a") + lam) * (F.col("c") + lam) - F.col("b") * F.col("b")
-        s1 = ((F.col("c") + lam) * F.col("d1") - F.col("b") * F.col("d2")) / det
-        s2 = ((F.col("a") + lam) * F.col("d2") - F.col("b") * F.col("d1")) / det
-        return s1, s2
-
-    def _folds(df: DataFrame, key: str, ordk: str, f1: str, f2: str):
-        arr = F.array_sort(
-            F.collect_list(F.struct(ordk, f1, f2, "rv"))
-        )
-        return df.groupBy(key).agg(
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x[f1]).alias("a"),
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x[f2]).alias("b"),
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f2] * x[f2]).alias("c"),
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f1] * x["rv"]).alias("d1"),
-            F.aggregate(arr, F.lit(0.0), lambda a, x: a + x[f2] * x["rv"]).alias("d2"),
-        )
-
-    stats = []
-    for _ in (1, 2):
-        wagg = _folds(pr.join(h, "i"), "u", "i", "h1", "h2")
-        s1, s2 = _solve(wagg)
-        w = wagg.select("u", s1.alias("w1"), s2.alias("w2")).localCheckpoint()
-        hagg = _folds(
-            pr.join(w, "u").select(
-                "i", "u", F.col("w1").alias("h1"),
-                F.col("w2").alias("h2"), "rv",
-            ),
-            "i", "u", "h1", "h2",
-        )
-        t1, t2 = _solve(hagg)
-        h = hagg.select("i", t1.alias("h1"), t2.alias("h2")).localCheckpoint()
-        joined = pr.join(w, "u").join(h, "i")
-        resid = F.col("rv") - (
-            F.col("w1") * F.col("h1") + F.col("w2") * F.col("h2")
-        )
-        sse = joined.agg(
-            F.aggregate(
-                F.array_sort(
-                    F.collect_list(F.struct("u", "i", resid.alias("e")))
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x["e"] * x["e"],
-            ).alias("sse")
-        )
-        wn = w.agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("u", "w1", "w2"))),
-                F.lit(0.0),
-                lambda a, x: a + x["w1"] * x["w1"] + x["w2"] * x["w2"],
-            ).alias("wnm")
-        )
-        hn = h.agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("i", "h1", "h2"))),
-                F.lit(0.0),
-                lambda a, x: a + x["h1"] * x["h1"] + x["h2"] * x["h2"],
-            ).alias("hnm")
-        )
-        stats.append((sse, wn, hn))
-    cnt = pr.agg(
-        F.countDistinct("u").cast("long").alias("n_users"),
-        F.countDistinct("i").cast("long").alias("n_items"),
-        F.count(F.lit(1)).cast("long").alias("n_ratings"),
-    )
-    out = cnt
-    for r_, (sse, wn, hn) in enumerate(stats, start=1):
-        out = (
-            out.crossJoin(F.broadcast(sse))
-            .crossJoin(F.broadcast(wn))
-            .crossJoin(F.broadcast(hn))
-            .withColumn(
-                f"rmse_round{r_}",
-                F.round(F.sqrt(F.col("sse") / F.col("n_ratings")), 6),
-            )
-            .withColumn(
-                f"loss_round{r_}",
-                F.round(
-                    F.col("sse") + F.lit(0.1) * (F.col("wnm") + F.col("hnm")),
-                    4,
-                ),
-            )
-            .drop("sse", "wnm", "hnm")
-        )
+    edges = _partsupp_edges_int(spark, sf_dir)
+    out = _pagerank_fused(edges, damping=0.85, iterations=5)
     return out.select(
-        "n_users", "n_items", "n_ratings",
-        "rmse_round1", "rmse_round2", "loss_round1", "loss_round2",
-    )
+        _fmt_node(F.col("id")).alias("id"), F.round("pagerank", 6).alias("pagerank")
+    ).orderBy("id")

@@ -1,7 +1,8 @@
 """Dump .explain('formatted') for catalog queries to plans/<dir>/.
 
 Usage: python tools/dump_plan.py <outdir-suffix> <query> [...]
-Writes plans/r09/<query>_<suffix>.txt (suffix e.g. 'before'/'after').
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt (suffix e.g.
+'before'/'after'; PLANS_ROUND defaults to r10).
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r09")
+    outdir = os.path.join(here, "plans", os.environ.get("PLANS_ROUND", "r10"))
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark(
         "dump-plan", extra_conf={"spark.ui.showConsoleProgress": "false"}
