@@ -2336,18 +2336,33 @@ def six_degrees_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (previously rows-only; VERDICT r4 item 2). exact=True since r7
     (VERDICT r6 item 1): the hashed row carries integer sufficient
     statistics only — the r6 driver red was cross-environment float
-    drift on round(ln/ln,6)/unrounded quantile_cont, not logic."""
-    edges = _partsupp_edges(spark, sf_dir)
+    drift on round(ln/ln,6)/unrounded quantile_cont, not logic.
+
+    r10: traverses the INT-keyed edge twin (guide §2.3 narrower
+    types — every BFS/meet/reconstruct shuffle keyed on longs instead
+    of 'p:'/'s:' strings; cold A/B 1.30x med) and pins the
+    4x-referenced vertices frame. The pair sampler still hashes the
+    PUBLIC string form via sample_key=_fmt_node, so the sampled node
+    set is bit-identical to the oracle's replay, and every declared
+    output is relabel-invariant: distances are label-free, and the
+    graph is strictly bipartite so humans-on-path is a function of
+    (endpoint types, path length) — min-parent path CHOICE may differ
+    on ints, its statistics cannot."""
+    edges = _partsupp_edges_int(spark, sf_dir)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .dropDuplicates()
         .withColumn(
             "type",
-            F.when(F.col("id").startswith("s:"), F.lit("human")).otherwise(F.lit("part")),
+            F.when(F.col("id") >= 0, F.lit("human")).otherwise(F.lit("part")),
         )
+        # pinned: referenced by the n_nodes count, both sample
+        # branches, and the is_human join
+        .persist()
     )
     return gpaths.six_degrees_experiment(
-        edges, vertices, n_pairs=50, seed=7, max_hops=4, exact=True
+        edges, vertices, n_pairs=50, seed=7, max_hops=4, exact=True,
+        sample_key=_fmt_node(F.col("id")),
     )
 
 

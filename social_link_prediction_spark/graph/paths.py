@@ -540,6 +540,7 @@ def six_degrees_experiment(
     max_hops: int = 8,
     weight: str | None = None,
     exact: bool = False,
+    sample_key=None,
 ) -> DataFrame:
     """G9: the six-degrees statistics job — sample random vertex pairs,
     compute degrees-of-separation, aggregate mean/median/unreachable
@@ -555,6 +556,13 @@ def six_degrees_experiment(
     hashed value is a BIGINT, so a cross-engine oracle comparison is
     immune to libm/quantile-interpolation drift. mean/median/L are
     one division away for presentation.
+
+    ``sample_key`` (optional Column over the vertex frame) is what the
+    hash-threshold pair sampler hashes; it defaults to the ``id``
+    column. Callers that traverse a RELABELED graph (e.g. the int-keyed
+    part-supplier twin, r10) pass the public string form here so the
+    sampled node SET is bit-identical to the oracle's replay while
+    every BFS shuffle keys on the narrow type.
 
     Returns a single-row DataFrame of the experiment summary.
     """
@@ -603,10 +611,11 @@ def six_degrees_experiment(
     K = 1 << 30
     target = n_pairs + 4.0 * (n_pairs ** 0.5) + 10.0
     thresh = int(min(1.0, target / max(n_nodes, 1)) * K)
+    skey = sample_key if sample_key is not None else F.col("id")
 
     def _sample(s: int, out: str) -> DataFrame:
-        cand = ids.filter(F.pmod(hash60(F.col("id"), F.lit(s)), F.lit(K)) < thresh)
-        w = Window.orderBy(hash60(F.col("id"), F.lit(s + 1_000_003)), "id")
+        cand = ids.filter(F.pmod(hash60(skey, F.lit(s)), F.lit(K)) < thresh)
+        w = Window.orderBy(hash60(skey, F.lit(s + 1_000_003)), "id")
         return (
             cand.withColumn("k", F.row_number().over(w))
             .filter(F.col("k") <= n_pairs)
