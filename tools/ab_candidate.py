@@ -1,94 +1,117 @@
-"""Candidate: six_degrees_summary on the INT-keyed part-supplier graph.
-
-Narrower types (guide §2.3): every BFS/meet/reconstruct shuffle, sort
-and join currently keys on 'p:<k>'/'s:<k>' strings; the int twin
-halves the key bytes and removes string comparisons. The PAIR SAMPLE
-hashes the public string form via _fmt_node, so the selected node set
-is bit-identical; every declared output (dist / humans-on-path
-aggregates) is invariant to node relabeling: distances are label-free
-and the graph is strictly bipartite, so humans-on-path is a function
-of (endpoint types, path length) — path CHOICE may differ (min-parent
-over ints), its statistics cannot. Also pins the 4x-referenced
-vertices frame.
-"""
+"""Candidate: betweenness backward phase with (a) eager localCheckpoint
+on each level's delta (truncates the growing backward plan that shows
+up as ~1.1s driver gaps before the final jobs) and (b) a tighter
+100k-row cap on the succ broadcast hint (the level-3 succ frame is
+~400k rows at sf0.1 — collecting it to the driver for a broadcast is
+driver time, not executor time)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from social_link_prediction_spark.catalog.c01 import (
     _fmt_node, _partsupp_edges_int,
 )
-from social_link_prediction_spark.graph import paths as gpaths
-from social_link_prediction_spark.graph.build import undirected
-from social_link_prediction_spark.ml.linksplit import hash60
+from social_link_prediction_spark.ml import linksplit as mls
+
+_BROADCAST_GUARD = 2_000_000
+_SUCC_GUARD = 100_000
+
+
+def _betweenness_cand(edges, seeds, max_depth=3, src="src", dst="dst"):
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    lv0 = (
+        seeds.select(F.col("source"), F.col("source").alias("node"))
+        .dropDuplicates()
+        .select("source", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
+        .persist()
+    )
+    levels = [lv0]
+    counts = [lv0.count()]
+    visited = lv0.select("source", "node")
+    frontier = lv0
+    for d in range(1, max_depth + 1):
+        f = F.broadcast(frontier) if counts[-1] <= _BROADCAST_GUARD else frontier
+        nxt = (
+            f.join(e, f["node"] == e["src"])
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["source", "node"], "left_anti")
+            .select("source", "node", F.lit(d).alias("dist"), "sigma")
+            .persist()
+        )
+        levels.append(nxt)
+        counts.append(nxt.count())
+        visited = visited.unionByName(nxt.select("source", "node"))
+        frontier = nxt
+
+    delta = levels[max_depth].select(
+        "source", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    deps = []
+    for d in range(max_depth - 1, 0, -1):
+        succ = delta.select(
+            F.col("source").alias("w_source"),
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta").alias("w_delta"),
+        )
+        lv = levels[d]
+        lvh = F.broadcast(lv) if counts[d] <= _SUCC_GUARD else lv
+        such = F.broadcast(succ) if counts[d + 1] <= _SUCC_GUARD else succ
+        contrib = (
+            lvh.join(e, lvh["node"] == e["src"])
+            .join(
+                such,
+                (F.col("source") == F.col("w_source"))
+                & (F.col("dst") == F.col("w_node")),
+            )
+            .groupBy("source", "node")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("w_sigma") * (F.lit(1.0) + F.col("w_delta"))
+                ).alias("dep")
+            )
+        )
+        delta = (
+            lv.join(contrib, ["source", "node"], "left")
+            .select(
+                "source",
+                "node",
+                "sigma",
+                F.coalesce("dep", F.lit(0.0)).alias("delta"),
+            )
+            .localCheckpoint()
+        )
+        deps.append(delta)
+
+    acc = deps[0]
+    for part in deps[1:]:
+        acc = acc.unionByName(part)
+    return (
+        acc.filter(F.col("delta") > 0)
+        .groupBy(F.col("node").alias("id"))
+        .agg(F.sum("delta").alias("betweenness"))
+    )
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     edges = _partsupp_edges_int(spark, sf_dir)
-    vertices = (
-        edges.select(F.col("src").alias("id"))
+    seeds = (
+        edges.filter(F.col("src") >= 0)
+        .select(F.col("src").alias("source"))
         .dropDuplicates()
-        .withColumn(
-            "type",
-            F.when(F.col("id") >= 0, F.lit("human")).otherwise(F.lit("part")),
+        .filter(
+            mls.hash60(F.format_string("s%d", "source"), F.lit("bc")) % 100 < 2
         )
-        .persist()
     )
-    n_pairs, seed, max_hops = 50, 7, 4
-
-    if edges.storageLevel == StorageLevel.NONE:
-        edges = edges.localCheckpoint()
-    bfs_edges = (
-        edges.select(
-            F.least("src", "dst").alias("src"),
-            F.greatest("src", "dst").alias("dst"),
+    bc = _betweenness_cand(edges, seeds, max_depth=3)
+    return (
+        bc.select(
+            _fmt_node(F.col("id")).alias("id"),
+            F.round("betweenness", 6).alias("betweenness"),
         )
-        .dropDuplicates()
-        .localCheckpoint()
-    )
-    ids = vertices.select("id")
-    n_nodes = vertices.count()
-    K = 1 << 30
-    target = n_pairs + 4.0 * (n_pairs ** 0.5) + 10.0
-    thresh = int(min(1.0, target / max(n_nodes, 1)) * K)
-
-    def _sample(s: int, out: str) -> DataFrame:
-        key = _fmt_node(F.col("id"))  # hash the PUBLIC string form
-        cand = ids.filter(F.pmod(hash60(key, F.lit(s)), F.lit(K)) < thresh)
-        w = Window.orderBy(hash60(key, F.lit(s + 1_000_003)), "id")
-        return (
-            cand.withColumn("k", F.row_number().over(w))
-            .filter(F.col("k") <= n_pairs)
-            .select(F.col("id").alias(out), "k")
-        )
-
-    a = _sample(seed, "src")
-    b = _sample(seed + 1, "dst")
-    pairs = (
-        a.join(b, "k")
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint()
-    )
-    deg = gpaths.degrees_of_separation(
-        bfs_edges, pairs, vertices, weight=None, max_hops=max_hops
-    )
-    degree_sum = undirected(edges).count()
-    return deg.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.col("dist").isNull().cast("long")).alias("unreachable"),
-        F.sum("dist").cast("long").alias("sum_dist"),
-        F.max("dist").cast("long").alias("max_dist"),
-        F.sum("degree").cast("long").alias("sum_degree_sep"),
-        (F.expr("percentile(degree, 0.5)") * 2).cast("long")
-        .alias("median_degree_sep_x2"),
-        F.max("degree").cast("long").alias("max_degree_sep"),
-    ).select(
-        "*",
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(degree_sum).cast("long").alias("degree_sum"),
+        .orderBy(F.col("betweenness").desc(), "id")
+        .limit(20)
     )
