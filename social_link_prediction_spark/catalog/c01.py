@@ -1410,7 +1410,12 @@ def triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — compact-forward a<b<c enumeration, each triangle once."""
     from social_link_prediction_spark.graph import motifs as gm
 
-    out = gm.vertex_triangle_counts(_tri_edges(spark, sf_dir))
+    # bounded_nodes=True: the folded graph holds <= 2000 ids at ANY sf
+    # (_tri_edges folds % 2000), so the broadcast-adjacency device is
+    # safe by construction — no probe job.
+    out = gm.vertex_triangle_counts(
+        _tri_edges(spark, sf_dir), bounded_nodes=True
+    )
     return out.orderBy(F.col("n_triangles").desc(), F.col("id").asc()).limit(20)
 
 
@@ -1458,7 +1463,8 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    t = gm.vertex_triangle_counts(e)
+    # bounded by construction (folded % 2000 graph) — no probe job
+    t = gm.vertex_triangle_counts(e, bounded_nodes=True)
     return (
         deg.join(t, "id", "left")
         .na.fill({"n_triangles": 0})

@@ -38,12 +38,24 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     """All triangles as (a, b, c) rows with a < b < c, each exactly
     once. Two shuffles: the wedge join on the middle vertex and the
     closing join on (a, c)."""
-    e = _oriented(edges, src, dst)
+    return _triangles_oriented(_oriented(edges, src, dst))
+
+
+def _triangles_oriented(e: DataFrame) -> DataFrame:
+    """Wedge-join enumeration over an already-oriented edge list —
+    the unbounded-graph path shared by ``triangles`` and the
+    node-count fallbacks."""
     ab = e.select(F.col("a"), F.col("b"))
     bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = ab.join(bc, "b").select("a", "b", "c")
     closing = e.select(F.col("a"), F.col("b").alias("c"))
     return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+
+
+# Node cap for the broadcast-adjacency device: past this the per-vertex
+# arrays could approach Spark's 8 GB broadcast-relation cap, so callers
+# fall back to the wedge-join path instead of failing mid-broadcast.
+_ADJ_MAX_NODES = 2_000_000
 
 
 def _oriented_adjacency(e: DataFrame) -> DataFrame:
@@ -58,13 +70,34 @@ def _oriented_adjacency(e: DataFrame) -> DataFrame:
     construction (the modulus-folded lineitem graph: <= 2000 ids at any
     sf; the sampled test graphs). For unbounded graphs keep the
     ``triangles`` wedge-join enumeration, whose per-key state is one
-    edge, not one adjacency row."""
+    edge, not one adjacency row. ``triangle_count`` /
+    ``vertex_triangle_counts`` enforce this with a node-count probe
+    unless the caller vouches for the bound (VERDICT r9 item 5)."""
     out_a = e.groupBy("a").agg(F.collect_list("b").alias("o"))
     in_b = e.groupBy("b").agg(F.collect_list("a").alias("i"))
     return e.join(F.broadcast(out_a), "a").join(F.broadcast(in_b), "b")
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def _nodes_bounded(e: DataFrame, cap: int) -> bool:
+    """True iff the oriented edge list has <= cap distinct vertices.
+    One short-circuiting probe job: distinct + limit(cap+1) stops
+    counting past the cap instead of materializing the full dedup."""
+    n = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .dropDuplicates()
+        .limit(cap + 1)
+        .count()
+    )
+    return n <= cap
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    bounded_nodes: bool | None = None,
+) -> DataFrame:
     """1-row global triangle count.
 
     Edge-iterator formulation (bounded-node contract, see
@@ -73,8 +106,22 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     one pass over |E| edge rows — the wedge-join alternative
     materializes and SHUFFLES every wedge (r9 measured 30M+ rows and
     an 18s exchange at sf0.1 on the folded lineitem graph vs ~2s for
-    this shape; identical integer result)."""
-    withm = _oriented_adjacency(_oriented(edges, src, dst))
+    this shape; identical integer result).
+
+    ``bounded_nodes``: True = the caller vouches the vertex set is
+    bounded by construction (folded graphs) — no probe job; None
+    (default) = probe the node count and FALL BACK to the wedge-join
+    enumeration past ``_ADJ_MAX_NODES``, so a production-scale edge
+    table degrades to the shuffle path instead of hitting the 8 GB
+    broadcast cap; False = always take the wedge path."""
+    e = _oriented(edges, src, dst)
+    use_adj = bounded_nodes
+    if use_adj is None:
+        use_adj = _nodes_bounded(e, _ADJ_MAX_NODES)
+    if not use_adj:
+        tri = _triangles_oriented(e)
+        return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    withm = _oriented_adjacency(e)
     return withm.agg(
         F.sum(F.size(F.array_intersect("o", "i")))
         .cast("long")
@@ -83,7 +130,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def vertex_triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    bounded_nodes: bool | None = None,
 ) -> DataFrame:
     """(id, n_triangles) per vertex — the numerator of the local
     clustering coefficient; only vertices in >= 1 triangle appear.
@@ -95,8 +145,24 @@ def vertex_triangle_counts(
     into a map-side-combinable count — per-vertex credit totals are
     IDENTICAL to exploding the enumerated (a, b, c) corners (each
     triangle still credits its three corners exactly once), without
-    the wedge exchange."""
-    withm = _oriented_adjacency(_oriented(edges, src, dst))
+    the wedge exchange.
+
+    ``bounded_nodes``: same tri-state guard as ``triangle_count`` —
+    past ``_ADJ_MAX_NODES`` (or with False) the counts come from
+    exploding the wedge-join enumeration's corners instead of the
+    broadcast adjacency device; identical integers either way."""
+    e = _oriented(edges, src, dst)
+    use_adj = bounded_nodes
+    if use_adj is None:
+        use_adj = _nodes_bounded(e, _ADJ_MAX_NODES)
+    if not use_adj:
+        corners = _triangles_oriented(e).select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
+        return corners.groupBy("id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_triangles")
+        )
+    withm = _oriented_adjacency(e)
     sz = F.size("mids").cast("long")
     credits = withm.select(
         F.array_intersect("o", "i").alias("mids"), "a", "b"

@@ -181,6 +181,43 @@ def test_triangles_bipartite_is_zero(spark):
     assert gm.triangle_count(edges).collect()[0]["n_triangles"] == 0
 
 
+def test_triangle_bounded_node_guard_falls_back(spark, monkeypatch):
+    """Past the node cap the triangle device must fall back to the
+    wedge-join path (never the broadcast adjacency) with IDENTICAL
+    counts; bounded_nodes tri-state controls the probe (VERDICT r9
+    item 5)."""
+    from social_link_prediction_spark.graph import motifs as gm
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i < j],
+        ["src", "dst"],
+    )
+    # shrink the cap so the 4-node K4 counts as "unbounded"
+    monkeypatch.setattr(gm, "_ADJ_MAX_NODES", 3)
+    assert not gm._nodes_bounded(gm._oriented(edges, "src", "dst"), 3)
+    # probe path (None) and forced fallback (False) both take the wedge
+    # path and agree with the vouched adjacency path (True)
+    for flag in (None, False):
+        assert (
+            gm.triangle_count(edges, bounded_nodes=flag).collect()[0][
+                "n_triangles"
+            ]
+            == 4
+        )
+        per_v = {
+            r["id"]: r["n_triangles"]
+            for r in gm.vertex_triangle_counts(
+                edges, bounded_nodes=flag
+            ).collect()
+        }
+        assert per_v == {0: 3, 1: 3, 2: 3, 3: 3}
+    # fallback plans must not carry the broadcast adjacency arrays
+    plan = gm.vertex_triangle_counts(
+        edges, bounded_nodes=False
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+
+
 def test_degree_assortativity_bounds_and_sign(spark):
     """Star graph is maximally disassortative (r = -1)."""
     from social_link_prediction_spark.graph import motifs as gm

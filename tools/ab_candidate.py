@@ -1,9 +1,10 @@
-"""Candidate: betweenness backward phase with (a) eager localCheckpoint
-on each level's delta (truncates the growing backward plan that shows
-up as ~1.1s driver gaps before the final jobs) and (b) a tighter
-100k-row cap on the succ broadcast hint (the level-3 succ frame is
-~400k rows at sf0.1 — collecting it to the driver for a broadcast is
-driver time, not executor time)."""
+"""Candidate: hits with (a) distinct_edges flag — the part-supplier
+edge view is distinct by construction and already persisted, so the
+operator's dropDuplicates().persist() re-shuffles and re-materializes
+2.4M rows for nothing — and (b) the final raw (id, hub, auth) frame
+pinned: its two-join subtree otherwise executes twice (the normalizer
+broadcast and the final projection). Note hub/auth rounded to 6 like
+the catalog query."""
 
 from __future__ import annotations
 
@@ -13,105 +14,65 @@ from pyspark.sql import functions as F
 from social_link_prediction_spark.catalog.c01 import (
     _fmt_node, _partsupp_edges_int,
 )
-from social_link_prediction_spark.ml import linksplit as mls
-
-_BROADCAST_GUARD = 2_000_000
-_SUCC_GUARD = 100_000
 
 
-def _betweenness_cand(edges, seeds, max_depth=3, src="src", dst="dst"):
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    lv0 = (
-        seeds.select(F.col("source"), F.col("source").alias("node"))
+def _hits_cand(edges, iterations=5, src="src", dst="dst",
+               broadcast_max_rows=2_000_000, distinct_edges=False):
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not distinct_edges:
+        e = e.dropDuplicates()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
         .dropDuplicates()
-        .select("source", "node", F.lit(0).alias("dist"), F.lit(1.0).alias("sigma"))
-        .persist()
+        .cache()
     )
-    levels = [lv0]
-    counts = [lv0.count()]
-    visited = lv0.select("source", "node")
-    frontier = lv0
-    for d in range(1, max_depth + 1):
-        f = F.broadcast(frontier) if counts[-1] <= _BROADCAST_GUARD else frontier
-        nxt = (
-            f.join(e, f["node"] == e["src"])
-            .groupBy("source", F.col("dst").alias("node"))
-            .agg(F.sum("sigma").alias("sigma"))
-            .join(visited, ["source", "node"], "left_anti")
-            .select("source", "node", F.lit(d).alias("dist"), "sigma")
-            .persist()
-        )
-        levels.append(nxt)
-        counts.append(nxt.count())
-        visited = visited.unionByName(nxt.select("source", "node"))
-        frontier = nxt
+    n = nodes.count()
+    maybe_bc = (lambda df: F.broadcast(df)) if n <= broadcast_max_rows else (lambda df: df)
+    n_part = max(1, min(e.sparkSession.sparkContext.defaultParallelism, n // 500_000 + 1))
 
-    delta = levels[max_depth].select(
-        "source", "node", "sigma", F.lit(0.0).alias("delta")
-    )
-    deps = []
-    for d in range(max_depth - 1, 0, -1):
-        succ = delta.select(
-            F.col("source").alias("w_source"),
-            F.col("node").alias("w_node"),
-            F.col("sigma").alias("w_sigma"),
-            F.col("delta").alias("w_delta"),
+    hub = nodes.withColumn("hub", F.lit(1.0)).coalesce(n_part).localCheckpoint()
+    auth = None
+    for i in range(iterations):
+        auth = (
+            e.join(maybe_bc(hub.select(F.col("id").alias("src"), "hub")), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+            .coalesce(n_part)
         )
-        lv = levels[d]
-        lvh = F.broadcast(lv) if counts[d] <= _SUCC_GUARD else lv
-        such = F.broadcast(succ) if counts[d + 1] <= _SUCC_GUARD else succ
-        contrib = (
-            lvh.join(e, lvh["node"] == e["src"])
-            .join(
-                such,
-                (F.col("source") == F.col("w_source"))
-                & (F.col("dst") == F.col("w_node")),
-            )
-            .groupBy("source", "node")
-            .agg(
-                F.sum(
-                    F.col("sigma") / F.col("w_sigma") * (F.lit(1.0) + F.col("w_delta"))
-                ).alias("dep")
-            )
-        )
-        delta = (
-            lv.join(contrib, ["source", "node"], "left")
-            .select(
-                "source",
-                "node",
-                "sigma",
-                F.coalesce("dep", F.lit(0.0)).alias("delta"),
-            )
+        if i == iterations - 1:
+            auth = auth.localCheckpoint()
+        hub = (
+            e.join(maybe_bc(auth.select(F.col("id").alias("dst"), "auth")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+            .coalesce(n_part)
             .localCheckpoint()
         )
-        deps.append(delta)
-
-    acc = deps[0]
-    for part in deps[1:]:
-        acc = acc.unionByName(part)
-    return (
-        acc.filter(F.col("delta") > 0)
-        .groupBy(F.col("node").alias("id"))
-        .agg(F.sum("delta").alias("betweenness"))
+    raw = (
+        nodes.join(maybe_bc(hub), "id", "left")
+        .join(maybe_bc(auth), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+        .localCheckpoint()  # feeds the normalizer AND the projection
+    )
+    sums = F.broadcast(raw.agg(F.sum("hub").alias("hs"), F.sum("auth").alias("as_")))
+    return raw.crossJoin(sums).select(
+        "id",
+        (F.col("hub") / F.col("hs")).alias("hub"),
+        (F.col("auth") / F.col("as_")).alias("auth"),
     )
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _partsupp_edges_int(spark, sf_dir)
-    seeds = (
-        edges.filter(F.col("src") >= 0)
-        .select(F.col("src").alias("source"))
-        .dropDuplicates()
-        .filter(
-            mls.hash60(F.format_string("s%d", "source"), F.lit("bc")) % 100 < 2
-        )
-    )
-    bc = _betweenness_cand(edges, seeds, max_depth=3)
-    return (
-        bc.select(
-            _fmt_node(F.col("id")).alias("id"),
-            F.round("betweenness", 6).alias("betweenness"),
-        )
-        .orderBy(F.col("betweenness").desc(), "id")
-        .limit(20)
-    )
+    out = _hits_cand(edges, iterations=3, distinct_edges=False)
+    return out.select(
+        _fmt_node(F.col("id")).alias("id"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    ).orderBy("id")
