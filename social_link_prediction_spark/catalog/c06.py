@@ -1266,6 +1266,9 @@ def als_panel_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "i")
         .limit(16)
         .select("i")
+        # pinned (16 rows): the h-init branch references itop after r0
+        # is released below
+        .localCheckpoint()
     )
     utop = (
         r0.groupBy("u").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1274,6 +1277,12 @@ def als_panel_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u")
     )
     pr = r0.join(F.broadcast(itop), "i").join(F.broadcast(utop), "u").persist()
+    # r10 (ADVICE r9): r0 is only needed until pr materializes; in a
+    # long-lived session sweeping the catalog the dead ~100k-row cache
+    # otherwise adds pressure to every later query. Materialize pr
+    # eagerly (the first action paid this anyway) and release r0.
+    pr.count()
+    r0.unpersist()
     h = itop.select(
         "i",
         (
