@@ -998,7 +998,15 @@ def lad_regression_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from social_link_prediction_spark.ml.linksplit import hash60
 
     li = _t(spark, sf_dir, "lineitem")
-    v = li.select(
+    # r10: round-robin the slim projection off the 1-3-task
+    # single-row-group scan stage BEFORE the per-row md5, so the cache
+    # build runs on all cores (the ridge/bootstrap lift, guide §2.5);
+    # at cluster scale the scan splits provide the parallelism and
+    # this exchange is noise.
+    slim = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    v = slim.select(
         F.round("l_quantity").cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
         F.when(

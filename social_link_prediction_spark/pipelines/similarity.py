@@ -69,13 +69,24 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection bucket id: bit i = sign(v · plane_i)."""
-    acc = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        p = F.array([F.lit(float(x)) for x in plane])
-        bit = F.when(dot(vec_col, p) > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        acc = acc + bit
-    return acc
+    """Sign-random-projection bucket id: bit i = sign(v · plane_i).
+
+    One aggregate over a planes-matrix literal zipped with the 2^i
+    weights — the dot-fold machinery appears ONCE in the expression
+    tree instead of once per plane (r10, the jl_projection planning
+    fix; per-plane arithmetic and the exact bit sum are unchanged)."""
+    pm = F.array(*[F.array(*[F.lit(float(x)) for x in plane]) for plane in planes])
+    w = F.array(*[F.lit(2**i).cast("bigint") for i in range(len(planes))])
+    return F.aggregate(
+        F.zip_with(
+            pm, w,
+            lambda row, wi: F.when(dot(vec_col, row) > 0, wi).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def srp_bucketed_topk(
