@@ -5013,27 +5013,28 @@ def decision_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate"
     )
+    # r10 (guide §2.3 "aggregate before you shuffle"): the fast-ship
+    # label max(shipdate <= orderdate+30) over an order's lines equals
+    # min(shipdate) <= orderdate+30, so the per-order line stats
+    # (nl, sq, min_ship) reduce map-side over lineitem ALONE and the
+    # join moves |orders| pre-aggregated rows instead of |lineitem| raw
+    # lines through the join + keyed re-aggregation. Identical rows at
+    # sf0.01/sf0.1; cold A/B 1.11x med — and the scale-correct shape.
+    lag = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nl"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.min(F.to_date("l_shipdate")).alias("minship"),
+    )
     base = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("nl"),
-            F.sum(F.round("l_quantity").cast("long"))
-            .cast("long")
-            .alias("sq"),
-            F.max(
-                F.when(
-                    F.to_date("l_shipdate")
-                    <= F.date_add(F.to_date("o_orderdate"), 30),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("pos"),
-        )
+        o.join(lag, o["o_orderkey"] == lag["l_orderkey"])
         .select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
-            "nl", "sq", "pos",
+            "nl", "sq",
+            F.when(
+                F.col("minship")
+                <= F.date_add(F.to_date("o_orderdate"), 30),
+                1,
+            ).otherwise(0).cast("long").alias("pos"),
         )
         .persist()
     )
@@ -5304,30 +5305,29 @@ def subgroup_wracc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    # r10: pre-aggregate lineitem to one (l_orderkey, min shipdate)
+    # row per order BEFORE the dimension joins (guide §2.3) — the
+    # fast-ship label max(shipdate <= cutoff) == min(shipdate) <=
+    # cutoff, so |lineitem| raw lines no longer ride through the
+    # 4-table join + keyed re-aggregation.
+    lag = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("minship")
+    )
     base = (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(n, c["c_nationkey"] == n["n_nationkey"])
         .join(r, n["n_regionkey"] == r["r_regionkey"])
-        .join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy(
-            "o_orderkey",
+        .join(lag, o["o_orderkey"] == lag["l_orderkey"])
+        .select(
             F.col("o_orderpriority").alias("prio"),
             F.col("c_mktsegment").alias("seg"),
             F.col("r_name").alias("region"),
-            "o_orderdate",
+            F.when(
+                F.col("minship")
+                <= F.date_add(F.to_date("o_orderdate"), 30),
+                1,
+            ).otherwise(0).cast("long").alias("pos"),
         )
-        .agg(
-            F.max(
-                F.when(
-                    F.to_date("l_shipdate")
-                    <= F.date_add(F.to_date("o_orderdate"), 30),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("pos")
-        )
-        .select("prio", "seg", "region", "pos")
         .persist()
     )
     tot = base.agg(
@@ -5541,27 +5541,24 @@ def adaboost_two_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate"
     )
+    # r10: same pre-aggregation as decision_tree_depth2 (guide §2.3) —
+    # max(shipdate <= cutoff) over an order's lines == min(shipdate) <=
+    # cutoff, so the line stats reduce map-side before the join.
+    lag = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nl"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sq"),
+        F.min(F.to_date("l_shipdate")).alias("minship"),
+    )
     base = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("nl"),
-            F.sum(F.round("l_quantity").cast("long"))
-            .cast("long")
-            .alias("sq"),
-            F.max(
-                F.when(
-                    F.to_date("l_shipdate")
-                    <= F.date_add(F.to_date("o_orderdate"), 30),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("pos"),
-        )
+        o.join(lag, o["o_orderkey"] == lag["l_orderkey"])
         .select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
-            "nl", "sq", "pos",
+            "nl", "sq",
+            F.when(
+                F.col("minship")
+                <= F.date_add(F.to_date("o_orderdate"), 30),
+                1,
+            ).otherwise(0).cast("long").alias("pos"),
         )
         .persist()
     )
