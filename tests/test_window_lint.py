@@ -288,9 +288,10 @@ LEDGER = {
     'catalog/c06.py|wts = Window.orderBy(F.abs(F.col("cw")).desc(), "s")':
         ('bounded',
          'priority/segment enum frames'),
-    'graph/paths.py|w = Window.orderBy(hash60(F.col("id"), F.lit(s + 1_000_003)), "id")':
+    'graph/paths.py|w = Window.orderBy(hash60(skey, F.lit(s + 1_000_003)), "id")':
         ('bounded',
-         'hash-prefiltered sample frame (~target rows)'),
+         'hash-prefiltered sample frame (~target rows); skey is the '
+         'r10 sample_key hook, same site as before'),
     'ml/linksplit.py|"__idx", F.row_number().over(Window.orderBy(node_id)) - 1':
         ('bounded',
          'guarded by n_nodes < _SCALABLE_INDEX_MIN; else the ranged device'),

@@ -1,10 +1,9 @@
-"""Candidate: decision_tree_depth2 with the lineitem side PRE-AGGREGATED
-before the join (guide §2.3 'aggregate before you shuffle'): the
-fast-ship label max(shipdate <= orderdate+30) over an order's lines is
-exactly min(shipdate) <= orderdate+30, so the per-order line stats
-(nl, sq, min_ship) reduce map-side on lineitem alone and the join
-moves 150k pre-aggregated rows instead of 600k raw lines through the
-orders join + re-aggregation."""
+"""Candidate: hybrid_rrf_search_docs with the two multi-referenced
+expensive frames pinned: the md5 hashed-embedding table (its per-token
+md5 subtree executes twice — once under the broadcast query-vector
+branch, once for the scored corpus) and the doc-length table (consumed
+by the avgdl broadcast and the bm join, re-running the tokenize
+explode each time)."""
 
 from __future__ import annotations
 
@@ -12,143 +11,82 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from social_link_prediction_spark.catalog.c01 import _t
+from social_link_prediction_spark.catalog.c04 import (
+    _BM25_B, _BM25_K1, _BM25_TERMS, _RETR_DIM, _RRF_DEPTH, _RRF_K,
+)
+from social_link_prediction_spark.pipelines import similarity as sim
+from social_link_prediction_spark.pipelines import text as ptx
 
 
 def candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderdate"
+    from social_link_prediction_spark.ml import features as mlf
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ptx.tokens("text")).alias("t"))
+    dl = (
+        tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        .localCheckpoint()
     )
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_shipdate"
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        tok.filter(F.col("t").isin(_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    lag = li.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).cast("long").alias("nl"),
-        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sq"),
-        F.min(F.to_date("l_shipdate")).alias("minship"),
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
-    base = (
-        o.join(lag, o["o_orderkey"] == lag["l_orderkey"])
+    bm = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (_BM25_K1 + 1) / denom), 6
+            ).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    bm_rank = bm.withColumn(
+        "rb", F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id"))
+    ).select("doc_id", "rb")
+
+    emb = mlf.hashed_text_embedding(
+        docs, "text", dim=_RETR_DIM, id_col="doc_id", hash_fn="md5"
+    ).localCheckpoint()
+    q = emb.filter(F.col("doc_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = sim.dot(
+        F.col("qv").cast("array<double>"), F.col("embedding").cast("array<double>")
+    )
+    scored = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    emb_rank = scored.withColumn(
+        "re",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+    ).select("doc_id", "re")
+
+    fused = (
+        bm_rank.join(emb_rank, "doc_id", "full_outer")
         .select(
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
-            "nl", "sq",
-            F.when(
-                F.col("minship")
-                <= F.date_add(F.to_date("o_orderdate"), 30),
-                1,
-            ).otherwise(0).cast("long").alias("pos"),
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("re")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("rb").cast("long").alias("bm25_rank"),
+            F.col("re").cast("long").alias("embedding_rank"),
         )
-        .persist()
     )
-
-    def _lng(df: DataFrame, keys: list) -> DataFrame:
-        parts = []
-        for name, col in (("price", "pc"), ("lines", "nl"),
-                          ("quantity", "sq")):
-            parts.append(
-                df.select(
-                    *keys, F.lit(name).alias("feature"),
-                    F.col(col).alias("v"), "pos",
-                )
-            )
-        out = parts[0]
-        for pp in parts[1:]:
-            out = out.unionAll(pp)
-        return out
-
-    def _best(lng: DataFrame, keys: list) -> DataFrame:
-        grp = lng.groupBy(*keys, "feature", "v").agg(
-            F.sum("pos").cast("long").alias("p"),
-            F.count(F.lit(1)).cast("long").alias("c"),
-        )
-        pw = Window.partitionBy(*keys, "feature").orderBy("v").rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-        tw = Window.partitionBy(*keys, "feature")
-        cum = grp.select(
-            *keys, "feature", "v",
-            F.sum("p").over(pw).cast("long").alias("cp"),
-            F.sum("c").over(pw).cast("long").alias("cc"),
-            F.sum("p").over(tw).cast("long").alias("tp"),
-            F.sum("c").over(tw).cast("long").alias("tc"),
-        ).filter(F.col("cc") < F.col("tc"))
-        score = (
-            (
-                F.col("cp") * F.col("cp")
-                + (F.col("cc") - F.col("cp")) * (F.col("cc") - F.col("cp"))
-            )
-            * 1e0
-            / F.col("cc")
-            + (
-                (F.col("tp") - F.col("cp")) * (F.col("tp") - F.col("cp"))
-                + ((F.col("tc") - F.col("cc")) - (F.col("tp") - F.col("cp")))
-                * ((F.col("tc") - F.col("cc")) - (F.col("tp") - F.col("cp")))
-            )
-            * 1e0
-            / (F.col("tc") - F.col("cc"))
-        )
-        scored = cum.withColumn("score", score)
-        if not keys:
-            return scored.orderBy(F.desc("score"), "feature", "v").limit(
-                1
-            ).select("feature", "v", "score", "tp", "tc")
-        wb = Window.partitionBy(*keys).orderBy(
-            F.desc("score"), "feature", "v"
-        )
-        return scored.withColumn("rr", F.row_number().over(wb)).filter(
-            F.col("rr") == 1
-        ).select(*keys, "feature", "v", "score", "tp", "tc")
-
-    root = _best(_lng(base, []), []).select(
-        F.col("feature").alias("rf"), F.col("v").alias("rv"),
-        F.col("score").alias("rscore"),
-    )
-    roottot = base.agg(
-        F.sum("pos").cast("long").alias("rtp"),
-        F.count(F.lit(1)).cast("long").alias("rtc"),
-    )
-    sided = base.crossJoin(F.broadcast(root)).withColumn(
-        "side",
-        F.when(
-            F.when(F.col("rf") == "price", F.col("pc"))
-            .when(F.col("rf") == "lines", F.col("nl"))
-            .otherwise(F.col("sq"))
-            <= F.col("rv"),
-            F.lit("left"),
-        ).otherwise(F.lit("right")),
-    )
-    children = _best(_lng(sided, ["side"]), ["side"])
-    root_row = root.crossJoin(F.broadcast(roottot)).select(
-        F.lit("root").alias("node"),
-        F.col("rf").alias("feature"),
-        F.col("rv").alias("threshold"),
-        F.col("rtc").alias("n"),
-        F.col("rtp").alias("n_pos"),
-        F.col("rscore").alias("score"),
-    )
-    child_rows = children.select(
-        F.col("side").alias("node"), "feature",
-        F.col("v").alias("threshold"),
-        F.col("tc").alias("n"), F.col("tp").alias("n_pos"), "score",
-    )
-    nodes = root_row.unionAll(child_rows)
-    gini_before = 1e0 - (
-        F.col("n_pos") * 1e0 * F.col("n_pos")
-        + (F.col("n") - F.col("n_pos")) * 1e0 * (F.col("n") - F.col("n_pos"))
-    ) / (F.col("n") * 1e0 * F.col("n"))
-    return nodes.select(
-        "node", "feature",
-        F.round(
-            F.when(
-                F.col("feature") == "price", F.col("threshold") / 100e0
-            ).otherwise(F.col("threshold") * 1e0),
-            2,
-        ).alias("threshold"),
-        "n", "n_pos",
-        F.round(F.col("n_pos") * 1e0 / F.col("n"), 6).alias("pos_rate"),
-        F.round(gini_before, 6).alias("gini_before"),
-        F.round(1e0 - F.col("score") / F.col("n"), 6).alias("gini_after"),
-    ).orderBy(
-        F.when(F.col("node") == "root", 0)
-        .when(F.col("node") == "left", 1)
-        .otherwise(2)
-    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
